@@ -1,0 +1,104 @@
+package graft.fs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pure column expressions for the feature-engineering surface.
+  *
+  * All hot-path logic is built from `org.apache.spark.sql.functions` so it
+  * stays inside whole-stage codegen — no UDFs, no serialization walls.
+  *
+  * Reference semantics (behavior only, re-expressed Spark-first):
+  *   - AQI piecewise-linear EPA formula: spark/code/write_to_bigquery.py:91-105
+  *   - calendar derivations:             spark/code/write_to_bigquery.py:81-86
+  *   - entity key construction:          spark/code/write_to_bigquery.py:87
+  *   - AQI level bucketing:              agent/aqi-agent/app/agent.py:103-107
+  */
+object Expressions {
+
+  /** EPA PM2.5 breakpoints: (cLo, cHi, iLo, iHi).
+    * Note the table has *gaps* (e.g. 12.0 < c < 12.1) — values falling in a
+    * gap take the fallback, matching the reference exactly.
+    * Ref: spark/code/write_to_bigquery.py:93-101. */
+  val AqiBreakpoints: Seq[(Double, Double, Int, Int)] = Seq(
+    (0.0, 12.0, 0, 50),
+    (12.1, 35.4, 51, 100),
+    (35.5, 55.4, 101, 150),
+    (55.5, 150.4, 151, 200),
+    (150.5, 250.4, 201, 300),
+    (250.5, 350.4, 301, 400),
+    (350.5, 500.4, 401, 500)
+  )
+
+  /** Canonical AQI fallback for out-of-range concentrations (the Spark-job
+    * variant of the reference; the loader returns null and the online path
+    * returns 500 — both available via the `fallback` parameter). */
+  val CanonicalFallback = 8.5
+
+  /** Piecewise-linear EPA AQI from a PM2.5 concentration column.
+    *
+    * Codegen-friendly `when`-chain instead of the reference's Python UDF
+    * (write_to_bigquery.py:107 forces a per-batch Python round-trip; this
+    * stays in Tungsten). Null in → null out; out-of-range/gap → fallback.
+    */
+  def aqiPm25(c: Column, fallback: Option[Double] = Some(CanonicalFallback)): Column = {
+    val chain = AqiBreakpoints.foldLeft(when(c.isNull, lit(null).cast("double"))) {
+      case (acc, (lo, hi, iLo, iHi)) =>
+        val slope = (iHi - iLo).toDouble / (hi - lo)
+        acc.when(c.between(lo, hi), lit(slope) * (c - lit(lo)) + lit(iLo.toDouble))
+    }
+    fallback match {
+      case Some(f) => chain.otherwise(lit(f))
+      case None    => chain // null for out-of-range
+    }
+  }
+
+  /** DuckDB-dialect SQL for the same AQI computation, generated from the same
+    * breakpoint table so the two can never drift. Used by SparkEntry.oracleSql. */
+  def aqiPm25Sql(c: String, fallback: Option[Double] = Some(CanonicalFallback)): String = {
+    val cases = AqiBreakpoints.map { case (lo, hi, iLo, iHi) =>
+      val slope = (iHi - iLo).toDouble / (hi - lo)
+      s"WHEN $c BETWEEN $lo AND $hi THEN $slope * ($c - $lo) + ${iLo.toDouble}"
+    }
+    val els = fallback.map(f => s"ELSE $f").getOrElse("ELSE NULL")
+    s"(CASE WHEN $c IS NULL THEN NULL ${cases.mkString(" ")} $els END)"
+  }
+
+  /** AQI level label buckets. Ref: agent.py:103-107. */
+  def aqiLevel(aqi: Column): Column =
+    when(aqi.isNull, lit(null).cast("string"))
+      .when(aqi <= 50, "Good")
+      .when(aqi <= 100, "Moderate")
+      .when(aqi <= 150, "Sensitive")
+      .otherwise("Polluted")
+
+  def aqiLevelSql(aqi: String): String =
+    s"(CASE WHEN $aqi IS NULL THEN NULL WHEN $aqi <= 50 THEN 'Good' " +
+      s"WHEN $aqi <= 100 THEN 'Moderate' WHEN $aqi <= 150 THEN 'Sensitive' " +
+      s"ELSE 'Polluted' END)"
+
+  /** Entity key: underscore-joined string of the key columns.
+    * Ref: write_to_bigquery.py:87 (`lat + "_" + lon`). */
+  def entityId(keys: Column*): Column =
+    concat_ws("_", keys.map(_.cast("string")): _*)
+
+  /** Calendar feature columns from a timestamp column. dayOfWeek follows the
+    * Spark convention (1=Sunday..7=Saturday) — the canonical choice documented
+    * in SURVEY.md §1.4; session timezone is fixed UTC. */
+  def calendarColumns(ts: Column): Map[String, Column] = Map(
+    "hour" -> hour(ts),
+    "day" -> dayofmonth(ts),
+    "dayOfWeek" -> dayofweek(ts),
+    "year" -> year(ts),
+    "month" -> month(ts)
+  )
+
+  /** Next-hour clock arithmetic with day/dow rollover. Ref: agent.py:88-90. */
+  def nextHour(hourC: Column, dayC: Column, dowC: Column): (Column, Column, Column) = {
+    val h = (hourC + 1) % 24
+    val rolls = hourC === 23
+    val d = when(rolls, dayC + 1).otherwise(dayC)
+    val w = when(rolls, (dowC % 7) + 1).otherwise(dowC)
+    (h, d, w)
+  }
+}

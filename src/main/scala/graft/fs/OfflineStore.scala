@@ -1,0 +1,99 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Offline store: append-only, day-partitioned Parquet feature history with a
+  * high-watermark checkpoint and small metadata tables.
+  *
+  * Reference shape: BigQuery `aq_data.aqi_info` appended per Spark run
+  * (write_to_bigquery.py:113-118) over day-partitioned GCS Parquet discovered
+  * by hand-rolled regex listing + date filter (write_to_bigquery.py:43-55) and
+  * a `start_date.txt` watermark (write_to_bigquery.py:36-38,122-129).
+  *
+  * Spark-first: `partitionBy("year","month","day")` writes; reads go through
+  * ONE scan of the table root with a partition-column predicate — Catalyst's
+  * `PruneFileSourcePartitions` does the directory pruning the reference did
+  * manually, and the per-day sequential driver loop (write_to_bigquery.py:73)
+  * disappears into a single distributed job.
+  */
+final case class OfflineStore(spark: SparkSession, root: String) {
+
+  private def tablePath(name: String) = s"$root/$name"
+  private def watermarkFile(name: String) = Paths.get(s"$root/_watermark_$name.txt")
+
+  /** Append feature rows, partitioned by calendar day columns (must exist). */
+  def append(name: String, df: DataFrame, partitionCols: Seq[String] = Seq("year", "month", "day")): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*).parquet(tablePath(name))
+
+  /** Full-history read. Partition pruning applies to any filter the caller
+    * adds on the partition columns. */
+  def read(name: String): DataFrame = spark.read.parquet(tablePath(name))
+
+  /** Incremental read: rows on/after the stored watermark date.
+    * The filter is on partition columns → Catalyst prunes directories. */
+  def readSince(name: String, sinceDate: java.time.LocalDate): DataFrame = {
+    val d = sinceDate
+    read(name).where(
+      make_date(col("year"), col("month"), col("day")) >= to_date(lit(d.toString))
+    )
+  }
+
+  /** Current watermark (exclusive lower bound for the next run), if any. */
+  def watermark(name: String): Option[java.time.LocalDate] = {
+    val p = watermarkFile(name)
+    if (Files.exists(p)) Some(java.time.LocalDate.parse(Files.readString(p).trim)) else None
+  }
+
+  /** Advance the watermark to max(partition date) + 1 day, as the reference
+    * does (write_to_bigquery.py:122-129). */
+  def advanceWatermark(name: String, df: DataFrame): Option[java.time.LocalDate] = {
+    val maxDate = df
+      .agg(max(make_date(col("year"), col("month"), col("day"))).as("d"))
+      .collect()(0)
+      .getAs[java.sql.Date]("d")
+    Option(maxDate).map { md =>
+      val next = md.toLocalDate.plusDays(1)
+      Files.writeString(
+        watermarkFile(name),
+        next.toString,
+        StandardOpenOption.CREATE,
+        StandardOpenOption.TRUNCATE_EXISTING
+      )
+      next
+    }
+  }
+
+  /** Lineage metadata row. Ref: write_to_bigquery.py:139-147, load.py:87-93. */
+  def appendLineage(name: String, version: String, source: String, transformationFile: String): Unit = {
+    import spark.implicits._
+    val ts = java.time.Instant.now.toString
+    Seq((name, version, source, transformationFile, ts))
+      .toDF("name", "version", "source", "transformation_file", "timestamp")
+      .write.mode("append").parquet(tablePath("lineage"))
+  }
+
+  /** Feature metadata insert guarded by an existence check (idempotent).
+    * Ref: dedup-checked insert load.py:60-102 (COUNT(*) guard → F4+A2). */
+  def registerFeatureMetadata(
+      featureName: String,
+      version: String,
+      formula: String,
+      description: String
+  ): Boolean = {
+    import spark.implicits._
+    val path = tablePath("feature_metadata")
+    val exists = Files.exists(Paths.get(path)) && !spark.read
+      .parquet(path)
+      .where(col("feature_name") === featureName && col("version") === version)
+      .limit(1)
+      .isEmpty
+    if (!exists) {
+      Seq((featureName, version, formula, description, java.time.Instant.now.toString))
+        .toDF("feature_name", "version", "formula", "description", "created_at")
+        .write.mode("append").parquet(path)
+    }
+    !exists
+  }
+}

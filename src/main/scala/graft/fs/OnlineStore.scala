@@ -1,0 +1,93 @@
+package graft.fs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Online store: latest feature row per entity key, upserts, key lookups.
+  *
+  * The reference keeps this in Redis (hash per key, latest wins —
+  * airflow/dags/load.py:139-148, feast/feature_store.yaml:10-12). Spark-first
+  * restatement: a compact "latest snapshot" DataFrame materialized from the
+  * offline history, persisted as Parquet, refreshed by upsert; lookups are
+  * broadcast left joins (the snapshot is small — one row per live entity).
+  */
+object OnlineStore {
+
+  /** Latest row per key — argmax by (ts, tieBreak).
+    *
+    * Implemented with `max_by(struct(payload), struct(ts, tieBreak))`, which
+    * plans as a hash aggregate with map-side partial aggregation: one shuffle
+    * of pre-combined partials, no per-key sort. At 100 TB this beats the
+    * `row_number`-window form (full shuffle + sort of every row); the window
+    * form is kept for differential testing.
+    */
+  def latestSnapshot(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val payloadCols = df.columns.filterNot(keys.contains).toSeq
+    val ordKey = struct((tsCol +: tieBreak).map(col): _*)
+    val picked = df
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payloadCols.map(col): _*), ordKey).as("__latest"))
+    payloadCols
+      .foldLeft(picked) { (d, c) => d.withColumn(c, col(s"__latest.$c")) }
+      .drop("__latest")
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Window-based variant (differential-test twin of [[latestSnapshot]]). */
+  def latestSnapshotWindowed(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Upsert: union new rows into the snapshot, keep latest per key.
+    * Ref semantics: feast `write_to_online_store` (redis_data.py:88-94) —
+    * idempotent (re-upserting the same rows is a no-op). */
+  def writeOnline(
+      snapshot: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame =
+    latestSnapshot(snapshot.unionByName(updates, allowMissingColumns = true), keys, tsCol, tieBreak)
+
+  /** Point lookup of entity keys against the snapshot: broadcast left join,
+    * nulls for absent keys (the reference's "no data" path, agent.py:78-79).
+    * Optional `ttl` expires rows older than `asOf - ttl` to null, matching
+    * Feast online-read staleness. */
+  def lookup(
+      keysDf: DataFrame,
+      snapshot: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      ttl: Option[String] = None,
+      asOf: Option[Column] = None
+  ): DataFrame = {
+    val joined = keysDf.join(broadcast(snapshot), keys, "left")
+    ttl match {
+      case Some(t) =>
+        val cutoff = asOf.getOrElse(current_timestamp()) - expr(s"INTERVAL $t")
+        val live = col(tsCol) >= cutoff
+        val featureCols = snapshot.columns.filterNot(keys.contains)
+        featureCols.foldLeft(joined) { (d, c) =>
+          d.withColumn(c, when(live, col(c)).otherwise(lit(null)))
+        }
+      case None => joined
+    }
+  }
+}

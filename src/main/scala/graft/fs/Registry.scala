@@ -1,0 +1,84 @@
+package graft.fs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** Feature registry: typed catalog of entities and feature views.
+  *
+  * Mirrors the Feast objects the reference registers
+  * (feast/features/aqi_feature.py:6-45) as plain Scala case classes held in
+  * an in-memory registry; `listViews`/`describe` cover the catalog surface
+  * (feast/check_metadata.py:6-16).
+  */
+object Registry {
+
+  final case class Entity(name: String, joinKeys: Seq[String], description: String = "")
+
+  final case class Field(name: String, dtype: DataType, description: String = "")
+
+  final case class FeatureView(
+      name: String,
+      entity: Entity,
+      fields: Seq[Field],
+      source: String,
+      timestampField: String = "feature_timestamp",
+      ttl: java.time.Duration = java.time.Duration.ofDays(7),
+      online: Boolean = true,
+      tags: Map[String, String] = Map.empty
+  ) {
+    def schema: StructType = StructType(fields.map(f => StructField(f.name, f.dtype)))
+    def featureRefs: Seq[String] = fields.map(f => s"$name:${f.name}")
+  }
+
+  /** A parsed "view:field" feature reference (model/aqi_predict_hn.py:25-33). */
+  final case class FeatureRef(view: String, field: String)
+
+  def parseRef(ref: String): FeatureRef = ref.split(":", 2) match {
+    case Array(v, f) => FeatureRef(v, f)
+    case _           => throw new IllegalArgumentException(s"feature ref must be view:field, got '$ref'")
+  }
+
+  final class FeatureRegistry {
+    private var views = Vector.empty[FeatureView]
+    private var entities = Vector.empty[Entity]
+
+    def applyEntity(e: Entity): this.type = { entities = entities.filterNot(_.name == e.name) :+ e; this }
+    def applyView(v: FeatureView): this.type = { views = views.filterNot(_.name == v.name) :+ v; this }
+
+    def listViews: Seq[FeatureView] = views
+    def listEntities: Seq[Entity] = entities
+    def view(name: String): FeatureView =
+      views.find(_.name == name).getOrElse(throw new NoSuchElementException(s"no feature view '$name'"))
+
+    /** Catalog render — the engine's `check_metadata` equivalent. */
+    def describe(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      views
+        .map(v =>
+          (v.name, v.entity.name, v.fields.map(f => s"${f.name}:${f.dtype.simpleString}").mkString(","),
+            v.source, v.ttl.toDays, v.online))
+        .toDF("name", "entity", "fields", "source", "ttl_days", "online")
+    }
+
+    /** Resolve feature refs to (view, projected field names), grouped per view. */
+    def resolve(refs: Seq[String]): Map[FeatureView, Seq[String]] =
+      refs.map(parseRef).groupBy(_.view).map { case (v, rs) => view(v) -> rs.map(_.field) }
+  }
+
+  /** The reference's registry content, re-expressed (aqi_feature.py:6-45). */
+  def defaultRegistry(): FeatureRegistry = {
+    import org.apache.spark.sql.types._
+    val entity = Entity("entity_id", Seq("entity_id"), "lat_lon grid cell")
+    val fields = Seq(
+      Field("hour", IntegerType, "hour of day"),
+      Field("day", IntegerType, "day of month"),
+      Field("dayOfWeek", IntegerType, "1=Sunday..7=Saturday (Spark convention)"),
+      Field("aqi", DoubleType, "EPA PM2.5 AQI")
+    )
+    val r = new FeatureRegistry
+    r.applyEntity(entity)
+    r.applyView(FeatureView("aqi_info_v1", entity, fields, "aqi_info", tags = Map("version" -> "v1")))
+    r.applyView(FeatureView("aqi_info_v2", entity, fields, "aqi_info", tags = Map("version" -> "v2")))
+    r
+  }
+}

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines — exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — each designed around ONE bounded shuffle.
+  *
+  * Scale notes (the 100 TB story):
+  *   - exact: hash-aggregate on the text (or a digest of it) — map-side
+  *     partial aggregation collapses duplicates before the shuffle; shuffling
+  *     xxhash64 digests instead of full text keeps shuffle bytes tiny.
+  *   - minhashLsh: per-row signature computation is embarrassingly parallel
+  *     (array expressions, codegen'd); the only shuffle is the band-bucket
+  *     groupBy, whose cardinality is ~rows×bands but each record is
+  *     (bucket, id) — small. Candidate verification joins are per-bucket.
+  *   - simHash: per-row 64-bit fingerprint, duplicates = equal fingerprints
+  *     (or Hamming-close via rotations) — one digest shuffle.
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic representative (min id) per distinct text. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+
+  /** Exact-dup statistics: total rows, distinct texts, duplicate rows. */
+  def exactStats(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.agg(
+      count(lit(1)).as("total"),
+      countDistinct(col(textCol)).as("distinct_texts"),
+      (count(lit(1)) - countDistinct(col(textCol))).as("dup_rows")
+    )
+
+  /** Word k-shingles of a document as an array column. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))
+      ))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeds, min over shingles of
+    * xxhash64(shingle, seed-salt). Pure per-row array math. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(array_distinct(sh), x => xxhash64(x, lit(s))))
+    }: _*)
+
+  /** MinHash + LSH banding: docs whose signature agrees on ALL rows of some
+    * band land in the same bucket → candidate pair → verified by estimated
+    * Jaccard (signature agreement rate) >= threshold.
+    *
+    * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sig = docs
+      .select(col(idCol), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+    // (id, band, bucketHash) — bucket is a hash of the band's slice
+    val banded = sig
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(rowsPerBand * bands).cast("double")).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash: 64-bit fingerprint — per bit, sign of the sum of ±1 votes from
+    * each distinct token's xxhash64. Near-dups share fingerprints (exact
+    * match here; Hamming-distance variants join on rotated prefixes).
+    *
+    * Bit plumbing goes through `bin()` (two's-complement bit-string of the
+    * token hash) because the Column API has no variable-shift operator, and
+    * the result is a 16-char hex string via `conv` — avoids ANSI-mode long
+    * overflow on the top bit while staying fully codegen'd.
+    */
+  def simhash(text: Column): Column = {
+    val toks = array_distinct(TextAnalysis.tokens(text))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => zip_with(
+        acc,
+        split(lpad(bin(xxhash64(t)), 64, "0"), ""),
+        (a, bitCh) => a + when(bitCh === "1", 1).otherwise(-1)
+      )
+    )
+    conv(concat_ws("", transform(votes, v => when(v > 0, "1").otherwise("0"))), 2, 16)
+  }
+
+  /** SimHash dedup groups: fingerprint per doc + group id (min doc id sharing
+    * the fingerprint). */
+  def simhashGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    fp.withColumn("group_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs that share at least
+    * one n-gram: explode distinct n-grams, self-join on the n-gram, count
+    * intersections, derive |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * At scale the join is bounded by n-gram-frequency skew: `maxNgramFreq`
+    * drops stop-n-grams (present in too many docs) before the self-join —
+    * standard candidate-pair pruning that keeps the join near-linear.
+    */
+  def ngramJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None
+  ): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val pruned = maxNgramFreq match {
+      case Some(m) =>
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= m)
+        grams.join(freq.select("gram"), Seq("gram"))
+      case None => grams
+    }
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_grams", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_grams", "nb"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one pass over the corpus per probe,
+  * embarrassingly parallel, `TakeOrderedAndProject` for the top-k (no global
+  * sort). Scale path: random-hyperplane LSH buckets — probes only compare
+  * against their bucket (and optional multi-probe neighbors), turning a full
+  * scan into a bucket-local scan; the hyperplanes are seeded literals so the
+  * bucketing is deterministic and reproducible across runs/executors.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns (accumulated in double,
+    * index order — matches the oracle engine's list accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of one probe vector.
+    * Plans as scan → per-row expression → TakeOrderedAndProject(k): no
+    * shuffle of the corpus, only k rows reach the driver. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      probe: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      excludeSelfId: Option[Long] = None
+  ): DataFrame = {
+    val p = lit(probe.map(_.toDouble).toArray)
+    val scored = corpus
+      .withColumn("cosine", round(cosine(col(embCol), p), 6))
+      .select(col(idCol), col("cosine"))
+    val filtered = excludeSelfId.map(id => scored.where(col(idCol) =!= id)).getOrElse(scored)
+    filtered.orderBy(col("cosine").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` × `dim`, seeded. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** LSH bucket id of an embedding: sign bits against the hyperplanes,
+    * packed as a bit-string (kept as string to dodge 64-bit packing). */
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    concat_ws("", planes.map { plane =>
+      when(dot(emb, lit(plane)) >= 0, "1").otherwise("0")
+    }.toIndexedSeq: _*)
+
+  /** ANN via LSH: bucket the corpus once, then for each probe row compare
+    * only within its bucket. Returns top-k per probe by cosine.
+    *
+    * `probes` and `corpus` are both (id, embedding) frames; self-pairs are
+    * excluded. The bucketed join shuffles on the (small) bucket id, AQE
+    * handles bucket-size skew.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      numPlanes: Int = 12,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val scored = pb.join(cb, Seq("bucket"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
+  /** Per-vector stats (norm, mean component) — cheap sanity surface. */
+  def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    df.select(
+      col(idCol),
+      size(col(embCol)).as("dim"),
+      round(norm(col(embCol)), 6).as("l2_norm"),
+      round(aggregate(col(embCol), lit(0.0), (a, v) => a + v.cast("double")) / size(col(embCol)), 6).as("mean_val")
+    )
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language ID, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd `functions._` array/string expressions —
+  * per-row compute, no shuffles, scales linearly with input splits. Designed
+  * for the `documents` table (doc_id, text, lang, source, n_chars).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (single-space split to stay dialect-portable with
+    * the DuckDB oracle; empty tokens filtered). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Tiny embedded stopword set for quality ratios. */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document stats: lengths, token counts, ratios, quality score.
+    * Output columns: doc_id, n_chars_m, n_tokens, avg_token_len,
+    * stopword_ratio, distinct_ratio, quality_score. */
+  def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val stopHits = size(filter(t, x => x.isin(Stopwords: _*))).cast("double")
+    val distinctTok = size(array_distinct(t)).cast("double")
+    val tokLenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+    docs
+      .withColumn("n_chars_m", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("avg_token_len", round(tokLenSum / nTok, 6))
+      .withColumn("stopword_ratio", round(stopHits / nTok, 6))
+      .withColumn("distinct_ratio", round(distinctTok / nTok, 6))
+      // Quality: long-enough docs with diverse vocabulary and sane stopword mass
+      .withColumn("quality_score",
+        round(
+          least(lit(1.0), col("n_tokens") / lit(50.0)) * lit(0.4)
+            + col("distinct_ratio") * lit(0.4)
+            + least(lit(1.0), col("stopword_ratio") * lit(5.0)) * lit(0.2), 6))
+  }
+
+  /** Language lexicons for the n-gram/stopword language-ID heuristic. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "que", "pour"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "una", "por", "con", "para"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人")
+  )
+
+  /** Language ID: score = fraction of tokens found in each language's lexicon;
+    * argmax wins, ties broken by lexicon order, all-zero → "und".
+    * Output adds `lang_pred` (+ per-language `score_xx` when keepScores). */
+  def langId(docs: DataFrame, textCol: String = "text", keepScores: Boolean = false): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    val scored = LangLexicons.foldLeft(docs) { case (d, (lang, lex)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(t, x => x.isin(lex: _*))).cast("double") / greatest(size(t), lit(1)).cast("double"))
+    }
+    val best = LangLexicons.map { case (lang, _) => col(s"score_$lang") }
+    val maxScore = greatest(best: _*)
+    val pred = LangLexicons.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+    val out = scored.withColumn("lang_pred", pred)
+    if (keepScores) out else out.drop(LangLexicons.map { case (l, _) => s"score_$l" }: _*)
+  }
+
+  /** Token count under a BPE-ish regex (words / numbers / single punct).
+    * Uses `regexp_count`, portable to the oracle's regexp_extract_all. */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Rolling polynomial fingerprint over characters: acc = (acc*31 + cp) mod
+    * 1e9+7 — a stable document hash independent of any engine hash function,
+    * so differential-testable across engines. Per-row, codegen'd. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, cp) => (acc * 31L + cp) % 1000000007L
+    )
+}

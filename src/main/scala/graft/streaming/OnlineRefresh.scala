@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.fs.OnlineStore
+
+/** Structured-Streaming maintenance of the online store.
+  *
+  * The reference refreshes its Redis online store with an hourly batch DAG
+  * (airflow/dags/online_dag.py:25-30 → redis_data.py:44-94). Streaming-native
+  * restatement: a file-source stream over the landed feature parquet,
+  * `foreachBatch` upserting each micro-batch into the latest-per-key snapshot
+  * — the same `writeOnline` code path as batch, so semantics can't drift.
+  */
+object OnlineRefresh {
+
+  /** Start a stream that maintains `snapshotPath` as the latest-per-key view
+    * of feature rows arriving under `inputPath`. */
+  def start(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      snapshotPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      tsCol: String,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(inputPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val current =
+          if (new java.io.File(snapshotPath).exists())
+            spark.read.parquet(snapshotPath)
+          else batch.limit(0)
+        val next = OnlineStore.writeOnline(current, batch, keys, tsCol)
+        // two-phase write so a crash never leaves a half-written snapshot
+        val tmp = snapshotPath + "_tmp"
+        next.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked hourly aggregate over an event-time stream — the streaming
+    * twin of the offline calendar aggregation (late data bounded by the
+    * watermark; state store holds only open windows). */
+  def hourlyAggregate(stream: DataFrame, tsCol: String, keyCol: String, valueCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
+      .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+}
