@@ -1,0 +1,487 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.fs.{Expressions, OnlineStore, PointInTime, Registry, Serving}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** The registered query surface — one entry per implemented operator from
+  * SURVEY.md §2 (+ the extension ops), each runnable over a driver testdata
+  * dir and, where ANSI-SQL-expressible, paired with a DuckDB oracle twin in
+  * [[oracles]] whose column names/types match exactly (the driver sorts
+  * columns by name and hash-compares values).
+  *
+  * Conventions that keep the two engines hash-identical:
+  *   - every float produced by an aggregation whose accumulation order can
+  *     differ across engines is `round`ed with margin ≫ fp error;
+  *   - per-row float math (AQI, cosines, ratios) uses the SAME operation
+  *     order on both sides so the doubles are bit-identical;
+  *   - every top-k / rank has a total tie-break order;
+  *   - DuckDB `dayofweek` is 0=Sunday..6 vs Spark 1=Sunday..7 → oracle adds 1.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
+    // rejects; read it as long nanos and floor to micros (integer DIV — a
+    // double division would lose precision at ~1.7e18), matching DuckDB's
+    // ns→µs truncation. timestamp_ntz mirrors how Spark reads the other
+    // tables' no-tz timestamps, so all calendar math is session-tz-free.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+    else df
+  }
+
+  private val aqiSql = Expressions.aqiPm25Sql("value")
+
+  // ---------------------------------------------------------------- parity
+
+  /** §2.8 C1-C11 + U1: calendar derivations, entity key, native AQI chain.
+    * `events` plays the pollution stream (value→pm2_5). */
+  private def deriveFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    t(s, dir, "events").select(
+      col("event_id"),
+      Expressions.entityId(col("user_id")).as("entity_id"),
+      hour(ts).as("hour"),
+      dayofmonth(ts).as("day"),
+      dayofweek(ts).as("dayOfWeek"),
+      year(ts).as("year"),
+      month(ts).as("month"),
+      Expressions.aqiPm25(col("value")).as("aqi"),
+      Expressions.aqiLevel(Expressions.aqiPm25(col("value"))).as("aqi_label")
+    )
+  }
+
+  /** A4: latest row per entity via max_by hash-aggregate (scale path). */
+  private def latestPerKey(s: SparkSession, dir: String): DataFrame =
+    OnlineStore.latestSnapshot(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
+
+  /** A4 twin: row_number window formulation (differential test of the two). */
+  private def latestPerKeyWindowed(s: SparkSession, dir: String): DataFrame =
+    OnlineStore.latestSnapshotWindowed(t(s, dir, "events"), Seq("user_id"), "ts", Seq("event_id"))
+
+  private def asofInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ev = t(s, dir, "events")
+    val e = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("event_ts"))
+    val f = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("fts"), col("value").as("last_value"),
+        col("event_id").as("fid"))
+    (e, f)
+  }
+
+  /** J1: point-in-time join (join+rank spec formulation), TTL 2 days. */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val (e, f) = asofInputs(s, dir)
+    PointInTime.historicalFeatures(e, f, Seq("user_id"), "event_ts", "fts",
+      Seq("last_value", "fts"), Some("2 DAYS"), Seq("fid"))
+  }
+
+  /** J1 twin: single-shuffle merge formulation (the 100 TB path). */
+  private def asofJoinMerge(s: SparkSession, dir: String): DataFrame = {
+    val (e, f) = asofInputs(s, dir)
+    PointInTime.historicalFeaturesMerge(e, f, Seq("user_id"), "event_ts", "fts",
+      Seq("last_value", "fts"), Some("2 DAYS"), Seq("fid"))
+  }
+
+  /** W1: per-entity lag feature. */
+  private def lagFeature(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "events").where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    PointInTime.withLag(p, Seq("user_id"), "ts", "value", "last_value", 1, Seq("event_id"))
+  }
+
+  /** J2 + S10: online snapshot of clicks, broadcast key lookup for signups. */
+  private def onlineLookup(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val snap = OnlineStore.latestSnapshot(
+      ev.where(col("event_type") === "click").select("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", Seq("event_id"))
+    val keys = ev.where(col("event_type") === "signup").select("user_id").distinct()
+    OnlineStore.lookup(keys, snap, Seq("user_id"), "ts")
+  }
+
+  /** A1+A3: calendar-day rollup (the partition-grouping the loader hand-rolled). */
+  private def aggCalendar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
+        round(sum(col("value")), 2).as("sum_value"), max(col("ts")).as("max_ts"))
+
+  /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
+    * strings so the cross-engine compare is representation-free. */
+  private def watermark(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").agg(
+      date_format(max(to_date(col("ts"))), "yyyy-MM-dd").as("max_date"),
+      date_format(date_add(max(to_date(col("ts"))), 1), "yyyy-MM-dd").as("next_watermark"),
+      count(lit(1)).as("n"))
+
+  /** A5: MAE/RMSE against a global-mean predictor. */
+  private def evalMetrics(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events").where(col("event_type") === "purchase")
+      .withColumn("pred", avg(col("value")).over(Window.partitionBy()))
+    ev.agg(
+      round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
+      round(sqrt(avg(pow(col("value") - col("pred"), 2))), 4).as("rmse"),
+      count(lit(1)).as("n"))
+  }
+
+  /** W2 + C10: next-hour clock rollover + serving transforms. */
+  private def nextHourQ(s: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    val base = t(s, dir, "events").select(
+      col("event_id"), hour(ts).as("hour"), dayofmonth(ts).as("day"),
+      dayofweek(ts).as("dayOfWeek"), Expressions.aqiPm25(col("value")).as("aqi"))
+    Serving.nextHourFeatures(base)
+      .select("event_id", "hour", "next_hour", "next_day", "next_dayOfWeek", "last_hour_aqi")
+  }
+
+  /** C13: JSON payload extraction + aggregation. */
+  private def jsonKv(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+
+  /** §2.7: set difference (built-in coverage; absent from the reference). */
+  private def setExcept(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    ev.where(col("value") > 300).select("user_id").distinct()
+      .except(ev.where(col("value") > 450).select("user_id").distinct())
+  }
+
+  // ------------------------------------------------------------- benchmark
+
+  /** TPC-H Q1-style pricing summary — the headline agg benchmark. */
+  private def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Star join: orders ⋈ customer ⋈ broadcast(nation) ⋈ broadcast(region). */
+  private def regionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-k with total tie-break (TakeOrderedAndProject, no global sort). */
+  private def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "orders").groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    rev.join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q6-style selective scan — predicate pushdown showcase. */
+  private def revenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+        to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n"))
+
+  // ------------------------------------------------------------- extension
+
+  private def textStatsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(t(s, dir, "documents"))
+      .select("doc_id", "n_chars_m", "n_tokens", "avg_token_len",
+        "stopword_ratio", "distinct_ratio", "quality_score")
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(t(s, dir, "documents")).select("doc_id", "lang", "lang_pred")
+
+  private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok_re"))
+
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  /** Exact dedup over the ~100-distinct `props` payloads (real duplicates). */
+  private def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "events"), "props", "event_id")
+
+  private def dedupStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactStats(t(s, dir, "events"), "props")
+
+  private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1)
+
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.35)
+
+  private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashGroups(t(s, dir, "documents"))
+
+  private def embeddingStatsQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingStats(t(s, dir, "embeddings"))
+
+  /** Exact ANN baseline: brute-force top-5 for 10 probe vectors. */
+  private def annTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopKJoin(emb, emb.where(col("vec_id") < 10), 5)
+  }
+
+  /** Approximate ANN: LSH-bucketed top-k (scale path; rows-only check). */
+  private def lshTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, numPlanes = 8, dim = 64)
+  }
+
+  /** Multimodal metadata surface (columnar twin of the stub codec). */
+  private def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.metaColumns(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
+      .select("asset_id", "media_type", "n_bytes", "width", "height")
+
+  /** Multimodal decode via mapPartitions stub codec (rows-only check). */
+  private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeMeta(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
+
+  /** S13: registry catalog render. */
+  private def registryQ(s: SparkSession, dir: String): DataFrame =
+    Registry.defaultRegistry().describe(s)
+
+  /** Flagship: the reference's training path end-to-end — derive features →
+    * PIT join onto an entity frame → lag (aqi_predict_hn.py:18-47's shape). */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val features = ev.select(
+      col("user_id"), col("ts").as("fts"),
+      Expressions.aqiPm25(col("value")).as("aqi"), col("event_id").as("fid"))
+    val entity = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id"), col("ts").as("event_ts"))
+    val pit = PointInTime.historicalFeatures(entity, features, Seq("user_id"),
+      "event_ts", "fts", Seq("aqi"), Some("7 DAYS"), Seq("fid"))
+    PointInTime.withLag(pit, Seq("user_id"), "event_ts", "aqi", "last_hour_aqi",
+      1, Seq("probe_id"))
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_derive_features" -> (deriveFeatures _),
+    "q_latest_per_key" -> (latestPerKey _),
+    "q_latest_per_key_windowed" -> (latestPerKeyWindowed _),
+    "q_asof_join" -> (asofJoin _),
+    "q_asof_join_merge" -> (asofJoinMerge _),
+    "q_lag" -> (lagFeature _),
+    "q_online_lookup" -> (onlineLookup _),
+    "q_agg_calendar" -> (aggCalendar _),
+    "q_watermark" -> (watermark _),
+    "q_eval_metrics" -> (evalMetrics _),
+    "q_next_hour" -> (nextHourQ _),
+    "q_json_kv" -> (jsonKv _),
+    "q_set_except" -> (setExcept _),
+    "q1_pricing" -> (q1Pricing _),
+    "q_region_revenue" -> (regionRevenue _),
+    "q_top_customers" -> (topCustomers _),
+    "q_revenue_filter" -> (revenueFilter _),
+    "q_text_stats" -> (textStatsQ _),
+    "q_lang_id" -> (langIdQ _),
+    "q_token_count" -> (tokenCountQ _),
+    "q_fingerprint" -> (fingerprintQ _),
+    "q_exact_dedup" -> (exactDedup _),
+    "q_dedup_stats" -> (dedupStats _),
+    "q_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_minhash_pairs" -> (minhashPairs _),
+    "q_simhash_groups" -> (simhashGroupsQ _),
+    "q_embedding_stats" -> (embeddingStatsQ _),
+    "q_ann_topk" -> (annTopK _),
+    "q_lsh_topk" -> (lshTopKQ _),
+    "q_media_meta" -> (mediaMeta _),
+    "q_decode_meta" -> (decodeMetaQ _),
+    "q_registry" -> (registryQ _)
+  )
+
+  // DuckDB dialect fragments shared by several oracles.
+  private val toks = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), " +
+      "(acc, v) -> acc + v)"
+
+  private val asofOracle =
+    """WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, ts AS fts, value AS last_value, event_id AS fid FROM events WHERE event_type = 'view')
+      |SELECT probe_id, user_id, event_ts, last_value, fts FROM (
+      |  SELECT e.probe_id, e.user_id, e.event_ts, f.last_value, f.fts,
+      |    row_number() OVER (PARTITION BY e.probe_id ORDER BY f.fts DESC NULLS LAST, f.fid DESC NULLS LAST) AS rn
+      |  FROM e LEFT JOIN f ON e.user_id = f.user_id AND f.fts <= e.event_ts AND f.fts >= e.event_ts - INTERVAL 2 DAY
+      |) WHERE rn = 1""".stripMargin
+
+  private val latestOracle =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_derive_features" ->
+      s"""SELECT event_id, CAST(user_id AS VARCHAR) AS entity_id,
+         |CAST(hour(ts) AS INTEGER) AS hour, CAST(day(ts) AS INTEGER) AS day,
+         |CAST(dayofweek(ts) + 1 AS INTEGER) AS "dayOfWeek",
+         |CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+         |$aqiSql AS aqi, ${Expressions.aqiLevelSql(aqiSql)} AS aqi_label
+         |FROM events""".stripMargin,
+    "q_latest_per_key" -> latestOracle,
+    "q_latest_per_key_windowed" -> latestOracle,
+    "q_asof_join" -> asofOracle,
+    "q_asof_join_merge" -> asofOracle,
+    "q_lag" ->
+      """SELECT event_id, user_id, ts, value,
+        |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q_online_lookup" ->
+      """WITH snap AS (
+        |  SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |), keys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+        |SELECT k.user_id, s.ts, s.value, s.event_id FROM keys k LEFT JOIN snap s USING (user_id)""".stripMargin,
+    "q_agg_calendar" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+        |CAST(day(ts) AS INTEGER) AS day, count(*) AS n, round(avg(value), 4) AS avg_value,
+        |round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_watermark" ->
+      """SELECT strftime(CAST(max(ts) AS DATE), '%Y-%m-%d') AS max_date,
+        |strftime(CAST(max(ts) AS DATE) + 1, '%Y-%m-%d') AS next_watermark,
+        |count(*) AS n FROM events""".stripMargin,
+    "q_eval_metrics" ->
+      """WITH p AS (SELECT value, avg(value) OVER () AS pred FROM events WHERE event_type = 'purchase')
+        |SELECT round(avg(abs(value - pred)), 4) AS mae,
+        |round(sqrt(avg(pow(value - pred, 2))), 4) AS rmse, count(*) AS n FROM p""".stripMargin,
+    "q_next_hour" ->
+      s"""SELECT event_id, CAST(hour(ts) AS INTEGER) AS hour,
+         |CAST((hour(ts) + 1) % 24 AS INTEGER) AS next_hour,
+         |CAST(CASE WHEN hour(ts) = 23 THEN day(ts) + 1 ELSE day(ts) END AS INTEGER) AS next_day,
+         |CAST(CASE WHEN hour(ts) = 23 THEN ((dayofweek(ts) + 1) % 7) + 1 ELSE dayofweek(ts) + 1 END AS INTEGER) AS "next_dayOfWeek",
+         |$aqiSql AS last_hour_aqi
+         |FROM events""".stripMargin,
+    "q_json_kv" ->
+      "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n FROM events GROUP BY 1",
+    "q_set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE value > 300
+        |EXCEPT SELECT DISTINCT user_id FROM events WHERE value > 450""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 6) AS avg_disc,
+        |count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02' GROUP BY 1, 2""".stripMargin,
+    "q_region_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_top_customers" ->
+      """SELECT c_custkey, c_name, revenue, n_orders FROM (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey
+        |) r JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+    "q_text_stats" ->
+      s"""WITH tk AS (SELECT doc_id, length(text) AS n_chars_m, $toks AS t FROM documents),
+         |st AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens, CAST(greatest(len(t), 1) AS DOUBLE) AS nd,
+         |  CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop_hits,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) AS distinct_tok,
+         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) AS tok_len_sum
+         |FROM tk)
+         |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |round(tok_len_sum / nd, 6) AS avg_token_len,
+         |round(stop_hits / nd, 6) AS stopword_ratio,
+         |round(distinct_tok / nd, 6) AS distinct_ratio,
+         |round(least(1.0, n_tokens / 50.0) * 0.4 + round(distinct_tok / nd, 6) * 0.4
+         |  + least(1.0, round(stop_hits / nd, 6) * 5.0) * 0.2, 6) AS quality_score
+         |FROM st""".stripMargin,
+    "q_lang_id" -> langIdOracle,
+    "q_token_count" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tok_re
+        |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, CAST(length(text) + 1 AS INTEGER)), i -> CAST(ascii(text[i:i]) AS BIGINT))),
+        |  (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "q_exact_dedup" ->
+      "SELECT props, min(event_id) AS event_id FROM events GROUP BY props",
+    "q_dedup_stats" ->
+      """SELECT count(*) AS total, count(DISTINCT props) AS distinct_texts,
+        |count(*) - count(DISTINCT props) AS dup_rows FROM events""".stripMargin,
+    "q_ngram_jaccard" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+         |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
+         |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+         |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
+         |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id
+         |) WHERE jaccard >= 0.1""".stripMargin,
+    "q_embedding_stats" ->
+      s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+         |round(sqrt(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
+         |round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v)
+         |  / greatest(len(embedding), 1), 6) AS mean_val
+         |FROM embeddings""".stripMargin,
+    "q_ann_topk" ->
+      s"""WITH pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+         |    round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+         |      ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p
+         |  WHERE p.vec_id <> c.vec_id)
+         |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+         |  SELECT probe_id, corpus_id, cosine,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+         |  FROM pairs) WHERE rn <= 5""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id AS asset_id,
+        |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+        |CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
+        |FROM documents""".stripMargin
+  )
+
+  private def langIdOracle: String = {
+    val scores = TextAnalysis.LangLexicons.map { case (lang, lex) =>
+      val lexSql = lex.map(w => s"'$w'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(t, x -> list_contains($lexSql, x))) AS DOUBLE) / CAST(greatest(len(t), 1) AS DOUBLE) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.LangLexicons.map(_._1)
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    s"""WITH tk AS (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS t FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scores
+       |FROM tk)
+       |SELECT doc_id, lang, CASE WHEN m = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang, $m AS m, * FROM sc)""".stripMargin
+  }
+}

@@ -2,7 +2,7 @@ package graft.fs
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import org.apache.hadoop.fs.Path
 
 /** Offline store: append-only, day-partitioned Parquet feature history with a
   * high-watermark checkpoint and small metadata tables.
@@ -21,7 +21,23 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 final case class OfflineStore(spark: SparkSession, root: String) {
 
   private def tablePath(name: String) = s"$root/$name"
-  private def watermarkFile(name: String) = Paths.get(s"$root/_watermark_$name.txt")
+  // All store-root IO goes through the root path's OWN Hadoop FileSystem so
+  // an HDFS/S3/GCS root works identically to a local one (java.nio against a
+  // remote root silently "never exists" → full-history reprocessing).
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def watermarkFile(name: String) = new Path(s"$root/_watermark_$name.txt")
+
+  private def readSmallFile(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  private def writeSmallFile(p: Path, s: String): Unit = {
+    val out = fs.create(p, true) // overwrite
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Append feature rows, partitioned by calendar day columns (must exist). */
   def append(name: String, df: DataFrame, partitionCols: Seq[String] = Seq("year", "month", "day")): Unit =
@@ -43,7 +59,7 @@ final case class OfflineStore(spark: SparkSession, root: String) {
   /** Current watermark (exclusive lower bound for the next run), if any. */
   def watermark(name: String): Option[java.time.LocalDate] = {
     val p = watermarkFile(name)
-    if (Files.exists(p)) Some(java.time.LocalDate.parse(Files.readString(p).trim)) else None
+    if (fs.exists(p)) Some(java.time.LocalDate.parse(readSmallFile(p).trim)) else None
   }
 
   /** Advance the watermark to max(partition date) + 1 day, as the reference
@@ -55,12 +71,7 @@ final case class OfflineStore(spark: SparkSession, root: String) {
       .getAs[java.sql.Date]("d")
     Option(maxDate).map { md =>
       val next = md.toLocalDate.plusDays(1)
-      Files.writeString(
-        watermarkFile(name),
-        next.toString,
-        StandardOpenOption.CREATE,
-        StandardOpenOption.TRUNCATE_EXISTING
-      )
+      writeSmallFile(watermarkFile(name), next.toString)
       next
     }
   }
@@ -75,7 +86,10 @@ final case class OfflineStore(spark: SparkSession, root: String) {
   }
 
   /** Feature metadata insert guarded by an existence check (idempotent).
-    * Ref: dedup-checked insert load.py:60-102 (COUNT(*) guard → F4+A2). */
+    * Ref: dedup-checked insert load.py:60-102 (COUNT(*) guard → F4+A2).
+    * The guard is best-effort single-writer (check-then-append is not atomic
+    * under concurrent runs); readers wanting hard uniqueness should
+    * `dropDuplicates("feature_name","version")` on read. */
   def registerFeatureMetadata(
       featureName: String,
       version: String,
@@ -84,7 +98,7 @@ final case class OfflineStore(spark: SparkSession, root: String) {
   ): Boolean = {
     import spark.implicits._
     val path = tablePath("feature_metadata")
-    val exists = Files.exists(Paths.get(path)) && !spark.read
+    val exists = fs.exists(new Path(path)) && !spark.read
       .parquet(path)
       .where(col("feature_name") === featureName && col("version") === version)
       .limit(1)

@@ -103,7 +103,9 @@ object Dedup {
       array_repeat(lit(0), 64),
       (acc, t) => zip_with(
         acc,
-        split(lpad(bin(xxhash64(t)), 64, "0"), ""),
+        // slice to exactly 64: split("") appends a trailing "" which would
+        // zip_with-pad the vote array to 65 elements and skew the fingerprint
+        slice(split(lpad(bin(xxhash64(t)), 64, "0"), ""), 1, 64),
         (a, bitCh) => a + when(bitCh === "1", 1).otherwise(-1)
       )
     )

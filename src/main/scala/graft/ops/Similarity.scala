@@ -21,7 +21,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null (not a crash) for zero-norm vectors — under
+    * Spark 4's default ANSI mode a plain division would abort the whole scan
+    * on one all-zero embedding. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(null).cast("double")).otherwise(dot(a, b) / denom)
+  }
 
   /** Brute-force top-k cosine neighbors of one probe vector.
     * Plans as scan → per-row expression → TakeOrderedAndProject(k): no
@@ -40,6 +46,30 @@ object Similarity {
       .select(col(idCol), col("cosine"))
     val filtered = excludeSelfId.map(id => scored.where(col(idCol) =!= id)).getOrElse(scored)
     filtered.orderBy(col("cosine").desc, col(idCol).asc).limit(k)
+  }
+
+  /** Brute-force top-k per probe ROW (probes is a DataFrame): broadcast the
+    * small probe set against the corpus scan, score per pair, `row_number`
+    * top-k per probe. One pass over the corpus regardless of probe count —
+    * the exact-answer baseline the LSH path approximates. */
+  def bruteForceTopKJoin(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"))
+    val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"))
+    val scored = cb.crossJoin(broadcast(pb))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(cosine(col("p_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
   /** Deterministic random hyperplanes: `numPlanes` × `dim`, seeded. */
@@ -94,6 +124,7 @@ object Similarity {
       col(idCol),
       size(col(embCol)).as("dim"),
       round(norm(col(embCol)), 6).as("l2_norm"),
-      round(aggregate(col(embCol), lit(0.0), (a, v) => a + v.cast("double")) / size(col(embCol)), 6).as("mean_val")
+      round(aggregate(col(embCol), lit(0.0), (a, v) => a + v.cast("double"))
+        / greatest(size(col(embCol)), lit(1)), 6).as("mean_val")
     )
 }

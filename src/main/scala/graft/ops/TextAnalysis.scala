@@ -25,7 +25,9 @@ object TextAnalysis {
     * stopword_ratio, distinct_ratio, quality_score. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = tokens(col(textCol))
-    val nTok = size(t).cast("double")
+    // greatest(...,1) guards ANSI-mode DIVIDE_BY_ZERO for empty/whitespace-only
+    // docs (ratios degrade to 0, matching langId's convention).
+    val nTok = greatest(size(t), lit(1)).cast("double")
     val stopHits = size(filter(t, x => x.isin(Stopwords: _*))).cast("double")
     val distinctTok = size(array_distinct(t)).cast("double")
     val tokLenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
@@ -80,7 +82,9 @@ object TextAnalysis {
     * so differential-testable across engines. Per-row, codegen'd. */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      // split("") leaves a trailing "" element (Java split limit -1) — filter
+      // it or the hash absorbs a spurious *31 step.
+      transform(filter(split(text, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, cp) => (acc * 31L + cp) % 1000000007L
     )

@@ -33,18 +33,28 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // All FS checks go through the snapshot path's OWN FileSystem — a
+        // java.io.File check would be always-false on HDFS/S3/GCS and each
+        // micro-batch would silently rebuild the store from just that batch.
+        val conf = spark.sparkContext.hadoopConfiguration
+        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
+        val fs = dst.getFileSystem(conf)
+        val oldP = new org.apache.hadoop.fs.Path(snapshotPath + "_old")
+        // Recover from a crash mid-swap: dst gone but the set-aside copy left.
+        if (!fs.exists(dst) && fs.exists(oldP)) fs.rename(oldP, dst)
         val current =
-          if (new java.io.File(snapshotPath).exists())
-            spark.read.parquet(snapshotPath)
+          if (fs.exists(dst)) spark.read.parquet(snapshotPath)
           else batch.limit(0)
         val next = OnlineStore.writeOnline(current, batch, keys, tsCol)
-        // two-phase write so a crash never leaves a half-written snapshot
-        val tmp = snapshotPath + "_tmp"
-        next.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(snapshotPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        // Crash-safe swap: write tmp, move old aside, move tmp in, drop old.
+        // A crash between the renames leaves either dst or dst_old intact —
+        // never zero copies (plain delete+rename had that window).
+        val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
+        next.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(oldP, true)
+        if (fs.exists(dst)) fs.rename(dst, oldP)
+        fs.rename(tmp, dst)
+        fs.delete(oldP, true)
         ()
       }
       .start()
