@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fs.Expressions
+
+/** AQI breakpoint edges/gaps, level buckets, entity key, clock rollover —
+  * the §1.4 semantics SURVEY commits to. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def aqiOf(values: Seq[java.lang.Double]): Seq[java.lang.Double] =
+    values.toDF("pm25")
+      .select(Expressions.aqiPm25(col("pm25")).as("aqi"))
+      .collect().map(r => if (r.isNullAt(0)) null else Double.box(r.getDouble(0))).toSeq
+
+  test("aqiPm25: breakpoint edges are exact") {
+    val got = aqiOf(Seq(0.0, 12.0, 12.1, 35.4, 35.5, 500.4))
+    assert(got(0) == 0.0)
+    assert(got(1) == 50.0)
+    assert(got(2) == 51.0)
+    assert(got(3) == 100.0)
+    assert(got(4) == 101.0)
+    assert(got(5) == 500.0)
+  }
+
+  test("aqiPm25: gap values and out-of-range hit the canonical 8.5 fallback") {
+    // the EPA table has holes, e.g. 12.0 < c < 12.1 (write_to_bigquery.py:93-101)
+    val got = aqiOf(Seq(12.05, 35.45, -1.0, 500.41, 9999.0))
+    assert(got.forall(_ == 8.5))
+  }
+
+  test("aqiPm25: null in, null out; None fallback yields null out-of-range") {
+    assert(aqiOf(Seq(null)) == Seq(null))
+    val noFb = Seq[java.lang.Double](12.05).toDF("pm25")
+      .select(Expressions.aqiPm25(col("pm25"), fallback = None).as("aqi"))
+      .collect()(0)
+    assert(noFb.isNullAt(0))
+  }
+
+  test("aqiPm25: linear interpolation inside a band") {
+    // midpoint of (12.1, 35.4) -> midpoint of (51, 100)
+    val mid = (12.1 + 35.4) / 2
+    val expected = (100 - 51).toDouble / (35.4 - 12.1) * (mid - 12.1) + 51.0
+    assert(aqiOf(Seq(mid)) == Seq(Double.box(expected)))
+  }
+
+  test("aqiPm25Sql twin: the generated SQL computes bit-identical doubles") {
+    val df = Seq(0.0, 5.3, 12.0, 12.05, 20.7, 55.5, 151.2, 350.5, 444.4, 500.4, 501.0)
+      .toDF("value")
+    val both = df.select(
+      Expressions.aqiPm25(col("value")).as("a"),
+      expr(Expressions.aqiPm25Sql("value")).as("b"))
+    assert(both.where(col("a") =!= col("b") || col("a").isNull =!= col("b").isNull).isEmpty)
+  }
+
+  test("aqiLevel buckets match agent.py:103-107") {
+    val got = Seq(10.0, 50.0, 50.1, 100.0, 150.0, 151.0)
+      .toDF("aqi").select(Expressions.aqiLevel(col("aqi"))).as[String].collect().toSeq
+    assert(got == Seq("Good", "Good", "Moderate", "Moderate", "Sensitive", "Polluted"))
+  }
+
+  test("entityId joins key columns with underscores (write_to_bigquery.py:87)") {
+    val got = Seq((21.0, 105.75)).toDF("lat", "lon")
+      .select(Expressions.entityId(col("lat"), col("lon"))).as[String].collect()
+    assert(got.head == "21.0_105.75")
+  }
+
+  test("nextHour rolls day and dayOfWeek at 23:00 (agent.py:88-90)") {
+    val df = Seq((23, 15, 7), (10, 15, 7)).toDF("hour", "day", "dayOfWeek")
+    val (h, d, w) = Expressions.nextHour(col("hour"), col("day"), col("dayOfWeek"))
+    val got = df.select(h.as("h"), d.as("d"), w.as("w")).as[(Int, Int, Int)].collect().toSeq
+    assert(got == Seq((0, 16, 1), (11, 15, 7)))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Extension operators: dedup families, similarity search, text analysis. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L), // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog", "en", "s", 41L),   // near-dup
+    (3L, "completely different words entirely here now", "en", "s", 44L),
+    (4L, "", "en", "s", 0L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts under the min id") {
+    val got = Dedup.exact(docs, "text", "doc_id").as[(String, Long)].collect().toMap
+    assert(got("the quick brown fox jumps over the lazy dog") == 0L)
+    assert(got.size == 4)
+    val stats = Dedup.exactStats(docs, "text").as[(Long, Long, Long)].collect().head
+    assert(stats == ((5L, 4L, 1L)))
+  }
+
+  test("shingles: k-grams, degenerate short docs collapse to one shingle") {
+    val got = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b")) // fewer tokens than k
+  }
+
+  test("minhashLsh finds exact and near duplicates, est_jaccard ordered sanely") {
+    val pairs = Dedup.minhashLsh(docs, shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((0L, 1L)) == 1.0) // identical docs: all signature rows agree
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup surfaces
+  }
+
+  test("simhash: identical docs share fingerprints, disjoint docs don't") {
+    val fps = Dedup.simhashGroups(docs, "text", "doc_id")
+      .select("doc_id", "simhash").as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(1L))
+    assert(fps(0L) != fps(3L))
+    val groups = Dedup.simhashGroups(docs, "text", "doc_id")
+      .select("doc_id", "group_id").as[(Long, Long)].collect().toMap
+    assert(groups(1L) == 0L)
+  }
+
+  test("ngramJaccard: exact dup scores 1.0, disjoint doc pairs absent") {
+    val got = Dedup.ngramJaccard(docs, n = 2, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(got((0L, 1L)) == 1.0)
+    assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("cosine: identity 1, orthogonal 0, zero-norm null (ANSI-safe)") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(0f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(got == Seq(Some(1.0), Some(0.0), None))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val corpus = Seq(
+      (1L, Array(1f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f), 0),
+      (3L, Array(0f, 1f, 0f), 0), (4L, Array(-1f, 0f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.bruteForceTopK(corpus, Seq(1f, 0f, 0f), 2, excludeSelfId = Some(1L))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+
+  test("LSH buckets: identical vectors collide; topK returns self-match first") {
+    val corpus = Seq(
+      (1L, Array.fill(8)(1f), 0), (2L, Array.fill(8)(1f), 0),
+      (3L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.lshTopK(corpus, corpus.where(col("vec_id") === 1), k = 2,
+      numPlanes = 6, dim = 8)
+      .select("corpus_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(got.contains(2L) && got(2L) == 1.0)
+  }
+
+  test("textStats: hand-computed ratios on a known doc, empty doc safe") {
+    val got = TextAnalysis.textStats(docs)
+      .select("doc_id", "n_tokens", "stopword_ratio", "distinct_ratio")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 0: 9 tokens, stopwords {the,the,over? no: over not in list} -> the×2 = 2/9
+    assert(got(0L)._1 == 9L)
+    assert(got(0L)._2 == math.rint(2.0 / 9.0 * 1e6) / 1e6)
+    assert(got(0L)._3 == math.rint(8.0 / 9.0 * 1e6) / 1e6) // "the" repeats
+    assert(got(4L) == ((0L, 0.0, 0.0))) // empty doc: no ANSI crash, zeroed
+  }
+
+  test("langId picks the dominant lexicon and 'und' for no hits") {
+    val d = Seq((1L, "the cat and the dog of it"), (2L, "xyzzy plugh qwerty"),
+      (3L, "le chat et la vie est une pour")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(d).select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "und", 3L -> "fr"))
+  }
+
+  test("fingerprint: stable rolling hash, matches a JVM reference computation") {
+    val s = "abc"
+    val want = s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val got = Seq(s).toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(got.head == want)
+    // empty text hashes to the aggregate seed, not a crash
+    val empty = Seq("").toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[Long].collect()
+    assert(empty.head == 0L)
+  }
+
+  test("tokenCount: BPE-ish regex counts words, numbers, punctuation") {
+    val got = Seq("hello, world 42!").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
+    assert(got.head == 5) // hello , world 42 !
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import graft.fs.PointInTime
+
+/** As-of join semantics per FIXTURES.md §5: event before any feature → null,
+  * feature exactly at event ts (inclusive), feature older than TTL → null,
+  * duplicate feature timestamps (tie-break), interleaved entities — and the
+  * join+rank vs merge formulations agreeing on all of it. */
+class PointInTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // Entity probes: (probe_id, entity, event_ts)
+  private lazy val entity: DataFrame = Seq(
+    (1L, "a", ts("2024-01-01 00:00:00")), // before any feature -> null
+    (2L, "a", ts("2024-01-02 10:00:00")), // exactly at a feature ts -> inclusive
+    (3L, "a", ts("2024-01-20 00:00:00")), // latest feature older than 7d TTL -> null
+    (4L, "a", ts("2024-01-03 00:00:00")), // duplicate feature ts at 01-02 10:00 -> max tie id
+    (5L, "b", ts("2024-01-02 12:00:00")), // interleaved entity
+    (6L, "c", ts("2024-01-02 12:00:00"))  // entity with no features at all
+  ).toDF("probe_id", "entity", "event_ts")
+
+  // Features: (entity, fts, v, fid); two rows share ts 2024-01-02 10:00:00
+  private lazy val feature: DataFrame = Seq(
+    ("a", ts("2024-01-02 10:00:00"), 1.0, 100L),
+    ("a", ts("2024-01-02 10:00:00"), 2.0, 101L), // tie -> fid 101 wins
+    ("a", ts("2024-01-05 00:00:00"), 3.0, 102L),
+    ("b", ts("2024-01-02 11:00:00"), 9.0, 200L),
+    ("b", ts("2024-01-02 13:00:00"), 8.0, 201L)  // after probe 5 -> excluded
+  ).toDF("entity", "fts", "v", "fid")
+
+  private def run(fn: (DataFrame, DataFrame, Seq[String], String, String, Seq[String],
+      Option[String], Seq[String]) => DataFrame): Map[Long, Option[Double]] =
+    fn(entity, feature, Seq("entity"), "event_ts", "fts", Seq("v"), Some("7 DAYS"), Seq("fid"))
+      .select("probe_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+  private val expected = Map(
+    1L -> None,        // nothing at or before
+    2L -> Some(2.0),   // inclusive <=, tie broken by max fid
+    3L -> None,        // stale beyond TTL
+    4L -> Some(2.0),   // duplicate-ts tie-break is deterministic
+    5L -> Some(9.0),   // entity b, later feature excluded
+    6L -> None         // no features for entity c
+  )
+
+  test("historicalFeatures (join+rank) matches the spec on every edge") {
+    assert(run(PointInTime.historicalFeatures) == expected)
+  }
+
+  test("historicalFeaturesMerge (single-shuffle) is equivalent") {
+    assert(run(PointInTime.historicalFeaturesMerge) == expected)
+  }
+
+  test("TTL boundary is inclusive: feature exactly ttl-old still serves") {
+    val e = Seq((1L, "a", ts("2024-01-08 00:00:00"))).toDF("probe_id", "entity", "event_ts")
+    val f = Seq(("a", ts("2024-01-01 00:00:00"), 5.0)).toDF("entity", "fts", "v")
+    val spec = PointInTime.historicalFeatures(e, f, Seq("entity"), "event_ts", "fts", Seq("v"), Some("7 DAYS"))
+    val merge = PointInTime.historicalFeaturesMerge(e, f, Seq("entity"), "event_ts", "fts", Seq("v"), Some("7 DAYS"))
+    assert(spec.select("v").as[Double].collect().toSeq == Seq(5.0))
+    assert(merge.select("v").as[Double].collect().toSeq == Seq(5.0))
+  }
+
+  test("withLag shifts per key in time order with tie-break") {
+    val df = Seq(("a", ts("2024-01-01 00:00:00"), 1.0, 1L),
+      ("a", ts("2024-01-01 01:00:00"), 2.0, 2L),
+      ("b", ts("2024-01-01 00:30:00"), 9.0, 3L))
+      .toDF("k", "t", "v", "id")
+    val got = PointInTime.withLag(df, Seq("k"), "t", "v", "prev", 1, Seq("id"))
+      .select("id", "prev").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(1.0), 3L -> None))
+  }
+}

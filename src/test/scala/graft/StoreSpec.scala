@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.fs.{Ingest, OfflineStore, Registry}
+
+/** Offline store lifecycle (append/partition-pruned read/watermark/metadata),
+  * ingest normalization, registry surface. */
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = Files.createTempDirectory("graft-test").toString
+
+  private lazy val raw = Seq(
+    (1704067200L, 21.0, 105.75, 2L, 1.0, 2.0, 3.0, 4.0, 5.0, 15.555, 7.0, 8.0), // 2024-01-01
+    (1704153600L, 21.0, 105.75, 3L, 1.0, 2.0, 3.0, 4.0, 5.0, 40.0, 7.0, 8.0)    // 2024-01-02
+  ).toDF("dt", "lat", "lon", "aqi_level", "co", "no", "no2", "o3", "so2", "pm2_5", "pm10", "nh3")
+
+  test("normalize rounds floats to 2dp and derives partition columns") {
+    val got = Ingest.normalize(raw).select("pm2_5", "year", "month", "day")
+      .as[(Double, Int, Int, Int)].collect().toSet
+    assert(got == Set((15.56, 2024, 1, 1), (40.0, 2024, 1, 2)))
+  }
+
+  test("deriveFeatures produces the 9-column feature row with native AQI") {
+    val got = Ingest.deriveFeatures(raw)
+    assert(got.columns.toSeq == Seq("entity_id", "feature_timestamp", "dt", "lat", "lon",
+      "aqi", "hour", "day", "dayOfWeek"))
+    val r = got.where(col("dt") === 1704067200L).select("entity_id", "aqi", "dayOfWeek")
+      .as[(String, Double, Int)].collect().head
+    assert(r._1 == "21.0_105.75")
+    // 15.555 in band (12.1, 35.4): 49/23.3*(15.555-12.1)+51
+    assert(math.abs(r._2 - ((100 - 51).toDouble / (35.4 - 12.1) * (15.555 - 12.1) + 51)) < 1e-12)
+    assert(r._3 == 2) // 2024-01-01 is a Monday; Spark dayofweek: 1=Sunday
+  }
+
+  test("offline store: append, partition-pruned incremental read, watermark cycle") {
+    val root = tmpDir()
+    val store = OfflineStore(spark, root)
+    store.append("aqi_info", Ingest.normalize(raw))
+    assert(store.watermark("aqi_info").isEmpty)
+
+    val all = store.read("aqi_info")
+    assert(all.count() == 2)
+    val since = store.readSince("aqi_info", java.time.LocalDate.parse("2024-01-02"))
+    assert(since.count() == 1)
+    // the partition filter must prune directories, not scan-and-filter
+    val scan = since.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scan.contains("year") || since.inputFiles.length == 1)
+
+    val next = store.advanceWatermark("aqi_info", all)
+    assert(next.contains(java.time.LocalDate.parse("2024-01-03")))
+    assert(store.watermark("aqi_info").contains(java.time.LocalDate.parse("2024-01-03")))
+  }
+
+  test("feature metadata registration is guarded (idempotent)") {
+    val store = OfflineStore(spark, tmpDir())
+    assert(store.registerFeatureMetadata("pm2_5", "v1", "epa-piecewise", "aqi"))
+    assert(!store.registerFeatureMetadata("pm2_5", "v1", "epa-piecewise", "aqi"))
+    assert(store.registerFeatureMetadata("pm2_5", "v2", "epa-piecewise", "aqi"))
+    assert(store.read("feature_metadata").count() == 2)
+  }
+
+  test("lineage rows append") {
+    val store = OfflineStore(spark, tmpDir())
+    store.appendLineage("aqi_info", "v1", "events", "Queries.scala")
+    store.appendLineage("aqi_info", "v2", "events", "Queries.scala")
+    assert(store.read("lineage").count() == 2)
+  }
+
+  test("registry: views, refs, describe (check_metadata.py surface)") {
+    val r = Registry.defaultRegistry()
+    assert(r.listViews.map(_.name) == Seq("aqi_info_v1", "aqi_info_v2"))
+    assert(Registry.parseRef("aqi_info_v1:aqi") == Registry.FeatureRef("aqi_info_v1", "aqi"))
+    val resolved = r.resolve(Seq("aqi_info_v1:aqi", "aqi_info_v1:hour"))
+    assert(resolved.head._2 == Seq("aqi", "hour"))
+    assert(r.describe(spark).count() == 2)
+    intercept[IllegalArgumentException](Registry.parseRef("no-colon"))
+    intercept[NoSuchElementException](r.view("nope"))
+  }
+}
