@@ -156,10 +156,13 @@ object Queries {
 
   // ------------------------------------------------------------- benchmark
 
-  /** TPC-H Q1-style pricing summary — the headline agg benchmark. */
+  /** TPC-H Q1-style pricing summary — the headline agg benchmark.
+    * The ship-date predicate compares the RAW timestamp column (no
+    * to_date cast) so it reaches the parquet scan as a pushed filter;
+    * `<= DATE d` on the cast is equivalent to `< d+1 day` on the raw ts. */
   private def q1Pricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .where(to_date(col("l_shipdate")) <= lit(java.sql.Date.valueOf("1998-09-02")))
+      .where(col("l_shipdate") < lit(java.time.LocalDateTime.parse("1998-09-03T00:00:00")))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -190,11 +193,12 @@ object Queries {
       .limit(10)
   }
 
-  /** TPC-H Q6-style selective scan — predicate pushdown showcase. */
+  /** TPC-H Q6-style selective scan — predicate pushdown showcase (all four
+    * predicates on raw columns → PushedFilters in the parquet scan). */
   private def revenueFilter(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .where(to_date(col("l_shipdate")) >= lit(java.sql.Date.valueOf("1995-01-01")) &&
-        to_date(col("l_shipdate")) < lit(java.sql.Date.valueOf("1996-01-01")) &&
+      .where(col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1995-01-01T00:00:00")) &&
+        col("l_shipdate") < lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
         col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))
@@ -232,6 +236,10 @@ object Queries {
 
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(t(s, dir, "documents"))
+
+  /** Embedding-cosine near-dup pairs, blocked on label (sub-quadratic). */
+  private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
 
   private def embeddingStatsQ(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(t(s, dir, "embeddings"))
@@ -306,6 +314,7 @@ object Queries {
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_embedding_stats" -> (embeddingStatsQ _),
+    "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_topk" -> (annTopK _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_media_meta" -> (mediaMeta _),
@@ -449,6 +458,13 @@ object Queries {
          |round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(embedding, x -> CAST(x AS DOUBLE))), (a, v) -> a + v)
          |  / greatest(len(embedding), 1), 6) AS mean_val
          |FROM embeddings""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(CASE WHEN sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")}) = 0 THEN NULL
+         |      ELSE ${dotSql("a.embedding", "b.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) END, 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
     "q_ann_topk" ->
       s"""WITH pairs AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,

@@ -16,11 +16,13 @@ object OnlineStore {
 
   /** Latest row per key — argmax by (ts, tieBreak).
     *
-    * Implemented with `max_by(struct(payload), struct(ts, tieBreak))`, which
-    * plans as a hash aggregate with map-side partial aggregation: one shuffle
-    * of pre-combined partials, no per-key sort. At 100 TB this beats the
-    * `row_number`-window form (full shuffle + sort of every row); the window
-    * form is kept for differential testing.
+    * Implemented with `max_by(struct(payload), struct(ts, tieBreak))`. The
+    * struct buffer keeps it out of HashAggregateExec, so it plans as
+    * partial+final SortAggregate — but the partial phase still collapses
+    * each partition to one row per key BEFORE the shuffle, so only
+    * pre-combined partials cross the wire. At 100 TB this beats the
+    * `row_number`-window form, which shuffles and sorts EVERY input row;
+    * the window form is kept for differential testing.
     */
   def latestSnapshot(
       df: DataFrame,

@@ -118,6 +118,27 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs under a blocking key: pairs are
+    * scored only within equal `blockCol` values, so the join fans out per
+    * block instead of all-pairs — the standard way to keep near-dup
+    * detection sub-quadratic (swap the block key for an LSH bucket id via
+    * [[lshBucket]] when no natural key exists). */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      blockCol: String = "label",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, Seq(blockCol))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */
   def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
     df.select(

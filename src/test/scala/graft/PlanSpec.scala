@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests — the 100 TB story is made of these
+  * properties, so they're asserted, not just eyeballed once:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small sides broadcast, aggregates keep map-side partials. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    Queries.all(q)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  /** Count physical nodes by their detail headers — FormattedMode prints
+    * each node twice (tree + "(n) Node" detail), so raw substring counts
+    * double-count. */
+  private def nodes(p: String, name: String): Int =
+    s"""\\(\\d+\\) $name""".r.findAllIn(p).size
+
+  test("q_revenue_filter: every predicate is pushed to the parquet scan") {
+    val p = plan("q_revenue_filter")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "ship-date lower bound must push down")
+    assert(p.contains("LessThan(l_shipdate"), "ship-date upper bound must push down")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+  }
+
+  test("q_revenue_filter: scan reads only the 4 referenced columns") {
+    val p = plan("q_revenue_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q1_pricing: date predicate pushes down; partial+final aggregate") {
+    val p = plan("q1_pricing")
+    assert(p.contains("LessThan(l_shipdate"), "raw-column comparison must reach the scan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final hash aggregate")
+  }
+
+  test("q_online_lookup: snapshot side is broadcast, filters pushed") {
+    val p = plan("q_online_lookup")
+    assert(p.contains("BroadcastHashJoin"), "lookup must not shuffle the key frame")
+    assert(p.contains("EqualTo(event_type,signup)"), "key-frame filter must push down")
+    assert(p.contains("EqualTo(event_type,click)"), "snapshot filter must push down")
+  }
+
+  test("q_region_revenue: all three dimension joins broadcast (no fact shuffle)") {
+    val p = plan("q_region_revenue")
+    assert(nodes(p, "BroadcastHashJoin") == 3,
+      "customer/nation/region must all broadcast against the orders scan")
+    assert(nodes(p, "SortMergeJoin") == 0, "no sort-merge join should appear")
+  }
+
+  test("q_latest_per_key: max_by plans as partial+final aggregate, ONE exchange") {
+    val p = plan("q_latest_per_key")
+    assert(nodes(p, "Exchange") == 1, "latest-per-key needs exactly one shuffle")
+    // struct buffers fall back to SortAggregate, but partial aggregation
+    // must still collapse rows per key before the exchange
+    assert(nodes(p, "SortAggregate") + nodes(p, "HashAggregate") == 2,
+      "expect partial + final aggregate around the single shuffle")
+    // the windowed twin shuffles every row then sorts; the argmax form must not
+    assert(nodes(p, "Window") == 0)
+  }
+
+  test("q_derive_features: pure per-row pipeline — zero exchanges, codegen'd") {
+    val p = plan("q_derive_features")
+    assert(nodes(p, "Exchange") == 0, "feature derivation must not shuffle")
+    // FormattedMode marks whole-stage-codegen'd nodes with a '*' prefix
+    assert(p.linesIterator.exists(_.trim.matches("""^[+:\-\s]*\* Project.*""")),
+      "when-chain AQI must stay inside codegen")
+  }
+
+  test("q_asof_join_merge: at most two shuffles for the whole as-of join") {
+    val p = plan("q_asof_join_merge")
+    // one Exchange for the union's window partitioning (+1 tolerated for
+    // AQE re-partitioning); the join+rank twin needs a join shuffle AND a
+    // window shuffle over the exploded intermediate
+    assert(nodes(p, "Exchange") <= 2, s"merge formulation regressed to multi-shuffle:\n$p")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.types._
+import graft.streaming.OnlineRefresh
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("online refresh maintains latest-per-key snapshot across micro-batches") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    def refresh(): Unit = {
+      val q = OnlineRefresh.start(spark, s"$tmp/in/*", schema, s"$tmp/snap",
+        s"$tmp/ckpt", Seq("user_id"), "ts")
+      q.awaitTermination()
+    }
+
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "ts", "value").write.parquet(s"$tmp/in/b1")
+    refresh()
+    // batch 2 arrives later: user 1 updated, user 2 new
+    Seq((1L, Timestamp.valueOf("2024-01-02 00:00:00"), 9.0),
+        (2L, Timestamp.valueOf("2024-01-01 00:00:00"), 5.0))
+      .toDF("user_id", "ts", "value").write.mode("append").parquet(s"$tmp/in/b2")
+    refresh()
+
+    val snap = spark.read.parquet(s"$tmp/snap")
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    // pre-fix failure mode: each batch rebuilt the store from only itself
+    assert(snap == Map(1L -> 9.0, 2L -> 5.0))
+  }
+
+  test("hourly watermarked aggregate compiles to a streaming-safe plan") {
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+        (1L, Timestamp.valueOf("2024-01-01 00:50:00"), 4.0),
+        (1L, Timestamp.valueOf("2024-01-01 01:10:00"), 8.0))
+      .toDF("user_id", "ts", "value").write.parquet(s"$tmp/in/b1")
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in/*")
+    val agg = OnlineRefresh.hourlyAggregate(stream, "ts", "user_id", "value")
+    val q = agg.writeStream.format("memory").queryName("hourly_agg")
+      .outputMode("append").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    q.awaitTermination()
+    // append mode only emits windows closed by the watermark; with a single
+    // batch nothing closes — correctness of the values is a batch concern,
+    // here we assert the streaming plan executes with state + watermark
+    assert(spark.table("hourly_agg").columns.toSeq ==
+      Seq("window", "user_id", "avg_value", "n"))
+  }
+}
