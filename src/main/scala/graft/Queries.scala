@@ -265,6 +265,16 @@ object Queries {
   private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
 
+  /** Resize planning over the columnar metadata surface. */
+  private def mediaResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeMeta(mediaMeta(s, dir))
+      .select("asset_id", "width", "height", "out_width", "out_height")
+
+  /** Frame sampling over video assets (stub codec durations; rows-only). */
+  private def frameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+      Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"), everyMs = 5000L)
+
   /** S13: registry catalog render. */
   private def registryQ(s: SparkSession, dir: String): DataFrame =
     Registry.defaultRegistry().describe(s)
@@ -318,6 +328,8 @@ object Queries {
     "q_ann_topk" -> (annTopK _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_media_meta" -> (mediaMeta _),
+    "q_media_resize" -> (mediaResize _),
+    "q_frame_sample" -> (frameSample _),
     "q_decode_meta" -> (decodeMetaQ _),
     "q_registry" -> (registryQ _)
   )
@@ -476,6 +488,16 @@ object Queries {
          |  SELECT probe_id, corpus_id, cosine,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
          |  FROM pairs) WHERE rn <= 5""".stripMargin,
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS asset_id,
+        |    CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
+        |    CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
+        |  FROM documents)
+        |SELECT asset_id, width, height,
+        |  CAST(greatest(floor(width * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INTEGER) AS out_width,
+        |  CAST(greatest(floor(height * least(224.0 / width, 224.0 / height, 1.0)), 1) AS INTEGER) AS out_height
+        |FROM m""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id AS asset_id,
         |CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -93,6 +93,36 @@ object Expressions {
     "month" -> month(ts)
   )
 
+  /** Opaque-UDF twin of [[aqiPm25]] for parity testing only (§2.9 U1): the
+    * reference computes AQI via a Python UDF (write_to_bigquery.py:91-108);
+    * this is the JVM equivalent, used to differential-test the codegen'd
+    * `when`-chain. NEVER use in the hot path — it breaks codegen. */
+  val aqiPm25Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((c: java.lang.Double) =>
+      if (c == null) null
+      else AqiBreakpoints.collectFirst {
+        case (lo, hi, iLo, iHi) if c >= lo && c <= hi =>
+          Double.box((iHi - iLo).toDouble / (hi - lo) * (c - lo) + iLo)
+      }.getOrElse(Double.box(CanonicalFallback)))
+
+  /** Parse a "d/m" or "d/m/y" date from free text (agent.py:43-52's C12).
+    * No match → null; year defaults to `defaultYear`. */
+  def dateInText(text: Column, defaultYear: Column): Column = {
+    val d = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 1)
+    val m = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 2)
+    val y = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 3)
+    when(d === "", lit(null).cast("date"))
+      .otherwise(make_date(
+        when(y === "", defaultYear).otherwise(y.cast("int")),
+        m.cast("int"), d.cast("int")))
+  }
+
+  /** Wall-clock now in an explicit zone (C14) — the engine runs a fixed-UTC
+    * session; zone-local timestamps are derived, never ambient
+    * (redis_data.py:64 stamps Asia/Ho_Chi_Minh wall-clock). */
+  def nowInZone(zone: String): Column =
+    from_utc_timestamp(current_timestamp(), zone)
+
   /** Next-hour clock arithmetic with day/dow rollover. Ref: agent.py:88-90. */
   def nextHour(hourC: Column, dayC: Column, dowC: Column): (Column, Column, Column) = {
     val h = (hourC + 1) % 24

@@ -71,6 +71,18 @@ object Multimodal {
       .withColumn("height", (col("n_bytes") % 480 + 1).cast("int"))
       .drop("payload")
 
+  /** Resize planning: target dimensions fitting a bounding box, aspect ratio
+    * preserved, never upscaled — the columnar metadata half of a real resize
+    * (the pixel work happens in the stubbed codec). Input must carry
+    * width/height columns (e.g. [[metaColumns]] output). */
+  def resizeMeta(assets: DataFrame, maxW: Int = 224, maxH: Int = 224): DataFrame = {
+    val scale = least(lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"), lit(1.0))
+    assets
+      .withColumn("out_width", greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("out_height", greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
   /** Frame-sample stub: for video assets, emit one row per sampled frame
     * offset (every `everyMs`) — the explode shape a real frame extractor
     * produces; payload decode is stubbed to byte slices. */

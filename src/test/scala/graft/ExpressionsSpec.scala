@@ -65,6 +65,32 @@ class ExpressionsSpec extends SparkSpec {
     assert(got.head == "21.0_105.75")
   }
 
+  test("aqiPm25Udf parity twin agrees with the codegen'd expression everywhere") {
+    val samples = (-50 to 550).map(_ + 0.37) ++
+      Expressions.AqiBreakpoints.flatMap { case (lo, hi, _, _) => Seq(lo, hi) }
+    val df = samples.toDF("pm25")
+    val diff = df.select(
+      Expressions.aqiPm25(col("pm25")).as("a"),
+      Expressions.aqiPm25Udf(col("pm25")).as("b"))
+      .where(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+  }
+
+  test("dateInText parses d/m and d/m/y from free text (agent.py:43-52)") {
+    val df = Seq("aqi on 5/6 please", "what about 15/06/2025?", "no date here")
+      .toDF("q")
+    val got = df.select(Expressions.dateInText(col("q"), lit(2024)).cast("string"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("2024-06-05"), Some("2025-06-15"), None))
+  }
+
+  test("nowInZone shifts the fixed-UTC session clock (redis_data.py:64)") {
+    val r = spark.range(1).select(
+      Expressions.nowInZone("Asia/Ho_Chi_Minh").cast("long").as("hcm"),
+      current_timestamp().cast("long").as("utc")).collect().head
+    assert(r.getLong(0) - r.getLong(1) == 7 * 3600) // UTC+7, no DST
+  }
+
   test("nextHour rolls day and dayOfWeek at 23:00 (agent.py:88-90)") {
     val df = Seq((23, 15, 7), (10, 15, 7)).toDF("hour", "day", "dayOfWeek")
     val (h, d, w) = Expressions.nextHour(col("hour"), col("day"), col("dayOfWeek"))
