@@ -279,8 +279,9 @@ object Queries {
   private def registryQ(s: SparkSession, dir: String): DataFrame =
     Registry.defaultRegistry().describe(s)
 
-  /** Flagship: the reference's training path end-to-end — derive features →
-    * PIT join onto an entity frame → lag (aqi_predict_hn.py:18-47's shape). */
+  /** Flagship: the reference's training read end-to-end — derive features →
+    * PIT join onto an entity frame → lag → null-drop, one Catalyst plan
+    * (aqi_predict_hn.py:18-47's exact shape, F3 included). */
   def flagship(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val features = ev.select(
@@ -292,6 +293,7 @@ object Queries {
       "event_ts", "fts", Seq("aqi"), Some("7 DAYS"), Seq("fid"))
     PointInTime.withLag(pit, Seq("user_id"), "event_ts", "aqi", "last_hour_aqi",
       1, Seq("probe_id"))
+      .na.drop()
   }
 
   // ---------------------------------------------------------------- wiring
@@ -331,7 +333,8 @@ object Queries {
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),
     "q_decode_meta" -> (decodeMetaQ _),
-    "q_registry" -> (registryQ _)
+    "q_registry" -> (registryQ _),
+    "q_training_set" -> (flagship _)
   )
 
   // DuckDB dialect fragments shared by several oracles.
@@ -438,6 +441,7 @@ object Queries {
          |round(least(1.0, n_tokens / 50.0) * 0.4 + round(distinct_tok / nd, 6) * 0.4
          |  + least(1.0, round(stop_hits / nd, 6) * 5.0) * 0.2, 6) AS quality_score
          |FROM st""".stripMargin,
+    "q_training_set" -> trainingSetOracle,
     "q_lang_id" -> langIdOracle,
     "q_token_count" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tok_re
@@ -506,6 +510,21 @@ object Queries {
         |CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin
   )
+
+  private def trainingSetOracle: String =
+    s"""WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
+       |f AS (SELECT user_id, ts AS fts, $aqiSql AS aqi, event_id AS fid FROM events),
+       |pit AS (
+       |  SELECT probe_id, user_id, event_ts, aqi FROM (
+       |    SELECT e.probe_id, e.user_id, e.event_ts, f.aqi,
+       |      row_number() OVER (PARTITION BY e.probe_id ORDER BY f.fts DESC NULLS LAST, f.fid DESC NULLS LAST) AS rn
+       |    FROM e LEFT JOIN f ON e.user_id = f.user_id AND f.fts <= e.event_ts AND f.fts >= e.event_ts - INTERVAL 7 DAY
+       |  ) WHERE rn = 1),
+       |lagd AS (SELECT probe_id, user_id, event_ts, aqi,
+       |  lag(aqi, 1) OVER (PARTITION BY user_id ORDER BY event_ts ASC, probe_id ASC) AS last_hour_aqi
+       |FROM pit)
+       |SELECT probe_id, user_id, event_ts, aqi, last_hour_aqi FROM lagd
+       |WHERE aqi IS NOT NULL AND last_hour_aqi IS NOT NULL""".stripMargin
 
   private def langIdOracle: String = {
     val scores = TextAnalysis.LangLexicons.map { case (lang, lex) =>

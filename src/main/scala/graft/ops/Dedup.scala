@@ -23,6 +23,14 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
 
+  /** Exact dedup shuffling 8-byte digests instead of full documents: at
+    * 100 TB the shuffle carries ~16 B/row rather than the text. xxhash64
+    * collisions (~N²/2⁶⁵) are acceptable for dedup; use [[exact]] when
+    * byte-exact text grouping is required. */
+  def exactByDigest(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(xxhash64(col(textCol)).as("digest"), col(idCol))
+      .groupBy(col("digest")).agg(min(col(idCol)).as(idCol))
+
   /** Exact-dup statistics: total rows, distinct texts, duplicate rows. */
   def exactStats(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.agg(
