@@ -68,4 +68,39 @@ object OnlineRefresh {
       .withWatermark(tsCol, "2 hours")
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+
+  /** A feature observation keyed by entity. */
+  final case class Obs(key: String, ts: java.sql.Timestamp, value: Double)
+
+  /** Stateful latest-per-key maintenance with `flatMapGroupsWithState`:
+    * per-key state holds the current latest observation; a micro-batch
+    * emits a row only when the key's latest actually advances — a
+    * change-data stream of online-store updates (vs [[start]]'s snapshot
+    * rewrite, this scales state with #keys and output with #changes).
+    * State is fault-tolerant via the state store + checkpoint; a real
+    * deployment adds a GroupStateTimeout to expire idle entities (TTL). */
+  def latestPerKeyStream(
+      observations: org.apache.spark.sql.Dataset[Obs]
+  ): org.apache.spark.sql.Dataset[Obs] = {
+    import observations.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    observations
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Obs, Obs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[Obs], state: GroupState[Obs]) =>
+          val incoming = rows.reduceOption { (a, b) =>
+            if ((b.ts.compareTo(a.ts)) >= 0) b else a
+          }
+          incoming match {
+            case Some(newest) =>
+              val advanced = state.getOption.forall(cur => newest.ts.compareTo(cur.ts) > 0)
+              if (advanced) {
+                state.update(newest)
+                Iterator.single(newest)
+              } else Iterator.empty
+            case None => Iterator.empty
+          }
+      }
+  }
 }

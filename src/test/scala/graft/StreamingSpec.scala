@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     assert(snap == Map(1L -> 9.0, 2L -> 5.0))
   }
 
+  test("flatMapGroupsWithState latest-per-key emits only real advances") {
+    // Spark 4.1 relocated MemoryStream under execution.streaming.runtime
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import OnlineRefresh.Obs
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-fmgs").toString
+    val input = MemoryStream[Obs]
+    val q = OnlineRefresh.latestPerKeyStream(input.toDS())
+      .writeStream.format("memory").queryName("latest_cdc")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    input.addData(
+      Obs("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      Obs("a", Timestamp.valueOf("2024-01-01 02:00:00"), 3.0), // newest in batch wins
+      Obs("b", Timestamp.valueOf("2024-01-01 01:00:00"), 5.0))
+    q.processAllAvailable()
+    input.addData(
+      Obs("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0), // stale -> suppressed
+      Obs("b", Timestamp.valueOf("2024-01-01 04:00:00"), 7.0)) // advance -> emitted
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("latest_cdc").as[Obs].collect()
+      .groupBy(_.key).view.mapValues(_.map(o => (o.ts.toString, o.value)).toSet).toMap
+    assert(emitted("a") == Set(("2024-01-01 02:00:00.0", 3.0))) // one emit, stale suppressed
+    assert(emitted("b") == Set(("2024-01-01 01:00:00.0", 5.0), ("2024-01-01 04:00:00.0", 7.0)))
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
