@@ -256,6 +256,12 @@ object Queries {
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, numPlanes = 8, dim = 64)
   }
 
+  /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
+  private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, nLists = 16, nProbe = 4)
+  }
+
   /** Multimodal metadata surface (columnar twin of the stub codec). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.metaColumns(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
@@ -329,6 +335,7 @@ object Queries {
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_topk" -> (annTopK _),
     "q_lsh_topk" -> (lshTopKQ _),
+    "q_ivf_topk" -> (ivfTopKQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
     "q_frame_sample" -> (frameSample _),

@@ -144,6 +144,60 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
+    * Voronoi cells of `nLists` centroids; each probe searches only its
+    * `nProbe` highest-scoring cells — corpus scan work drops by
+    * ~nProbe/nLists vs brute force while recall stays high for clustered
+    * data. `nProbe = nLists` degenerates to exact brute force (spec-tested).
+    *
+    * Centroid bootstrap: the `nLists` lowest-id vectors, collected to the
+    * driver and folded in as literals (same pattern as the LSH hyperplanes;
+    * a production bootstrap would run k-means — the query shape and plan
+    * are identical, only the literal values change). Cell scoring uses dot
+    * product, i.e. cosine ranking for L2-normalized embeddings. */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(corpus.sparkSession)
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    require(centroids.nonEmpty, "corpus must be non-empty")
+
+    def cellScores(emb: Column): Column = array(centroids.map { case (cid, c) =>
+      struct(dp(emb, lit(c)).as("s"), lit(cid).as("c"))
+    }.toIndexedSeq: _*)
+
+    val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
+      sqrt(dp(col(embCol), col(embCol))).as("__nc"),
+      array_max(cellScores(col(embCol))).getField("c").as("cell"))
+    val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"),
+        slice(reverse(array_sort(cellScores(col(embCol)))), 1, nProbe).as("__cells"))
+      .withColumn("cell", explode(expr("transform(__cells, x -> x.c)")))
+      .drop("__cells")
+    val denom = col("__np") * col("__nc")
+    val scored = pb.join(cb, Seq("cell"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(dp(col("p_emb"), col("c_emb")) / denom), 6))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs under a blocking key: pairs are
     * scored only within equal `blockCol` values, so the join fans out per
     * block instead of all-pairs — the standard way to keep near-dup

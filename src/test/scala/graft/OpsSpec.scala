@@ -86,6 +86,20 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(2L) && got(2L) == 1.0)
   }
 
+  test("ivfTopK with nProbe = nLists is exact (matches brute force)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = corpus.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "corpus_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val exact = rows(Similarity.bruteForceTopKJoin(corpus, probes, 5))
+    val ivfAll = rows(Similarity.ivfTopK(corpus, probes, 5, nLists = 8, nProbe = 8))
+    assert(ivfAll == exact)
+    // restricted probe count returns k rows per probe from its own cells
+    val ivf = Similarity.ivfTopK(corpus, probes, 5, nLists = 8, nProbe = 2)
+    val counts = ivf.groupBy("probe_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5))
+  }
+
   test("textStats: hand-computed ratios on a known doc, empty doc safe") {
     val got = TextAnalysis.textStats(docs)
       .select("doc_id", "n_tokens", "stopword_ratio", "distinct_ratio")
