@@ -89,9 +89,17 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
+    // native one-pass signature (graft.plans.MinHashSig) when the session
+    // carries GraftExtensions; portable HOF formulation otherwise — the two
+    // produce different (internal) hash values but identical agreement
+    // semantics, which is all LSH banding observes
+    val sigExpr: Column =
+      if (docs.sparkSession.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash", col("__toks"), lit(shingleK), lit(numHashes))
+      else minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes)
     val sig = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes).as("sig"))
+      .select(col(idCol), sigExpr.as("sig"))
     // (id, band, bucketHash) — bucket is a hash of the band's slice
     val banded = sig
       .select(col(idCol), col("sig"),

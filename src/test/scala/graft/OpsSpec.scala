@@ -31,10 +31,22 @@ class OpsSpec extends SparkSpec {
   }
 
   test("minhashLsh finds exact and near duplicates, est_jaccard ordered sanely") {
-    val pairs = Dedup.minhashLsh(docs, shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
+    // near-dup pair needs HIGH true jaccard for band collision to be
+    // near-certain (one word changed in 18 → shingle jaccard ~0.84);
+    // a ~0.5-jaccard pair makes the test a coin flip on hash seeds
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    val d = Seq(
+      (0L, base), (1L, base), // exact dups
+      (2L, base.replace("india", "xray")), // near-dup of 0/1
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(d, shingleK = 2, numHashes = 32, bands = 8, threshold = 0.3)
       .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(pairs((0L, 1L)) == 1.0) // identical docs: all signature rows agree
-    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup surfaces
+    assert(pairs.contains((0L, 2L))) // near-dup surfaces
+    assert(pairs((0L, 2L)) < 1.0 && pairs((0L, 2L)) >= 0.3)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
   test("simhash: identical docs share fingerprints, disjoint docs don't") {
