@@ -193,6 +193,24 @@ object Queries {
       .limit(10)
   }
 
+  /** Rollup aggregate (subtotals + grand total in one pass). */
+  private def rollupPricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Running aggregate with an explicit frame spec (rowsBetween). */
+  private def runningSum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events").where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(sum(col("value")).over(w), 4).as("running_value"),
+        count(lit(1)).over(w).cast("long").as("running_n"))
+  }
+
   /** TPC-H Q6-style selective scan — predicate pushdown showcase (all four
     * predicates on raw columns → PushedFilters in the parquet scan). */
   private def revenueFilter(s: SparkSession, dir: String): DataFrame =
@@ -322,6 +340,8 @@ object Queries {
     "q_region_revenue" -> (regionRevenue _),
     "q_top_customers" -> (topCustomers _),
     "q_revenue_filter" -> (revenueFilter _),
+    "q_rollup_pricing" -> (rollupPricing _),
+    "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
     "q_lang_id" -> (langIdQ _),
     "q_token_count" -> (tokenCountQ _),
@@ -429,6 +449,16 @@ object Queries {
         |  FROM orders GROUP BY o_custkey
         |) r JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_running_sum" ->
+      """SELECT event_id, user_id, ts, value,
+        |round(sum(value) OVER w, 4) AS running_value,
+        |count(*) OVER w AS running_n
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
     "q_revenue_filter" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
