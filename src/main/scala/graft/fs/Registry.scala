@@ -65,6 +65,41 @@ object Registry {
       refs.map(parseRef).groupBy(_.view).map { case (v, rs) => view(v) -> rs.map(_.field) }
   }
 
+  /** One JSON row per view for registry persistence. */
+  private final case class PersistedField(name: String, dtype: String, description: String)
+  private final case class PersistedView(
+      name: String, entityName: String, joinKeys: Seq[String], entityDescription: String,
+      fields: Seq[PersistedField], source: String, timestampField: String,
+      ttlDays: Long, online: Boolean, tags: Map[String, String])
+
+  /** Persist the registry as JSON under `path` (any Hadoop-visible FS) —
+    * the engine's equivalent of Feast's registry.db. Overwrites. */
+  def save(spark: SparkSession, registry: FeatureRegistry, path: String): Unit = {
+    import spark.implicits._
+    registry.listViews.map { v =>
+      PersistedView(v.name, v.entity.name, v.entity.joinKeys, v.entity.description,
+        v.fields.map(f => PersistedField(f.name, f.dtype.catalogString, f.description)),
+        v.source, v.timestampField, v.ttl.toDays, v.online, v.tags)
+    }.toDS().coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  /** Load a registry persisted by [[save]]. */
+  def load(spark: SparkSession, path: String): FeatureRegistry = {
+    import spark.implicits._
+    val rows = spark.read
+      .schema(implicitly[org.apache.spark.sql.Encoder[PersistedView]].schema)
+      .json(path).as[PersistedView].collect()
+    val r = new FeatureRegistry
+    rows.foreach { p =>
+      val e = Entity(p.entityName, p.joinKeys, p.entityDescription)
+      r.applyEntity(e)
+      r.applyView(FeatureView(p.name, e,
+        p.fields.map(f => Field(f.name, DataType.fromDDL(f.dtype), f.description)),
+        p.source, p.timestampField, java.time.Duration.ofDays(p.ttlDays), p.online, p.tags))
+    }
+    r
+  }
+
   /** The reference's registry content, re-expressed (aqi_feature.py:6-45). */
   def defaultRegistry(): FeatureRegistry = {
     import org.apache.spark.sql.types._

@@ -68,6 +68,19 @@ class StoreSpec extends SparkSpec {
     assert(store.read("lineage").count() == 2)
   }
 
+  test("registry save/load roundtrip preserves every view attribute") {
+    val path = tmpDir() + "/registry"
+    val orig = Registry.defaultRegistry()
+    Registry.save(spark, orig, path)
+    val loaded = Registry.load(spark, path)
+    assert(loaded.listViews.map(_.name).toSet == orig.listViews.map(_.name).toSet)
+    val a = loaded.view("aqi_info_v1"); val b = orig.view("aqi_info_v1")
+    assert(a.entity == b.entity)
+    assert(a.fields == b.fields)
+    assert(a.ttl == b.ttl && a.online == b.online && a.tags == b.tags)
+    assert(a.schema == b.schema)
+  }
+
   test("registry: views, refs, describe (check_metadata.py surface)") {
     val r = Registry.defaultRegistry()
     assert(r.listViews.map(_.name) == Seq("aqi_info_v1", "aqi_info_v2"))
