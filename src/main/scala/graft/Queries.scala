@@ -255,6 +255,10 @@ object Queries {
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(t(s, dir, "documents"))
 
+  /** Source-vs-source content overlap via MinHash-union sketch aggregate. */
+  private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.groupOverlap(t(s, dir, "documents"), "source")
+
   /** Embedding-cosine near-dup pairs, blocked on label (sub-quadratic). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.35)
@@ -351,6 +355,7 @@ object Queries {
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
+    "q_source_overlap" -> (sourceOverlap _),
     "q_embedding_stats" -> (embeddingStatsQ _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_topk" -> (annTopK _),

@@ -153,6 +153,47 @@ object Dedup {
     fp.withColumn("group_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
   }
 
+  /** Group-vs-group content overlap via MinHash-union sketches: one
+    * signature per group (the signature of the UNION of member shingle
+    * sets — exact for MinHash, since min over a union is the min of mins),
+    * then pairwise agreement rate ≈ Jaccard between the groups' content.
+    * Never materializes the shingle sets; the shuffle carries one
+    * 8·numHashes-byte sketch per (partition, group).
+    *
+    * Output: (group_a, group_b, est_jaccard), group_a < group_b. */
+  def groupOverlap(
+      docs: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 32
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val sigExpr: Column =
+      if (spark.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash", col("__toks"), lit(shingleK), lit(numHashes))
+      else minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes)
+    val perDoc = docs
+      .select(col(groupCol).as("grp"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("grp"), sigExpr.as("sig"))
+    val perGroup =
+      if (spark.catalog.functionExists("graft_minhash_union"))
+        perDoc.groupBy("grp").agg(call_function("graft_minhash_union", col("sig")).as("usig"))
+      else
+        // portable fallback: positional min across member signatures
+        perDoc.select(col("grp"), posexplode(col("sig")))
+          .groupBy("grp", "pos").agg(min("col").as("h"))
+          .groupBy("grp")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+            s => s.getField("h")).as("usig"))
+    val a = perGroup.select(col("grp").as("group_a"), col("usig").as("sig_a"))
+    val b = perGroup.select(col("grp").as("group_b"), col("usig").as("sig_b"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
     * one n-gram: explode distinct n-grams, self-join on the n-gram, count
     * intersections, derive |A∪B| = |A|+|B|−|A∩B|.

@@ -107,5 +107,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(0),
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_union"),
+      new ExpressionInfo(classOf[MinHashUnionAgg].getName, "graft_minhash_union"),
+      (children: Seq[Expression]) =>
+        MinHashUnionAgg(children.head).toAggregateExpression()))
   }
 }

@@ -98,6 +98,35 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(2L) && got(2L) == 1.0)
   }
 
+  test("groupOverlap: union sketch equals whole-group signature (min of mins)") {
+    import org.apache.spark.sql.functions.call_function
+    // signature(union of docs) computed via the aggregate must equal the
+    // signature of the concatenated text: min over a union = min of mins
+    val parts = Seq(("g", "aa bb cc dd ee"), ("g", "ff gg hh ii jj")).toDF("source", "text")
+    val whole = Seq(("g", "aa bb cc dd ee ff gg hh ii jj")).toDF("source", "text")
+    def unionSig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), graft.ops.TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("source"), call_function("graft_minhash", col("__toks"), lit(2), lit(16)).as("sig"))
+      .groupBy("source").agg(call_function("graft_minhash_union", col("sig")).as("usig"))
+      .select("usig").as[Seq[Long]].collect().head
+    // NOTE: shingles spanning the concatenation seam ("ee ff") exist only in
+    // `whole`; compare against the union of part-signatures instead
+    val partsSig = unionSig(parts)
+    val wholeSig = unionSig(whole)
+    // every positional min of the parts must be >= the whole's (whole has a
+    // superset of shingles), and most positions agree
+    assert(partsSig.zip(wholeSig).forall { case (p, w) => p >= w })
+    assert(partsSig.zip(wholeSig).count { case (p, w) => p == w } >= 12)
+
+    // overlap scoring: identical groups -> 1.0, disjoint -> low
+    val d = Seq(("s1", "aa bb cc dd ee"), ("s2", "aa bb cc dd ee"),
+      ("s3", "zz yy xx ww vv")).toDF("source", "text")
+    val got = graft.ops.Dedup.groupOverlap(d, "source", shingleK = 2, numHashes = 16)
+      .as[(String, String, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", "s2")) == 1.0)
+    assert(got(("s1", "s3")) < 0.5)
+  }
+
   test("ivfTopK with nProbe = nLists is exact (matches brute force)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = corpus.where(col("vec_id") < 3)
