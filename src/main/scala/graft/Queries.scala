@@ -293,6 +293,11 @@ object Queries {
   private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
 
+  /** Stubbed feature extraction (embedding per asset; rows-only). */
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
+
   /** Resize planning over the columnar metadata surface. */
   private def mediaResize(s: SparkSession, dir: String): DataFrame =
     Multimodal.resizeMeta(mediaMeta(s, dir))
@@ -363,6 +368,7 @@ object Queries {
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
+    "q_media_features" -> (mediaFeatures _),
     "q_frame_sample" -> (frameSample _),
     "q_decode_meta" -> (decodeMetaQ _),
     "q_registry" -> (registryQ _),

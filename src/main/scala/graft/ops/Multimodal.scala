@@ -93,6 +93,40 @@ object Multimodal {
       .select("asset_id", "frame_ms", "width", "height")
   }
 
+  val featureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("feature", ArrayType(FloatType, containsNull = false))
+  ))
+
+  /** Feature-extraction pass: binary payload → fixed-dim embedding. The
+    * model forward pass is STUBBED (deterministic bytes→float projection);
+    * the Spark plumbing is the real thing a GPU/ONNX extractor needs —
+    * `mapPartitions` so the model loads once per partition and rows batch
+    * through it, fixed `ArrayType(FloatType)` output schema ready for the
+    * similarity/dedup operators. */
+  def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    assets
+      .select("asset_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        // per-partition model init would go here (session, weights, device)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]](2)
+          val vec = new Array[Float](dim)
+          var h = 1469598103934665603L
+          val n = if (payload == null) 0 else payload.length
+          var i = 0
+          while (i < n) {
+            h = (h ^ payload(i)) * 1099511628211L
+            vec(i % dim) += (h % 1000L).toFloat / 1000f
+            i += 1
+          }
+          Row(r.getLong(0), r.getString(1), vec.toSeq)
+        }
+      }(enc)
+  }
+
   /** Build a media-asset frame from any (id, string) source — test fixture
     * helper that treats text bytes as the opaque payload. */
   def assetsFromText(spark: SparkSession, df: DataFrame, idCol: String, textCol: String): DataFrame =

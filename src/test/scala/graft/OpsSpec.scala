@@ -98,6 +98,24 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(2L) && got(2L) == 1.0)
   }
 
+  test("extractFeatures: deterministic fixed-dim embeddings feed similarity ops") {
+    val assets = graft.ops.Multimodal.assetsFromText(spark, docs, "doc_id", "text")
+    val feats = graft.ops.Multimodal.extractFeatures(assets, dim = 8)
+    assert(feats.schema == graft.ops.Multimodal.featureSchema)
+    val rows = feats.collect()
+    assert(rows.length == 5 && rows.forall(_.getSeq[Float](2).length == 8))
+    // deterministic: same payload -> same embedding (docs 0 and 1 identical)
+    val byId = rows.map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(byId(0L) == byId(1L))
+    assert(byId(0L) != byId(3L))
+    // output plugs straight into the similarity surface
+    val top = graft.ops.Similarity.bruteForceTopKJoin(
+      feats.withColumnRenamed("feature", "embedding").withColumnRenamed("asset_id", "vec_id"),
+      feats.withColumnRenamed("feature", "embedding").withColumnRenamed("asset_id", "vec_id")
+        .where(col("vec_id") === 0), 1)
+    assert(top.select("corpus_id").as[Long].collect().head == 1L) // its exact dup
+  }
+
   test("groupOverlap: union sketch equals whole-group signature (min of mins)") {
     import org.apache.spark.sql.functions.call_function
     // signature(union of docs) computed via the aggregate must equal the
