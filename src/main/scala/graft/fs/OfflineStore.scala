@@ -76,6 +76,24 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Bucketed table write: co-locates rows by `bucketCol` (catalog table,
+    * since bucketing metadata lives in the metastore). Downstream
+    * aggregations and joins keyed on `bucketCol` read the bucketed layout
+    * and skip their shuffle entirely — at 100 TB, pre-bucketing the feature
+    * history on entity_id makes every latest-per-key snapshot and PIT join
+    * shuffle-free (the single biggest cost in those plans). Sorting within
+    * buckets by the timestamp sets up sort-based argmax/as-of scans. */
+  def appendBucketed(
+      table: String,
+      df: DataFrame,
+      bucketCol: String,
+      buckets: Int,
+      sortCol: Option[String] = None
+  ): Unit = {
+    val w = df.write.mode("append").format("parquet").bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
+  }
+
   /** Lineage metadata row. Ref: write_to_bigquery.py:139-147, load.py:87-93. */
   def appendLineage(name: String, version: String, source: String, transformationFile: String): Unit = {
     import spark.implicits._

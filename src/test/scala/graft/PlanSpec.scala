@@ -75,6 +75,28 @@ class PlanSpec extends SparkSpec {
       "when-chain AQI must stay inside codegen")
   }
 
+  test("bucketed feature table: latest-per-key and self-join run shuffle-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = graft.fs.OfflineStore(spark, "/tmp/unused-root")
+    val df = (1 to 100).map(i => (i.toLong % 10, new java.sql.Timestamp(i * 1000L), i.toDouble))
+      .toDF("user_id", "t", "v")
+    spark.sql("DROP TABLE IF EXISTS bucketed_features")
+    store.appendBucketed("bucketed_features", df, "user_id", buckets = 4, sortCol = Some("user_id"))
+    val tbl = spark.table("bucketed_features")
+
+    val snap = graft.fs.OnlineStore.latestSnapshot(tbl, Seq("user_id"), "t", Seq("v"))
+    val p1 = snap.queryExecution.explainString(FormattedMode)
+    assert(nodes(p1, "Exchange") == 0,
+      s"aggregation on the bucket key must reuse the bucketed distribution:\n$p1")
+
+    // co-located self-join: both sides bucketed on the key -> no shuffle
+    val joined = tbl.as("a").join(tbl.as("b"), "user_id")
+    val p2 = joined.queryExecution.explainString(FormattedMode)
+    assert(nodes(p2, "Exchange") == 0,
+      s"bucketed-bucketed equi-join must not shuffle:\n$p2")
+  }
+
   test("q_asof_join_merge: at most two shuffles for the whole as-of join") {
     val p = plan("q_asof_join_merge")
     // one Exchange for the union's window partitioning (+1 tolerated for
