@@ -193,6 +193,18 @@ object Queries {
       .limit(10)
   }
 
+  /** Skew-salted join, oracle-checked against the plain join's results:
+    * salting must be invisible in the output. */
+  private def saltedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Skew
+    val li = t(s, dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    Skew.saltedJoin(li, sup, Seq("l_suppkey"), salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
+  }
+
   /** Rollup aggregate (subtotals + grand total in one pass). */
   private def rollupPricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -350,6 +362,7 @@ object Queries {
     "q_top_customers" -> (topCustomers _),
     "q_revenue_filter" -> (revenueFilter _),
     "q_rollup_pricing" -> (rollupPricing _),
+    "q_salted_join" -> (saltedRevenue _),
     "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
     "q_lang_id" -> (langIdQ _),
@@ -460,6 +473,9 @@ object Queries {
         |  FROM orders GROUP BY o_custkey
         |) r JOIN customer ON o_custkey = c_custkey
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 10""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_nationkey, round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1""".stripMargin,
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
