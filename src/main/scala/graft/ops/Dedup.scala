@@ -210,6 +210,11 @@ object Dedup {
       threshold: Double = 0.5,
       maxNgramFreq: Option[Int] = None
   ): DataFrame = {
+    // Set sizes are joined back onto the (doc_a, doc_b) pair counts from a
+    // tiny per-doc aggregate. (A "carry n_grams through the exploded
+    // self-join" variant looks cheaper on paper — it skips two re-runs of
+    // the shingling lineage — but measured 2.5× SLOWER at sf0.1: widening
+    // every shuffled gram row costs more than the small broadcast joins.)
     val grams = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
