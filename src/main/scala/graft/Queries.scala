@@ -193,6 +193,27 @@ object Queries {
       .limit(10)
   }
 
+  /** TPC-H Q3-style shipping priority: 3-way join, filtered both sides,
+    * top-10 by revenue. */
+  private def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.time.LocalDateTime.parse("1995-03-15T00:00:00"))
+    val c = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").where(col("o_orderdate") < cutoff)
+    val l = t(s, dir, "lineitem").where(col("l_shipdate") > cutoff)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Exact dedup by 8-byte digest — oracle-checked against by-text dedup
+    * (representative ids must be identical absent hash collisions). */
+  private def exactDedupDigest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactByDigest(t(s, dir, "events"), "props", "event_id")
+      .select("event_id")
+
   /** Skew-salted join, oracle-checked against the plain join's results:
     * salting must be invisible in the output. */
   private def saltedRevenue(s: SparkSession, dir: String): DataFrame = {
@@ -369,6 +390,8 @@ object Queries {
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_exact_dedup" -> (exactDedup _),
+    "q_exact_dedup_digest" -> (exactDedupDigest _),
+    "q3_shipping" -> (q3Shipping _),
     "q_dedup_stats" -> (dedupStats _),
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_minhash_pairs" -> (minhashPairs _),
@@ -517,6 +540,18 @@ object Queries {
         |FROM documents""".stripMargin,
     "q_exact_dedup" ->
       "SELECT props, min(event_id) AS event_id FROM events GROUP BY props",
+    "q_exact_dedup_digest" ->
+      "SELECT min(event_id) AS event_id FROM events GROUP BY props",
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
     "q_dedup_stats" ->
       """SELECT count(*) AS total, count(DISTINCT props) AS distinct_texts,
         |count(*) - count(DISTINCT props) AS dup_rows FROM events""".stripMargin,
