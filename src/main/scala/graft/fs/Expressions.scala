@@ -106,15 +106,18 @@ object Expressions {
       }.getOrElse(Double.box(CanonicalFallback)))
 
   /** Parse a "d/m" or "d/m/y" date from free text (agent.py:43-52's C12).
-    * No match → null; year defaults to `defaultYear`. */
+    * No match or an invalid calendar date (e.g. "31/2") → null — via
+    * `try_to_date`, because `make_date` under Spark 4's default ANSI mode
+    * would abort the job on the first malformed user string. */
   def dateInText(text: Column, defaultYear: Column): Column = {
-    val d = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 1)
-    val m = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 2)
-    val y = regexp_extract(text, "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?", 3)
+    val pat = "(\\d{1,2})/(\\d{1,2})(?:/(\\d{4}))?"
+    val d = regexp_extract(text, pat, 1)
+    val m = regexp_extract(text, pat, 2)
+    val y = regexp_extract(text, pat, 3)
     when(d === "", lit(null).cast("date"))
-      .otherwise(make_date(
-        when(y === "", defaultYear).otherwise(y.cast("int")),
-        m.cast("int"), d.cast("int")))
+      .otherwise(try_to_date(
+        concat_ws("-", when(y === "", defaultYear.cast("string")).otherwise(y), m, d),
+        "yyyy-M-d"))
   }
 
   /** Wall-clock now in an explicit zone (C14) — the engine runs a fixed-UTC

@@ -77,11 +77,13 @@ class ExpressionsSpec extends SparkSpec {
   }
 
   test("dateInText parses d/m and d/m/y from free text (agent.py:43-52)") {
-    val df = Seq("aqi on 5/6 please", "what about 15/06/2025?", "no date here")
+    val df = Seq("aqi on 5/6 please", "what about 15/06/2025?", "no date here",
+      "impossible 31/2 date")
       .toDF("q")
     val got = df.select(Expressions.dateInText(col("q"), lit(2024)).cast("string"))
       .collect().map(r => Option(r.getString(0))).toSeq
-    assert(got == Seq(Some("2024-06-05"), Some("2025-06-15"), None))
+    // invalid calendar date degrades to null instead of an ANSI-mode abort
+    assert(got == Seq(Some("2024-06-05"), Some("2025-06-15"), None, None))
   }
 
   test("nowInZone shifts the fixed-UTC session clock (redis_data.py:64)") {
