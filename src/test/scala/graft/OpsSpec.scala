@@ -98,6 +98,32 @@ class OpsSpec extends SparkSpec {
     assert(got.contains(2L) && got(2L) == 1.0)
   }
 
+  test("resizeMeta fits the box, preserves aspect, never upscales, floors at 1") {
+    val assets = Seq((1L, 640, 480), (2L, 100, 50), (3L, 1, 4480))
+      .toDF("asset_id", "width", "height")
+    val got = graft.ops.Multimodal.resizeMeta(assets)
+      .select("asset_id", "out_width", "out_height").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ((224, 168)))   // downscale, aspect preserved
+    assert(got(2L) == ((100, 50)))    // small image untouched (no upscale)
+    assert(got(3L) == ((1, 224)))     // extreme aspect floors width at 1
+  }
+
+  test("sampleFrames emits rows only for videos at the requested cadence") {
+    val assets = graft.ops.Multimodal.assetsFromText(spark, docs, "doc_id", "text")
+    val frames = graft.ops.Multimodal.sampleFrames(assets, everyMs = 10000L)
+    val byAsset = frames.groupBy("asset_id").count()
+      .as[(Long, Long)].collect().toMap
+    // doc_id % 3 == 2 -> video (docs 2); others produce no frames
+    assert(byAsset.keySet == Set(2L))
+    // frame count = floor(duration/10s)+1, duration deterministic from stub
+    assert(byAsset(2L) >= 1)
+    val offsets = frames.select("frame_ms").as[Long].collect().sorted
+    assert(offsets.head == 0L && offsets.sliding(2).forall {
+      case Array(a, b) => b - a == 10000L; case _ => true
+    })
+  }
+
   test("extractFeatures: deterministic fixed-dim embeddings feed similarity ops") {
     val assets = graft.ops.Multimodal.assetsFromText(spark, docs, "doc_id", "text")
     val feats = graft.ops.Multimodal.extractFeatures(assets, dim = 8)

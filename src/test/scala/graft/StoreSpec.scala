@@ -68,6 +68,27 @@ class StoreSpec extends SparkSpec {
     assert(store.read("lineage").count() == 2)
   }
 
+  test("readRawJson multiLine handles the reference's single-array landing format") {
+    // extract.py:52-108 writes ONE JSON array file, not JSONL
+    val tmp = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/arr.json"),
+      """[{"dt":1704067200,"lat":21.0,"lon":105.75,"aqi_level":2,"co":1.0,"no":0.5,
+        |"no2":3.0,"o3":4.0,"so2":5.0,"pm2_5":10.0,"pm10":7.0,"nh3":8.0},
+        |{"dt":1704070800,"lat":21.0,"lon":105.75,"aqi_level":1,"co":1.0,"no":0.5,
+        |"no2":3.0,"o3":4.0,"so2":5.0,"pm2_5":20.0,"pm10":7.0,"nh3":8.0}]""".stripMargin
+        .getBytes("UTF-8"))
+    val got = Ingest.readRawJson(spark, s"$tmp/arr.json", multiLine = true)
+    assert(got.count() == 2)
+    assert(got.select("pm2_5").as[Double].collect().toSet == Set(10.0, 20.0))
+  }
+
+  test("advanceWatermark on an empty frame is a no-op (returns None)") {
+    val store = OfflineStore(spark, tmpDir())
+    val empty = Ingest.normalize(raw).limit(0)
+    assert(store.advanceWatermark("t", empty).isEmpty)
+    assert(store.watermark("t").isEmpty)
+  }
+
   test("registry save/load roundtrip preserves every view attribute") {
     val path = tmpDir() + "/registry"
     val orig = Registry.defaultRegistry()
