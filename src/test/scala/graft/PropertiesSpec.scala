@@ -31,6 +31,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: join+rank and merge formulations agree on random frames") {
+    val keys = Seq("a", "b", "c")
+    val gen = for {
+      k <- Gen.oneOf(keys)
+      t <- Gen.chooseNum(0L, 500L) // coarse grid -> plenty of ts collisions
+      v <- Gen.chooseNum(0.0, 10.0)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (k, new java.sql.Timestamp(t * 1000), v, id)
+    val entity = Gen.listOfN(200, gen).sample.get.zipWithIndex
+      .map { case ((k, t, _, _), i) => (i.toLong, k, t) }
+      .toDF("probe_id", "entity", "event_ts")
+    // sparse features so some probes find nothing inside the TTL window
+    val feature = Gen.listOfN(25, gen).sample.get
+      .toDF("entity", "fts", "v", "fid")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "v").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    val spec = canon(graft.fs.PointInTime.historicalFeatures(
+      entity, feature, Seq("entity"), "event_ts", "fts", Seq("v"), Some("3 MINUTES"), Seq("fid")))
+    val merge = canon(graft.fs.PointInTime.historicalFeaturesMerge(
+      entity, feature, Seq("entity"), "event_ts", "fts", Seq("v"), Some("3 MINUTES"), Seq("fid")))
+    assert(spec == merge)
+    assert(spec.nonEmpty && spec.values.exists(_.isDefined) && spec.values.exists(_.isEmpty),
+      "fixture should exercise both matched and unmatched probes")
+  }
+
   test("latestSnapshot is invariant under duplicated + shuffled input") {
     val rows = Gen.listOfN(200, for {
       k <- Gen.oneOf("a", "b", "c", "d")
