@@ -112,6 +112,15 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
         round(sum(col("value")), 2).as("sum_value"), max(col("ts")).as("max_ts"))
 
+  /** Event-time tumbling-window aggregate — batch twin of the streaming
+    * hourly rollup (same `window()` operator Structured Streaming uses). */
+  private def hourlyWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
+        col("event_type"), col("n"), col("avg_value"))
+
   /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
     * strings so the cross-engine compare is representation-free. */
   private def watermark(s: SparkSession, dir: String): DataFrame =
@@ -373,6 +382,7 @@ object Queries {
     "q_lag" -> (lagFeature _),
     "q_online_lookup" -> (onlineLookup _),
     "q_agg_calendar" -> (aggCalendar _),
+    "q_hourly_window" -> (hourlyWindow _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -457,6 +467,11 @@ object Queries {
       """SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
         |CAST(day(ts) AS INTEGER) AS day, count(*) AS n, round(avg(value), 4) AS avg_value,
         |round(sum(value), 2) AS sum_value, max(ts) AS max_ts
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_hourly_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+        |event_type, count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_watermark" ->
       """SELECT strftime(CAST(max(ts) AS DATE), '%Y-%m-%d') AS max_date,
