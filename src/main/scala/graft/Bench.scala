@@ -13,9 +13,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up so the first timed query isn't charged session
-    // startup (~4s otherwise lands on whichever query runs first)
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // startup (~4s otherwise lands on whichever query runs first); failures
+    // are tolerated like any per-query failure — the timed loop must run
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

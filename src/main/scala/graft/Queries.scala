@@ -25,12 +25,15 @@ object Queries {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
     // rejects; read it as long nanos and floor to micros (integer DIV — a
     // double division would lose precision at ~1.7e18), matching DuckDB's
-    // ns→µs truncation. timestamp_ntz mirrors how Spark reads the other
-    // tables' no-tz timestamps, so all calendar math is session-tz-free.
+    // ns→µs truncation. The epoch-anchored timestampadd builds TIMESTAMP_NTZ
+    // directly — no session-timezone involvement anywhere (a TimestampType
+    // round-trip would shift values in non-UTC sessions), so the result
+    // mirrors how Spark reads the other tables' no-tz timestamps.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)").cast("timestamp_ntz"))
+      df.withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     else df
   }
 
@@ -129,12 +132,13 @@ object Queries {
       date_format(date_add(max(to_date(col("ts"))), 1), "yyyy-MM-dd").as("next_watermark"),
       count(lit(1)).as("n"))
 
-  /** A5: MAE/RMSE against a global-mean predictor. */
+  /** A5: MAE/RMSE against a global-mean predictor. The mean comes from a
+    * scalar aggregate broadcast back over the data — an empty-partition
+    * window would funnel every row through one task at scale. */
   private def evalMetrics(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = t(s, dir, "events").where(col("event_type") === "purchase")
-      .withColumn("pred", avg(col("value")).over(Window.partitionBy()))
-    ev.agg(
+    val mean = ev.agg(avg(col("value")).as("pred"))
+    ev.crossJoin(broadcast(mean)).agg(
       round(avg(abs(col("value") - col("pred"))), 4).as("mae"),
       round(sqrt(avg(pow(col("value") - col("pred"), 2))), 4).as("rmse"),
       count(lit(1)).as("n"))

@@ -90,7 +90,12 @@ final case class OfflineStore(spark: SparkSession, root: String) {
       buckets: Int,
       sortCol: Option[String] = None
   ): Unit = {
-    val w = df.write.mode("append").format("parquet").bucketBy(buckets, bucketCol)
+    // external table anchored under the store ROOT (a bare saveAsTable
+    // would land in the session warehouse, invisible to this store and
+    // colliding across stores that share a session)
+    val w = df.write.mode("append").format("parquet")
+      .option("path", tablePath(table))
+      .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 

@@ -70,16 +70,17 @@ object Registry {
   private final case class PersistedView(
       name: String, entityName: String, joinKeys: Seq[String], entityDescription: String,
       fields: Seq[PersistedField], source: String, timestampField: String,
-      ttlDays: Long, online: Boolean, tags: Map[String, String])
+      ttlSeconds: Long, online: Boolean, tags: Map[String, String])
 
   /** Persist the registry as JSON under `path` (any Hadoop-visible FS) —
     * the engine's equivalent of Feast's registry.db. Overwrites. */
   def save(spark: SparkSession, registry: FeatureRegistry, path: String): Unit = {
     import spark.implicits._
     registry.listViews.map { v =>
+      // seconds, not days: toDays would silently truncate sub-day TTLs
       PersistedView(v.name, v.entity.name, v.entity.joinKeys, v.entity.description,
         v.fields.map(f => PersistedField(f.name, f.dtype.catalogString, f.description)),
-        v.source, v.timestampField, v.ttl.toDays, v.online, v.tags)
+        v.source, v.timestampField, v.ttl.toSeconds, v.online, v.tags)
     }.toDS().coalesce(1).write.mode("overwrite").json(path)
   }
 
@@ -95,7 +96,7 @@ object Registry {
       r.applyEntity(e)
       r.applyView(FeatureView(p.name, e,
         p.fields.map(f => Field(f.name, DataType.fromDDL(f.dtype), f.description)),
-        p.source, p.timestampField, java.time.Duration.ofDays(p.ttlDays), p.online, p.tags))
+        p.source, p.timestampField, java.time.Duration.ofSeconds(p.ttlSeconds), p.online, p.tags))
     }
     r
   }

@@ -30,6 +30,17 @@ object Similarity {
       (a, b) => call_function("graft_dot", a, b)
     else dot
 
+  /** Shared pair-scoring expression: cosine from a pair dot and HOISTED
+    * per-side norms, zero-denominator → null (ANSI-safe), rounded to 6 dp
+    * for cross-engine rank stability. One definition so null/rounding
+    * semantics can't drift between the four pairwise operators. */
+  private def cosineFromNorms(dp: (Column, Column) => Column,
+      embA: Column, embB: Column, normA: Column, normB: Column): Column = {
+    val denom = normA * normB
+    round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dp(embA, embB) / denom), 6)
+  }
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity; null (not a crash) for zero-norm vectors — under
@@ -77,12 +88,10 @@ object Similarity {
       sqrt(dp(col(embCol), col(embCol))).as("__nc"))
     val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
       sqrt(dp(col(embCol), col(embCol))).as("__np"))
-    val denom = col("__np") * col("__nc")
     val scored = cb.crossJoin(broadcast(pb))
       .where(col("probe_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(dp(col("p_emb"), col("c_emb")) / denom), 6))
+      .withColumn("cosine", cosineFromNorms(dp,
+        col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -131,12 +140,10 @@ object Similarity {
     val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
       lshBucket(col(embCol), planes, dp).as("bucket"),
       sqrt(dp(col(embCol), col(embCol))).as("__np"))
-    val denom = col("__np") * col("__nc")
     val scored = pb.join(cb, Seq("bucket"))
       .where(col("probe_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(dp(col("p_emb"), col("c_emb")) / denom), 6))
+      .withColumn("cosine", cosineFromNorms(dp,
+        col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -185,12 +192,10 @@ object Similarity {
         slice(reverse(array_sort(cellScores(col(embCol)))), 1, nProbe).as("__cells"))
       .withColumn("cell", explode(expr("transform(__cells, x -> x.c)")))
       .drop("__cells")
-    val denom = col("__np") * col("__nc")
     val scored = pb.join(cb, Seq("cell"))
       .where(col("probe_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(dp(col("p_emb"), col("c_emb")) / denom), 6))
+      .withColumn("cosine", cosineFromNorms(dp,
+        col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
     scored
       .withColumn("rn", row_number().over(w))
@@ -218,12 +223,10 @@ object Similarity {
       sqrt(dp(col(embCol), col(embCol))).as("__na"))
     val b = df.select(col(blockCol), col(idCol).as("id_b"), col(embCol).as("emb_b"),
       sqrt(dp(col(embCol), col(embCol))).as("__nb"))
-    val denom = col("__na") * col("__nb")
     a.join(b, Seq(blockCol))
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(dp(col("emb_a"), col("emb_b")) / denom), 6))
+      .withColumn("cosine", cosineFromNorms(dp,
+        col("emb_a"), col("emb_b"), col("__na"), col("__nb")))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -30,6 +30,13 @@ object Skew {
       seed: Long = 42L
   ): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // right/full outer would emit `salts` copies of every unmatched
+    // SMALL-side row (it is replicated pre-join); big-side-preserving
+    // types are exact because each big row carries exactly one salt
+    require(Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types, not $joinType " +
+        "(outer-preserving the replicated small side would duplicate its unmatched rows)")
     val saltedBig = big.withColumn("__salt", floor(rand(seed) * salts).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))

@@ -27,8 +27,9 @@ object TextAnalysis {
     // Tokenize ONCE into a real column: five downstream expressions reference
     // it, and >1 reference to a non-cheap expression stops CollapseProject
     // from re-inlining the tokenizer into every derived column (measured
-    // 4.4s → ~0.6s on sf0.01 documents).
-    val t = col("__t")
+    // 4.4s → ~0.6s on sf0.01 documents). Namespaced temp column so a caller
+    // column of the same name can't be silently clobbered-then-dropped.
+    val t = col("__graft_ts_toks")
     // greatest(...,1) guards ANSI-mode DIVIDE_BY_ZERO for empty/whitespace-only
     // docs (ratios degrade to 0, matching langId's convention).
     val nTok = greatest(size(t), lit(1)).cast("double")
@@ -36,7 +37,7 @@ object TextAnalysis {
     val distinctTok = size(array_distinct(t)).cast("double")
     val tokLenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
     docs
-      .withColumn("__t", tokens(col(textCol)))
+      .withColumn("__graft_ts_toks", tokens(col(textCol)))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("avg_token_len", round(tokLenSum / nTok, 6))
@@ -48,7 +49,7 @@ object TextAnalysis {
           least(lit(1.0), col("n_tokens") / lit(50.0)) * lit(0.4)
             + col("distinct_ratio") * lit(0.4)
             + least(lit(1.0), col("stopword_ratio") * lit(5.0)) * lit(0.2), 6))
-      .drop("__t")
+      .drop("__graft_ts_toks")
   }
 
   /** Language lexicons for the n-gram/stopword language-ID heuristic. */
@@ -66,8 +67,8 @@ object TextAnalysis {
   def langId(docs: DataFrame, textCol: String = "text", keepScores: Boolean = false): DataFrame = {
     // Tokenize once (see textStats): each language score references the
     // token array, which would otherwise be re-tokenized per language.
-    val t = col("__lt")
-    val scored = LangLexicons.foldLeft(docs.withColumn("__lt", tokens(lower(col(textCol))))) {
+    val t = col("__graft_li_toks")
+    val scored = LangLexicons.foldLeft(docs.withColumn("__graft_li_toks", tokens(lower(col(textCol))))) {
       case (d, (lang, lex)) =>
         d.withColumn(s"score_$lang",
           size(filter(t, x => x.isin(lex: _*))).cast("double") / greatest(size(t), lit(1)).cast("double"))
@@ -77,7 +78,7 @@ object TextAnalysis {
     val pred = LangLexicons.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
       when(col(s"score_$lang") === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
     }
-    val out = scored.withColumn("lang_pred", pred).drop("__lt")
+    val out = scored.withColumn("lang_pred", pred).drop("__graft_li_toks")
     if (keepScores) out else out.drop(LangLexicons.map { case (l, _) => s"score_$l" }: _*)
   }
 

@@ -51,9 +51,14 @@ object OnlineRefresh {
         // never zero copies (plain delete+rename had that window).
         val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
         next.write.mode("overwrite").parquet(tmp.toString)
+        // Hadoop rename/delete report failure via `false`, not exceptions —
+        // ignoring them could drop the only snapshot copy and still commit
+        // the batch. Throwing makes the streaming engine retry the batch.
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"snapshot swap failed: $what")
         fs.delete(oldP, true)
-        if (fs.exists(dst)) fs.rename(dst, oldP)
-        fs.rename(tmp, dst)
+        if (fs.exists(dst)) must(fs.rename(dst, oldP), s"rename $dst -> $oldP")
+        must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
         fs.delete(oldP, true)
         ()
       }
@@ -69,14 +74,18 @@ object OnlineRefresh {
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
 
-  /** A feature observation keyed by entity. */
-  final case class Obs(key: String, ts: java.sql.Timestamp, value: Double)
+  /** A feature observation keyed by entity; `id` is the deterministic
+    * tie-break for equal timestamps (mirrors the batch path's
+    * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths
+    * can never disagree on the served value). */
+  final case class Obs(key: String, ts: java.sql.Timestamp, value: Double, id: Long)
 
   /** Stateful latest-per-key maintenance with `flatMapGroupsWithState`:
     * per-key state holds the current latest observation; a micro-batch
     * emits a row only when the key's latest actually advances — a
     * change-data stream of online-store updates (vs [[start]]'s snapshot
     * rewrite, this scales state with #keys and output with #changes).
+    * "Latest" is argmax by (ts, id), identical to the batch snapshot.
     * State is fault-tolerant via the state store + checkpoint; a real
     * deployment adds a GroupStateTimeout to expire idle entities (TTL). */
   def latestPerKeyStream(
@@ -84,17 +93,19 @@ object OnlineRefresh {
   ): org.apache.spark.sql.Dataset[Obs] = {
     import observations.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def later(a: Obs, b: Obs): Boolean = {
+      val c = b.ts.compareTo(a.ts)
+      c > 0 || (c == 0 && b.id > a.id)
+    }
     observations
       .groupByKey(_.key)
       .flatMapGroupsWithState[Obs, Obs](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[Obs], state: GroupState[Obs]) =>
-          val incoming = rows.reduceOption { (a, b) =>
-            if ((b.ts.compareTo(a.ts)) >= 0) b else a
-          }
+          val incoming = rows.reduceOption((a, b) => if (later(a, b)) b else a)
           incoming match {
             case Some(newest) =>
-              val advanced = state.getOption.forall(cur => newest.ts.compareTo(cur.ts) > 0)
+              val advanced = state.getOption.forall(cur => later(cur, newest))
               if (advanced) {
                 state.update(newest)
                 Iterator.single(newest)

@@ -92,8 +92,13 @@ class StoreSpec extends SparkSpec {
   test("registry save/load roundtrip preserves every view attribute") {
     val path = tmpDir() + "/registry"
     val orig = Registry.defaultRegistry()
+    // sub-day TTL must survive the roundtrip (day-granularity persistence
+    // would truncate it to zero)
+    orig.applyView(orig.view("aqi_info_v1").copy(name = "aqi_hourly",
+      ttl = java.time.Duration.ofHours(12)))
     Registry.save(spark, orig, path)
     val loaded = Registry.load(spark, path)
+    assert(loaded.view("aqi_hourly").ttl == java.time.Duration.ofHours(12))
     assert(loaded.listViews.map(_.name).toSet == orig.listViews.map(_.name).toSet)
     val a = loaded.view("aqi_info_v1"); val b = orig.view("aqi_info_v1")
     assert(a.entity == b.entity)

@@ -50,19 +50,20 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.ProcessingTime(0)).start()
 
     input.addData(
-      Obs("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
-      Obs("a", Timestamp.valueOf("2024-01-01 02:00:00"), 3.0), // newest in batch wins
-      Obs("b", Timestamp.valueOf("2024-01-01 01:00:00"), 5.0))
+      Obs("a", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L),
+      Obs("a", Timestamp.valueOf("2024-01-01 02:00:00"), 3.0, 2L), // newest in batch wins
+      Obs("b", Timestamp.valueOf("2024-01-01 01:00:00"), 5.0, 3L))
     q.processAllAvailable()
     input.addData(
-      Obs("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0), // stale -> suppressed
-      Obs("b", Timestamp.valueOf("2024-01-01 04:00:00"), 7.0)) // advance -> emitted
+      Obs("a", Timestamp.valueOf("2024-01-01 01:00:00"), 2.0, 4L), // stale ts -> suppressed
+      Obs("a", Timestamp.valueOf("2024-01-01 02:00:00"), 9.0, 5L), // equal ts, higher id -> tie-break advance (matches batch argmax)
+      Obs("b", Timestamp.valueOf("2024-01-01 04:00:00"), 7.0, 6L)) // advance -> emitted
     q.processAllAvailable()
     q.stop()
 
     val emitted = spark.table("latest_cdc").as[Obs].collect()
       .groupBy(_.key).view.mapValues(_.map(o => (o.ts.toString, o.value)).toSet).toMap
-    assert(emitted("a") == Set(("2024-01-01 02:00:00.0", 3.0))) // one emit, stale suppressed
+    assert(emitted("a") == Set(("2024-01-01 02:00:00.0", 3.0), ("2024-01-01 02:00:00.0", 9.0)))
     assert(emitted("b") == Set(("2024-01-01 01:00:00.0", 5.0), ("2024-01-01 04:00:00.0", 7.0)))
   }
 
