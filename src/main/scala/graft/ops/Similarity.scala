@@ -120,6 +120,12 @@ object Similarity {
     * `probes` and `corpus` are both (id, embedding) frames; self-pairs are
     * excluded. The bucketed join shuffles on the (small) bucket id, AQE
     * handles bucket-size skew.
+    *
+    * `multiProbe` > 0 additionally probes every bucket within Hamming
+    * distance 1 of the probe's own bucket, flipping each of the first
+    * `multiProbe` planes — the standard multi-probe trick: recall rises
+    * toward brute force at the cost of (multiProbe+1)× probe fan-out,
+    * WITHOUT growing the corpus index (only the tiny probe side explodes).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -129,23 +135,41 @@ object Similarity {
       dim: Int = 64,
       idCol: String = "vec_id",
       embCol: String = "embedding",
-      seed: Long = 42L
+      seed: Long = 42L,
+      multiProbe: Int = 0
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(multiProbe >= 0 && multiProbe <= numPlanes,
+      "multiProbe must be in [0, numPlanes]")
     val planes = hyperplanes(numPlanes, dim, seed)
     val dp = dotFn(corpus.sparkSession)
     val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
       lshBucket(col(embCol), planes, dp).as("bucket"),
       sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+    val own = lshBucket(col(embCol), planes, dp)
+    val probeBuckets =
+      if (multiProbe == 0) array(own)
+      else array(own +: (0 until multiProbe).map { i =>
+        // flip bit i of the bucket string: bucket ∂ Hamming-1 neighbor
+        concat(
+          substring(own, 1, i),
+          when(substring(own, i + 1, 1) === "1", "0").otherwise("1"),
+          substring(own, i + 2, numPlanes - i - 1))
+      }: _*)
     val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
-      lshBucket(col(embCol), planes, dp).as("bucket"),
-      sqrt(dp(col(embCol), col(embCol))).as("__np"))
+        probeBuckets.as("__buckets"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"))
+      .withColumn("bucket", explode(col("__buckets")))
+      .drop("__buckets")
     val scored = pb.join(cb, Seq("bucket"))
       .where(col("probe_id") =!= col("corpus_id"))
       .withColumn("cosine", cosineFromNorms(dp,
         col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
     scored
+      // a corpus vector can be reached via several probed buckets — dedup
+      // before ranking or the same neighbor occupies multiple rank slots
+      .dropDuplicates("probe_id", "corpus_id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))

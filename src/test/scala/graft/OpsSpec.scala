@@ -171,6 +171,22 @@ class OpsSpec extends SparkSpec {
     assert(got(("s1", "s3")) < 0.5)
   }
 
+  test("multi-probe LSH recall is monotone and reaches beyond single-bucket") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = corpus.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopKJoin(corpus, probes, 5)
+      .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(mp: Int): Double = {
+      val got = Similarity.lshTopK(corpus, probes, 5, numPlanes = 10, dim = 64,
+        multiProbe = mp)
+        .select("probe_id", "corpus_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r0 = recall(0); val r4 = recall(4); val r10 = recall(10)
+    assert(r0 <= r4 + 1e-9 && r4 <= r10 + 1e-9, s"recall not monotone: $r0 $r4 $r10")
+    assert(r10 > r0, s"multi-probe should find neighbors single-bucket missed ($r0 vs $r10)")
+  }
+
   test("ivfTopK with nProbe = nLists is exact (matches brute force)") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = corpus.where(col("vec_id") < 3)
