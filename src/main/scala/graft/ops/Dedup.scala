@@ -179,13 +179,7 @@ object Dedup {
     val perGroup =
       if (spark.catalog.functionExists("graft_minhash_union"))
         perDoc.groupBy("grp").agg(call_function("graft_minhash_union", col("sig")).as("usig"))
-      else
-        // portable fallback: positional min across member signatures
-        perDoc.select(col("grp"), posexplode(col("sig")))
-          .groupBy("grp", "pos").agg(min("col").as("h"))
-          .groupBy("grp")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
-            s => s.getField("h")).as("usig"))
+      else unionSigFallback(perDoc)
     val a = perGroup.select(col("grp").as("group_a"), col("usig").as("sig_a"))
     val b = perGroup.select(col("grp").as("group_b"), col("usig").as("sig_b"))
     a.join(b, col("group_a") < col("group_b"))
@@ -193,6 +187,17 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
           .cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
   }
+
+  /** Portable union-signature fallback (positional min across member
+    * signatures) for sessions without the graft_minhash_union aggregate.
+    * Input: (grp, sig array<long>) → (grp, usig). Must agree exactly with
+    * the native aggregate (spec-tested). */
+  private[graft] def unionSigFallback(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("grp"), posexplode(col("sig")))
+      .groupBy("grp", "pos").agg(min("col").as("h"))
+      .groupBy("grp")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
+        s => s.getField("h")).as("usig"))
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
     * one n-gram: explode distinct n-grams, self-join on the n-gram, count

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** The portable (no-extensions) formulations must agree with the native
+  * ones — sessions without GraftExtensions take these paths. */
+class FallbackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "aa bb cc dd ee ff gg", "s1"),
+    (1L, "aa bb cc dd ee ff gg", "s1"),
+    (2L, "hh ii jj kk ll mm nn", "s2"),
+    (3L, "aa bb cc zz yy xx ww", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("posexplode union-sig fallback equals the native aggregate exactly") {
+    val perDoc = docs
+      .select(col("source").as("grp"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("grp"), call_function("graft_minhash", col("__toks"), lit(2), lit(16)).as("sig"))
+    val native = perDoc.groupBy("grp")
+      .agg(call_function("graft_minhash_union", col("sig")).as("usig"))
+      .as[(String, Seq[Long])].collect().toMap
+    val fallback = Dedup.unionSigFallback(perDoc)
+      .as[(String, Seq[Long])].collect().toMap
+    assert(fallback == native)
+  }
+
+  test("HOF minhashSignature: stable width, identical docs agree, disjoint differ") {
+    val sigs = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shinglesOf(col("__toks"), 2), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs.values.forall(_.length == 16))
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(0L) != sigs(2L))
+    // overlapping docs share some signature positions, disjoint docs almost none
+    val share03 = sigs(0L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val share02 = sigs(0L).zip(sigs(2L)).count { case (a, b) => a == b }
+    assert(share03 > share02)
+  }
+
+  test("HOF dot equals native graft_dot on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val diff = emb.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("h"),
+      call_function("graft_dot", col("embedding"), col("embedding")).as("n"))
+      .where(col("h") =!= col("n"))
+    assert(diff.isEmpty)
+  }
+}
