@@ -81,5 +81,15 @@ class EndToEndSpec extends SparkSpec {
     val row = served.select("hour", "next_hour", "last_hour_aqi", "aqi_level_label").collect().head
     assert(row.getInt(0) == 1 && row.getInt(1) == 2)
     assert(row.getDouble(2) == 8.5 && row.getString(3) == "Good")
+
+    // 7. City resolution from free text (agent.py:29-33,56)
+    val asks = Seq("AQI in Hanoi today?", "how is Hai Phong", "what about mars")
+      .toDF("q")
+    val resolved = Serving.resolveCity(asks, "q", spark)
+      .select("q", "entity_id").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(resolved("AQI in Hanoi today?").contains("21.0_105.75"))
+    assert(resolved("how is Hai Phong").contains("20.75_106.75"))
+    assert(resolved("what about mars").isEmpty) // the apology path
   }
 }
