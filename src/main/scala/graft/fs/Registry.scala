@@ -65,12 +65,20 @@ object Registry {
       refs.map(parseRef).groupBy(_.view).map { case (v, rs) => view(v) -> rs.map(_.field) }
   }
 
-  /** One JSON row per view for registry persistence. */
+  /** One JSON row per view for registry persistence. `ttlSeconds` is the
+    * current format; `ttlDays` is read for registries written by the
+    * earlier day-granularity format (a persisted catalog must stay
+    * loadable across engine versions). */
   private final case class PersistedField(name: String, dtype: String, description: String)
   private final case class PersistedView(
       name: String, entityName: String, joinKeys: Seq[String], entityDescription: String,
       fields: Seq[PersistedField], source: String, timestampField: String,
-      ttlSeconds: Long, online: Boolean, tags: Map[String, String])
+      ttlSeconds: Option[Long], ttlDays: Option[Long], online: Boolean,
+      tags: Map[String, String]) {
+    def ttl: java.time.Duration = ttlSeconds.map(java.time.Duration.ofSeconds)
+      .orElse(ttlDays.map(java.time.Duration.ofDays))
+      .getOrElse(java.time.Duration.ZERO)
+  }
 
   /** Persist the registry as JSON under `path` (any Hadoop-visible FS) —
     * the engine's equivalent of Feast's registry.db. Overwrites. */
@@ -80,7 +88,7 @@ object Registry {
       // seconds, not days: toDays would silently truncate sub-day TTLs
       PersistedView(v.name, v.entity.name, v.entity.joinKeys, v.entity.description,
         v.fields.map(f => PersistedField(f.name, f.dtype.catalogString, f.description)),
-        v.source, v.timestampField, v.ttl.toSeconds, v.online, v.tags)
+        v.source, v.timestampField, Some(v.ttl.toSeconds), None, v.online, v.tags)
     }.toDS().coalesce(1).write.mode("overwrite").json(path)
   }
 
@@ -96,7 +104,7 @@ object Registry {
       r.applyEntity(e)
       r.applyView(FeatureView(p.name, e,
         p.fields.map(f => Field(f.name, DataType.fromDDL(f.dtype), f.description)),
-        p.source, p.timestampField, java.time.Duration.ofSeconds(p.ttlSeconds), p.online, p.tags))
+        p.source, p.timestampField, p.ttl, p.online, p.tags))
     }
     r
   }

@@ -35,20 +35,24 @@ object Serving {
     * city match (agent.py:56's lower/contains). Unmatched rows keep a null
     * entity_id — the caller's "no data for that city" path. Broadcast join
     * against the tiny city table; ambiguous texts resolve to the first
-    * matching city in [[CityEntities]] order (deterministic). */
-  def resolveCity(queries: DataFrame, textCol: String, spark: SparkSession): DataFrame = {
+    * matching city in [[CityEntities]] order (deterministic). Row identity
+    * comes from a synthetic id, so duplicate query texts each keep their
+    * own output row (an all-columns window would merge them). */
+  def resolveCity(queries: DataFrame, textCol: String): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val cities = CityEntities.zipWithIndex
       .map { case ((c, e), i) => (c, e, i) }.toDF("__city", "__entity", "__ord")
     queries
+      .withColumn("__qid", monotonically_increasing_id())
       .join(broadcast(cities), contains(lower(col(textCol)), col("__city")), "left")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(queries.columns.map(col): _*)
+          .partitionBy(col("__qid"))
           .orderBy(col("__ord").asc_nulls_last)))
       .where(col("__rn") === 1)
       .withColumn("city", col("__city"))
       .withColumn("entity_id", col("__entity"))
-      .drop("__city", "__entity", "__ord", "__rn")
+      .drop("__city", "__entity", "__ord", "__rn", "__qid")
   }
 }

@@ -166,10 +166,11 @@ object Similarity {
       .withColumn("cosine", cosineFromNorms(dp,
         col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("corpus_id").asc)
+    // No dedup needed: each corpus row carries exactly ONE bucket and the
+    // probe's bucket variants are pairwise-distinct strings, so a
+    // (probe, corpus) pair can match on at most one bucket. (Hamming-≥2
+    // probing would need a dedup here.)
     scored
-      // a corpus vector can be reached via several probed buckets — dedup
-      // before ranking or the same neighbor occupies multiple rank slots
-      .dropDuplicates("probe_id", "corpus_id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))

@@ -40,8 +40,16 @@ object OnlineRefresh {
         val dst = new org.apache.hadoop.fs.Path(snapshotPath)
         val fs = dst.getFileSystem(conf)
         val oldP = new org.apache.hadoop.fs.Path(snapshotPath + "_old")
-        // Recover from a crash mid-swap: dst gone but the set-aside copy left.
-        if (!fs.exists(dst) && fs.exists(oldP)) fs.rename(oldP, dst)
+        // Hadoop rename/delete report failure via `false`, not exceptions —
+        // ignoring them could drop the only snapshot copy and still commit
+        // the batch. Throwing makes the streaming engine retry the batch.
+        def must(ok: Boolean, what: String): Unit =
+          if (!ok) throw new java.io.IOException(s"snapshot swap failed: $what")
+        // Recover from a crash mid-swap: dst gone but the set-aside copy
+        // left. A failed recovery rename MUST abort too — continuing would
+        // rebuild the store from just this batch, dropping all other keys.
+        if (!fs.exists(dst) && fs.exists(oldP))
+          must(fs.rename(oldP, dst), s"recovery rename $oldP -> $dst")
         val current =
           if (fs.exists(dst)) spark.read.parquet(snapshotPath)
           else batch.limit(0)
@@ -51,11 +59,6 @@ object OnlineRefresh {
         // never zero copies (plain delete+rename had that window).
         val tmp = new org.apache.hadoop.fs.Path(snapshotPath + "_tmp")
         next.write.mode("overwrite").parquet(tmp.toString)
-        // Hadoop rename/delete report failure via `false`, not exceptions —
-        // ignoring them could drop the only snapshot copy and still commit
-        // the batch. Throwing makes the streaming engine retry the batch.
-        def must(ok: Boolean, what: String): Unit =
-          if (!ok) throw new java.io.IOException(s"snapshot swap failed: $what")
         fs.delete(oldP, true)
         if (fs.exists(dst)) must(fs.rename(dst, oldP), s"rename $dst -> $oldP")
         must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
@@ -87,7 +90,10 @@ object OnlineRefresh {
     * rewrite, this scales state with #keys and output with #changes).
     * "Latest" is argmax by (ts, id), identical to the batch snapshot.
     * State is fault-tolerant via the state store + checkpoint; a real
-    * deployment adds a GroupStateTimeout to expire idle entities (TTL). */
+    * deployment adds a GroupStateTimeout to expire idle entities (TTL).
+    * NOTE: the state encoding is [[Obs]]'s schema — changing Obs breaks
+    * resumption from checkpoints written by an older schema (the state
+    * store rejects incompatible encoders; restart with a fresh checkpoint). */
   def latestPerKeyStream(
       observations: org.apache.spark.sql.Dataset[Obs]
   ): org.apache.spark.sql.Dataset[Obs] = {

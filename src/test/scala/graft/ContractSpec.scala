@@ -16,7 +16,8 @@ class ContractSpec extends SparkSpec {
       try {
         val n = fn(spark, dir).count()
         if (n > 0) None else Some(s"$name: 0 rows")
-      } catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(100)}") }
+      } catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(100)}") }
     }
     assert(failures.isEmpty, s"queries failing the smoke contract:\n${failures.mkString("\n")}")
   }

@@ -82,12 +82,15 @@ class EndToEndSpec extends SparkSpec {
     assert(row.getInt(0) == 1 && row.getInt(1) == 2)
     assert(row.getDouble(2) == 8.5 && row.getString(3) == "Good")
 
-    // 7. City resolution from free text (agent.py:29-33,56)
-    val asks = Seq("AQI in Hanoi today?", "how is Hai Phong", "what about mars")
-      .toDF("q")
-    val resolved = Serving.resolveCity(asks, "q", spark)
+    // 7. City resolution from free text (agent.py:29-33,56); duplicate
+    //    query texts must each keep their own row
+    val asks = Seq("AQI in Hanoi today?", "AQI in Hanoi today?", "how is Hai Phong",
+      "what about mars").toDF("q")
+    val rows = Serving.resolveCity(asks, "q")
       .select("q", "entity_id").collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+    assert(rows.length == 4, "duplicate queries must not collapse")
+    val resolved = rows.toMap
     assert(resolved("AQI in Hanoi today?").contains("21.0_105.75"))
     assert(resolved("how is Hai Phong").contains("20.75_106.75"))
     assert(resolved("what about mars").isEmpty) // the apology path

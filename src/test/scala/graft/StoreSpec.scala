@@ -107,6 +107,18 @@ class StoreSpec extends SparkSpec {
     assert(a.schema == b.schema)
   }
 
+  test("registry load accepts the legacy day-granularity format") {
+    val path = tmpDir() + "/legacy_registry"
+    new java.io.File(path).mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/part-0.json"),
+      ("""{"name":"old_view","entityName":"entity_id","joinKeys":["entity_id"],""" +
+        """"entityDescription":"","fields":[{"name":"aqi","dtype":"double","description":""}],""" +
+        """"source":"aqi_info","timestampField":"feature_timestamp","ttlDays":7,""" +
+        """"online":true,"tags":{}}""").getBytes("UTF-8"))
+    val loaded = Registry.load(spark, path)
+    assert(loaded.view("old_view").ttl == java.time.Duration.ofDays(7))
+  }
+
   test("registry: views, refs, describe (check_metadata.py surface)") {
     val r = Registry.defaultRegistry()
     assert(r.listViews.map(_.name) == Seq("aqi_info_v1", "aqi_info_v2"))
