@@ -23,6 +23,11 @@ object OnlineStore {
     * pre-combined partials cross the wire. At 100 TB this beats the
     * `row_number`-window form, which shuffles and sorts EVERY input row;
     * the window form is kept for differential testing.
+    *
+    * Determinism contract: (tsCol ++ tieBreak) must uniquely identify a row
+    * within each key — two rows with identical ordering keys but different
+    * payloads tie arbitrarily (in both formulations). Event/row ids make a
+    * natural unique tie-break.
     */
   def latestSnapshot(
       df: DataFrame,

@@ -59,6 +59,36 @@ class PropertiesSpec extends SparkSpec {
       "fixture should exercise both matched and unmatched probes")
   }
 
+  test("writeOnline: incremental upserts equal one batched upsert, any order") {
+    import graft.fs.OnlineStore
+    val gen = for {
+      k <- Gen.oneOf("a", "b", "c", "d", "e")
+      t <- Gen.chooseNum(0L, 50L) // coarse -> ts ties across batches
+      v <- Gen.chooseNum(0.0, 100.0)
+    } yield (k, new java.sql.Timestamp(t * 1000), v)
+    // ids globally unique, per the documented determinism contract:
+    // (ts, tieBreak) must uniquely identify a row within a key (duplicate
+    // ids with different payloads tie arbitrarily — this property CAUGHT
+    // that with a bound-biased id generator)
+    val all = Gen.listOfN(140, gen).sample.get.zipWithIndex
+      .map { case ((k, t, v), i) => (k, t, v, i.toLong) }
+    val batches = all.drop(20).grouped(40).toSeq.map(_.toDF("k", "t", "v", "id"))
+    val base = all.take(20).toDF("k", "t", "v", "id")
+    val snap0 = OnlineStore.latestSnapshot(base, Seq("k"), "t", Seq("id"))
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, java.sql.Timestamp, Double, Long)].collect().toSet
+
+    val sequential = canon(batches.foldLeft(snap0)(
+      (s, b) => OnlineStore.writeOnline(s, b, Seq("k"), "t", Seq("id"))))
+    val batched = canon(OnlineStore.writeOnline(
+      snap0, batches.reduce(_ unionByName _), Seq("k"), "t", Seq("id")))
+    val reversed = canon(batches.reverse.foldLeft(snap0)(
+      (s, b) => OnlineStore.writeOnline(s, b, Seq("k"), "t", Seq("id"))))
+    assert(sequential == batched, "incremental must equal batched")
+    assert(reversed == batched, "upsert order must not matter")
+  }
+
   test("latestSnapshot is invariant under duplicated + shuffled input") {
     val rows = Gen.listOfN(200, for {
       k <- Gen.oneOf("a", "b", "c", "d")
