@@ -239,6 +239,26 @@ object Queries {
       .agg(round(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n"))
   }
 
+  /** Semi/anti joins (§2.3 "absent join types, free in Spark"): customers
+    * WITH any big order (semi) and WITHOUT any big order (anti), tagged. */
+  private def semiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+    val big = t(s, dir, "orders").where(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("c_custkey"))
+    val withBig = c.join(big, Seq("c_custkey"), "left_semi")
+      .withColumn("has_big_order", lit(true))
+    val without = c.join(big, Seq("c_custkey"), "left_anti")
+      .withColumn("has_big_order", lit(false))
+    withBig.unionByName(without)
+  }
+
+  /** Set intersection: customers active in both order statuses. */
+  private def setIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.where(col("o_orderstatus") === "F").select("o_custkey").distinct()
+      .intersect(o.where(col("o_orderstatus") === "O").select("o_custkey").distinct())
+  }
+
   /** Rollup aggregate (subtotals + grand total in one pass). */
   private def rollupPricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -392,6 +412,8 @@ object Queries {
     "q_next_hour" -> (nextHourQ _),
     "q_json_kv" -> (jsonKv _),
     "q_set_except" -> (setExcept _),
+    "q_set_intersect" -> (setIntersect _),
+    "q_semi_anti" -> (semiAnti _),
     "q1_pricing" -> (q1Pricing _),
     "q_region_revenue" -> (regionRevenue _),
     "q_top_customers" -> (topCustomers _),
@@ -497,6 +519,13 @@ object Queries {
     "q_set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE value > 300
         |EXCEPT SELECT DISTINCT user_id FROM events WHERE value > 450""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_mktsegment,
+        |EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000) AS has_big_order
+        |FROM customer""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |round(sum(l_extendedprice), 2) AS sum_base_price,
