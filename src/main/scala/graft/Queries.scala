@@ -359,10 +359,17 @@ object Queries {
   private def decodeMetaQ(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeMeta(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
 
-  /** Stubbed feature extraction (embedding per asset; rows-only). */
+  /** Stubbed feature extraction → driver-safe scalar surface (dim + L2
+    * norm). The raw `array<float>` feature column stays available through
+    * [[Multimodal.extractFeatures]] for the similarity operators (OpsSpec);
+    * the registered query projects scalars because the driver's comparator
+    * hashes column values and array cells are unhashable there. */
   private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
+      .select(col("asset_id"), col("media_type"),
+        size(col("feature")).as("dim"),
+        round(sqrt(Similarity.dot(col("feature"), col("feature"))), 4).as("feat_norm"))
 
   /** Resize planning over the columnar metadata surface. */
   private def mediaResize(s: SparkSession, dir: String): DataFrame =
@@ -453,6 +460,45 @@ object Queries {
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), " +
       "(acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[Multimodal.StubCodec]]: the 64-bit wrapping FNV-ish
+    * checksum re-expressed over HUGEINT mod 2^64 (DuckDB BIGINT arithmetic is
+    * checked, not wrapping). Scala's signed `>>`/`floorMod` map to unsigned
+    * div/mod identities: floorMod(h,512) == u%512 and floorMod(h>>9,512) ==
+    * (u//512)%512 because 2^64 and 2^55 are divisible by 512; h>>18 needs the
+    * explicit signed reconstruction since 2^46 is not divisible by 60000.
+    * Valid because the fixture text is pure ASCII (byte == codepoint). */
+  private val stubCodecSql: String =
+    """SELECT doc_id AS asset_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+      |        list_transform(range(1, CAST(strlen(text) + 1 AS INTEGER)), i -> CAST(ascii(text[i:i]) AS HUGEINT))),
+      |      (acc, cp) -> (acc * 31 + cp) % 18446744073709551616) AS u
+      |  FROM documents""".stripMargin
+
+  private val stubDecodeSql: String =
+    s"""WITH b AS ($stubCodecSql),
+       |d AS (
+       |  SELECT asset_id, media_type, n_bytes,
+       |    CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616 ELSE u END AS BIGINT) AS checksum,
+       |    CAST(64 + u % 512 AS INTEGER) AS width,
+       |    CAST(64 + (u // 512) % 512 AS INTEGER) AS height,
+       |    CASE WHEN u >= 9223372036854775808 THEN (u // 262144) - 70368744177664 ELSE u // 262144 END AS s18
+       |  FROM b)
+       |SELECT asset_id, media_type, n_bytes, width, height,
+       |  CAST(CASE WHEN media_type = 'image' THEN 0 ELSE 1000 + ((s18 % 60000) + 60000) % 60000 END AS BIGINT) AS duration_ms,
+       |  checksum
+       |FROM d""".stripMargin
+
+  /** Render the seeded LSH hyperplanes as DuckDB double-list literals —
+    * `Double.toString` is shortest-round-trip, so the literals parse back to
+    * bit-identical doubles and the sign-bit bucketing agrees exactly. */
+  private def bucketSql(embCol: String, planes: Array[Array[Double]]): String =
+    planes.map { p =>
+      val lit = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN ${dotSql(embCol, lit)} >= 0 THEN '1' ELSE '0' END"
+    }.mkString("concat(", ", ", ")")
 
   private val asofOracle =
     """WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
@@ -655,8 +701,80 @@ object Queries {
         |CAST(strlen(text) AS BIGINT) AS n_bytes,
         |CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
         |CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_decode_meta" -> stubDecodeSql,
+    "q_frame_sample" ->
+      s"""WITH m AS ($stubDecodeSql)
+         |SELECT asset_id, unnest(generate_series(CAST(0 AS BIGINT), duration_ms, 5000)) AS frame_ms,
+         |  width, height
+         |FROM m WHERE media_type = 'video'""".stripMargin,
+    "q_registry" -> registryOracle,
+    "q_ivf_topk" -> ivfOracle,
+    "q_lsh_topk" -> lshOracle
   )
+
+  /** The registry content is static engine metadata (aqi_feature.py:6-45
+    * re-expressed), so its oracle is the same catalog spelled as constants. */
+  private def registryOracle: String = {
+    val fields = "hour:int,day:int,dayOfWeek:int,aqi:double"
+    Seq("aqi_info_v1", "aqi_info_v2").map { v =>
+      s"""SELECT '$v' AS name, 'entity_id' AS entity, '$fields' AS fields,
+         |'aqi_info' AS source, CAST(7 AS BIGINT) AS ttl_days, TRUE AS online""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** IVF is deterministic end-to-end (centroids = the nLists lowest-id
+    * vectors, dot products accumulated in index order on both engines), so
+    * the oracle recomputes the whole index in SQL: centroid bootstrap →
+    * Voronoi cell argmax per corpus row → nProbe best cells per probe →
+    * bucket-local cosine top-k. Mirrors ivfTopK(k=5, nLists=16, nProbe=4). */
+  private def ivfOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ccell AS (
+       |  SELECT vec_id AS corpus_id, embedding AS c_emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p_emb", "c_emb")} / (sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})) END, 6) AS cosine
+       |  FROM pcell JOIN ccell USING (cell) WHERE probe_id <> corpus_id)
+       |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
+  /** LSH bucketing is deterministic given the seeded hyperplanes; the oracle
+    * re-derives the buckets from the SAME plane values folded in as
+    * round-trip double literals. Mirrors lshTopK(k=5, numPlanes=8, dim=64,
+    * seed=42, multiProbe=0). */
+  private def lshOracle: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64, seed = 42L)
+    s"""WITH cb AS (
+       |  SELECT vec_id AS corpus_id, embedding AS c_emb, ${bucketSql("embedding", planes)} AS bucket
+       |  FROM embeddings),
+       |pb AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, ${bucketSql("embedding", planes)} AS bucket
+       |  FROM embeddings WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p_emb", "c_emb")} / (sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})) END, 6) AS cosine
+       |  FROM pb JOIN cb USING (bucket) WHERE probe_id <> corpus_id)
+       |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
 
   private def trainingSetOracle: String =
     s"""WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
