@@ -287,6 +287,123 @@ object Queries {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n"))
 
+  /** Cube aggregate: all 2^k subtotal combinations in one pass (plans as a
+    * single Expand + hash aggregate, not k separate scans). */
+  private def cubePricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** Exact percentiles (linear interpolation) per group — the distributed
+    * sort-based `percentile` aggregate, not the approximate sketch. */
+  private def percentilesQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        count(lit(1)).as("n"))
+
+  /** Multiple distinct aggregates in one group-by (plans via Expand —
+    * each distinct column gets its own dedup stream, single pass). */
+  private def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+
+  /** Interval/range join: per purchase, views by the same user in the
+    * preceding hour — equi-key on user plus a time-range predicate, the
+    * point-in-time join's windowed-count sibling. */
+  private def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"), col("user_id").as("p_uid"), col("ts").as("pts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_uid"), col("ts").as("vts"))
+    p.join(v, col("p_uid") === col("v_uid") &&
+        col("vts") <= col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("probe_id"), col("p_uid"), col("pts"))
+      .agg(count(col("vts")).as("n_views"))
+      .select(col("probe_id"), col("p_uid").as("user_id"), col("pts"), col("n_views"))
+  }
+
+  /** Gap-based sessionization: a new session starts after >30 min of
+    * inactivity; session id = running count of session starts. One shuffle
+    * (by user) feeds both windows and the final aggregate. */
+  private def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Pivot (wide aggregation): per-day event counts, one column per type.
+    * With explicit pivot values this is ONE groupBy pass; absent combos are
+    * coalesced to 0 to match the FILTER-aggregate oracle. */
+  private def pivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = t(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    types.foldLeft(p)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
+  }
+
+  /** rank / dense_rank on the value ordering (ties share ranks) + ntile on
+    * a total tie-broken ordering (ntile assigns by row position, so a
+    * non-unique order would be nondeterministic cross-engine). */
+  private def rankNtile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal").desc)
+    val wTie = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      rank().over(wRank).cast("long").as("rnk"),
+      dense_rank().over(wRank).cast("long").as("drnk"),
+      ntile(4).over(wTie).cast("long").as("quartile"))
+  }
+
+  /** Generator coverage: explode tokens → global top-20 token counts. */
+  private def tokenExplode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** min_by/max_by argmin-argmax aggregates over a UNIQUE ordering column
+    * (ties on a non-unique one would be nondeterministic). */
+  private def minmaxBy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("user_id"))
+      .agg(max_by(col("value"), col("event_id")).as("value_at_max_eid"),
+        min_by(col("value"), col("event_id")).as("value_at_min_eid"),
+        max(col("event_id")).as("max_eid"), min(col("event_id")).as("min_eid"))
+
+  /** Statistical aggregates: correlation, stddev, variance, covariance. */
+  private def corrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        count(lit(1)).as("n"))
+
+  /** Fixed-width histogram binning over the value column. */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy((floor(col("value") / 50) * 50).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_v"))
+
   // ------------------------------------------------------------- extension
 
   private def textStatsQ(s: SparkSession, dir: String): DataFrame =
@@ -426,6 +543,17 @@ object Queries {
     "q_top_customers" -> (topCustomers _),
     "q_revenue_filter" -> (revenueFilter _),
     "q_rollup_pricing" -> (rollupPricing _),
+    "q_cube_pricing" -> (cubePricing _),
+    "q_percentiles" -> (percentilesQ _),
+    "q_distinct_agg" -> (distinctAgg _),
+    "q_range_join" -> (rangeJoin _),
+    "q_sessionize" -> (sessionize _),
+    "q_pivot_daily" -> (pivotDaily _),
+    "q_rank_ntile" -> (rankNtile _),
+    "q_token_explode" -> (tokenExplode _),
+    "q_minmax_by" -> (minmaxBy _),
+    "q_corr_stats" -> (corrStats _),
+    "q_histogram" -> (histogramQ _),
     "q_salted_join" -> (saltedRevenue _),
     "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
@@ -702,6 +830,64 @@ object Queries {
         |CAST(strlen(text) % 640 + 1 AS INTEGER) AS width,
         |CAST(strlen(text) % 480 + 1 AS INTEGER) AS height
         |FROM documents""".stripMargin,
+    "q_cube_pricing" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+        |count(DISTINCT l_partkey) AS n_part, count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+        |SELECT probe_id, p.user_id, pts, count(vts) AS n_views
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM o),
+        |sq AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq FROM f)
+        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        |FROM sq GROUP BY 1, 2""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d,
+        |count(*) FILTER (WHERE event_type = 'click') AS click,
+        |count(*) FILTER (WHERE event_type = 'view') AS view,
+        |count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_rank_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+        |ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |FROM customer""".stripMargin,
+    "q_token_explode" ->
+      s"""SELECT token, count(*) AS n FROM (SELECT unnest($toks) AS token FROM documents)
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
+    "q_minmax_by" ->
+      """SELECT user_id, arg_max(value, event_id) AS value_at_max_eid,
+        |arg_min(value, event_id) AS value_at_min_eid,
+        |max(event_id) AS max_eid, min(event_id) AS min_eid
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |round(var_samp(l_quantity), 4) AS var_qty,
+        |round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n,
+        |round(avg(value), 4) AS avg_v FROM events GROUP BY 1""".stripMargin,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
       s"""WITH m AS ($stubDecodeSql)
