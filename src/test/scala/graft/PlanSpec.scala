@@ -104,4 +104,44 @@ class PlanSpec extends SparkSpec {
     // window shuffle over the exploded intermediate
     assert(nodes(p, "Exchange") <= 2, s"merge formulation regressed to multi-shuffle:\n$p")
   }
+
+  test("q_sessionize: windows and final aggregate share ONE user shuffle") {
+    val p = plan("q_sessionize")
+    // lag + running sum partition by user_id; the (user_id, session_seq)
+    // aggregate's ClusteredDistribution is satisfied by that partitioning
+    // (subset rule), so no second exchange may appear
+    assert(nodes(p, "Exchange") == 1, s"sessionization must be a one-shuffle pipeline:\n$p")
+  }
+
+  test("q_range_join: equi-key join with range predicate — no nested-loop") {
+    val p = plan("q_range_join")
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0,
+      "the user_id equi-key must anchor a hash/sort-merge join, not a cartesian scan")
+    assert(p.contains("EqualTo(event_type,purchase)") && p.contains("EqualTo(event_type,view)"),
+      "both side filters must push to the scans")
+  }
+
+  test("q_pivot_daily: pivot plans as the two-phase aggregate, single scan") {
+    val p = plan("q_pivot_daily")
+    // Spark's pivot = groupBy(d, type) partial/final + pivot_first by d:
+    // exactly two exchanges, both over already-collapsed aggregates. (A
+    // FILTER-agg formulation would be one shuffle — that's what the oracle
+    // uses — but the pivot operator's API coverage is the point here.)
+    assert(nodes(p, "Exchange") == 2, s"pivot regressed from the two-phase plan:\n$p")
+    // one scan of events, not one per pivoted column
+    assert(nodes(p, "Scan parquet") == 1, s"pivot must not rescan the fact table:\n$p")
+  }
+
+  test("q_ngram_jaccard: self-join keys are 8-byte digests, sizes join broadcasts") {
+    val p = plan("q_ngram_jaccard")
+    assert(p.contains("xxhash64"), "gram digesting must reach the plan")
+    assert(nodes(p, "BroadcastHashJoin") >= 2,
+      "both per-doc size joins must broadcast against the pair counts")
+  }
+
+  test("q_distinct_agg: two distinct columns expand in a single scan") {
+    val p = plan("q_distinct_agg")
+    assert(nodes(p, "Expand") == 1, "multi-distinct must plan via one Expand")
+    assert(nodes(p, "Scan parquet") == 1, "one pass over lineitem")
+  }
 }
