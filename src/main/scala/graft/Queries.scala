@@ -467,6 +467,12 @@ object Queries {
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, nLists = 16, nProbe = 4)
   }
 
+  /** One Lloyd iteration refining the IVF bootstrap centroids (scalar
+    * per-cell surface; the native vector-sum aggregate does the heavy
+    * lifting, posexplode fallback without extensions). */
+  private def kmeansIterQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIter(t(s, dir, "embeddings"), nLists = 16)
+
   /** Multimodal metadata surface (columnar twin of the stub codec). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.metaColumns(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
@@ -573,6 +579,7 @@ object Queries {
     "q_ann_topk" -> (annTopK _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
+    "q_kmeans_iter" -> (kmeansIterQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
     "q_media_features" -> (mediaFeatures _),
@@ -896,8 +903,34 @@ object Queries {
          |FROM m WHERE media_type = 'video'""".stripMargin,
     "q_registry" -> registryOracle,
     "q_ivf_topk" -> ivfOracle,
+    "q_kmeans_iter" -> kmeansOracle,
     "q_lsh_topk" -> lshOracle
   )
+
+  /** Same deterministic pipeline as the engine's Lloyd step: cell argmax
+    * from the lowest-id bootstrap (bit-identical dots on both engines),
+    * element sums via per-position unnest, means rounded with margin ≫ the
+    * engines' summation-order fp drift. */
+  private def kmeansOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, embedding, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |px AS (
+       |  SELECT cell, unnest(generate_series(1, CAST(len(embedding) AS INTEGER))) AS i, embedding
+       |  FROM asg),
+       |sums AS (SELECT cell, i, sum(CAST(embedding[i] AS DOUBLE)) AS s FROM px GROUP BY 1, 2),
+       |n AS (SELECT cell, count(*) AS n_members FROM asg GROUP BY 1),
+       |agg AS (SELECT cell, sqrt(sum(s * s)) AS vnorm, sum(CASE WHEN i = 1 THEN s END) AS s1
+       |        FROM sums GROUP BY cell)
+       |SELECT cell, n_members, round(vnorm / n_members, 6) AS centroid_norm,
+       |  round(s1 / n_members, 6) AS mean_c0
+       |FROM agg JOIN n USING (cell)""".stripMargin
+  }
 
   /** The registry content is static engine metadata (aqi_feature.py:6-45
     * re-expressed), so its oracle is the same catalog spelled as constants. */

@@ -228,6 +228,62 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
+  /** One distributed Lloyd (k-means) iteration over the embedding corpus:
+    * assign every vector to its nearest centroid (same deterministic
+    * lowest-id bootstrap as [[ivfTopK]] — the refinement loop a production
+    * IVF build runs), then recompute each cell's centroid as the member
+    * mean. Output is a per-cell scalar surface (member count, centroid
+    * norm, first mean component) — the full mean vector stays internal.
+    *
+    * Scale shape: assignment is embarrassingly parallel per row; the
+    * recompute is ONE hash aggregate whose buffer is a single dim-wide
+    * vector per cell ([[graft.plans.VectorSumAgg]] — partial aggregation
+    * collapses each partition to ≤nLists vectors before the shuffle).
+    * Sessions without the extension fall back to posexplode + (cell, pos)
+    * aggregation: same result, dim× more shuffled rows. */
+  def kmeansIter(
+      corpus: DataFrame,
+      nLists: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val dp = dotFn(spark)
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    require(centroids.nonEmpty, "corpus must be non-empty")
+    def cellScores(emb: Column): Column = array(centroids.map { case (cid, c) =>
+      struct(dp(emb, lit(c)).as("s"), lit(cid).as("c"))
+    }.toIndexedSeq: _*)
+    val assigned = corpus.select(
+      array_max(cellScores(col(embCol))).getField("c").as("cell"),
+      col(embCol).as("emb"))
+    val summed =
+      if (spark.catalog.functionExists("graft_vec_sum"))
+        assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),
+          call_function("graft_vec_sum", col("emb")).as("vsum"))
+      else vecSumFallback(assigned)
+    summed.select(col("cell"), col("n_members"),
+      round(sqrt(dot(col("vsum"), col("vsum"))) / col("n_members"), 6).as("centroid_norm"),
+      round(element_at(col("vsum"), 1) / col("n_members"), 6).as("mean_c0"))
+  }
+
+  /** Portable vector-sum fallback (posexplode + positional aggregate) for
+    * sessions without the graft_vec_sum aggregate. Input: (cell, emb) →
+    * (cell, n_members, vsum). Must agree with the native aggregate
+    * (spec-tested). */
+  private[graft] def vecSumFallback(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("emb")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(max(col("cnt")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("vsum"))
+
   /** Embedding-cosine near-duplicate pairs under a blocking key: pairs are
     * scored only within equal `blockCol` values, so the join fans out per
     * block instead of all-pairs — the standard way to keep near-dup

@@ -112,5 +112,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashUnionAgg].getName, "graft_minhash_union"),
       (children: Seq[Expression]) =>
         MinHashUnionAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
+      (children: Seq[Expression]) =>
+        VectorSumAgg(children.head).toAggregateExpression()))
   }
 }

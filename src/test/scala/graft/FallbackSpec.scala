@@ -50,4 +50,30 @@ class FallbackSpec extends SparkSpec {
       .where(col("h") =!= col("n"))
     assert(diff.isEmpty)
   }
+
+  test("posexplode vector-sum fallback equals the native aggregate") {
+    val assigned = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select((col("vec_id") % 4).cast("int").as("cell"), col("embedding").as("emb"))
+    val native = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"), call_function("graft_vec_sum", col("emb")).as("vsum"))
+      .as[(Int, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val fallback = Similarity.vecSumFallback(assigned)
+      .as[(Int, Long, Seq[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(native.keySet == fallback.keySet)
+    for (k <- native.keySet) {
+      assert(native(k)._1 == fallback(k)._1, s"member count diverged for cell $k")
+      // summation ORDER differs (single element-add stream vs per-position
+      // partial sums), so compare within fp tolerance, not bit-exactly
+      native(k)._2.zip(fallback(k)._2).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cell $k component drifted: $a vs $b")
+      }
+    }
+  }
+
+  test("kmeansIter: member counts partition the corpus; norms positive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.kmeansIter(emb, nLists = 8).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == emb.count())
+    assert(out.forall(_.getAs[Double]("centroid_norm") > 0))
+  }
 }
