@@ -77,6 +77,32 @@ object OnlineRefresh {
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
       .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
 
+  /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
+    * rows whose `idCols` were already seen, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark` expires dedup
+    * state once the watermark passes it — unbounded-state-safe, the only
+    * way streaming dedup survives at 100 TB/day). */
+  def dedupStream(stream: DataFrame, idCols: Seq[String], tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming gap-based sessionization via the built-in `session_window`
+    * — the streaming twin of the batch lag/running-sum formulation (the
+    * batch query q_sessionize computes identical session boundaries;
+    * differential-tested in batch mode where session_window also runs).
+    * Windows extend while events arrive within `gap`; the watermark closes
+    * and emits sessions once no extension is possible. */
+  def sessionAggregate(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -67,6 +67,77 @@ class StreamingSpec extends SparkSpec {
     assert(emitted("b") == Set(("2024-01-01 01:00:00.0", 5.0), ("2024-01-01 04:00:00.0", 7.0)))
   }
 
+  test("streaming dedup drops repeats within the watermark, state stays bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = OnlineRefresh.dedupStream(stream, Seq("doc_id"), "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), "a-dup"),
+      (2L, Timestamp.valueOf("2024-01-01 00:10:00"), "b"))
+    q.processAllAvailable()
+    input.addData((2L, Timestamp.valueOf("2024-01-01 00:20:00"), "b-dup-next-batch"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "b")), "duplicates must be dropped across micro-batches")
+  }
+
+  test("session_window (streaming sessionize) agrees with the batch lag/running-sum form") {
+    // batch differential: the same session_window expression runs in batch,
+    // so its boundaries must match q_sessionize's gap-based derivation
+    val ev = Queries.all("q_sessionize")(spark, "/root/testdata/sf0.001")
+      .select($"user_id", $"session_start", $"n_events")
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val sw = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", expr(
+          "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"session_window.start".as("session_start"), $"n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+    }
+    assert(sw == ev, "session_window and the lag/running-sum sessionizer must produce identical sessions")
+  }
+
+  test("streaming sessionize emits closed sessions once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val input = MemoryStream[(Long, Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val q = OnlineRefresh.sessionAggregate(stream, "ts", "user_id")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00")), // same session (gap < 30m)
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"))) // new session
+    q.processAllAvailable()
+    // push the watermark far past both sessions so append mode closes them
+    input.addData((2L, Timestamp.valueOf("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    assert(out == Set(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-01 00:40:00"), 2L),
+      (1L, Timestamp.valueOf("2024-01-01 01:00:00"), Timestamp.valueOf("2024-01-01 01:30:00"), 1L)),
+      "closed sessions must extend to last-event + gap and count members")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
