@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fs.{Expressions, OnlineStore, PointInTime, Registry, Serving}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The registered query surface — one entry per implemented operator from
   * SURVEY.md §2 (+ the extension ops), each runnable over a driver testdata
@@ -473,6 +473,11 @@ object Queries {
   private def kmeansIterQ(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansIter(t(s, dir, "embeddings"), nLists = 16)
 
+  /** Reproducible hash-based train/test split over documents (md5 below a
+    * hex threshold → train; identical assignment on any engine/layout). */
+  private def trainSplit(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
+
   /** Multimodal metadata surface (columnar twin of the stub codec). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.metaColumns(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
@@ -580,6 +585,7 @@ object Queries {
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_kmeans_iter" -> (kmeansIterQ _),
+    "q_train_split" -> (trainSplit _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
     "q_media_features" -> (mediaFeatures _),
@@ -904,6 +910,9 @@ object Queries {
     "q_registry" -> registryOracle,
     "q_ivf_topk" -> ivfOracle,
     "q_kmeans_iter" -> kmeansOracle,
+    "q_train_split" ->
+      """SELECT doc_id, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
     "q_lsh_topk" -> lshOracle
   )
 

@@ -234,4 +234,43 @@ class OpsSpec extends SparkSpec {
       .select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
     assert(got.head == 5) // hello , world 42 !
   }
+
+  test("hashSplit: deterministic across re-evaluation and repartitioning, ~80/20") {
+    import graft.ops.Sampling
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id")
+    val a = Sampling.hashSplit(d, "doc_id").as[(Long, String)].collect().toMap
+    val b = Sampling.hashSplit(d.repartition(13), "doc_id").as[(Long, String)].collect().toMap
+    assert(a == b, "split membership must not depend on partitioning")
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.72 && trainFrac < 0.88, s"expected ~0.797 train fraction, got $trainFrac")
+  }
+
+  test("stratified sampleBy: per-class fractions hold within tolerance") {
+    import graft.ops.Sampling
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val fractions = Map("en" -> 0.5, "fr" -> 1.0)
+    val sampled = Sampling.stratified(d.where(col("lang").isin("en", "fr")), "lang", fractions)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val full = d.where(col("lang").isin("en", "fr"))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sampled("fr") == full("fr"), "fraction 1.0 must keep every row")
+    val frac = sampled("en").toDouble / full("en")
+    assert(frac > 0.35 && frac < 0.65, s"Bernoulli 0.5 sample drifted: $frac")
+  }
+
+  test("approximate sketches track their exact twins (HLL distinct, quantile)") {
+    // events.ts is TIMESTAMP(NANOS); unread here, but the schema converter
+    // still rejects the file without the legacy long mapping
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val row = ev.agg(
+      countDistinct(col("user_id")).as("exact_d"),
+      approx_count_distinct(col("user_id")).as("approx_d"), // HLL++, default rsd 5%
+      expr("percentile(value, 0.5)").as("exact_med"),
+      expr("percentile_approx(value, 0.5, 1000)").as("approx_med")).collect().head
+    val (ed, ad) = (row.getAs[Long]("exact_d"), row.getAs[Long]("approx_d"))
+    assert(math.abs(ad - ed).toDouble / ed < 0.15, s"HLL drifted: exact=$ed approx=$ad")
+    val (em, am) = (row.getAs[Double]("exact_med"), row.getAs[Double]("approx_med"))
+    assert(math.abs(am - em) / math.max(em, 1e-9) < 0.05, s"quantile sketch drifted: $em vs $am")
+  }
 }
