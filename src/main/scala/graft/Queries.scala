@@ -398,6 +398,14 @@ object Queries {
         round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
         count(lit(1)).as("n"))
 
+  /** collect_list → array_sort → array_join: list aggregation surfaced as a
+    * deterministic string (driver-safe; the sort makes the accumulation
+    * order irrelevant, which unordered collect_list otherwise isn't). */
+  private def collectValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy(col("user_id"))
+      .agg(array_join(array_sort(collect_list(col("event_type"))), ",").as("types"),
+        count(lit(1)).as("n"))
+
   /** Fixed-width histogram binning over the value column. */
   private def histogramQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -565,6 +573,7 @@ object Queries {
     "q_minmax_by" -> (minmaxBy _),
     "q_corr_stats" -> (corrStats _),
     "q_histogram" -> (histogramQ _),
+    "q_collect_values" -> (collectValues _),
     "q_salted_join" -> (saltedRevenue _),
     "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
@@ -901,6 +910,9 @@ object Queries {
     "q_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bin, count(*) AS n,
         |round(avg(value), 4) AS avg_v FROM events GROUP BY 1""".stripMargin,
+    "q_collect_values" ->
+      """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
       s"""WITH m AS ($stubDecodeSql)

@@ -64,6 +64,15 @@ object Expressions {
     s"(CASE WHEN $c IS NULL THEN NULL ${cases.mkString(" ")} $els END)"
   }
 
+  /** Loader-variant AQI (load.py:104-117): banker's-rounded, null for
+    * out-of-range — `bround` is exactly Python's round-half-to-even. One of
+    * the reference's three diverging AQI specs (SURVEY §1.4); canonical is
+    * [[aqiPm25]]'s unrounded 8.5-fallback form. */
+  def aqiPm25Loader(c: Column): Column = bround(aqiPm25(c, fallback = None))
+
+  /** Online-variant AQI (redis_data.py:29-42): unrounded, 500 fallback. */
+  def aqiPm25Online(c: Column): Column = aqiPm25(c, fallback = Some(500.0))
+
   /** AQI level label buckets. Ref: agent.py:103-107. */
   def aqiLevel(aqi: Column): Column =
     when(aqi.isNull, lit(null).cast("string"))

@@ -37,6 +37,23 @@ class ExpressionsSpec extends SparkSpec {
     assert(noFb.isNullAt(0))
   }
 
+  test("aqiPm25 reference variants: loader rounds half-to-even + null fallback, online falls back to 500") {
+    // loader (load.py:104-117): Python round() = banker's rounding = bround
+    val in = Seq[java.lang.Double](10.0, 12.05, 600.0, null).toDF("pm25")
+    val loader = in.select(Expressions.aqiPm25Loader(col("pm25"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    val expectIn = math.rint(50.0 / 12.0 * 10.0) // same double arithmetic, half-to-even
+    assert(loader(0) == expectIn)
+    assert(loader(1) == null && loader(2) == null && loader(3) == null,
+      "gap / out-of-range / null must all be null in the loader variant")
+    // online (redis_data.py:29-42): unrounded in-range, 500 out-of-range
+    val online = in.select(Expressions.aqiPm25Online(col("pm25"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(online(0) == 50.0 / 12.0 * 10.0)
+    assert(online(1) == 500.0 && online(2) == 500.0)
+    assert(online(3) == null)
+  }
+
   test("aqiPm25: linear interpolation inside a band") {
     // midpoint of (12.1, 35.4) -> midpoint of (51, 100)
     val mid = (12.1 + 35.4) / 2
