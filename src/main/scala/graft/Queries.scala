@@ -430,6 +430,24 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Text normalization (the canonical near-dup pre-step): lowercase, strip
+    * non-alphanumerics, collapse whitespace — pure codegen'd projection. */
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        .as("norm_text"))
+
+  /** Percentile-based quality filtering: keep each source's top half by
+    * quality score (percent_rank over a total tie-broken order). */
+  private def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("quality_score").asc, col("doc_id").asc)
+    TextAnalysis.textStats(t(s, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("quality_score"))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .where(col("pr") >= 0.5)
+  }
+
   /** Exact dedup over the ~100-distinct `props` payloads (real duplicates). */
   private def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "events"), "props", "event_id")
@@ -574,6 +592,8 @@ object Queries {
     "q_corr_stats" -> (corrStats _),
     "q_histogram" -> (histogramQ _),
     "q_collect_values" -> (collectValues _),
+    "q_text_normalize" -> (textNormalize _),
+    "q_quality_filter" -> (qualityFilter _),
     "q_salted_join" -> (saltedRevenue _),
     "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
@@ -758,20 +778,7 @@ object Queries {
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
         |AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
         |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
-    "q_text_stats" ->
-      s"""WITH tk AS (SELECT doc_id, length(text) AS n_chars_m, $toks AS t FROM documents),
-         |st AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens, CAST(greatest(len(t), 1) AS DOUBLE) AS nd,
-         |  CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop_hits,
-         |  CAST(len(list_distinct(t)) AS DOUBLE) AS distinct_tok,
-         |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) AS tok_len_sum
-         |FROM tk)
-         |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m, CAST(n_tokens AS BIGINT) AS n_tokens,
-         |round(tok_len_sum / nd, 6) AS avg_token_len,
-         |round(stop_hits / nd, 6) AS stopword_ratio,
-         |round(distinct_tok / nd, 6) AS distinct_ratio,
-         |round(least(1.0, n_tokens / 50.0) * 0.4 + round(distinct_tok / nd, 6) * 0.4
-         |  + least(1.0, round(stop_hits / nd, 6) * 5.0) * 0.2, 6) AS quality_score
-         |FROM st""".stripMargin,
+    "q_text_stats" -> textStatsOracle,
     "q_training_set" -> trainingSetOracle,
     "q_lang_id" -> langIdOracle,
     "q_token_count" ->
@@ -913,6 +920,10 @@ object Queries {
     "q_collect_values" ->
       """SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types, count(*) AS n
         |FROM events GROUP BY 1""".stripMargin,
+    "q_text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+    "q_quality_filter" -> qualityFilterOracle,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
       s"""WITH m AS ($stubDecodeSql)
@@ -1015,6 +1026,30 @@ object Queries {
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
   }
+
+  private def textStatsOracle: String =
+    s"""WITH tk AS (SELECT doc_id, length(text) AS n_chars_m, $toks AS t FROM documents),
+       |st AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens, CAST(greatest(len(t), 1) AS DOUBLE) AS nd,
+       |  CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop_hits,
+       |  CAST(len(list_distinct(t)) AS DOUBLE) AS distinct_tok,
+       |  CAST(coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) AS tok_len_sum
+       |FROM tk)
+       |SELECT doc_id, CAST(n_chars_m AS BIGINT) AS n_chars_m, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |round(tok_len_sum / nd, 6) AS avg_token_len,
+       |round(stop_hits / nd, 6) AS stopword_ratio,
+       |round(distinct_tok / nd, 6) AS distinct_ratio,
+       |round(least(1.0, n_tokens / 50.0) * 0.4 + round(distinct_tok / nd, 6) * 0.4
+       |  + least(1.0, round(stop_hits / nd, 6) * 5.0) * 0.2, 6) AS quality_score
+       |FROM st""".stripMargin
+
+  private def qualityFilterOracle: String =
+    s"""WITH stats AS ($textStatsOracle),
+       |j AS (SELECT s.doc_id, d.source, s.quality_score
+       |      FROM stats s JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, source, quality_score,
+       |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score ASC, doc_id ASC), 6) AS pr
+       |  FROM j)
+       |SELECT doc_id, source, quality_score, pr FROM r WHERE pr >= 0.5""".stripMargin
 
   private def trainingSetOracle: String =
     s"""WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
