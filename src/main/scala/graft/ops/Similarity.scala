@@ -187,6 +187,31 @@ object Similarity {
     * a production bootstrap would run k-means — the query shape and plan
     * are identical, only the literal values change). Cell scoring uses dot
     * product, i.e. cosine ranking for L2-normalized embeddings. */
+  /** Deterministic centroid bootstrap shared by [[ivfTopK]] and
+    * [[kmeansIter]]: the `nLists` lowest-id vectors as (cellId, vector)
+    * literals. One definition so the index and its refinement step can
+    * never desynchronize (both oracles re-derive exactly this). */
+  private[graft] def centroidBootstrap(
+      corpus: DataFrame, nLists: Int, idCol: String, embCol: String): Array[(Int, Array[Double])] = {
+    val centroids = corpus
+      // null/empty vectors can't seed a cell (and would NPE the literal fold)
+      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+    require(centroids.nonEmpty, "corpus must be non-empty")
+    centroids
+  }
+
+  /** Per-row (score, cellId) struct array against the bootstrap centroids;
+    * `array_max` of it = nearest cell (ties → higher cell id). */
+  private[graft] def cellScores(centroids: Array[(Int, Array[Double])],
+      dp: (Column, Column) => Column)(emb: Column): Column =
+    array(centroids.map { case (cid, c) =>
+      struct(dp(emb, lit(c)).as("s"), lit(cid).as("c"))
+    }.toIndexedSeq: _*)
+
   def ivfTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -198,16 +223,8 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dp = dotFn(corpus.sparkSession)
-    val centroids: Array[(Int, Array[Double])] = corpus
-      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
-    require(centroids.nonEmpty, "corpus must be non-empty")
-
-    def cellScores(emb: Column): Column = array(centroids.map { case (cid, c) =>
-      struct(dp(emb, lit(c)).as("s"), lit(cid).as("c"))
-    }.toIndexedSeq: _*)
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val cellScores = this.cellScores(centroids, dp) _
 
     val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
       sqrt(dp(col(embCol), col(embCol))).as("__nc"),
@@ -249,18 +266,18 @@ object Similarity {
   ): DataFrame = {
     val spark = corpus.sparkSession
     val dp = dotFn(spark)
-    val centroids: Array[(Int, Array[Double])] = corpus
-      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
-    require(centroids.nonEmpty, "corpus must be non-empty")
-    def cellScores(emb: Column): Column = array(centroids.map { case (cid, c) =>
-      struct(dp(emb, lit(c)).as("s"), lit(cid).as("c"))
-    }.toIndexedSeq: _*)
-    val assigned = corpus.select(
-      array_max(cellScores(col(embCol))).getField("c").as("cell"),
-      col(embCol).as("emb"))
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val cellScores = this.cellScores(centroids, dp) _
+    // Null/empty embeddings are dropped up front: they carry no position, and
+    // keeping them would (a) diverge the native and posexplode paths on
+    // n_members (graft_vec_sum skips them, posexplode emits no rows) and
+    // (b) leave an all-null cell with an empty vsum, where element_at would
+    // abort the job under ANSI mode.
+    val assigned = corpus
+      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(
+        array_max(cellScores(col(embCol))).getField("c").as("cell"),
+        col(embCol).as("emb"))
     val summed =
       if (spark.catalog.functionExists("graft_vec_sum"))
         assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),

@@ -76,4 +76,25 @@ class FallbackSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_members")).sum == emb.count())
     assert(out.forall(_.getAs[Double]("centroid_norm") > 0))
   }
+
+  test("kmeansIter: null/empty embeddings are dropped identically on both paths") {
+    val dirty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+      .select(col("vec_id"),
+        when(col("vec_id") % 7 === 0, lit(null)) // includes vec_id 0, a would-be centroid
+          .when(col("vec_id") % 11 === 3, array().cast("array<float>"))
+          .otherwise(col("embedding")).as("embedding"))
+    val kept = dirty.where(col("embedding").isNotNull && size(col("embedding")) > 0).count()
+    val native = Similarity.kmeansIter(dirty, nLists = 4).collect()
+    assert(native.map(_.getAs[Long]("n_members")).sum == kept,
+      "null/empty vectors must not count as cell members")
+    // fallback path must agree row-for-row (no ANSI abort, no ghost members)
+    val centroids = Similarity.centroidBootstrap(dirty, 4, "vec_id", "embedding")
+    val cs = Similarity.cellScores(centroids, Similarity.dot) _
+    val assigned = dirty.where(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(array_max(cs(col("embedding"))).getField("c").as("cell"), col("embedding").as("emb"))
+    val fb = Similarity.vecSumFallback(assigned).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_members")).toMap
+    val nat = native.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_members")).toMap
+    assert(fb == nat)
+  }
 }
