@@ -89,6 +89,79 @@ class PropertiesSpec extends SparkSpec {
     assert(reversed == batched, "upsert order must not matter")
   }
 
+  test("sessionization invariants on random event streams") {
+    // random users × coarse time grid -> plenty of multi-session users
+    val rows = Gen.listOfN(300, for {
+      u <- Gen.chooseNum(1L, 8L)
+      t <- Gen.chooseNum(0L, 86400L)
+    } yield (u, t)).sample.get.distinct.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, new java.sql.Timestamp(t * 1000)) }
+    val ev = rows.toDF("event_id", "user_id", "ts")
+    val gapSec = 1800L
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess", when(col("prev_ts").isNull ||
+        col("ts") > col("prev_ts") + expr(s"INTERVAL $gapSec SECONDS"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"), count(lit(1)).as("n"))
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    // 1. sessions partition the events
+    assert(sessions.map(_._5).sum == rows.size)
+    // 2. consecutive sessions of a user are separated by MORE than the gap;
+    //    within a session, span/(n-1) can exceed the gap only if n==1
+    sessions.groupBy(_._1).foreach { case (_, ss) =>
+      val ordered = ss.sortBy(_._3.getTime)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3.getTime - a._4.getTime > gapSec * 1000,
+            s"adjacent sessions closer than the gap: ${a._4} -> ${b._3}")
+        case _ =>
+      }
+      // 3. no within-session pair of adjacent events exceeds the gap: implied
+      //    by construction, spot-check via span bound (span <= (n-1) * gap)
+      ordered.foreach { s =>
+        assert(s._4.getTime - s._3.getTime <= (s._5 - 1) * gapSec * 1000,
+          s"session span exceeds (n-1)*gap: $s")
+      }
+    }
+  }
+
+  test("range-join counts equal a per-row brute-force recount") {
+    val rows = Gen.listOfN(120, for {
+      u <- Gen.chooseNum(1L, 5L)
+      t <- Gen.chooseNum(0L, 7200L)
+      p <- Gen.oneOf(true, false)
+    } yield (u, t, p)).sample.get.zipWithIndex
+      .map { case ((u, t, p), i) => (i.toLong, u, new java.sql.Timestamp(t * 1000), p) }
+    val probes = rows.filter(_._4).map(r => (r._1, r._2, r._3)).toDF("probe_id", "p_uid", "pts")
+    val views = rows.filterNot(_._4).map(r => (r._2, r._3)).toDF("v_uid", "vts")
+    val joined = probes.join(views,
+        col("p_uid") === col("v_uid") &&
+          col("vts") <= col("pts") && col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("probe_id")).agg(count(col("vts")).as("n_views"))
+      .as[(Long, Long)].collect().toMap
+    val viewList = rows.filterNot(_._4).map(r => (r._2, r._3.getTime))
+    rows.filter(_._4).foreach { case (id, u, ts, _) =>
+      val want = viewList.count { case (vu, vt) =>
+        vu == u && vt <= ts.getTime && vt >= ts.getTime - 3600 * 1000
+      }
+      assert(joined(id) == want.toLong, s"probe $id: join says ${joined(id)}, brute force $want")
+    }
+  }
+
+  test("hashSplit assignment is a pure function of the key") {
+    import graft.ops.Sampling
+    val keys = Gen.listOfN(100, Gen.chooseNum(0L, 1000L)).sample.get
+    val a = Sampling.hashSplit(keys.toDF("k"), "k").as[(Long, String)].collect().toMap
+    // same keys arriving in a different frame, order, and duplication level
+    val b = Sampling.hashSplit((keys.reverse ++ keys).toDF("k"), "k")
+      .as[(Long, String)].collect().toMap
+    assert(keys.forall(k => a(k) == b(k)))
+  }
+
   test("latestSnapshot is invariant under duplicated + shuffled input") {
     val rows = Gen.listOfN(200, for {
       k <- Gen.oneOf("a", "b", "c", "d")
