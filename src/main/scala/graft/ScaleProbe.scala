@@ -1,14 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Scaling probe for SCALE.md: times the as-of/latest/derive paths at sf0.1
-  * and at a 10×-deeper-history copy under /tmp/sfbig. Regenerate that copy
-  * with pyarrow (preserving the NANOS timestamp type):
+/** Scaling probe for SCALE.md: times the as-of/latest/derive paths and the
+  * heavy extension operators at sf0.1 and at a scaled copy under /tmp/sfbig
+  * (events ×10 history depth, documents ×3, embeddings ×10 — each copy's ids
+  * offset). Regenerate with pyarrow (preserving the NANOS timestamp type):
   * {{{
   * t = pq.read_table('/root/testdata/sf0.1/events.parquet')
   * big = pa.concat_tables([t.set_column(t.schema.get_field_index('event_id'),
   *   'event_id', pc.add(t['event_id'], k*10_000_000)) for k in range(10)])
-  * pq.write_table(big, '/tmp/sfbig/events.parquet')  # + copy other tables
+  * pq.write_table(big, '/tmp/sfbig/events.parquet')
+  * # documents: range(3) on doc_id (+k*1_000_000); embeddings: range(10) on
+  * # vec_id; copy the other tables unchanged
   * }}}
   */
 object ScaleProbe {
@@ -19,17 +22,25 @@ object ScaleProbe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String, dir: String): Unit = {
+    def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = Queries.all(name)(spark, dir).count()
-      println(f"PROBE $name%-24s $dir%-22s ${(System.nanoTime()-t0)/1e9}%8.2f s  rows=$n")
+      val n = f
+      println(f"PROBE $name%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
+    def time(q: String, dir: String): Unit = timed(s"$q @ $dir")(Queries.all(q)(spark, dir).count())
     // warm-up
     spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").count()
-    for (q <- Seq("q_latest_per_key", "q_asof_join_merge", "q_asof_join", "q_derive_features")) {
+    for (q <- Seq("q_latest_per_key", "q_asof_join_merge", "q_asof_join", "q_derive_features",
+        "q_minhash_pairs", "q_kmeans_iter", "q_ngram_jaccard")) {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }
+    // the stop-gram pruning knob that keeps the Jaccard self-join near-linear:
+    // at ×3 duplicated docs every gram's df triples (candidate pairs ×9) —
+    // pruning grams shared by >25 docs bounds the quadratic term
+    val docs = spark.read.parquet("/tmp/sfbig/documents.parquet")
+    timed("ngramJaccard maxNgramFreq=25 @ sfbig")(
+      graft.ops.Dedup.ngramJaccard(docs, n = 3, threshold = 0.1, maxNgramFreq = Some(25)).count())
     spark.stop()
   }
 }
