@@ -358,6 +358,17 @@ object Queries {
     types.foldLeft(p)((df, ty) => df.withColumn(ty, coalesce(col(ty), lit(0L))))
   }
 
+  /** Unpivot (melt): the wide per-day pivot back to long (day, type, n)
+    * form — `unpivot` is a zero-shuffle Expand over the pivoted frame. */
+  private def unpivotDaily(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    pivotDaily(s, dir).unpivot(
+      Array(col("d")), types.map(col).toArray, "event_type", "n")
+      // the dense wide frame carries 0-count combos the sparse long form
+      // (and the GROUP BY oracle) never had — melt-then-filter restores it
+      .where(col("n") > 0)
+  }
+
   /** rank / dense_rank on the value ordering (ties share ranks) + ntile on
     * a total tie-broken ordering (ntile assigns by row position, so a
     * non-unique order would be nondeterministic cross-engine). */
@@ -586,6 +597,7 @@ object Queries {
     "q_range_join" -> (rangeJoin _),
     "q_sessionize" -> (sessionize _),
     "q_pivot_daily" -> (pivotDaily _),
+    "q_unpivot_daily" -> (unpivotDaily _),
     "q_rank_ntile" -> (rankNtile _),
     "q_token_explode" -> (tokenExplode _),
     "q_minmax_by" -> (minmaxBy _),
@@ -894,6 +906,9 @@ object Queries {
         |count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |count(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+    "q_unpivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_rank_ntile" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
