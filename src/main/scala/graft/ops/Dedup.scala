@@ -223,11 +223,15 @@ object Dedup {
       maxNgramFreq: Option[Int] = None
   ): DataFrame = {
     // Set sizes are joined back onto the (doc_a, doc_b) pair counts from a
-    // tiny per-doc aggregate (auto-broadcast). Two rejected variants, both
+    // tiny per-doc aggregate (auto-broadcast). Three rejected variants, all
     // measured at sf0.1: carrying n_grams through the exploded self-join
-    // (wider shuffle rows + heavier pair-aggregate: 2.5× slower) and
+    // (wider shuffle rows + heavier pair-aggregate: 2.5× slower);
     // collect_list-per-gram pair explosion (single shuffle but materializes
-    // every candidate pair pre-filter: ~2× slower).
+    // every candidate pair pre-filter: ~2× slower); and computing sizes as
+    // a zero-shuffle size(array_distinct(...)) projection — fewer exchanges
+    // on paper, but materializing the gram array into a column inflates the
+    // self-join side's size estimate, the pair join loses its
+    // auto-broadcast, and the whole query runs ~2× slower.
     val grams = docs
       .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
