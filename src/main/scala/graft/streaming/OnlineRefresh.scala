@@ -103,6 +103,14 @@ object OnlineRefresh {
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Stream-static enrichment: join a record stream against the (static)
+    * online snapshot — the streaming twin of the batch lookup (J2). The
+    * static side is re-read per micro-batch, so a snapshot refreshed by
+    * [[start]] is picked up without restarting the query; Spark broadcasts
+    * it when small, exactly like the batch plan. */
+  def enrichStream(stream: DataFrame, snapshot: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(snapshot, keys, "left")
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -82,6 +82,23 @@ class StoreSpec extends SparkSpec {
     assert(got.select("pm2_5").as[Double].collect().toSet == Set(10.0, 20.0))
   }
 
+  test("readRawJson degrades malformed records to nulls, never aborts the scan") {
+    // load.py:129's to_numeric(errors='coerce') equivalent: a bad numeric
+    // nulls the FIELD; a syntactically broken line nulls the ROW (PERMISSIVE
+    // default) — either way the 100 TB scan keeps going
+    val tmp = tmpDir()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/dirty.json"),
+      ("""{"dt":1704067200,"lat":21.0,"lon":105.75,"aqi_level":2,"co":1.0,"no":0.5,"no2":3.0,"o3":4.0,"so2":5.0,"pm2_5":10.0,"pm10":7.0,"nh3":8.0}""" + "\n" +
+        """{"dt":1704070800,"lat":21.0,"lon":105.75,"aqi_level":1,"co":1.0,"no":0.5,"no2":3.0,"o3":4.0,"so2":5.0,"pm2_5":"not-a-number","pm10":7.0,"nh3":8.0}""" + "\n" +
+        """{this line is not json at all""" + "\n").getBytes("UTF-8"))
+    val got = Ingest.readRawJson(spark, s"$tmp/dirty.json")
+    val rows = got.select("pm2_5", "pm10").collect()
+    assert(rows.length == 3, "every input line must surface as a row")
+    val pm25 = rows.map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSet
+    assert(pm25 == Set(Some(10.0), None), "bad numeric and broken line must both null pm2_5")
+    assert(rows.count(_.isNullAt(1)) == 1, "only the unparseable LINE nulls the whole row")
+  }
+
   test("advanceWatermark on an empty frame is a no-op (returns None)") {
     val store = OfflineStore(spark, tmpDir())
     val empty = Ingest.normalize(raw).limit(0)

@@ -138,6 +138,29 @@ class StreamingSpec extends SparkSpec {
       "closed sessions must extend to last-event + gap and count members")
   }
 
+  test("stream-static enrichment joins each micro-batch against the snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-enrich").toString
+    Seq((1L, 10.0), (2L, 20.0)).toDF("user_id", "feature")
+      .write.parquet(s"$tmp/snap")
+    val snapshot = spark.read.parquet(s"$tmp/snap")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("user_id", "payload")
+    val q = OnlineRefresh.enrichStream(stream, snapshot, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((1L, "a"), (3L, "c")) // 3 has no snapshot row -> null feature
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enriched").select("user_id", "payload", "feature")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((1L, "a", Some(10.0)), (3L, "c", None)))
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
