@@ -475,6 +475,11 @@ object Queries {
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(t(s, dir, "documents"))
 
+  /** SimHash Hamming-near pairs (block-candidate join, radius 3; rows-only —
+    * xxhash64 fingerprints aren't DuckDB-expressible). */
+  private def simhashNearDupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(s, dir, "documents"))
+
   /** Source-vs-source content overlap via MinHash-union sketch aggregate. */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.groupOverlap(t(s, dir, "documents"), "source")
@@ -619,6 +624,7 @@ object Queries {
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
+    "q_simhash_neardup" -> (simhashNearDupQ _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_embedding_stats" -> (embeddingStatsQ _),
     "q_embedding_neardup" -> (embeddingNearDup _),

@@ -153,6 +153,53 @@ object Dedup {
     fp.withColumn("group_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
   }
 
+  /** Near-duplicate pairs by SimHash Hamming distance, from a fingerprint
+    * frame (id, fp) where fp is [[simhash]]'s 16-hex-char string.
+    *
+    * Standard block-candidate scheme: the 64-bit fingerprint splits into
+    * `nBlocks` equal hex blocks; by pigeonhole, any pair within Hamming
+    * distance `nBlocks - 1` agrees exactly on ≥1 block, so candidates are
+    * found by a per-block equi-join (shuffle carries (block, id, fp) — no
+    * all-pairs scan), then verified with an exact popcount. nBlocks ∈
+    * {2,4,8,16} so blocks divide the 16 hex chars evenly.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ nBlocks-1. */
+  def simhashNearDupFromFp(fps: DataFrame, nBlocks: Int = 4,
+      idCol: String = "doc_id", fpCol: String = "fp"): DataFrame = {
+    require(Set(2, 4, 8, 16).contains(nBlocks), "nBlocks must divide the 16 hex chars")
+    val width = 16 / nBlocks
+    // conv() dropped leading zeros when the fingerprint was built — pad back
+    val padded = lpad(col(fpCol), 16, "0")
+    val blocked = fps
+      .select(col(idCol).as("id"), padded.as("fp"),
+        explode(array((0 until nBlocks).map(i =>
+          struct(lit(i).as("bi"), substring(padded, 1 + i * width, width).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val a = blocked.select(col("id").as("id_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+    val b = blocked.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
+    def half(c: Column, from: Int): Column =
+      conv(substring(c, from, 8), 16, 10).cast("long")
+    a.join(b, Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      // a pair sharing multiple blocks matches once per block — dedup first
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
+      // exact popcount of the XOR, in two 32-bit halves (conv of 8 hex
+      // chars fits a long; a single 64-bit conv would overflow on the
+      // top bit under ANSI)
+      .withColumn("hamming", (
+        bit_count(half(col("fp_a"), 1).bitwiseXOR(half(col("fp_b"), 1))) +
+          bit_count(half(col("fp_a"), 9).bitwiseXOR(half(col("fp_b"), 9)))).cast("int"))
+      .where(col("hamming") <= nBlocks - 1)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** [[simhashNearDupFromFp]] over raw documents: fingerprint, then the
+    * block-candidate join. Radius = nBlocks - 1 bits. */
+  def simhashNearDup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      nBlocks: Int = 4): DataFrame =
+    simhashNearDupFromFp(
+      docs.select(col(idCol), simhash(col(textCol)).as("fp")), nBlocks, idCol, "fp")
+
   /** Group-vs-group content overlap via MinHash-union sketches: one
     * signature per group (the signature of the UNION of member shingle
     * sets — exact for MinHash, since min over a union is the min of mins),

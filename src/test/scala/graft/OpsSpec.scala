@@ -235,6 +235,20 @@ class OpsSpec extends SparkSpec {
     assert(got.head == 5) // hello , world 42 !
   }
 
+  test("simhashNearDupFromFp: block candidates + exact popcount verify") {
+    val fps = Seq(
+      (1L, "0000000000000000"),
+      (2L, "0000000000000003"), // ham(1,2)=2 -> pair
+      (3L, "ffffffffffffffff"), // shares no block with 1/2 -> never a candidate
+      (4L, "0000000000001f00"), // shares blocks with 1 but ham=5 > 3 -> verified out
+      (5L, "3")                 // conv() dropped leading zeros; pads to fp 2's value
+    ).toDF("doc_id", "fp")
+    val got = graft.ops.Dedup.simhashNearDupFromFp(fps, nBlocks = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2), (1L, 5L, 2), (2L, 5L, 0)),
+      s"expected exactly the <=3-bit pairs, got $got")
+  }
+
   test("hashSplit: deterministic across re-evaluation and repartitioning, ~80/20") {
     import graft.ops.Sampling
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id")
