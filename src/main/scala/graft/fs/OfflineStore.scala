@@ -99,6 +99,44 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     sortCol.fold(w)(c => w.sortBy(c)).saveAsTable(table)
   }
 
+  /** Compact a day partition's small files in place. Incremental appends
+    * (one file per batch per day, as the reference's loader wrote —
+    * load.py:150-182) accumulate small files until listing and scan task
+    * overhead dominate; at 100 TB-scale ingest this is THE operational
+    * failure mode of append-only parquet stores. Rewrites exactly one
+    * calendar-day partition directory to `targetFiles` files via an
+    * atomic-enough tmp-dir swap (crash before the final rename leaves the
+    * original partition intact; rerun to finish).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compactDay(name: String, day: java.time.LocalDate, targetFiles: Int = 1): (Int, Int) = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val partDir = new Path(
+      s"${tablePath(name)}/year=${day.getYear}/month=${day.getMonthValue}/day=${day.getDayOfMonth}")
+    require(fs.exists(partDir), s"no partition at $partDir")
+    def dataFiles(p: Path): Int =
+      fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    val before = dataFiles(partDir)
+    if (before <= targetFiles) return (before, before)
+    val tmp = new Path(partDir.getParent, s".${partDir.getName}_compact_tmp")
+    fs.delete(tmp, true)
+    // partition-column values live in the directory name, not the files —
+    // read/write the bare directory so the rewritten files stay schema-equal
+    spark.read.parquet(partDir.toString)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(partDir.getParent, s".${partDir.getName}_compact_old")
+    fs.delete(old, true)
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
+    must(fs.rename(partDir, old), s"$partDir -> $old")
+    must(fs.rename(tmp, partDir), s"$tmp -> $partDir")
+    fs.delete(old, true)
+    // drop the _SUCCESS marker so the partition dir holds only data files
+    fs.delete(new Path(partDir, "_SUCCESS"), false)
+    (before, dataFiles(partDir))
+  }
+
   /** Lineage metadata row. Ref: write_to_bigquery.py:139-147, load.py:87-93. */
   def appendLineage(name: String, version: String, source: String, transformationFile: String): Unit = {
     import spark.implicits._

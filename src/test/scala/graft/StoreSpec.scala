@@ -68,6 +68,22 @@ class StoreSpec extends SparkSpec {
     assert(store.read("lineage").count() == 2)
   }
 
+  test("compactDay merges a day's small files without changing its rows") {
+    val store = OfflineStore(spark, tmpDir())
+    val day1 = Ingest.normalize(raw).where(col("day") === 1)
+    // five separate appends -> five (or more) small files in the partition
+    (1 to 5).foreach(_ => store.append("t", day1))
+    store.append("t", Ingest.normalize(raw).where(col("day") === 2)) // untouched neighbor
+    val beforeRows = store.read("t").orderBy("dt", "pm2_5").collect().toSeq
+    val (nBefore, nAfter) = store.compactDay("t", java.time.LocalDate.of(2024, 1, 1))
+    assert(nBefore >= 5, s"expected one file per append, saw $nBefore")
+    assert(nAfter == 1, s"compaction must hit the target file count, saw $nAfter")
+    assert(store.read("t").orderBy("dt", "pm2_5").collect().toSeq == beforeRows,
+      "compaction must be invisible to readers")
+    // idempotent: already-compact partition is a no-op
+    assert(store.compactDay("t", java.time.LocalDate.of(2024, 1, 1)) == ((1, 1)))
+  }
+
   test("readRawJson multiLine handles the reference's single-array landing format") {
     // extract.py:52-108 writes ONE JSON array file, not JSONL
     val tmp = tmpDir()
