@@ -137,6 +137,32 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     (before, dataFiles(partDir))
   }
 
+  /** Drop calendar-day partitions strictly OLDER than `cutoff` — the
+    * storage-level enforcement of the feature TTL (aqi_feature.py:20's 7-day
+    * bound caps how far back the PIT join looks; expiring the partitions
+    * caps what the store must keep and scan). Partition-directory deletes,
+    * no file rewrite. Returns the number of day-partitions removed. */
+  def expireOlderThan(name: String, cutoff: java.time.LocalDate): Int = {
+    val rootP = new Path(tablePath(name))
+    if (!fs.exists(rootP)) return 0
+    val re = raw"year=(\d+)/month=(\d+)/day=(\d+)".r
+    var dropped = 0
+    for {
+      y <- fs.listStatus(rootP).toSeq if y.isDirectory
+      m <- fs.listStatus(y.getPath).toSeq if m.isDirectory
+      d <- fs.listStatus(m.getPath).toSeq if d.isDirectory
+    } {
+      val rel = s"${y.getPath.getName}/${m.getPath.getName}/${d.getPath.getName}"
+      rel match {
+        case re(yy, mm, dd) =>
+          val day = java.time.LocalDate.of(yy.toInt, mm.toInt, dd.toInt)
+          if (day.isBefore(cutoff) && fs.delete(d.getPath, true)) dropped += 1
+        case _ => // non-partition dir (e.g. compaction tmp) — leave it
+      }
+    }
+    dropped
+  }
+
   /** Lineage metadata row. Ref: write_to_bigquery.py:139-147, load.py:87-93. */
   def appendLineage(name: String, version: String, source: String, transformationFile: String): Unit = {
     import spark.implicits._

@@ -84,6 +84,27 @@ class StoreSpec extends SparkSpec {
     assert(store.compactDay("t", java.time.LocalDate.of(2024, 1, 1)) == ((1, 1)))
   }
 
+  test("expireOlderThan drops only pre-cutoff day partitions") {
+    val store = OfflineStore(spark, tmpDir())
+    store.append("t", Ingest.normalize(raw)) // days 2024-01-01 and 2024-01-02
+    val dropped = store.expireOlderThan("t", java.time.LocalDate.of(2024, 1, 2))
+    assert(dropped == 1)
+    val days = store.read("t").select("day").distinct().as[Int].collect().toSet
+    assert(days == Set(2), "only the pre-cutoff partition may disappear")
+    assert(store.expireOlderThan("t", java.time.LocalDate.of(2024, 1, 2)) == 0, "idempotent")
+  }
+
+  test("schema evolution: a column added by a later append is readable across history") {
+    val store = OfflineStore(spark, tmpDir())
+    store.append("t", Ingest.normalize(raw).where(col("day") === 1))
+    store.append("t", Ingest.normalize(raw).where(col("day") === 2)
+      .withColumn("quality_flag", lit("ok")))
+    // mergeSchema unions the file schemas; old files surface null for the new column
+    val got = spark.read.option("mergeSchema", "true").parquet(s"${store.root}/t")
+      .select("day", "quality_flag").as[(Int, Option[String])].collect().toSet
+    assert(got == Set((1, None), (2, Some("ok"))))
+  }
+
   test("readRawJson multiLine handles the reference's single-array landing format") {
     // extract.py:52-108 writes ONE JSON array file, not JSONL
     val tmp = tmpDir()
