@@ -520,6 +520,30 @@ object Queries {
   private def trainSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
 
+  /** Hybrid retrieval: reciprocal-rank fusion of vector similarity and text
+    * quality. Top-20 cosine candidates per probe re-rank within the
+    * candidate set by quality (vec_id ↔ doc_id correspondence in the
+    * fixtures), rrf = Σ 1/(60+rank) — every window is per-probe, so the
+    * fusion scales with candidates, not corpus. */
+  private def hybridRank(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = t(s, dir, "embeddings")
+    val cand = Similarity.bruteForceTopKJoin(emb, emb.where(col("vec_id") < 5), 20)
+      .withColumnRenamed("rn", "rn_cos")
+    val quality = TextAnalysis.textStats(t(s, dir, "documents"))
+      .select(col("doc_id").as("corpus_id"), col("quality_score"))
+    val wq = Window.partitionBy(col("probe_id"))
+      .orderBy(col("quality_score").desc, col("corpus_id").asc)
+    val wf = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("corpus_id").asc)
+    cand.join(quality, Seq("corpus_id"))
+      .withColumn("rn_q", row_number().over(wq))
+      .withColumn("rrf", round(lit(1.0) / (lit(60) + col("rn_cos")) + lit(1.0) / (lit(60) + col("rn_q")), 6))
+      .withColumn("rank", row_number().over(wf))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("corpus_id"), col("rrf"), col("rank"))
+  }
+
   /** Multimodal metadata surface (columnar twin of the stub codec). */
   private def mediaMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.metaColumns(Multimodal.assetsFromText(s, t(s, dir, "documents"), "doc_id", "text"))
@@ -633,6 +657,7 @@ object Queries {
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_kmeans_iter" -> (kmeansIterQ _),
     "q_train_split" -> (trainSplit _),
+    "q_hybrid_rank" -> (hybridRank _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
     "q_media_features" -> (mediaFeatures _),
@@ -954,6 +979,7 @@ object Queries {
     "q_registry" -> registryOracle,
     "q_ivf_topk" -> ivfOracle,
     "q_kmeans_iter" -> kmeansOracle,
+    "q_hybrid_rank" -> hybridOracle,
     "q_train_split" ->
       """SELECT doc_id, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
@@ -1071,6 +1097,36 @@ object Queries {
        |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality_score ASC, doc_id ASC), 6) AS pr
        |  FROM j)
        |SELECT doc_id, source, quality_score, pr FROM r WHERE pr >= 0.5""".stripMargin
+
+  /** RRF fusion oracle: cosine candidate ranks re-derived like q_ann_topk
+    * (k=20, probes vec_id<5), quality ranks from the shared text-stats SQL. */
+  private def hybridOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) p
+       |  WHERE p.vec_id <> c.vec_id),
+       |cand AS (
+       |  SELECT probe_id, corpus_id, rn AS rn_cos FROM (
+       |    SELECT probe_id, corpus_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |    FROM pairs) WHERE rn <= 20),
+       |stats AS ($textStatsOracle),
+       |j AS (SELECT cand.probe_id, cand.corpus_id, cand.rn_cos, stats.quality_score
+       |      FROM cand JOIN stats ON cand.corpus_id = stats.doc_id),
+       |ranked AS (
+       |  SELECT probe_id, corpus_id, rn_cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY quality_score DESC, corpus_id ASC) AS rn_q
+       |  FROM j),
+       |fused AS (
+       |  SELECT probe_id, corpus_id,
+       |    round(1.0 / (60 + rn_cos) + 1.0 / (60 + rn_q), 6) AS rrf
+       |  FROM ranked)
+       |SELECT probe_id, corpus_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT probe_id, corpus_id, rrf,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, corpus_id ASC) AS rank
+       |  FROM fused) WHERE rank <= 5""".stripMargin
 
   private def trainingSetOracle: String =
     s"""WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
