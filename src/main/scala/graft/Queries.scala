@@ -332,19 +332,10 @@ object Queries {
   /** Gap-based sessionization: a new session starts after >30 min of
     * inactivity; session id = running count of session starts. One shuffle
     * (by user) feeds both windows and the final aggregate. */
-  private def sessionize(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess",
-        when(col("prev_ts").isNull || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"),
-          lit(1L)).otherwise(lit(0L)))
-      .withColumn("session_seq", sum(col("new_sess")).over(w))
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-        count(lit(1)).as("n_events"))
-  }
+  private def sessionize(s: SparkSession, dir: String): DataFrame =
+    PointInTime.sessionize(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+      Seq("user_id"), "ts", "event_id", "30 MINUTES")
 
   /** Pivot (wide aggregation): per-day event counts, one column per type.
     * With explicit pivot values this is ONE groupBy pass; absent combos are

@@ -113,22 +113,32 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     require(targetFiles > 0, "targetFiles must be positive")
     val partDir = new Path(
       s"${tablePath(name)}/year=${day.getYear}/month=${day.getMonthValue}/day=${day.getDayOfMonth}")
+    val tmp = new Path(partDir.getParent, s".${partDir.getName}_compact_tmp")
+    val old = new Path(partDir.getParent, s".${partDir.getName}_compact_old")
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
+    // Crash recovery first: died between the two renames → the day lives
+    // only in the set-aside copy; restore it before anything else (the same
+    // branch OnlineRefresh.start needs for its snapshot swap).
+    if (!fs.exists(partDir) && fs.exists(old))
+      must(fs.rename(old, partDir), s"recovery rename $old -> $partDir")
     require(fs.exists(partDir), s"no partition at $partDir")
+    // Stale leftovers from a crash after the swap (partition intact, hidden
+    // duplicate still holding the pre-compaction files): drop them NOW —
+    // the early return below would otherwise strand them forever.
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     def dataFiles(p: Path): Int =
       fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
     val before = dataFiles(partDir)
     if (before <= targetFiles) return (before, before)
-    val tmp = new Path(partDir.getParent, s".${partDir.getName}_compact_tmp")
-    fs.delete(tmp, true)
     // partition-column values live in the directory name, not the files —
-    // read/write the bare directory so the rewritten files stay schema-equal
-    spark.read.parquet(partDir.toString)
+    // read/write the bare directory so the rewritten files stay schema-equal.
+    // mergeSchema: a day whose batches evolved the schema must keep the
+    // union (a single sampled footer would silently drop late columns).
+    spark.read.option("mergeSchema", "true").parquet(partDir.toString)
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(partDir.getParent, s".${partDir.getName}_compact_old")
-    fs.delete(old, true)
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
     must(fs.rename(partDir, old), s"$partDir -> $old")
     must(fs.rename(tmp, partDir), s"$tmp -> $partDir")
     fs.delete(old, true)

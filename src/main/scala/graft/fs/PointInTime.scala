@@ -139,4 +139,33 @@ object PointInTime {
       .orderBy(col(tsCol).asc +: tieBreak.map(c => col(c).asc): _*)
     df.withColumn(lagName, lag(col(valueCol), offset).over(w))
   }
+
+  /** Gap-based sessionization: a session is a maximal run of per-key events
+    * with inter-event gaps ≤ `gap`. One shuffle (by key) feeds the lag, the
+    * running session counter, AND the final aggregate (the aggregate's
+    * ClusteredDistribution is satisfied by the window's partitioning —
+    * PlanSpec pins the single exchange).
+    *
+    * Output: key columns + (session_seq, session_start, session_end,
+    * n_events). `tieCol` totals the within-key ordering for deterministic
+    * session boundaries on timestamp ties. */
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      gap: String = "30 MINUTES"
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    df
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_sess",
+        when(col("__prev_ts").isNull ||
+          col(tsCol) > col("__prev_ts") + expr(s"INTERVAL $gap"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("session_seq", sum(col("__new_sess")).over(w))
+      .groupBy((keys :+ "session_seq").map(col): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
 }

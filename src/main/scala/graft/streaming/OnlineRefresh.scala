@@ -104,10 +104,16 @@ object OnlineRefresh {
         col("session_window.end").as("session_end"), col("n_events"))
 
   /** Stream-static enrichment: join a record stream against the (static)
-    * online snapshot — the streaming twin of the batch lookup (J2). The
-    * static side is re-read per micro-batch, so a snapshot refreshed by
-    * [[start]] is picked up without restarting the query; Spark broadcasts
-    * it when small, exactly like the batch plan. */
+    * online snapshot — the streaming twin of the batch lookup (J2). Spark
+    * broadcasts the static side when small, exactly like the batch plan.
+    *
+    * The static side's FILE LIST is resolved once at query start: each
+    * micro-batch re-executes the scan but does NOT re-list the directory,
+    * so a path-based snapshot swapped by [[start]] mid-query surfaces as
+    * FileNotFoundException on the next batch, not as fresh data. To pick up
+    * refreshes, restart the query (cheap — stream progress lives in the
+    * checkpoint) or read the snapshot through a catalog table / format
+    * whose file listing is transactional. */
   def enrichStream(stream: DataFrame, snapshot: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(snapshot, keys, "left")
 

@@ -98,15 +98,11 @@ class PropertiesSpec extends SparkSpec {
       .map { case ((u, t), i) => (i.toLong, u, new java.sql.Timestamp(t * 1000)) }
     val ev = rows.toDF("event_id", "user_id", "ts")
     val gapSec = 1800L
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val sessions = ev
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
-      .withColumn("new_sess", when(col("prev_ts").isNull ||
-        col("ts") > col("prev_ts") + expr(s"INTERVAL $gapSec SECONDS"), lit(1L)).otherwise(lit(0L)))
-      .withColumn("session_seq", sum(col("new_sess")).over(w))
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("ts")).as("start"), max(col("ts")).as("end"), count(lit(1)).as("n"))
+    // drives the SHARED production sessionizer (PointInTime.sessionize — the
+    // same code q_sessionize ships), not a test-local reimplementation
+    val sessions = graft.fs.PointInTime
+      .sessionize(ev, Seq("user_id"), "ts", "event_id", s"$gapSec SECONDS")
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
       .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
     // 1. sessions partition the events
     assert(sessions.map(_._5).sum == rows.size)

@@ -84,6 +84,38 @@ class StoreSpec extends SparkSpec {
     assert(store.compactDay("t", java.time.LocalDate.of(2024, 1, 1)) == ((1, 1)))
   }
 
+  test("compactDay recovers a crashed swap and cleans stranded leftovers") {
+    import org.apache.hadoop.fs.Path
+    val root = tmpDir()
+    val store = OfflineStore(spark, root)
+    (1 to 3).foreach(_ => store.append("t", Ingest.normalize(raw).where(col("day") === 1)))
+    val rows = store.read("t").orderBy("dt").collect().toSeq
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new Path(s"$root/t/year=2024/month=1/day=1")
+    val old = new Path(part.getParent, ".day=1_compact_old")
+    // simulate a crash between the two renames: partition gone, set-aside left
+    assert(fs.rename(part, old))
+    val (b, a) = store.compactDay("t", java.time.LocalDate.of(2024, 1, 1))
+    assert(a == 1 && b >= 3, "rerun must restore the set-aside copy and finish compacting")
+    assert(store.read("t").orderBy("dt").collect().toSeq == rows)
+    // simulate a crash after the swap: partition intact + stranded duplicate
+    assert(fs.mkdirs(old))
+    store.compactDay("t", java.time.LocalDate.of(2024, 1, 1))
+    assert(!fs.exists(old), "stranded set-aside dir must be cleaned even on the no-op path")
+  }
+
+  test("compactDay preserves columns added by schema evolution (mergeSchema)") {
+    val store = OfflineStore(spark, tmpDir())
+    val day1 = Ingest.normalize(raw).where(col("day") === 1)
+    store.append("t", day1)
+    store.append("t", day1.withColumn("quality_flag", lit("ok")))
+    store.compactDay("t", java.time.LocalDate.of(2024, 1, 1))
+    val got = spark.read.option("mergeSchema", "true").parquet(s"${store.root}/t")
+      .select("quality_flag").as[Option[String]].collect().toSeq.sortBy(_.isDefined)
+    assert(got == Seq(None, Some("ok")),
+      "the compacted rewrite must keep the union schema, not one sampled footer")
+  }
+
   test("expireOlderThan drops only pre-cutoff day partitions") {
     val store = OfflineStore(spark, tmpDir())
     store.append("t", Ingest.normalize(raw)) // days 2024-01-01 and 2024-01-02
