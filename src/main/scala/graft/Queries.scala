@@ -294,6 +294,18 @@ object Queries {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Explicit grouping sets (Spark 4 Dataset API): per-flag and per-status
+    * subtotals plus the grand total — no cross-product of the two — with
+    * `grouping()` markers distinguishing subtotal NULLs from data NULLs. */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+
   /** Exact percentiles (linear interpolation) per group — the distributed
     * sort-based `percentile` aggregate, not the approximate sketch. */
   private def percentilesQ(s: SparkSession, dir: String): DataFrame =
@@ -612,6 +624,7 @@ object Queries {
     "q_revenue_filter" -> (revenueFilter _),
     "q_rollup_pricing" -> (rollupPricing _),
     "q_cube_pricing" -> (cubePricing _),
+    "q_grouping_sets" -> (groupingSetsQ _),
     "q_percentiles" -> (percentilesQ _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_range_join" -> (rangeJoin _),
@@ -896,6 +909,11 @@ object Queries {
     "q_cube_pricing" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+        |CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q_percentiles" ->
       """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
         |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
