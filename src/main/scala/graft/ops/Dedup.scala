@@ -145,11 +145,20 @@ object Dedup {
     conv(concat_ws("", transform(votes, v => when(v > 0, "1").otherwise("0"))), 2, 16)
   }
 
+  /** Session-aware SimHash: the native `graft_simhash` expression (tight
+    * bit-vote loop) when the session carries GraftExtensions, else the
+    * portable HOF form. Bit-identical outputs (spec-enforced), so callers
+    * and persisted fingerprints never observe which one ran. */
+  def simhashOf(s: org.apache.spark.sql.SparkSession): Column => Column =
+    if (s.catalog.functionExists("graft_simhash"))
+      text => call_function("graft_simhash", TextAnalysis.tokens(text))
+    else simhash
+
   /** SimHash dedup groups: fingerprint per doc + group id (min doc id sharing
     * the fingerprint). */
   def simhashGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fp = docs.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val fp = docs.select(col(idCol), simhashOf(docs.sparkSession)(col(textCol)).as("simhash"))
     fp.withColumn("group_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
   }
 
@@ -223,7 +232,8 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       nBlocks: Int = 4): DataFrame =
     simhashNearDupFromFp(
-      docs.select(col(idCol), simhash(col(textCol)).as("fp")), nBlocks, idCol, "fp")
+      docs.select(col(idCol), simhashOf(docs.sparkSession)(col(textCol)).as("fp")),
+      nBlocks, idCol, "fp")
 
   /** Group-vs-group content overlap via MinHash-union sketches: one
     * signature per group (the signature of the UNION of member shingle

@@ -113,6 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         MinHashUnionAgg(children.head).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHashExpr(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
       (children: Seq[Expression]) =>

@@ -51,6 +51,19 @@ class FallbackSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("native graft_simhash equals the HOF fingerprint exactly") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // edge rows the real corpus lacks: empty text, one token, repeats
+      .unionByName(Seq((900001L, ""), (900002L, "tok"), (900003L, "a a a b")).toDF("doc_id", "text"))
+    val diff = d.select(
+      Dedup.simhash(col("text")).as("hof"),
+      call_function("graft_simhash", graft.ops.TextAnalysis.tokens(col("text"))).as("native"))
+      .where(col("hof") =!= col("native"))
+    assert(diff.isEmpty,
+      s"fingerprints diverged: ${diff.limit(3).collect().mkString(", ")}")
+  }
+
   test("posexplode vector-sum fallback equals the native aggregate") {
     val assigned = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select((col("vec_id") % 4).cast("int").as("cell"), col("embedding").as("emb"))
