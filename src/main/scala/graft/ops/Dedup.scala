@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *     groupBy, whose cardinality is ~rows×bands but each record is
   *     (bucket, id) — small. Candidate verification joins are per-bucket.
   *   - simHash: per-row 64-bit fingerprint, duplicates = equal fingerprints
-  *     (or Hamming-close via rotations) — one digest shuffle.
+  *     (or Hamming-close via the pigeonhole block-candidate join) — one
+  *     digest shuffle.
   */
 object Dedup {
 
@@ -122,7 +123,8 @@ object Dedup {
 
   /** SimHash: 64-bit fingerprint — per bit, sign of the sum of ±1 votes from
     * each distinct token's xxhash64. Near-dups share fingerprints (exact
-    * match here; Hamming-distance variants join on rotated prefixes).
+    * match here; [[simhashNearDup]] finds Hamming-close pairs via the
+    * block-candidate join).
     *
     * Bit plumbing goes through `bin()` (two's-complement bit-string of the
     * token hash) because the Column API has no variable-shift operator, and
@@ -185,8 +187,13 @@ object Dedup {
       maxBlockFreq: Option[Int] = None): DataFrame = {
     require(Set(2, 4, 8, 16).contains(nBlocks), "nBlocks must divide the 16 hex chars")
     val width = 16 / nBlocks
-    // conv() dropped leading zeros when the fingerprint was built — pad back
-    val padded = lpad(col(fpCol), 16, "0")
+    // conv() dropped leading zeros when the fingerprint was built — pad back.
+    // The coalesce makes the column NON-nullable (null fp ≡ the empty-doc
+    // "0" fingerprint): without it the join infers isnotnull(block) filters
+    // and predicate pushdown re-inlines the whole fingerprint expression
+    // into the scan-level Filter — the fingerprint then computes TWICE per
+    // row per side (SCALE.md pitfall #1 in pushdown clothing).
+    val padded = lpad(coalesce(col(fpCol), lit("0")), 16, "0")
     val blocked = fps
       .select(col(idCol).as("id"), padded.as("fp"),
         explode(array((0 until nBlocks).map(i =>
@@ -212,7 +219,12 @@ object Dedup {
     val b = pruned.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
     def half(c: Column, from: Int): Column =
       conv(substring(c, from, 8), 16, 10).cast("long")
-    a.join(b, Seq("bi", "bv"))
+    // merge-join hint: a broadcast of either side would RE-COMPUTE the
+    // fingerprint lineage into the broadcast relation (small-stats plans do
+    // exactly that), while the SMJ's two (bi, bv) exchanges canonicalize
+    // identically → ReusedExchange, one simhash pass (PlanSpec pins this).
+    // SMJ is also the only join shape that survives corpus-sized sides.
+    a.join(b.hint("merge"), Seq("bi", "bv"))
       .where(col("id_a") < col("id_b"))
       // exact popcount of the XOR, in two 32-bit halves (conv of 8 hex
       // chars fits a long; a single 64-bit conv would overflow on the
@@ -230,10 +242,10 @@ object Dedup {
   /** [[simhashNearDupFromFp]] over raw documents: fingerprint, then the
     * block-candidate join. Radius = nBlocks - 1 bits. */
   def simhashNearDup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      nBlocks: Int = 4): DataFrame =
+      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None): DataFrame =
     simhashNearDupFromFp(
       docs.select(col(idCol), simhashOf(docs.sparkSession)(col(textCol)).as("fp")),
-      nBlocks, idCol, "fp")
+      nBlocks, idCol, "fp", maxBlockFreq)
 
   /** Group-vs-group content overlap via MinHash-union sketches: one
     * signature per group (the signature of the UNION of member shingle

@@ -59,7 +59,9 @@ class FallbackSpec extends SparkSpec {
     val diff = d.select(
       Dedup.simhash(col("text")).as("hof"),
       call_function("graft_simhash", graft.ops.TextAnalysis.tokens(col("text"))).as("native"))
-      .where(col("hof") =!= col("native"))
+      // null-safe negation: a one-sided NULL must count as divergence, not
+      // vanish into a null predicate
+      .where(!(col("hof") <=> col("native")))
     assert(diff.isEmpty,
       s"fingerprints diverged: ${diff.limit(3).collect().mkString(", ")}")
   }

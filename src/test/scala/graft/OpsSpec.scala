@@ -247,9 +247,9 @@ class OpsSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 2), (1L, 5L, 2), (2L, 5L, 0)),
       s"expected exactly the <=3-bit pairs, got $got")
-    // hot-block pruning yields a subset: ids 1,2,5 share block value "0000"
-    // on blocks 0-2 (frequency 3 there, plus 4's partial overlap) — capping
-    // at 2 kills those candidates
+    // hot-block pruning yields a subset: ids 1, 2, 4, and 5 ALL carry block
+    // value "0000" on blocks 0-2 (per-(bi,bv) frequency 4) — capping at 2
+    // prunes those groups entirely
     val prunedPairs = graft.ops.Dedup.simhashNearDupFromFp(fps, nBlocks = 4,
       maxBlockFreq = Some(2)).as[(Long, Long, Int)].collect().toSet
     assert(prunedPairs.subsetOf(got))

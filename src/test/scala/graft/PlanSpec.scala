@@ -139,6 +139,26 @@ class PlanSpec extends SparkSpec {
       "both per-doc size joins must broadcast against the pair counts")
   }
 
+  test("q_simhash_neardup: both self-join sides reuse ONE fingerprint shuffle") {
+    // Exchange reuse under AQE happens at RUNTIME (stage reuse), so execute
+    // first and inspect the final adaptive plan. The blocked fingerprints
+    // repartition BEFORE the per-side renames and the join is merge-hinted,
+    // so the two sides canonicalize to the same exchange — regressing to
+    // rename-first (or letting stats pick a broadcast) doubles the
+    // expensive simhash lineage.
+    val df = Queries.all("q_simhash_neardup")(spark, dir)
+    df.collect() // collect (not count) so THIS plan instance finalizes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "adaptive plan must have finalized")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"fingerprint exchange must be computed once and reused:\n$p")
+    // the inferred-notnull pushdown trap: a nullable fingerprint column gets
+    // an isnotnull(block) filter whose pushdown re-inlines graft_simhash
+    // into the scan Filter — the expression must appear in projections only
+    assert(!p.linesIterator.exists(l => l.contains("Filter") && l.contains("graft_simhash")),
+      s"fingerprint must not be re-evaluated inside a pushed filter:\n$p")
+  }
+
   test("q_distinct_agg: two distinct columns expand in a single scan") {
     val p = plan("q_distinct_agg")
     assert(nodes(p, "Expand") == 1, "multi-distinct must plan via one Expand")
