@@ -41,6 +41,11 @@ object ScaleProbe {
     val docs = spark.read.parquet("/tmp/sfbig/documents.parquet")
     timed("ngramJaccard maxNgramFreq=25 @ sfbig")(
       graft.ops.Dedup.ngramJaccard(docs, n = 3, threshold = 0.1, maxNgramFreq = Some(25)).count())
+    // same trade for the simhash block join: ×3 duplicated docs triple every
+    // block value's frequency (candidates ×9); the cap bounds the fan-out
+    time("q_simhash_neardup", "/tmp/sfbig")
+    timed("simhashNearDup maxBlockFreq=50 @ sfbig")(
+      graft.ops.Dedup.simhashNearDup(docs, maxBlockFreq = Some(50)).count())
     spark.stop()
   }
 }
