@@ -43,7 +43,7 @@ object OnlineStore {
     payloadCols
       .foldLeft(picked) { (d, c) => d.withColumn(c, col(s"__latest.$c")) }
       .drop("__latest")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Window-based variant (differential-test twin of [[latestSnapshot]]). */

@@ -61,7 +61,7 @@ object PointInTime {
     joined
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
-      .select(e.columns.filter(_ != "__row_id").map(col) ++
+      .select(e.columns.toIndexedSeq.filter(_ != "__row_id").map(col) ++
         featureCols.map(c => col(s"__f_$c").as(c)): _*)
   }
 
