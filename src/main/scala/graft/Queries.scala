@@ -472,20 +472,39 @@ object Queries {
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** N-gram Jaccard with the stop-gram cap ON (maxNgramFreq=25): the
+    * scale-safe form — candidate fan-out is bounded by document frequency,
+    * pruning the Σdf² term (SCALE.md measured 2×). Oracle replicates the
+    * prune with a count-per-gram CTE. */
+  private def ngramJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1,
+      maxNgramFreq = Some(25))
+
+  /** MinHash+LSH near-dup pairs over the PORTABLE Poly64 hash family —
+    * DuckDB re-derives the full signature/banding pipeline value-for-value,
+    * so this carries a hard oracle (the xxhash64 family can't). */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.35)
+    Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.35, portableHash = true)
 
+  /** SimHash groups over the portable long fingerprint (oracle-checked). */
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashGroups(t(s, dir, "documents"))
+    Dedup.simhashGroups64(t(s, dir, "documents"))
 
-  /** SimHash Hamming-near pairs (block-candidate join, radius 3; rows-only —
-    * xxhash64 fingerprints aren't DuckDB-expressible). */
+  /** SimHash Hamming-near pairs (block-candidate join, radius 3) on the
+    * portable long fingerprint — same pigeonhole scheme, now oracle-checked
+    * end-to-end (fingerprint, blocks, popcount all re-derived in DuckDB). */
   private def simhashNearDupQ(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(t(s, dir, "documents"))
+    Dedup.simhashNearDup64(t(s, dir, "documents"))
 
-  /** Source-vs-source content overlap via MinHash-union sketch aggregate. */
+  /** The scale-safe twin: hot block values capped at maxBlockFreq=50 before
+    * the candidate join (SCALE.md measured 10× at the ×3 probe). */
+  private def simhashNearDupCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64(t(s, dir, "documents"), maxBlockFreq = Some(50))
+
+  /** Source-vs-source content overlap via MinHash-union sketch aggregate
+    * (portable hash family → oracle-checked). */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
-    Dedup.groupOverlap(t(s, dir, "documents"), "source")
+    Dedup.groupOverlap(t(s, dir, "documents"), "source", portableHash = true)
 
   /** Embedding-cosine near-dup pairs, blocked on label (sub-quadratic). */
   private def embeddingNearDup(s: SparkSession, dir: String): DataFrame =
@@ -650,9 +669,11 @@ object Queries {
     "q3_shipping" -> (q3Shipping _),
     "q_dedup_stats" -> (dedupStats _),
     "q_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
+    "q_simhash_neardup_capped" -> (simhashNearDupCapped _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_embedding_stats" -> (embeddingStatsQ _),
     "q_embedding_neardup" -> (embeddingNearDup _),
@@ -707,6 +728,43 @@ object Queries {
        |  CAST(CASE WHEN media_type = 'image' THEN 0 ELSE 1000 + ((s18 % 60000) + 60000) % 60000 END AS BIGINT) AS duration_ms,
        |  checksum
        |FROM d""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.Multimodal.extractFeatures]]: the FNV-1a
+    * byte loop as a RECURSIVE CTE (each h_i depends on h_{i-1}, so the scan
+    * is a per-step iteration over all docs — ~580 steps at the fixture's max
+    * text length), signed `% 1000` via the signed-view reconstruction, and
+    * the engine's FLOAT accumulation replayed exactly: per-position
+    * increments folded in byte order with a REAL cast per step, then the
+    * norm's float→double products summed in position order. */
+  private val mediaFeaturesOracle: String = {
+    // next unsigned state: u' = (u XOR byte_i) * FNV_PRIME mod 2^64 (pure
+    // ASCII fixture: byte == codepoint, so the sign-extended-byte XOR the
+    // engine performs never differs)
+    val u2 = "(xor(u, CAST(ascii(text[i+1:i+1]) AS HUGEINT)) * 1099511628211) % 18446744073709551616"
+    s"""WITH RECURSIVE fnv AS (
+       |  SELECT doc_id, 0 AS i, CAST(1469598103934665603 AS HUGEINT) AS u,
+       |    CAST(NULL AS BIGINT) AS r, strlen(text) AS n, text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, i + 1, $u2,
+       |    CAST(${graft.plans.Poly64.signedSql(s"($u2)")} % 1000 AS BIGINT), n, text
+       |  FROM fnv WHERE i < n),
+       |inc AS (SELECT doc_id, i - 1 AS idx, (i - 1) % 16 AS pos,
+       |    CAST(r AS REAL) / CAST(1000 AS REAL) AS v FROM fnv WHERE i >= 1),
+       |vp AS (SELECT doc_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS REAL), list(v ORDER BY idx)), (a, b) -> CAST(a + b AS REAL)) AS vj
+       |  FROM inc GROUP BY 1, 2),
+       |vecs AS (SELECT d.doc_id, p.pos, coalesce(vp.vj, CAST(0 AS REAL)) AS vj
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(0, 16)) AS pos) p
+       |  LEFT JOIN vp ON vp.doc_id = d.doc_id AND vp.pos = p.pos),
+       |norms AS (SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(vj AS DOUBLE) * CAST(vj AS DOUBLE) ORDER BY pos)), (a, b) -> a + b) AS ss
+       |  FROM vecs GROUP BY 1)
+       |SELECT doc_id AS asset_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  CAST(16 AS INTEGER) AS dim, round(sqrt(ss), 4) AS feat_norm
+       |FROM norms""".stripMargin
+  }
 
   /** Render the seeded LSH hyperplanes as DuckDB double-list literals —
     * `Double.toString` is shortest-round-trip, so the literals parse back to
@@ -979,6 +1037,13 @@ object Queries {
       """SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
         |FROM documents""".stripMargin,
     "q_quality_filter" -> qualityFilterOracle,
+    "q_simhash_groups" -> simhashGroupsOracle,
+    "q_simhash_neardup" -> simhashNearDupOracle(None),
+    "q_simhash_neardup_capped" -> simhashNearDupOracle(Some(50)),
+    "q_minhash_pairs" -> minhashPairsOracle,
+    "q_source_overlap" -> sourceOverlapOracle,
+    "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
+    "q_media_features" -> mediaFeaturesOracle,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
       s"""WITH m AS ($stubDecodeSql)
@@ -994,6 +1059,124 @@ object Queries {
         |FROM documents""".stripMargin,
     "q_lsh_topk" -> lshOracle
   )
+
+  // ------------------------------------------------ portable-sketch oracles
+  // The Poly64 family (graft/plans/PolyHash.scala) makes every sketch
+  // fingerprint recomputable in DuckDB as HUGEINT-mod-2^64 arithmetic; the
+  // seed constants are rendered from the SAME Scala arrays the engine uses
+  // (the hyperplane-literal technique), so the two engines cannot drift.
+
+  import graft.plans.Poly64
+
+  /** CTE chain ending in `fp(doc_id, u)` — the portable SimHash fingerprint
+    * as an unsigned HUGEINT (empty docs → 0, matching the engine's votes of
+    * an empty token set). */
+  private def polyFpCte: String =
+    s"""tk AS (SELECT doc_id, list_distinct($toks) AS t FROM documents),
+       |th AS (SELECT doc_id, list_transform(t, tok -> ${Poly64.baseHashSql("tok")}) AS hs FROM tk),
+       |fp AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |    list_transform(range(0, 64), p ->
+       |      CASE WHEN 2*list_sum(list_transform(hs, u -> CAST((u >> (63-p)) & 1 AS BIGINT))) - len(hs) > 0
+       |           THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
+       |    (acc, bit) -> acc * 2 + bit) AS u
+       |  FROM th)""".stripMargin
+
+  private def simhashGroupsOracle: String =
+    s"""WITH $polyFpCte
+       |SELECT doc_id, ${Poly64.signedSql("u")} AS simhash,
+       |  min(doc_id) OVER (PARTITION BY u) AS group_id
+       |FROM fp""".stripMargin
+
+  /** Block-candidate near-dup re-derived end-to-end: 4×16-bit blocks from
+    * the unsigned fingerprint, optional hot-block prune (count over the
+    * block key — the engine's maxBlockFreq), exact popcount verify. */
+  private def simhashNearDupOracle(maxBlockFreq: Option[Int]): String = {
+    val (pruneCte, src) = maxBlockFreq match {
+      case Some(m) =>
+        (s""",
+            |pr AS (SELECT doc_id, u, bi, bv FROM (
+            |  SELECT *, count(*) OVER (PARTITION BY bi, bv) AS df FROM bb) WHERE df <= $m)""".stripMargin,
+          "pr")
+      case None => ("", "bb")
+    }
+    s"""WITH $polyFpCte,
+       |b AS (SELECT doc_id, u, unnest(range(0, 4)) AS bi FROM fp),
+       |bb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM b)$pruneCte,
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.u AS ua, y.u AS ub
+       |  FROM $src x JOIN $src y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INTEGER) AS hamming
+       |FROM cand WHERE bit_count(xor(ua, ub)) <= 3""".stripMargin
+  }
+
+  /** CTE chain ending in `sg(doc_id, sig)` — the portable 32-hash MinHash
+    * signature as a list of SIGNED BIGINTs (the engine's min is signed). */
+  private def polySigCte(k: Int = 3, numHashes: Int = 32): String = {
+    val seeds = Poly64.seeds(numHashes)
+    val as = seeds.map(s => Poly64.unsignedSql(s._1)).mkString("[", ",", "]")
+    val bs = seeds.map(s => Poly64.unsignedSql(s._2)).mkString("[", ",", "]")
+    val h = s"(b * ($as::HUGEINT[])[s+1] + ($bs::HUGEINT[])[s+1]) % 18446744073709551616"
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $k THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - ${k - 2}), i -> array_to_string(t[i:i+${k - 1}], ' ')) END) AS shs FROM tk),
+       |bh AS (SELECT doc_id, list_transform(shs, sh -> ${Poly64.baseHashSql("sh")}) AS bs FROM gl),
+       |sg AS (SELECT doc_id, list_transform(range(0, $numHashes), s ->
+       |  list_min(list_transform(bs, b -> ${Poly64.signedSql(h)}))) AS sig FROM bh)""".stripMargin
+  }
+
+  /** LSH banding re-derived without the (engine-internal) bucket hash:
+    * candidates are pairs agreeing exactly on some band SLICE (8 bands × 4
+    * rows), verified by signature agreement rate ≥ threshold. */
+  private def minhashPairsOracle: String =
+    s"""WITH ${polySigCte()},
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |  WHERE EXISTS (FROM range(0, 8) r
+       |    WHERE a.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)]
+       |        = b.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)]))
+       |SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
+       |  FROM p) WHERE est_jaccard >= 0.35""".stripMargin
+
+  /** Union-sketch overlap: per (source, seed) the min over ALL member
+    * shingle hashes (min of a union = min of mins — exactly the engine's
+    * MinHash-union aggregate), then pairwise agreement rate. */
+  private def sourceOverlapOracle: String = {
+    val seeds = Poly64.seeds(32)
+    val as = seeds.map(s => Poly64.unsignedSql(s._1)).mkString("[", ",", "]")
+    val bs = seeds.map(s => Poly64.unsignedSql(s._2)).mkString("[", ",", "]")
+    val h = s"(b * ($as::HUGEINT[])[CAST(r.range+1 AS INTEGER)] + ($bs::HUGEINT[])[CAST(r.range+1 AS INTEGER)]) % 18446744073709551616"
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS shs FROM tk),
+       |bh AS (SELECT doc_id, list_transform(shs, sh -> ${Poly64.baseHashSql("sh")}) AS bs FROM gl),
+       |sh AS (SELECT d.source, unnest(bh.bs) AS b FROM bh JOIN documents d USING (doc_id)),
+       |m AS (SELECT source, r.range AS s, min(${Poly64.signedSql(h)}) AS h
+       |  FROM sh CROSS JOIN range(0, 32) r GROUP BY 1, 2),
+       |sig AS (SELECT source, list(h ORDER BY s) AS sig FROM m GROUP BY 1)
+       |SELECT a.source AS group_a, b.source AS group_b,
+       |  CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
+       |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
+  }
+
+  /** q_ngram_jaccard's oracle with the engine's maxNgramFreq prune: grams
+    * present in more than `m` docs are dropped from the INTERSECTION counts
+    * (set sizes stay unpruned — mirroring the engine exactly). */
+  private def ngramJaccardCappedOracle(m: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
+       |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
+       |fr AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE df <= $m),
+       |gp AS (SELECT g.doc_id, g.gram FROM g JOIN fr USING (gram)),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM gp x JOIN gp y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id
+       |) WHERE jaccard >= 0.1""".stripMargin
 
   /** Same deterministic pipeline as the engine's Lloyd step: cell argmax
     * from the lowest-id bootstrap (bit-identical dots on both engines),

@@ -86,18 +86,18 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      portableHash: Boolean = false
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    // native one-pass signature (graft.plans.MinHashSig) when the session
-    // carries GraftExtensions; portable HOF formulation otherwise — the two
-    // produce different (internal) hash values but identical agreement
-    // semantics, which is all LSH banding observes
-    val sigExpr: Column =
-      if (docs.sparkSession.catalog.functionExists("graft_minhash"))
-        call_function("graft_minhash", col("__toks"), lit(shingleK), lit(numHashes))
-      else minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes)
+    // native one-pass signature (graft.plans.MinHashSig / Poly64MinHash)
+    // when the session carries GraftExtensions; HOF formulation otherwise —
+    // xxhash and HOF variants produce different (internal) hash values but
+    // identical agreement semantics, which is all LSH banding observes.
+    // portableHash=true swaps in the Poly64 family, whose signatures a
+    // DuckDB oracle can recompute value-for-value (native ≡ HOF there).
+    val sigExpr: Column = sessionSig(docs.sparkSession, portableHash, shingleK, numHashes)
     val sig = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), sigExpr.as("sig"))
@@ -146,6 +146,21 @@ object Dedup {
     )
     conv(concat_ws("", transform(votes, v => when(v > 0, "1").otherwise("0"))), 2, 16)
   }
+
+  /** Session-appropriate MinHash signature over the `__toks` column:
+    * native expression when registered, HOF twin otherwise; xxhash64 family
+    * by default, [[graft.plans.Poly64]] family when `portable`. */
+  private def sessionSig(s: org.apache.spark.sql.SparkSession, portable: Boolean,
+      shingleK: Int, numHashes: Int): Column =
+    if (portable) {
+      if (s.catalog.functionExists("graft_minhash_poly"))
+        call_function("graft_minhash_poly", col("__toks"), lit(shingleK), lit(numHashes))
+      else minhashSignature64(shinglesOf(col("__toks"), shingleK), numHashes)
+    } else {
+      if (s.catalog.functionExists("graft_minhash"))
+        call_function("graft_minhash", col("__toks"), lit(shingleK), lit(numHashes))
+      else minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes)
+    }
 
   /** Session-aware SimHash: the native `graft_simhash` expression (tight
     * bit-vote loop) when the session carries GraftExtensions, else the
@@ -260,13 +275,11 @@ object Dedup {
       groupCol: String,
       textCol: String = "text",
       shingleK: Int = 3,
-      numHashes: Int = 32
+      numHashes: Int = 32,
+      portableHash: Boolean = false
   ): DataFrame = {
     val spark = docs.sparkSession
-    val sigExpr: Column =
-      if (spark.catalog.functionExists("graft_minhash"))
-        call_function("graft_minhash", col("__toks"), lit(shingleK), lit(numHashes))
-      else minhashSignature(shinglesOf(col("__toks"), shingleK), numHashes)
+    val sigExpr: Column = sessionSig(spark, portableHash, shingleK, numHashes)
     val perDoc = docs
       .select(col(groupCol).as("grp"), TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("grp"), sigExpr.as("sig"))
@@ -292,6 +305,133 @@ object Dedup {
       .groupBy("grp")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("h")))),
         s => s.getField("h")).as("usig"))
+
+  // ------------------------------------------------------------------ Poly64
+  // Portable polynomial-hash twins of the xxhash64 sketches. Same operator
+  // shapes, but every fingerprint is recomputable in DuckDB HUGEINT SQL
+  // (graft.plans.Poly64), so the whole family carries a hard oracle. The
+  // xxhash64 variants above remain the avalanche-quality path; these trade
+  // some bit mixing for cross-engine checkability.
+
+  import graft.plans.Poly64
+
+  /** ANSI-safe wrapping Poly64 base hash of a string column: the 64-bit
+    * state rides as a (hi, lo) 32-bit pair so no Column op can overflow
+    * (lo·MUL < 2^52), then reassembles via shift/or (bitwise, wrapping).
+    * Bit-identical to [[Poly64.baseHash]] (spec-enforced). */
+  def poly64Base(str: Column): Column = {
+    val folded = aggregate(
+      transform(filter(split(str, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long")),
+      struct(lit(Poly64.SeedHi).as("hi"), lit(Poly64.SeedLo).as("lo")),
+      (acc, cp) => {
+        val lo1 = acc.getField("lo") * Poly64.Mul + cp
+        val hi1 = acc.getField("hi") * Poly64.Mul + shiftrightunsigned(lo1, 32)
+        struct(hi1.bitwiseAND(lit(0xFFFFFFFFL)).as("hi"),
+          lo1.bitwiseAND(lit(0xFFFFFFFFL)).as("lo"))
+      })
+    shiftleft(folded.getField("hi"), 32).bitwiseOR(folded.getField("lo"))
+  }
+
+  /** Wrapping h·a + b (mod 2^64) for a 64-bit Column `h` with a < 2^20:
+    * the same 32-bit-split trick (hLo·a + bLo < 2^53 — overflow-free). */
+  private def mulAdd64(h: Column, a: Column, b: Column): Column = {
+    val mask = lit(0xFFFFFFFFL)
+    val lo1 = h.bitwiseAND(mask) * a + b.bitwiseAND(mask)
+    val hi1 = shiftrightunsigned(h, 32) * a + shiftrightunsigned(b, 32) +
+      shiftrightunsigned(lo1, 32)
+    shiftleft(hi1.bitwiseAND(mask), 32).bitwiseOR(lo1.bitwiseAND(mask))
+  }
+
+  /** Portable SimHash fingerprint as a signed long — HOF twin of the native
+    * `graft_simhash64` expression. Token hashes are materialized into an
+    * array FIRST (lambda variables bind once), then votes fold over them. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(array_distinct(TextAnalysis.tokens(text)), t => poly64Base(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          p => call_function("shiftrightunsigned", h, lit(63) - p).bitwiseAND(lit(1L))),
+        (a, bit) => a + when(bit === 1L, 1).otherwise(-1))
+    )
+    aggregate(votes, lit(0L),
+      (acc, v) => shiftleft(acc, 1).bitwiseOR(when(v > 0, lit(1L)).otherwise(lit(0L))))
+  }
+
+  /** Session-aware portable SimHash (native expression when registered). */
+  def simhash64Of(s: org.apache.spark.sql.SparkSession): Column => Column =
+    if (s.catalog.functionExists("graft_simhash64"))
+      text => call_function("graft_simhash64", TextAnalysis.tokens(text))
+    else simhash64
+
+  /** Portable MinHash signature (signed-min semantics) — HOF twin of the
+    * native `graft_minhash_poly`. Per-shingle base hashes are materialized
+    * once; the per-seed h = base·A_s + B_s values fold into running minima
+    * via a (mins, seed-index) zip. */
+  def minhashSignature64(sh: Column, numHashes: Int): Column = {
+    val seeds = Poly64.seeds(numHashes)
+    val as = lit(seeds.map(_._1))
+    val bs = lit(seeds.map(_._2))
+    val bases = transform(array_distinct(sh), x => poly64Base(x))
+    aggregate(
+      bases,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, base) => zip_with(
+        acc,
+        sequence(lit(0), lit(numHashes - 1)),
+        (m, s) => least(m, mulAdd64(base, element_at(as, s + 1), element_at(bs, s + 1))))
+    )
+  }
+
+  /** SimHash dedup groups over the portable long fingerprint (oracle-checked
+    * sibling of [[simhashGroups]]). Output: (id, simhash long, group_id). */
+  def simhashGroups64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fp = docs.select(col(idCol), simhash64Of(docs.sparkSession)(col(textCol)).as("simhash"))
+    fp.withColumn("group_id", min(col(idCol)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  /** [[simhashNearDupFromFp]] on the portable LONG fingerprint: identical
+    * pigeonhole block-candidate scheme, but blocks/popcounts are integer
+    * bit ops on an 8-byte key instead of hex-string slices — smaller
+    * shuffle rows AND a DuckDB-recomputable fingerprint. Radius =
+    * nBlocks - 1 bits; 64 must divide evenly by nBlocks. */
+  def simhashNearDup64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None): DataFrame = {
+    require(nBlocks > 1 && 64 % nBlocks == 0, "nBlocks must divide 64")
+    val width = 64 / nBlocks
+    val blockMask = (1L << width) - 1
+    // coalesce → non-nullable (null text ≡ empty-doc fingerprint 0): see
+    // simhashNearDupFromFp — keeps pushdown from double-evaluating the
+    // fingerprint lineage into scan-level isnotnull filters.
+    val fp = coalesce(simhash64Of(docs.sparkSession)(col(textCol)), lit(0L))
+    val blocked = docs
+      .select(col(idCol).as("id"), fp.as("fp"))
+      .select(col("id"), col("fp"),
+        explode(array((0 until nBlocks).map(i =>
+          struct(lit(i).as("bi"),
+            shiftrightunsigned(col("fp"), 64 - width * (i + 1)).bitwiseAND(lit(blockMask)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      // one exchange reused by both self-join sides (see simhashNearDupFromFp)
+      .repartition(col("bi"), col("bv"))
+    val pruned = maxBlockFreq match {
+      case Some(m) =>
+        import org.apache.spark.sql.expressions.Window
+        blocked
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("bi"), col("bv"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => blocked
+    }
+    val a = pruned.select(col("id").as("id_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+    val b = pruned.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
+    a.join(b.hint("merge"), Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .where(col("hamming") <= nBlocks - 1)
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
 
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
     * one n-gram: explode distinct n-grams, self-join on an 8-byte n-gram

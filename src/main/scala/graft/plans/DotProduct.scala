@@ -117,6 +117,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64Expr(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_poly"),
+      new ExpressionInfo(classOf[Poly64MinHash].getName, "graft_minhash_poly"),
+      (children: Seq[Expression]) => Poly64MinHash(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue(),
+        children(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
       (children: Seq[Expression]) =>
