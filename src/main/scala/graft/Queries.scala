@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.fs.{Expressions, OnlineStore, PointInTime, Registry, Serving}
+import graft.fs.{Expressions, FeatureStore, OnlineStore, PointInTime, Registry, Serving}
 import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** The registered query surface — one entry per implemented operator from
@@ -601,6 +601,49 @@ object Queries {
   private def registryQ(s: SparkSession, dir: String): DataFrame =
     Registry.defaultRegistry().describe(s)
 
+  /** The reference's `aqi_info` feature history re-derived from events:
+    * the view's registered schema (hour/day/dayOfWeek/aqi keyed by
+    * entity_id at feature_timestamp) + a unique tie-break id. */
+  private def aqiInfoSource(s: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    t(s, dir, "events").select(
+      Expressions.entityId(col("user_id")).as("entity_id"),
+      ts.as("feature_timestamp"),
+      hour(ts).as("hour"),
+      dayofmonth(ts).as("day"),
+      dayofweek(ts).as("dayOfWeek"),
+      Expressions.aqiPm25(col("value")).as("aqi"),
+      col("event_id").as("fid"))
+  }
+
+  private def aqiStore(s: SparkSession, dir: String): FeatureStore =
+    new FeatureStore(Registry.defaultRegistry(),
+      Map("aqi_info" -> aqiInfoSource(s, dir)),
+      tieBreaks = Map("aqi_info" -> Seq("fid")))
+
+  private val aqiRefs = Seq("aqi_info_v1:hour", "aqi_info_v1:day",
+    "aqi_info_v1:dayOfWeek", "aqi_info_v1:aqi")
+
+  /** The reference training script's store read end-to-end through the
+    * unified facade (ref-string resolution → registry schema → merge PIT
+    * join), aqi_predict_hn.py:18-33's exact shape. */
+  private def storeTrainingRead(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val entity = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("probe_id"),
+        Expressions.entityId(col("user_id")).as("entity_id"),
+        col("ts").as("event_timestamp"))
+    aqiStore(s, dir).getHistoricalFeatures(entity, aqiRefs)
+  }
+
+  /** The reference agent's online read through the facade (ref strings →
+    * materialized snapshot → broadcast lookup), agent.py:73-76. */
+  private def storeOnlineRead(s: SparkSession, dir: String): DataFrame = {
+    val store = aqiStore(s, dir)
+    val keys = aqiInfoSource(s, dir).select("entity_id").distinct()
+    store.getOnlineFeatures(aqiRefs, keys)
+  }
+
   /** Flagship: the reference's training read end-to-end — derive features →
     * PIT join onto an entity frame → lag → null-drop, one Catalyst plan
     * (aqi_predict_hn.py:18-47's exact shape, F3 included). */
@@ -689,7 +732,9 @@ object Queries {
     "q_frame_sample" -> (frameSample _),
     "q_decode_meta" -> (decodeMetaQ _),
     "q_registry" -> (registryQ _),
-    "q_training_set" -> (flagship _)
+    "q_training_set" -> (flagship _),
+    "q_store_training_read" -> (storeTrainingRead _),
+    "q_store_online_read" -> (storeOnlineRead _)
   )
 
   // DuckDB dialect fragments shared by several oracles.
@@ -885,6 +930,8 @@ object Queries {
         |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q_text_stats" -> textStatsOracle,
     "q_training_set" -> trainingSetOracle,
+    "q_store_training_read" -> storeTrainingReadOracle,
+    "q_store_online_read" -> storeOnlineReadOracle,
     "q_lang_id" -> langIdOracle,
     "q_token_count" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_tok_re
@@ -1334,6 +1381,32 @@ object Queries {
        |FROM pit)
        |SELECT probe_id, user_id, event_ts, aqi, last_hour_aqi FROM lagd
        |WHERE aqi IS NOT NULL AND last_hour_aqi IS NOT NULL""".stripMargin
+
+  /** The facade training read: same PIT spec as asofOracle but keyed on the
+    * derived entity_id and projecting the view's calendar fields of the
+    * matched FEATURE row (not the entity row). */
+  private def storeTrainingReadOracle: String =
+    s"""WITH e AS (SELECT event_id AS probe_id, CAST(user_id AS VARCHAR) AS entity_id, ts AS event_timestamp
+       |  FROM events WHERE event_type = 'purchase'),
+       |f AS (SELECT CAST(user_id AS VARCHAR) AS entity_id, ts AS fts,
+       |    CAST(hour(ts) AS INTEGER) AS hour, CAST(day(ts) AS INTEGER) AS day,
+       |    CAST(dayofweek(ts) + 1 AS INTEGER) AS dw, $aqiSql AS aqi, event_id AS fid
+       |  FROM events)
+       |SELECT probe_id, entity_id, event_timestamp, hour, day, dw AS "dayOfWeek", aqi FROM (
+       |  SELECT e.probe_id, e.entity_id, e.event_timestamp, f.hour, f.day, f.dw, f.aqi,
+       |    row_number() OVER (PARTITION BY e.probe_id ORDER BY f.fts DESC NULLS LAST, f.fid DESC NULLS LAST) AS rn
+       |  FROM e LEFT JOIN f ON e.entity_id = f.entity_id
+       |    AND f.fts <= e.event_timestamp AND f.fts >= e.event_timestamp - INTERVAL 7 DAY
+       |) WHERE rn = 1""".stripMargin
+
+  /** The facade online read: latest feature row per entity (ts desc, id
+    * desc tie-break), projected to the requested view fields. */
+  private def storeOnlineReadOracle: String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS entity_id,
+       |  CAST(hour(ts) AS INTEGER) AS hour, CAST(day(ts) AS INTEGER) AS day,
+       |  CAST(dayofweek(ts) + 1 AS INTEGER) AS "dayOfWeek", $aqiSql AS aqi
+       |FROM events
+       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
   private def langIdOracle: String = {
     val scores = TextAnalysis.LangLexicons.map { case (lang, lex) =>

@@ -42,8 +42,13 @@ class PropertiesSpec extends SparkSpec {
     val entity = Gen.listOfN(200, gen).sample.get.zipWithIndex
       .map { case ((k, t, _, _), i) => (i.toLong, k, t) }
       .toDF("probe_id", "entity", "event_ts")
-    // sparse features so some probes find nothing inside the TTL window
-    val feature = Gen.listOfN(25, gen).sample.get
+    // sparse features so some probes find nothing inside the TTL window.
+    // fids re-assigned globally unique: chooseNum's bound bias otherwise
+    // collides (entity, fts, fid) across rows with different payloads,
+    // which the determinism contract leaves arbitrary (see writeOnline
+    // property below — same lesson)
+    val feature = Gen.listOfN(25, gen).sample.get.zipWithIndex
+      .map { case ((k, t, v, _), i) => (k, t, v, i.toLong) }
       .toDF("entity", "fts", "v", "fid")
 
     def canon(df: org.apache.spark.sql.DataFrame) =
