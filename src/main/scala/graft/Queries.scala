@@ -341,6 +341,30 @@ object Queries {
       .select(col("probe_id"), col("p_uid").as("user_id"), col("pts"), col("n_views"))
   }
 
+  /** The linear twin of [[rangeJoin]]: instead of joining each purchase to
+    * every in-window view and re-aggregating (entity × views-in-range row
+    * explosion — super-linear on hot users), union the two event kinds,
+    * shuffle ONCE on user, and count views with a RANGE frame over event
+    * time ([-1 hour, 0] in microseconds). O((|P|+|V|) log) per user — the
+    * historicalFeaturesMerge pattern applied to range counting. Same
+    * oracle as q_range_join. */
+  private def rangeJoinMerge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val u = ev.where(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "view", 1L).otherwise(0L).as("__is_view"),
+        (col("event_type") === "purchase").as("__is_probe"),
+        // NTZ → micros is timezone-free under the UTC session contract
+        unix_micros(col("ts").cast("timestamp")).as("__us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    u.withColumn("n_views", sum(col("__is_view")).over(w))
+      .where(col("__is_probe"))
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        col("ts").as("pts"), col("n_views"))
+  }
+
   /** Gap-based sessionization: a new session starts after >30 min of
     * inactivity; session id = running count of session starts. One shuffle
     * (by user) feeds both windows and the final aggregate. */
@@ -690,6 +714,7 @@ object Queries {
     "q_percentiles" -> (percentilesQ _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_range_join" -> (rangeJoin _),
+    "q_range_join_merge" -> (rangeJoinMerge _),
     "q_sessionize" -> (sessionize _),
     "q_pivot_daily" -> (pivotDaily _),
     "q_unpivot_daily" -> (unpivotDaily _),
@@ -1030,6 +1055,13 @@ object Queries {
         |count(DISTINCT l_partkey) AS n_part, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_range_join" ->
+      """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+        |SELECT probe_id, p.user_id, pts, count(vts) AS n_views
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the merge formulation must reproduce the join-form's counts exactly
+    "q_range_join_merge" ->
       """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
         |SELECT probe_id, p.user_id, pts, count(vts) AS n_views

@@ -105,6 +105,12 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 2, s"merge formulation regressed to multi-shuffle:\n$p")
   }
 
+  test("q_range_join_merge: ONE user shuffle, no join operator at all") {
+    val p = plan("q_range_join_merge")
+    assert(nodes(p, "Exchange") <= 1, s"merge range-count regressed to multi-shuffle:\n$p")
+    assert(!p.contains("Join"), s"merge range-count must not plan a join:\n$p")
+  }
+
   test("q_sessionize: windows and final aggregate share ONE user shuffle") {
     val p = plan("q_sessionize")
     // lag + running sum partition by user_id; the (user_id, session_seq)
