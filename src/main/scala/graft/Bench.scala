@@ -1,9 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line `{"metric":"total","value":N,"unit":"sec",
+  * "queries":{...mean sec...},"qmin":{...min sec...},"runs":R,"sf":...}`.
+  *
+  * Robustness against the driver's output capture (r02/r03 lost the line to
+  * tail truncation): the line is printed and flushed BEFORE spark.stop()'s
+  * shutdown noise, values are rounded to 3 decimals to keep it short, and
+  * the same line is tee'd to bench_last.json (cwd) as a file fallback.
+  *
+  * Noise control: each query runs SPARK_GRAFT_BENCH_RUNS times (default 3);
+  * `queries` carries per-query means (cross-round comparisons stop being
+  * dominated by the ±20% single-run scheduling noise BASELINE.md documents),
+  * `qmin` the per-query minima (the steady-state floor). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,15 +33,25 @@ object Bench {
     try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, r3(times.sum / runs), r3(times.min))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val mean = results.map { case (k, m, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
+    val mins = results.map { case (k, _, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"runs":$runs,"sf":"$sfDir"}"""
+    // stdout first + explicit flush, THEN the file fallback, THEN shutdown
+    println(line)
+    System.out.flush()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
