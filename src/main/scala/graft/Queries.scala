@@ -555,6 +555,16 @@ object Queries {
     Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), k = 5, nLists = 16, nProbe = 4)
   }
 
+  /** IVF search over the 2-round Lloyd-refined index — the production
+    * index-build path the single kmeans iteration stands in for. The oracle
+    * re-derives both refinement rounds (assign → rounded per-cell means)
+    * and the final cell-blocked search in SQL. */
+  private def ivfRefinedTopKQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfRefinedTopK(emb, emb.where(col("vec_id") < 10),
+      k = 5, nLists = 16, nProbe = 4, iters = 2)
+  }
+
   /** One Lloyd iteration refining the IVF bootstrap centroids (scalar
     * per-cell surface; the native vector-sum aggregate does the heavy
     * lifting, posexplode fallback without extensions). */
@@ -748,6 +758,7 @@ object Queries {
     "q_ann_topk" -> (annTopK _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
+    "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
     "q_kmeans_iter" -> (kmeansIterQ _),
     "q_train_split" -> (trainSplit _),
     "q_hybrid_rank" -> (hybridRank _),
@@ -1131,6 +1142,7 @@ object Queries {
          |FROM m WHERE media_type = 'video'""".stripMargin,
     "q_registry" -> registryOracle,
     "q_ivf_topk" -> ivfOracle,
+    "q_ivf_refined_topk" -> ivfRefinedOracle,
     "q_kmeans_iter" -> kmeansOracle,
     "q_hybrid_rank" -> hybridOracle,
     "q_train_split" ->
@@ -1310,6 +1322,55 @@ object Queries {
        |  SELECT vec_id AS probe_id, embedding AS p_emb, c AS cell FROM (
        |    SELECT e.vec_id, e.embedding, cent.c, $d AS s
        |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p_emb", "c_emb")} / (sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})) END, 6) AS cosine
+       |  FROM pcell JOIN ccell USING (cell) WHERE probe_id <> corpus_id)
+       |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
+  /** q_ivf_refined_topk re-derived end-to-end: the bootstrap centroids, two
+    * unrolled Lloyd rounds (argmax assignment with the engine's s-then-c
+    * tie-break; per-cell means rounded to 6 dp — the same margin-≫-drift
+    * rounding that makes both engines' centroid literals bit-identical;
+    * emptied cells keep the previous centroid), then the cell-blocked
+    * search of ivfOracle against the refined centroids. */
+  private def ivfRefinedOracle: String = {
+    // one Lloyd round: assign every vector to its nearest `prev` centroid,
+    // mean members per position, carry forward centroids of emptied cells
+    def round(prev: String, idx: Int): String =
+      s"""a$idx AS (
+         |  SELECT vec_id, embedding, c AS cell FROM (
+         |    SELECT e.vec_id, e.embedding, cent.c, ${dotSql("e.embedding", "cent.cemb")} AS s
+         |    FROM embeddings e CROSS JOIN $prev cent)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |s$idx AS (
+         |  SELECT cell, r.range AS pos,
+         |    sum(CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE)) AS s, count(*) AS cnt
+         |  FROM a$idx CROSS JOIN range(0, 64) r GROUP BY 1, 2),
+         |m$idx AS (SELECT cell, list(round(s / cnt, 6) ORDER BY pos) AS cemb FROM s$idx GROUP BY 1),
+         |cent$idx AS (
+         |  SELECT p.c, coalesce(m$idx.cemb, CAST(p.cemb AS DOUBLE[])) AS cemb
+         |  FROM $prev p LEFT JOIN m$idx ON m$idx.cell = p.c)""".stripMargin
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |${round("cent0", 1)},
+       |${round("cent1", 2)},
+       |ccell AS (
+       |  SELECT vec_id AS corpus_id, embedding AS c_emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent2 cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent2 cent)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
        |scored AS (
        |  SELECT probe_id, corpus_id,

@@ -220,10 +220,23 @@ object Similarity {
       nProbe: Int = 4,
       idCol: String = "vec_id",
       embCol: String = "embedding"
+  ): DataFrame =
+    ivfTopKFrom(centroidBootstrap(corpus, nLists, idCol, embCol),
+      corpus, probes, k, nProbe, idCol, embCol)
+
+  /** IVF search against an explicit centroid set — shared by the bootstrap
+    * index ([[ivfTopK]]) and the Lloyd-refined index ([[ivfRefinedTopK]]). */
+  private def ivfTopKFrom(
+      centroids: Array[(Int, Array[Double])],
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String,
+      embCol: String
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dp = dotFn(corpus.sparkSession)
-    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
     val cellScores = this.cellScores(centroids, dp) _
 
     val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
@@ -300,6 +313,67 @@ object Similarity {
       .agg(max(col("cnt")).as("n_members"),
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s")).as("vsum"))
+
+  /** `iters` full Lloyd rounds over the corpus: assign → per-cell mean →
+    * feed the means back as the next round's centroid literals — the
+    * production IVF index-build loop that the single [[kmeansIter]] step
+    * stands in for. Each round is one distributed pass (the same
+    * vector-sum aggregate as kmeansIter, shuffle ∝ nLists×dim); only the
+    * ≤nLists×dim mean matrix crosses the driver between rounds (the same
+    * bounded-collect pattern as the bootstrap).
+    *
+    * Cross-engine determinism: mean components are rounded to 6 decimals
+    * (HALF_UP — Spark/DuckDB `round` convention) before becoming literals,
+    * a margin ≫ the ~1e-9 summation-order drift, so a DuckDB oracle
+    * re-deriving the same rounds computes bit-identical centroid literals
+    * and therefore identical assignments. Cells that lose every member
+    * keep their previous centroid. */
+  private[graft] def refinedCentroids(
+      corpus: DataFrame,
+      nLists: Int,
+      iters: Int,
+      idCol: String,
+      embCol: String
+  ): Array[(Int, Array[Double])] = {
+    val spark = corpus.sparkSession
+    val dp = dotFn(spark)
+    val clean = corpus.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+    var cents = centroidBootstrap(corpus, nLists, idCol, embCol)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 1 to iters) {
+      val cs = cellScores(cents, dp) _
+      val assigned = clean.select(
+        array_max(cs(col(embCol))).getField("c").as("cell"), col(embCol).as("emb"))
+      val summed =
+        if (spark.catalog.functionExists("graft_vec_sum"))
+          assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),
+            call_function("graft_vec_sum", col("emb")).as("vsum"))
+        else vecSumFallback(assigned)
+      val means = summed.collect().map { r =>
+        val n = r.getAs[Long]("n_members").toDouble
+        r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("vsum")).map(v => round6(v / n)).toArray
+      }.toMap
+      cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    cents
+  }
+
+  /** IVF top-k over the Lloyd-refined index: [[refinedCentroids]] then the
+    * standard cell-blocked search. Same plan shape as [[ivfTopK]]; only the
+    * centroid literal values differ. */
+  def ivfRefinedTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame =
+    ivfTopKFrom(refinedCentroids(corpus, nLists, iters, idCol, embCol),
+      corpus, probes, k, nProbe, idCol, embCol)
 
   /** Embedding-cosine near-duplicate pairs under a blocking key: pairs are
     * scored only within equal `blockCol` values, so the join fans out per

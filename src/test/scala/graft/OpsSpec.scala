@@ -201,6 +201,25 @@ class OpsSpec extends SparkSpec {
     assert(counts.values.forall(_ == 5))
   }
 
+  test("ivfRefinedTopK: refinement moves centroids but keeps the search contract") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = corpus.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "corpus_id", "rn").as[(Long, Long, Int)].collect().toSet
+    // probing every refined cell is still exact brute force
+    val exact = rows(Similarity.bruteForceTopKJoin(corpus, probes, 5))
+    assert(rows(Similarity.ivfRefinedTopK(corpus, probes, 5, nLists = 8, nProbe = 8, iters = 2)) == exact)
+    // Lloyd rounds actually move the centroids off the bootstrap vectors
+    val boot = Similarity.centroidBootstrap(corpus, 8, "vec_id", "embedding")
+    val refined = Similarity.refinedCentroids(corpus, 8, 2, "vec_id", "embedding")
+    assert(boot.map(_._1).toSeq == refined.map(_._1).toSeq, "cell ids must be stable")
+    assert(boot.zip(refined).exists { case ((_, b), (_, r)) => !b.sameElements(r) },
+      "two Lloyd rounds should move at least one centroid")
+    // refinement is deterministic (same literals both times)
+    val again = Similarity.refinedCentroids(corpus, 8, 2, "vec_id", "embedding")
+    assert(refined.zip(again).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+  }
+
   test("textStats: hand-computed ratios on a known doc, empty doc safe") {
     val got = TextAnalysis.textStats(docs)
       .select("doc_id", "n_tokens", "stopword_ratio", "distinct_ratio")
