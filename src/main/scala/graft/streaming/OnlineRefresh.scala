@@ -117,6 +117,47 @@ object OnlineRefresh {
   def enrichStream(stream: DataFrame, snapshot: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(snapshot, keys, "left")
 
+  /** Streaming point-in-time enrichment: as entity rows arrive, attach the
+    * latest in-TTL feature row from the (static) offline feature history —
+    * the streaming twin of `FeatureStore.getHistoricalFeatures`. Window
+    * functions can't run on an unbounded stream, so each micro-batch is
+    * enriched in `foreachBatch` with the SAME `PointInTime
+    * .historicalFeatures` code as batch (semantics can't drift;
+    * batch-differential-tested). PIT enrichment is per-entity-row, so
+    * incremental micro-batch results append to exactly the one-shot batch
+    * result. Scale: each micro-batch is one bounded as-of join against the
+    * feature store — partition pruning/pushdown on the static side apply
+    * per batch, and `featureDf` re-resolves lazily so a compacted/appended
+    * store is picked up on the next batch (unlike a stream-static stream
+    * join, which pins the file list at query start — see [[enrichStream]]). */
+  def enrichAsOfStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      featureDf: () => DataFrame,
+      outPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      eventTs: String,
+      featureTs: String,
+      featureCols: Seq[String],
+      ttl: Option[String] = None,
+      tieBreak: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.fs.PointInTime
+          .historicalFeatures(batch, featureDf(), keys, eventTs, featureTs,
+            featureCols, ttl, tieBreak)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -90,6 +90,52 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "b")), "duplicates must be dropped across micro-batches")
   }
 
+  test("streaming PIT enrichment equals the one-shot batch as-of join") {
+    import graft.fs.PointInTime
+    val tmp = Files.createTempDirectory("graft-pit-stream").toString
+    // static offline feature history: two entities, two feature versions each
+    val features = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 100L),
+      (1L, Timestamp.valueOf("2024-01-01 06:00:00"), 11.0, 101L),
+      (2L, Timestamp.valueOf("2024-01-01 03:00:00"), 20.0, 102L),
+      // stale beyond the 2-day TTL for the batch-2 probe at Jan 10
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 30.0, 103L)
+    ).toDF("user_id", "fts", "fval", "fid")
+
+    val entitySchema = StructType(Seq(
+      StructField("probe_id", LongType),
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType)))
+    def enrich(): Unit = {
+      val q = OnlineRefresh.enrichAsOfStream(spark, s"$tmp/in/*", entitySchema,
+        () => features, s"$tmp/out", s"$tmp/ckpt",
+        Seq("user_id"), "ts", "fts", Seq("fval"), Some("2 DAYS"), Seq("fid"))
+      q.awaitTermination()
+    }
+
+    val b1 = Seq(
+      (1000L, 1L, Timestamp.valueOf("2024-01-01 05:00:00")), // sees 10.0
+      (1001L, 2L, Timestamp.valueOf("2024-01-01 02:00:00"))) // before any feature -> null
+    val b2 = Seq(
+      (1002L, 1L, Timestamp.valueOf("2024-01-01 07:00:00")), // sees 11.0 (advanced)
+      (1003L, 3L, Timestamp.valueOf("2024-01-10 00:00:00"))) // TTL-expired -> null
+    b1.toDF("probe_id", "user_id", "ts").write.parquet(s"$tmp/in/b1")
+    enrich()
+    b2.toDF("probe_id", "user_id", "ts").write.mode("append").parquet(s"$tmp/in/b2")
+    enrich()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "fval").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val streamed = canon(spark.read.parquet(s"$tmp/out"))
+    val batch = canon(PointInTime.historicalFeatures(
+      (b1 ++ b2).toDF("probe_id", "user_id", "ts"), features,
+      Seq("user_id"), "ts", "fts", Seq("fval"), Some("2 DAYS"), Seq("fid")))
+    assert(streamed == batch, "incremental micro-batch PIT must equal the batch join")
+    assert(streamed == Map(1000L -> Some(10.0), 1001L -> None,
+      1002L -> Some(11.0), 1003L -> None))
+  }
+
   test("session_window (streaming sessionize) agrees with the batch lag/running-sum form") {
     // batch differential: the same session_window expression runs in batch,
     // so its boundaries must match q_sessionize's gap-based derivation
