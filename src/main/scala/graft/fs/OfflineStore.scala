@@ -130,8 +130,19 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     fs.delete(old, true)
     def dataFiles(p: Path): Int =
       fs.listStatus(p).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    def fileManifest(p: Path): Set[(String, Long)] =
+      fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath.getName, s.getLen)).toSet
     val before = dataFiles(partDir)
     if (before <= targetFiles) return (before, before)
+    // Writer exclusion: snapshot the partition's file manifest before the
+    // rewrite read; if an append landed while we rewrote, the set-aside
+    // copy holds files the rewrite never saw — deleting it would lose them.
+    // Verified post-swap; on mismatch the swap is rolled back and the
+    // caller retries. (A writer that STARTS after the partDir->old rename
+    // recreates partDir and the tmp rename below fails loudly — full
+    // exclusion needs a table format with transactional listing.)
+    val preManifest = fileManifest(partDir)
     // partition-column values live in the directory name, not the files —
     // read/write the bare directory so the rewritten files stay schema-equal.
     // mergeSchema: a day whose batches evolved the schema must keep the
@@ -140,6 +151,12 @@ final case class OfflineStore(spark: SparkSession, root: String) {
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     must(fs.rename(partDir, old), s"$partDir -> $old")
+    if (fileManifest(old) != preManifest) {
+      must(fs.rename(old, partDir), s"rollback $old -> $partDir")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"concurrent append detected in $partDir during compaction; rolled back — rerun")
+    }
     must(fs.rename(tmp, partDir), s"$tmp -> $partDir")
     fs.delete(old, true)
     // drop the _SUCCESS marker so the partition dir holds only data files

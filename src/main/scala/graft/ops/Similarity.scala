@@ -304,15 +304,25 @@ object Similarity {
   /** Portable vector-sum fallback (posexplode + positional aggregate) for
     * sessions without the graft_vec_sum aggregate. Input: (cell, emb) →
     * (cell, n_members, vsum). Must agree with the native aggregate
-    * (spec-tested). */
+    * (spec-tested) — INCLUDING on malformed corpora: ragged vector widths
+    * within a cell make the native aggregate throw a width-mismatch error,
+    * so the fallback raises too (per-position counts diverge from the
+    * member count exactly when widths are ragged) instead of silently
+    * producing truncated per-position sums. */
   private[graft] def vecSumFallback(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("emb")))
       .groupBy("cell", "pos")
       .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("cnt"))
       .groupBy("cell")
-      .agg(max(col("cnt")).as("n_members"),
+      .agg(max(col("cnt")).as("__max_cnt"), min(col("cnt")).as("__min_cnt"),
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           x => x.getField("s")).as("vsum"))
+      .select(col("cell"),
+        when(col("__min_cnt") === col("__max_cnt"), col("__max_cnt"))
+          .otherwise(raise_error(concat(
+            lit("vecSumFallback: ragged vector widths in cell "),
+            col("cell").cast("string")))).as("n_members"),
+        col("vsum"))
 
   /** `iters` full Lloyd rounds over the corpus: assign → per-cell mean →
     * feed the means back as the next round's centroid literals — the

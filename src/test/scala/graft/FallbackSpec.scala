@@ -85,6 +85,24 @@ class FallbackSpec extends SparkSpec {
     }
   }
 
+  test("ragged vector widths fail on BOTH vector-sum paths (no silent truncation)") {
+    // two members of cell 0 with different widths: the native aggregate
+    // throws a width mismatch; the fallback must raise too, not emit
+    // truncated per-position sums with a max-count n_members
+    val ragged = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f)), (1, Seq(5.0f, 6.0f)))
+      .toDF("cell", "emb")
+    val native = intercept[Exception] {
+      ragged.groupBy("cell").agg(count(lit(1)).as("n_members"),
+        call_function("graft_vec_sum", col("emb")).as("vsum")).collect()
+    }
+    val fallback = intercept[Exception] { Similarity.vecSumFallback(ragged).collect() }
+    assert(fallback.getMessage != null && native.getMessage != null)
+    // uniform widths still agree after the guard
+    val clean = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f))).toDF("cell", "emb")
+    val fb = Similarity.vecSumFallback(clean).as[(Int, Long, Seq[Double])].collect().head
+    assert(fb._2 == 2L && fb._3 == Seq(4.0, 6.0))
+  }
+
   test("kmeansIter: member counts partition the corpus; norms positive") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val out = Similarity.kmeansIter(emb, nLists = 8).collect()

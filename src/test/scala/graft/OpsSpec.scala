@@ -300,17 +300,25 @@ class OpsSpec extends SparkSpec {
 
   test("approximate sketches track their exact twins (HLL distinct, quantile)") {
     // events.ts is TIMESTAMP(NANOS); unread here, but the schema converter
-    // still rejects the file without the legacy long mapping
+    // still rejects the file without the legacy long mapping. Scoped with a
+    // finally-restore so the shared session's conf can't leak into suites
+    // that run after this one (test order must not change behavior).
+    val prior = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    val row = ev.agg(
-      countDistinct(col("user_id")).as("exact_d"),
-      approx_count_distinct(col("user_id")).as("approx_d"), // HLL++, default rsd 5%
-      expr("percentile(value, 0.5)").as("exact_med"),
-      expr("percentile_approx(value, 0.5, 1000)").as("approx_med")).collect().head
-    val (ed, ad) = (row.getAs[Long]("exact_d"), row.getAs[Long]("approx_d"))
-    assert(math.abs(ad - ed).toDouble / ed < 0.15, s"HLL drifted: exact=$ed approx=$ad")
-    val (em, am) = (row.getAs[Double]("exact_med"), row.getAs[Double]("approx_med"))
-    assert(math.abs(am - em) / math.max(em, 1e-9) < 0.05, s"quantile sketch drifted: $em vs $am")
+    try {
+      val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      val row = ev.agg(
+        countDistinct(col("user_id")).as("exact_d"),
+        approx_count_distinct(col("user_id")).as("approx_d"), // HLL++, default rsd 5%
+        expr("percentile(value, 0.5)").as("exact_med"),
+        expr("percentile_approx(value, 0.5, 1000)").as("approx_med")).collect().head
+      val (ed, ad) = (row.getAs[Long]("exact_d"), row.getAs[Long]("approx_d"))
+      assert(math.abs(ad - ed).toDouble / ed < 0.15, s"HLL drifted: exact=$ed approx=$ad")
+      val (em, am) = (row.getAs[Double]("exact_med"), row.getAs[Double]("approx_med"))
+      assert(math.abs(am - em) / math.max(em, 1e-9) < 0.05, s"quantile sketch drifted: $em vs $am")
+    } finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 }
