@@ -101,11 +101,16 @@ object PointInTime {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = featureCols.foldLeft(
-      unioned.withColumn("__last_fts", last(when(col("__kind") === 0, col("__ts")), ignoreNulls = true).over(w))
-    ) { (df, c) =>
-      df.withColumn(s"__c_$c", last(when(col("__kind") === 0, col(s"__f_$c")), ignoreNulls = true).over(w))
-    }
+    // All carry-forward columns in ONE select → a single Window node (one
+    // pass over each sorted partition). The foldLeft/withColumn form left a
+    // stack of per-column Window nodes that CollapseWindow did not merge —
+    // same shuffle, but featureCols+1 passes over every partition.
+    val carried = unioned.select(
+      col("*") +:
+        last(when(col("__kind") === 0, col("__ts")), ignoreNulls = true).over(w).as("__last_fts") +:
+        featureCols.map(c =>
+          last(when(col("__kind") === 0, col(s"__f_$c")), ignoreNulls = true).over(w).as(s"__c_$c")): _*
+    )
 
     val ttlOk = ttl
       .map(t => col("__last_fts") >= col("__ts") - expr(s"INTERVAL $t"))
