@@ -42,6 +42,51 @@ object Ingest {
   def writePartitioned(df: DataFrame, root: String): Unit =
     df.write.mode("append").partitionBy("year", "month", "day").parquet(root)
 
+  /** Byte-format-parity twin of the reference's raw landing file
+    * (extract.py:52-108): ONE file holding a JSON array — `[` + records
+    * joined by `",\n"` + `]`, record fields in schema order. Serialization
+    * runs distributed (`toJSON` over executors, JSONL parts); only the
+    * final assembly streams bytes through the driver (O(1) memory, no row
+    * ever materialized driver-side), which is the honest cost of a
+    * single-file format — the partitioned parquet sink remains the scale
+    * path, this exists for compatibility with consumers of the reference's
+    * landing file. Framing (`[`, `",\n"`, `]`) matches byte-for-byte;
+    * records are compact JSON (json.dumps pads with `", "`/`": "` — a
+    * semantically identical difference) and Spark's writer omits
+    * null-valued fields where the reference writes explicit nulls. */
+  def writeJsonArray(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import java.nio.charset.StandardCharsets.UTF_8
+    val spark = df.sparkSession
+    val tmp = new Path(path + "_jsonl_tmp")
+    df.toJSON.write.mode("overwrite").text(tmp.toString)
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(dst, true)
+    try {
+      out.write('[')
+      var first = true
+      val parts = fs.listStatus(tmp)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      for (part <- parts) {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(fs.open(part.getPath), UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (!first) out.write(",\n".getBytes(UTF_8))
+            out.write(line.getBytes(UTF_8))
+            first = false
+            line = in.readLine()
+          }
+        } finally in.close()
+      }
+      out.write(']')
+    } finally out.close()
+    fs.delete(tmp, true)
+  }
+
   /** Full feature derivation: calendar columns + entity key + native AQI.
     * One linear lineage — the whole reference Spark job
     * (write_to_bigquery.py:78-110) as a single Catalyst plan. */

@@ -11,6 +11,29 @@ import graft.fs._
 class EndToEndSpec extends SparkSpec {
   import spark.implicits._
 
+  test("writeJsonArray: single array file, reference byte format, round-trips") {
+    val tmp = Files.createTempDirectory("graft-jsonarr").toString
+    val df = Seq(
+      (1704067200L, 21.0, 105.75, 2L, 15.55),
+      (1704070800L, 21.0, 105.75, 1L, 12.05),
+      (1704074400L, 20.75, 106.75, 3L, 55.0)
+    ).toDF("dt", "lat", "lon", "aqi_level", "pm2_5")
+      .repartition(3) // multiple part files must still assemble in order
+    Ingest.writeJsonArray(df, s"$tmp/landing.json")
+
+    // byte shape: extract.py writes "[" + json.dumps joined by ",\n" + "]"
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/landing.json")), "UTF-8")
+    assert(text.startsWith("[{") && text.endsWith("}]"), s"not a single JSON array: ${text.take(40)}")
+    assert(text.count(_ == '\n') == 2, "records must be ,\\n-joined with no trailing newline")
+
+    // readable back through the ingest path's array branch
+    val back = spark.read.schema(df.schema).option("multiLine", "true")
+      .json(s"$tmp/landing.json")
+    assert(back.count() == 3)
+    assert(back.as[(Long, Double, Double, Long, Double)].collect().toSet ==
+      df.as[(Long, Double, Double, Long, Double)].collect().toSet)
+  }
+
   test("json ingest → offline store → features → PIT join → online lookup") {
     val tmp = Files.createTempDirectory("graft-e2e").toString
 

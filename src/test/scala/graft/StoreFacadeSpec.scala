@@ -89,6 +89,26 @@ class StoreFacadeSpec extends SparkSpec {
     assert(stale.collect().head.isNullAt(4))
   }
 
+  test("production wiring: facade over a real OfflineStore table") {
+    import graft.fs.{FeatureStore, OfflineStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-facade-store").toString
+    val offline = OfflineStore(spark, root)
+    // day-partitioned feature history, two entities
+    offline.append("aqi_info", history
+      .withColumn("year", year(col("feature_timestamp")))
+      .withColumn("month", month(col("feature_timestamp")))
+      .withColumn("day", dayofmonth(col("feature_timestamp"))))
+    val store = FeatureStore(offline, Registry.defaultRegistry(),
+      tieBreaks = Map("aqi_info" -> Seq("fid")))
+
+    val entityDf = Seq((entityId, ts(10))).toDF("entity_id", "event_timestamp")
+    val hist = store.getHistoricalFeatures(entityDf, refs).collect().head
+    assert(hist.getAs[Double]("aqi") == 100.0 && hist.getAs[Int]("hour") == 10)
+
+    val online = store.getOnlineFeatures(refs, Seq(entityId).toDF("entity_id")).collect().head
+    assert(online.getAs[Double]("aqi") == 230.0)
+  }
+
   test("multi-view resolution joins each requested view once") {
     val refs2 = Seq("aqi_info_v1:aqi", "aqi_info_v2:hour")
     val entityDf = Seq((entityId, ts(5))).toDF("entity_id", "event_timestamp")
