@@ -105,6 +105,20 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") <= 2, s"merge formulation regressed to multi-shuffle:\n$p")
   }
 
+  test("q_store_training_read: facade merge-PIT plans ONE window pass on one shuffle") {
+    val p = plan("q_store_training_read")
+    // the 4 carry-forward feature columns + __last_fts must share a single
+    // Window node (the foldLeft/withColumn form left 5 stacked passes)
+    assert(nodes(p, "Window") <= 1, s"carry-forward split into multiple Window passes:\n$p")
+    assert(nodes(p, "Exchange") <= 2, s"facade PIT read regressed to multi-shuffle:\n$p")
+  }
+
+  test("q_store_online_read: snapshot lookup broadcasts, argmax is partial+final") {
+    val p = plan("q_store_online_read")
+    assert(p.contains("BroadcastHashJoin"), s"online lookup must broadcast the snapshot:\n$p")
+    assert(nodes(p, "Exchange") <= 2, s"snapshot argmax must pre-combine before its shuffle:\n$p")
+  }
+
   test("q_range_join_merge: ONE user shuffle, no join operator at all") {
     val p = plan("q_range_join_merge")
     assert(nodes(p, "Exchange") <= 1, s"merge range-count regressed to multi-shuffle:\n$p")
