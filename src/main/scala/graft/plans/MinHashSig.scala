@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * RATES are observable, so the two formulations are interchangeable).
   */
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(shingleK > 0 && numHashes > 0, "shingleK and numHashes must be positive")
 
@@ -40,8 +40,17 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
       s"graft_minhash requires array<string> tokens, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  // one reference-object call, not CodegenFallback — keeps the enclosing
+  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhash", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val sep = UTF8String.fromString(" ")

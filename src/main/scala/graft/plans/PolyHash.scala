@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -88,9 +88,13 @@ object Poly64 {
   * vote semantics as [[SimHashExpr]] (distinct tokens, MSB-first bits,
   * vote > 0 → 1), but the fingerprint is a signed 64-bit long — cheaper to
   * shuffle and block than the hex-string form. Bit-identical to the HOF
-  * fallback `Dedup.simhash64` (spec-enforced). */
-case class SimHash64Expr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  * fallback `Dedup.simhash64` (spec-enforced).
+  *
+  * Codegen: the hash loop itself isn't worth generating, but falling back
+  * to CodegenFallback would kick the WHOLE enclosing stage out of
+  * whole-stage codegen — so `doGenCode` emits one call to [[compute]] on a
+  * reference object, keeping the surrounding projection compiled. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -102,8 +106,15 @@ case class SimHash64Expr(child: Expression)
       s"graft_simhash64 requires array<string> tokens, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhash64", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
     val seen = new java.util.HashSet[UTF8String]()
     val votes = new Array[Int](64)
@@ -139,7 +150,7 @@ case class SimHash64Expr(child: Expression)
   * SIGNED long order so the DuckDB oracle's signed min agrees. Shingle
   * semantics mirror [[MinHashSig]] / `Dedup.shinglesOf`. */
 case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   require(shingleK > 0 && numHashes > 0, "shingleK and numHashes must be positive")
 
@@ -155,8 +166,17 @@ case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
 
   @transient private lazy val seedsArr: Array[(Long, Long)] = Poly64.seeds(numHashes)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  // one reference-object call, not CodegenFallback — keeps the enclosing
+  // stage inside whole-stage codegen (see SimHash64Expr)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("minhashPoly", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val sep = UTF8String.fromString(" ")

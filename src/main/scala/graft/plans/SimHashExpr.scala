@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,8 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprint exactly like `conv(bits, 2, 16)` does (unsigned uppercase
   * hex, no leading zeros, "0" for zero).
   */
-case class SimHashExpr(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+case class SimHashExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -34,8 +33,17 @@ case class SimHashExpr(child: Expression)
       s"graft_simhash requires array<string> tokens, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  // one reference-object call, not CodegenFallback — keeps the enclosing
+  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("simhash", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  def compute(toks: ArrayData): UTF8String = {
     val n = toks.numElements()
     val seen = new java.util.HashSet[UTF8String]()
     val votes = new Array[Int](64)
