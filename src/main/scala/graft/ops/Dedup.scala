@@ -99,7 +99,7 @@ object Dedup {
     // DuckDB oracle can recompute value-for-value (native ≡ HOF there).
     val sigExpr: Column = sessionSig(docs.sparkSession, portableHash, shingleK, numHashes)
     val sig = docs
-      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
       .select(col(idCol), sigExpr.as("sig"))
     // (id, band, bucketHash) — bucket is a hash of the band's slice
     val banded = sig
@@ -168,7 +168,7 @@ object Dedup {
     * and persisted fingerprints never observe which one ran. */
   def simhashOf(s: org.apache.spark.sql.SparkSession): Column => Column =
     if (s.catalog.functionExists("graft_simhash"))
-      text => call_function("graft_simhash", TextAnalysis.tokens(text))
+      text => call_function("graft_simhash", TextAnalysis.tokensIn(s)(text))
     else simhash
 
   /** SimHash dedup groups: fingerprint per doc + group id (min doc id sharing
@@ -281,7 +281,7 @@ object Dedup {
     val spark = docs.sparkSession
     val sigExpr: Column = sessionSig(spark, portableHash, shingleK, numHashes)
     val perDoc = docs
-      .select(col(groupCol).as("grp"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(groupCol).as("grp"), TextAnalysis.tokensIn(spark)(col(textCol)).as("__toks"))
       .select(col("grp"), sigExpr.as("sig"))
     val perGroup =
       if (spark.catalog.functionExists("graft_minhash_union"))
@@ -363,7 +363,7 @@ object Dedup {
   /** Session-aware portable SimHash (native expression when registered). */
   def simhash64Of(s: org.apache.spark.sql.SparkSession): Column => Column =
     if (s.catalog.functionExists("graft_simhash64"))
-      text => call_function("graft_simhash64", TextAnalysis.tokens(text))
+      text => call_function("graft_simhash64", TextAnalysis.tokensIn(s)(text))
     else simhash64
 
   /** Portable MinHash signature (signed-min semantics) — HOF twin of the
@@ -467,7 +467,7 @@ object Dedup {
     // self-join side's size estimate, the pair join loses its
     // auto-broadcast, and the whole query runs ~2× slower.
     val grams = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol).as("id"), TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
       .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("gram"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))

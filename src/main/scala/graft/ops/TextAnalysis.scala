@@ -13,9 +13,19 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Whitespace tokenizer (single-space split to stay dialect-portable with
-    * the DuckDB oracle; empty tokens filtered). */
+    * the DuckDB oracle; empty tokens filtered). This is the portable HOF
+    * form; operators that hold a SparkSession use [[tokensIn]] to get the
+    * native byte-scan expression when GraftExtensions is loaded. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
+
+  /** Session-aware tokenizer: native `graft_tokens` (single byte scan,
+    * no regex, no HOF — whole-stage-codegen-friendly) when registered,
+    * the HOF twin otherwise. Identical outputs (spec-enforced). */
+  def tokensIn(s: org.apache.spark.sql.SparkSession): Column => Column =
+    if (s.catalog.functionExists("graft_tokens"))
+      text => call_function("graft_tokens", text)
+    else tokens
 
   /** Tiny embedded stopword set for quality ratios. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
@@ -37,7 +47,7 @@ object TextAnalysis {
     val distinctTok = size(array_distinct(t)).cast("double")
     val tokLenSum = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
     docs
-      .withColumn("__graft_ts_toks", tokens(col(textCol)))
+      .withColumn("__graft_ts_toks", tokensIn(docs.sparkSession)(col(textCol)))
       .withColumn("n_chars_m", length(col(textCol)).cast("long"))
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("avg_token_len", round(tokLenSum / nTok, 6))
@@ -68,7 +78,7 @@ object TextAnalysis {
     // Tokenize once (see textStats): each language score references the
     // token array, which would otherwise be re-tokenized per language.
     val t = col("__graft_li_toks")
-    val scored = LangLexicons.foldLeft(docs.withColumn("__graft_li_toks", tokens(lower(col(textCol))))) {
+    val scored = LangLexicons.foldLeft(docs.withColumn("__graft_li_toks", tokensIn(docs.sparkSession)(lower(col(textCol))))) {
       case (d, (lang, lex)) =>
         d.withColumn(s"score_$lang",
           size(filter(t, x => x.isin(lex: _*))).cast("double") / greatest(size(t), lit(1)).cast("double"))

@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tokens"),
+      new ExpressionInfo(classOf[TokensExpr].getName, "graft_tokens"),
+      (children: Seq[Expression]) => TokensExpr(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64Expr(children.head)))

@@ -35,6 +35,28 @@ class Poly64Spec extends SparkSpec {
     assert(s1.map(_._2).distinct.length == 32)
   }
 
+  test("native graft_tokens equals the HOF tokenizer exactly") {
+    import graft.ops.TextAnalysis
+    val cases = Seq(
+      "a b c", "  leading", "trailing  ", "double  space", "", " ", "   ",
+      "one", "tab\tis a token byte", "nl\nis too", "café  naïve", "中文 分词 test"
+    ).toDF("s")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text").as("s"))
+    for (d <- Seq(cases, real)) {
+      val diff = d.select(
+        TextAnalysis.tokens(col("s")).as("hof"),
+        call_function("graft_tokens", col("s")).as("native"))
+        .where(!(col("hof") <=> col("native")))
+      assert(diff.isEmpty, s"tokenizers diverged: ${diff.limit(3).collect().mkString(", ")}")
+    }
+    // null propagates as null on both paths
+    val nulls = Seq[Option[String]](None).toDF("s").select(
+      TextAnalysis.tokens(col("s")).as("hof"),
+      call_function("graft_tokens", col("s")).as("native")).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("native graft_simhash64 equals the HOF simhash64 exactly") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
