@@ -466,10 +466,20 @@ object Dedup {
     // on paper, but materializing the gram array into a column inflates the
     // self-join side's size estimate, the pair join loses its
     // auto-broadcast, and the whole query runs ~2× slower.
-    val grams = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
-      .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gram"))
+    // Native one-pass distinct-digest path when registered: builds each
+    // shingle once and dedups 8-byte digests instead of shingle strings —
+    // the HOF chain below materializes + string-compares every shingle
+    // first. Digest values are identical (XXH64 seed 42 both ways).
+    val spark = docs.sparkSession
+    val tokenized = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokensIn(spark)(col(textCol)).as("__toks"))
+    val grams =
+      if (spark.catalog.functionExists("graft_grams"))
+        tokenized.select(col("id"),
+          explode(call_function("graft_grams", col("__toks"), lit(n))).as("gram"))
+      else tokenized
+        .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
+        .select(col("id"), xxhash64(col("gram")).as("gram"))
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val pruned = maxNgramFreq match {
       case Some(m) =>

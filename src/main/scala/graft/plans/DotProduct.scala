@@ -117,6 +117,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHashExpr(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_grams"),
+      new ExpressionInfo(classOf[GramDigests].getName, "graft_grams"),
+      (children: Seq[Expression]) => GramDigests(
+        children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("graft_tokens"),
       new ExpressionInfo(classOf[TokensExpr].getName, "graft_tokens"),
       (children: Seq[Expression]) => TokensExpr(children.head)))

@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft_grams(tokens array<string>, k) → array<long>` — the DISTINCT
+  * xxhash64 digests of a document's word k-shingles in one pass.
+  *
+  * The composable pipeline (`shinglesOf` HOF → `array_distinct` →
+  * `xxhash64` per exploded row) materializes every shingle string,
+  * deduplicates them by full string comparison, and only then hashes.
+  * This expression builds each shingle once (`UTF8String.concatWs`, no
+  * JVM-String copies), hashes it immediately (XXH64 seed 42 — exactly the
+  * SQL `xxhash64` of the same shingle string, so digests stay
+  * interchangeable with the composed form), and deduplicates the 8-byte
+  * digests instead of the strings. Output order is first-occurrence, which
+  * downstream set-semantics consumers (explode → join/aggregate) ignore.
+  *
+  * Shingle semantics mirror [[graft.ops.Dedup.shinglesOf]]: fewer than k
+  * tokens → one shingle of the whole token list.
+  */
+case class GramDigests(child: Expression, shingleK: Int) extends UnaryExpression {
+
+  require(shingleK > 0, "shingleK must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_grams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_grams requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  // one reference-object call, not CodegenFallback — keeps the enclosing
+  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("gramDigests", this)
+      s"${ev.value} = $ref.compute($c);"
+    })
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val sep = UTF8String.fromString(" ")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def absorb(sh: UTF8String): Unit = {
+      seen.add(XXH64.hashUTF8String(sh, 42L))
+      ()
+    }
+    if (n < shingleK) {
+      val parts = Array.tabulate(n)(i => toks.getUTF8String(i))
+      absorb(UTF8String.concatWs(sep, parts: _*))
+    } else {
+      var i = 0
+      val parts = new Array[UTF8String](shingleK)
+      while (i <= n - shingleK) {
+        var j = 0
+        while (j < shingleK) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        absorb(UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramDigests =
+    copy(child = newChild)
+}

@@ -57,6 +57,20 @@ class Poly64Spec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("native graft_grams equals the composed shingle→distinct→xxhash64 chain as a set") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .unionByName(Seq((900001L, Seq.empty[String]), (900002L, Seq("one", "two")),
+        (900003L, Seq("a", "b", "a", "b", "a", "b"))).toDF("doc_id", "__toks"))
+    val diff = d.select(
+      array_sort(call_function("graft_grams", col("__toks"), lit(3))).as("native"),
+      array_sort(transform(array_distinct(Dedup.shinglesOf(col("__toks"), 3)),
+        g => xxhash64(g))).as("hof"))
+      .where(!(col("native") <=> col("hof")))
+    assert(diff.isEmpty, s"gram digests diverged: ${diff.limit(3).collect().mkString(", ")}")
+  }
+
   test("native graft_simhash64 equals the HOF simhash64 exactly") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
