@@ -32,7 +32,7 @@ object ScaleProbe {
     spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").count()
     for (q <- Seq("q_latest_per_key", "q_asof_join_merge", "q_asof_join", "q_derive_features",
         "q_minhash_pairs", "q_kmeans_iter", "q_ngram_jaccard",
-        "q_range_join", "q_range_join_merge")) {
+        "q_range_join", "q_range_join_merge", "q_ivf_refined_topk")) {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }

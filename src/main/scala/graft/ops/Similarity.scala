@@ -347,11 +347,17 @@ object Similarity {
   ): Array[(Int, Array[Double])] = {
     val spark = corpus.sparkSession
     val dp = dotFn(spark)
+    // Iterative algorithm over a re-read input: cache the cleaned corpus
+    // for the duration of the refinement (the standard k-means pattern —
+    // every round re-scans it; MEMORY_AND_DISK spills rather than OOMs at
+    // scale). Unpersisted before return; each round's collect materializes
+    // it, so the cache is always warm for round 2+.
     val clean = corpus.where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents = centroidBootstrap(corpus, nLists, idCol, embCol)
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    for (_ <- 1 to iters) {
+    try for (_ <- 1 to iters) {
       val cs = cellScores(cents, dp) _
       val assigned = clean.select(
         array_max(cs(col(embCol))).getField("c").as("cell"), col(embCol).as("emb"))
@@ -365,7 +371,7 @@ object Similarity {
         r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("vsum")).map(v => round6(v / n)).toArray
       }.toMap
       cents = cents.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
-    }
+    } finally clean.unpersist()
     cents
   }
 
