@@ -88,6 +88,21 @@ object OnlineRefresh {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Streaming exact-TEXT dedup — the streaming twin of
+    * `Dedup.exactByDigest`: the document body is digested to 8 bytes
+    * BEFORE deduplication, so the state store keys on a fixed-width hash
+    * instead of holding document text (at 100 TB/day the state size is
+    * what kills streaming dedup; watermark expiry bounds row count, the
+    * digest bounds bytes-per-row). Collision risk is xxhash64's 2^-64 per
+    * pair — the same trade the batch digest path documents. */
+  def dedupStreamByDigest(stream: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__graft_digest", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__graft_digest")
+      .drop("__graft_digest")
+
   /** Streaming gap-based sessionization via the built-in `session_window`
     * — the streaming twin of the batch lag/running-sum formulation (the
     * batch query q_sessionize computes identical session boundaries;

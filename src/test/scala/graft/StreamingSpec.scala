@@ -90,6 +90,31 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "b")), "duplicates must be dropped across micro-batches")
   }
 
+  test("streaming text dedup by digest: same TEXT dropped across batches, ids differ") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-textdedup").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = OnlineRefresh.dedupStreamByDigest(stream, "text", "ts")
+      .writeStream.format("memory").queryName("textdedup_out")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "same body"),
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), "same body"), // intra-batch dup
+      (3L, Timestamp.valueOf("2024-01-01 00:10:00"), "other body"))
+    q.processAllAvailable()
+    input.addData((4L, Timestamp.valueOf("2024-01-01 00:20:00"), "same body")) // cross-batch dup
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("textdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"text duplicates must drop regardless of doc_id: $out")
+    // the digest working column must not leak into the output schema
+    assert(!spark.table("textdedup_out").columns.contains("__graft_digest"))
+  }
+
   test("streaming PIT enrichment equals the one-shot batch as-of join") {
     import graft.fs.PointInTime
     val tmp = Files.createTempDirectory("graft-pit-stream").toString
