@@ -96,6 +96,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * `Similarity` falls back to the HOF formulation in sessions without it. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // rewrite the portable tokenizer idiom to the native byte scan in any
+    // query, not just the engine's own session-aware call sites
+    ext.injectOptimizerRule(_ => TokenizeRewrite)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -35,26 +35,45 @@ class Poly64Spec extends SparkSpec {
     assert(s1.map(_._2).distinct.length == 32)
   }
 
-  test("native graft_tokens equals the HOF tokenizer exactly") {
-    import graft.ops.TextAnalysis
+  test("native graft_tokens matches a driver-side golden split (HOF semantics)") {
+    // NOTE: comparing against TextAnalysis.tokens in-session would be
+    // tautological — TokenizeRewrite rewrites the HOF form to the native
+    // expression. The golden is the semantics both must implement:
+    // single-space split, empties dropped, order and duplicates kept.
+    def golden(s: String): Seq[String] = s.split(" ", -1).filter(_.nonEmpty).toSeq
     val cases = Seq(
       "a b c", "  leading", "trailing  ", "double  space", "", " ", "   ",
-      "one", "tab\tis a token byte", "nl\nis too", "café  naïve", "中文 分词 test"
-    ).toDF("s")
+      "one", "tab\tis a token byte", "nl\nis too", "café  naïve", "中文 分词 test",
+      "dup dup dup"
+    )
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("text").as("s"))
-    for (d <- Seq(cases, real)) {
-      val diff = d.select(
-        TextAnalysis.tokens(col("s")).as("hof"),
-        call_function("graft_tokens", col("s")).as("native"))
-        .where(!(col("hof") <=> col("native")))
-      assert(diff.isEmpty, s"tokenizers diverged: ${diff.limit(3).collect().mkString(", ")}")
-    }
-    // null propagates as null on both paths
-    val nulls = Seq[Option[String]](None).toDF("s").select(
-      TextAnalysis.tokens(col("s")).as("hof"),
-      call_function("graft_tokens", col("s")).as("native")).collect().head
-    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+      .select(col("text")).as[String].collect().toSeq
+    val all = cases ++ real
+    val got = all.toDF("s")
+      .select(col("s"), call_function("graft_tokens", col("s")).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    for (s <- all)
+      assert(got(s) == golden(s), s"tokenizer diverged from golden on '$s'")
+    // null propagates as null
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(call_function("graft_tokens", col("s"))).collect().head
+    assert(nulls.isNullAt(0))
+  }
+
+  test("TokenizeRewrite: the HOF tokenizer idiom optimizes to graft_tokens") {
+    import graft.ops.TextAnalysis
+    // file-backed source: a local relation would be constant-folded whole
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val optimized = d.select(TextAnalysis.tokens(col("text")).as("toks"))
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_tokens"),
+      s"portable idiom must rewrite to the native tokenizer:\n$optimized")
+    // a different separator or predicate must NOT match
+    val other = d.select(filter(split(col("text"), ","), t => length(t) > 0).as("x"),
+      filter(split(col("text"), " "), t => length(t) > 1).as("y"))
+      .queryExecution.optimizedPlan.toString
+    assert(!other.contains("graft_tokens"),
+      s"rewrite over-matched a non-tokenizer filter:\n$other")
   }
 
   test("native graft_grams equals the composed shingle→distinct→xxhash64 chain as a set") {
