@@ -35,18 +35,23 @@ object Bench {
     catch { case _: Throwable => () }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failures = 0
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => failures += 1 }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, r3(times.sum / runs), r3(times.min))
+      (name, r3(times.sum / runs), r3(times.min), failures)
     }
-    val mean = results.map { case (k, m, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
-    val mins = results.map { case (k, _, n) => s"\"$k\":$n" }.mkString("{", ",", "}")
+    val mean = results.map { case (k, m, _, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
+    val mins = results.map { case (k, _, n, _) => s"\"$k\":$n" }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    // a broken query must not masquerade as a fast one: failed run counts
+    // surface in their own map (absent when everything succeeded)
+    val failed = results.collect { case (k, _, _, f) if f > 0 => s"\"$k\":$f" }
+    val errors = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"runs":$runs$errors,"sf":"$sfDir"}"""
     // stdout first + explicit flush, THEN the file fallback, THEN shutdown
     println(line)
     System.out.flush()

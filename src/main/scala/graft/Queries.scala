@@ -865,6 +865,13 @@ object Queries {
       |  FROM e LEFT JOIN f ON e.user_id = f.user_id AND f.fts <= e.event_ts AND f.fts >= e.event_ts - INTERVAL 2 DAY
       |) WHERE rn = 1""".stripMargin
 
+  private val rangeCountOracle =
+    """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+      |SELECT probe_id, p.user_id, pts, count(vts) AS n_views
+      |FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
+      |GROUP BY 1, 2, 3""".stripMargin
+
   private val latestOracle =
     """SELECT event_id, ts, user_id, event_type, value, props FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
@@ -1065,19 +1072,11 @@ object Queries {
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |count(DISTINCT l_partkey) AS n_part, count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
-    "q_range_join" ->
-      """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
-        |SELECT probe_id, p.user_id, pts, count(vts) AS n_views
-        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
-        |GROUP BY 1, 2, 3""".stripMargin,
-    // the merge formulation must reproduce the join-form's counts exactly
-    "q_range_join_merge" ->
-      """WITH p AS (SELECT event_id AS probe_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
-        |SELECT probe_id, p.user_id, pts, count(vts) AS n_views
-        |FROM p LEFT JOIN v ON p.user_id = v.user_id AND vts <= pts AND vts >= pts - INTERVAL 1 HOUR
-        |GROUP BY 1, 2, 3""".stripMargin,
+    // ONE oracle for both range-count formulations (the latestOracle /
+    // asofOracle twin convention): the merge form must reproduce the
+    // join-form's counts exactly
+    "q_range_join" -> rangeCountOracle,
+    "q_range_join_merge" -> rangeCountOracle,
     "q_sessionize" ->
       """WITH o AS (
         |  SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts FROM events

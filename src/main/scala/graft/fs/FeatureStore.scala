@@ -29,7 +29,11 @@ final class FeatureStore(
     tieBreaks: Map[String, Seq[String]] = Map.empty
 ) {
 
-  private val snapshots = scala.collection.mutable.Map.empty[String, DataFrame]
+  // TrieMap: a serving facade is naturally hit from concurrent driver
+  // threads; a plain mutable.Map could corrupt under simultaneous inserts
+  // (getOrElseUpdate may compute a snapshot twice under a race, which is
+  // harmless — both are identical lazy plans)
+  private val snapshots = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Resolved views in a deterministic (name-sorted) join order. */
   private def resolved(features: Seq[String]): Seq[(Registry.FeatureView, Seq[String])] =

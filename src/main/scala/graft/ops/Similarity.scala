@@ -304,11 +304,17 @@ object Similarity {
   /** Portable vector-sum fallback (posexplode + positional aggregate) for
     * sessions without the graft_vec_sum aggregate. Input: (cell, emb) →
     * (cell, n_members, vsum). Must agree with the native aggregate
-    * (spec-tested) — INCLUDING on malformed corpora: ragged vector widths
-    * within a cell make the native aggregate throw a width-mismatch error,
-    * so the fallback raises too (per-position counts diverge from the
-    * member count exactly when widths are ragged) instead of silently
-    * producing truncated per-position sums. */
+    * (spec-tested) — including on ragged corpora: ragged NON-EMPTY vector
+    * widths within a cell make the native aggregate throw a width-mismatch
+    * error, so the fallback raises too (per-position counts diverge from
+    * the member count exactly when widths are ragged) instead of silently
+    * producing truncated per-position sums.
+    *
+    * PRECONDITION (both paths): rows with null or EMPTY vectors must be
+    * filtered by the caller — kmeansIter/refinedCentroids do. An empty
+    * vector emits no posexplode rows, so this guard cannot see it, and the
+    * two paths would disagree on n_members (native counts the row, the
+    * fallback loses it). Behavior with empty vectors is undefined. */
   private[graft] def vecSumFallback(assigned: DataFrame): DataFrame =
     assigned.select(col("cell"), posexplode(col("emb")))
       .groupBy("cell", "pos")

@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * Shingle semantics mirror [[graft.ops.Dedup.shinglesOf]]: fewer than k
   * tokens → one shingle of the whole token list.
   */
-case class GramDigests(child: Expression, shingleK: Int) extends UnaryExpression {
+case class GramDigests(child: Expression, shingleK: Int)
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "gramDigests"
 
   require(shingleK > 0, "shingleK must be positive")
 
@@ -39,34 +41,10 @@ case class GramDigests(child: Expression, shingleK: Int) extends UnaryExpression
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
 
-  // one reference-object call, not CodegenFallback — keeps the enclosing
-  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("gramDigests", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
-
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
-    val sep = UTF8String.fromString(" ")
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    def absorb(sh: UTF8String): Unit = {
-      seen.add(XXH64.hashUTF8String(sh, 42L))
-      ()
-    }
-    if (n < shingleK) {
-      val parts = Array.tabulate(n)(i => toks.getUTF8String(i))
-      absorb(UTF8String.concatWs(sep, parts: _*))
-    } else {
-      var i = 0
-      val parts = new Array[UTF8String](shingleK)
-      while (i <= n - shingleK) {
-        var j = 0
-        while (j < shingleK) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        absorb(UTF8String.concatWs(sep, parts: _*))
-        i += 1
-      }
+    ShingleWalk.foreach(toks, shingleK) { sh =>
+      seen.add(XXH64.hashUTF8String(sh, 42L)); ()
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()

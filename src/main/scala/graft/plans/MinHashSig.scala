@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -26,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * RATES are observable, so the two formulations are interchangeable).
   */
 case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "minhash"
 
   require(shingleK > 0 && numHashes > 0, "shingleK and numHashes must be positive")
 
@@ -42,39 +43,14 @@ case class MinHashSig(child: Expression, shingleK: Int, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
 
-  // one reference-object call, not CodegenFallback — keeps the enclosing
-  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("minhash", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
-
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val sep = UTF8String.fromString(" ")
-
-    def absorb(sh: UTF8String): Unit = {
+    ShingleWalk.foreach(toks, shingleK) { sh =>
       var s = 0
       while (s < numHashes) {
         val h = XXH64.hashUTF8String(sh, s.toLong)
         if (h < mins(s)) mins(s) = h
         s += 1
-      }
-    }
-
-    if (n < shingleK) {
-      val parts = Array.tabulate(n)(i => toks.getUTF8String(i))
-      absorb(UTF8String.concatWs(sep, parts: _*))
-    } else {
-      var i = 0
-      val parts = new Array[UTF8String](shingleK)
-      while (i <= n - shingleK) {
-        var j = 0
-        while (j < shingleK) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        absorb(UTF8String.concatWs(sep, parts: _*))
-        i += 1
       }
     }
     new GenericArrayData(mins)

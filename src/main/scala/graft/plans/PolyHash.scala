@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -94,7 +93,10 @@ object Poly64 {
   * to CodegenFallback would kick the WHOLE enclosing stage out of
   * whole-stage codegen — so `doGenCode` emits one call to [[compute]] on a
   * reference object, keeping the surrounding projection compiled. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression)
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "simhash64"
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = child.nullable
@@ -107,12 +109,6 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
-
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("simhash64", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
 
   def compute(toks: ArrayData): Long = {
     val n = toks.numElements()
@@ -150,7 +146,9 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   * SIGNED long order so the DuckDB oracle's signed min agrees. Shingle
   * semantics mirror [[MinHashSig]] / `Dedup.shinglesOf`. */
 case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
-  extends UnaryExpression {
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "minhashPoly"
 
   require(shingleK > 0 && numHashes > 0, "shingleK and numHashes must be positive")
 
@@ -168,20 +166,9 @@ case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
 
-  // one reference-object call, not CodegenFallback — keeps the enclosing
-  // stage inside whole-stage codegen (see SimHash64Expr)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("minhashPoly", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
-
   def compute(toks: ArrayData): ArrayData = {
-    val n = toks.numElements()
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val sep = UTF8String.fromString(" ")
-
-    def absorb(sh: UTF8String): Unit = {
+    ShingleWalk.foreach(toks, shingleK) { sh =>
       val base = Poly64.baseHash(sh.toString)
       var s = 0
       while (s < numHashes) {
@@ -189,20 +176,6 @@ case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
         val h = Poly64.mulAdd(base, a, b)
         if (h < mins(s)) mins(s) = h
         s += 1
-      }
-    }
-
-    if (n < shingleK) {
-      val parts = Array.tabulate(n)(i => toks.getUTF8String(i))
-      absorb(UTF8String.concatWs(sep, parts: _*))
-    } else {
-      var i = 0
-      val parts = new Array[UTF8String](shingleK)
-      while (i <= n - shingleK) {
-        var j = 0
-        while (j < shingleK) { parts(j) = toks.getUTF8String(i + j); j += 1 }
-        absorb(UTF8String.concatWs(sep, parts: _*))
-        i += 1
       }
     }
     new GenericArrayData(mins)

@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * fingerprint exactly like `conv(bits, 2, 16)` does (unsigned uppercase
   * hex, no leading zeros, "0" for zero).
   */
-case class SimHashExpr(child: Expression) extends UnaryExpression {
+case class SimHashExpr(child: Expression)
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "simhash"
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -34,14 +36,6 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
-
-  // one reference-object call, not CodegenFallback — keeps the enclosing
-  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("simhash", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
 
   def compute(toks: ArrayData): UTF8String = {
     val n = toks.numElements()

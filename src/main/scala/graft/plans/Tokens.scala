@@ -2,7 +2,6 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,7 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `split(text, " ")`); runs of spaces and leading/trailing spaces produce
   * no empty tokens; empty input → empty array; null → null.
   */
-case class TokensExpr(child: Expression) extends UnaryExpression {
+case class TokensExpr(child: Expression)
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "tokens"
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -36,14 +38,6 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[UTF8String])
-
-  // one reference-object call, not CodegenFallback — keeps the enclosing
-  // stage inside whole-stage codegen (see graft.plans.SimHash64Expr)
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("tokens", this)
-      s"${ev.value} = $ref.compute($c);"
-    })
 
   def compute(text: UTF8String): ArrayData = {
     val bytes = text.getBytes

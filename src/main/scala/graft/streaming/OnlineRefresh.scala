@@ -144,7 +144,14 @@ object OnlineRefresh {
     * feature store — partition pruning/pushdown on the static side apply
     * per batch, and `featureDf` re-resolves lazily so a compacted/appended
     * store is picked up on the next batch (unlike a stream-static stream
-    * join, which pins the file list at query start — see [[enrichStream]]). */
+    * join, which pins the file list at query start — see [[enrichStream]]).
+    *
+    * Exactly-once output: foreachBatch is at-least-once (a batch whose
+    * write succeeded but whose epoch didn't commit is RE-EXECUTED on
+    * restart), so each batch overwrites its own `batch=<id>` partition
+    * directory instead of blind-appending — the replay lands on the same
+    * path and the result stays duplicate-free. Readers see a `batch`
+    * partition column (drop it if unwanted). */
   def enrichAsOfStream(
       spark: SparkSession,
       inputPath: String,
@@ -164,11 +171,11 @@ object OnlineRefresh {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.fs.PointInTime
           .historicalFeatures(batch, featureDf(), keys, eventTs, featureTs,
             featureCols, ttl, tieBreak)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
       .start()
