@@ -460,6 +460,23 @@ object Queries {
   private def langIdQ(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.langId(t(s, dir, "documents")).select("doc_id", "lang", "lang_pred")
 
+  /** Gopher-style repetition quality signals (top-2-gram mass, distinct
+    * 2-gram ratio) — the standard machine-generated-text filter. */
+  private def repetitionStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(t(s, dir, "documents"))
+
+  /** PII scrub over a deterministically PII-seeded text (the fixture corpus
+    * carries no natural emails/IPs — both engines append the same synthetic
+    * identifiers from doc_id, then redact). */
+  private def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+      lit(" acct "), (col("doc_id") * 1234567 + 10000000).cast("string"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.piiScrub(pii).as("clean_text"))
+  }
+
   private def tokenCountQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok_re"))
@@ -739,6 +756,8 @@ object Queries {
     "q_salted_join" -> (saltedRevenue _),
     "q_running_sum" -> (runningSum _),
     "q_text_stats" -> (textStatsQ _),
+    "q_repetition_stats" -> (repetitionStats _),
+    "q_pii_scrub" -> (piiScrub _),
     "q_lang_id" -> (langIdQ _),
     "q_token_count" -> (tokenCountQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -972,6 +991,8 @@ object Queries {
         |AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
         |AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
     "q_text_stats" -> textStatsOracle,
+    "q_repetition_stats" -> repetitionStatsOracle,
+    "q_pii_scrub" -> piiScrubOracle,
     "q_training_set" -> trainingSetOracle,
     "q_store_training_read" -> storeTrainingReadOracle,
     "q_store_online_read" -> storeOnlineReadOracle,
@@ -1499,6 +1520,35 @@ object Queries {
        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS "dayOfWeek", $aqiSql AS aqi
        |FROM events
        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  /** Max gram frequency re-derived relationally (unnest → count → max)
+    * rather than replaying the engine's sorted-run fold — same value, and
+    * the <2-token branch yields a single (possibly empty-string) gram on
+    * both engines, so n_2grams ≥ 1 always and no left-join is needed. */
+  private def repetitionStatsOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER)), i -> array_to_string(t[i:i+1], ' ')) END AS g FROM tk),
+       |fr AS (SELECT doc_id, max(c) AS maxc FROM (
+       |  SELECT doc_id, gram, count(*) AS c FROM (SELECT doc_id, unnest(g) AS gram FROM gl) GROUP BY 1, 2) GROUP BY 1)
+       |SELECT gl.doc_id, CAST(len(g) AS BIGINT) AS n_2grams,
+       |  round(CAST(len(list_distinct(g)) AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE), 6) AS distinct_2gram_ratio,
+       |  round(CAST(maxc AS DOUBLE) / CAST(greatest(len(g), 1) AS DOUBLE), 6) AS top_2gram_frac
+       |FROM gl JOIN fr ON gl.doc_id = fr.doc_id""".stripMargin
+
+  /** Same synthetic PII seeding, same redaction order; DuckDB needs the
+    * explicit 'g' flag (Spark regexp_replace is global by default). */
+  private def piiScrubOracle: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.0.' ||
+       |          CAST(doc_id % 256 AS VARCHAR) || ' acct ' || CAST(doc_id * 1234567 + 10000000 AS VARCHAR),
+       |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+       |    '\\d{7,}', '<NUM>', 'g') AS clean_text
+       |FROM documents""".stripMargin
 
   private def langIdOracle: String = {
     val scores = TextAnalysis.LangLexicons.map { case (lang, lex) =>

@@ -108,4 +108,51 @@ object TextAnalysis {
       lit(0L),
       (acc, cp) => (acc * 31L + cp) % 1000000007L
     )
+
+  /** Gopher-style repetition signals per document: word-2-gram counts,
+    * distinct ratio, and the mass of the single most frequent 2-gram —
+    * repetitious machine-generated text shows a high `top_2gram_frac` /
+    * low `distinct_2gram_ratio`, the standard filter signal. Zero-shuffle
+    * per-row array math: sort the gram array once, then ONE fold counts
+    * the longest equal-run (ANSI-safe; empty docs → ratios 0).
+    * Output: doc_id, n_2grams, distinct_2gram_ratio, top_2gram_frac. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val grams = col("__graft_rep_grams")
+    val n = size(grams)
+    val nd = greatest(n, lit(1)).cast("double")
+    // longest run of equal adjacent elements in the SORTED gram array ==
+    // the max frequency of any gram; struct acc carries (prev, run, best)
+    val maxRun = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    docs
+      // tokens into a real column first (shinglesOf references it per
+      // produced shingle — see its scaladoc), grams likewise (3 references
+      // below; both multi-referenced, so CollapseProject keeps them
+      // materialized — the textStats lesson)
+      .withColumn("__graft_rep_toks", tokensIn(docs.sparkSession)(col(textCol)))
+      .withColumn("__graft_rep_grams", Dedup.shinglesOf(col("__graft_rep_toks"), 2))
+      .select(col(idCol),
+        n.cast("long").as("n_2grams"),
+        round(size(array_distinct(grams)).cast("double") / nd, 6).as("distinct_2gram_ratio"),
+        round(maxRun.cast("double") / nd, 6).as("top_2gram_frac"))
+  }
+
+  /** PII scrub: redact email addresses, long digit runs (phone/account
+    * numbers), and IPv4 literals — the standard pre-training redaction
+    * pass, as a pure per-row projection (regex only; a production pass
+    * swaps in NER the same way the multimodal codec swaps in a decoder).
+    * Order matters: emails first (their local parts may contain digits),
+    * then IPs (dotted digit runs), then bare digit runs. */
+  def piiScrub(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\d{7,}", "<NUM>")
+  }
 }

@@ -275,6 +275,37 @@ class OpsSpec extends SparkSpec {
     assert(prunedPairs.size < got.size, "the cap must actually drop hot-block candidates")
   }
 
+  test("repetitionStats: hand-computed signals; short and repetitious docs") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      (1L, "a b a b a b"),    // 2-grams: [a b, b a, a b, b a, a b] → top 'a b'=3/5
+      (2L, "w x y z"),        // 3 distinct 2-grams, top 1/3
+      (3L, "solo"),           // <2 tokens → single whole-list gram
+      (4L, "")                // empty → single empty-string gram
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(d)
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((5L, math.rint(2.0 / 5 * 1e6) / 1e6, math.rint(3.0 / 5 * 1e6) / 1e6)))
+    assert(got(2L) == ((3L, 1.0, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    assert(got(3L) == ((1L, 1.0, 1.0)))
+    assert(got(4L) == ((1L, 1.0, 1.0)))
+  }
+
+  test("piiScrub: emails, IPv4s, long digit runs redacted; short numbers kept") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      "mail me at jo.do+x@sub.example.org today",
+      "server 192.168.0.1 answered",
+      "acct 123456789 but room 42 stays",
+      "mixed a.b@c.de and 10.0.0.7 and 99999999"
+    ).toDF("text")
+    val got = d.select(TextAnalysis.piiScrub(col("text"))).as[String].collect()
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "server <IP> answered")
+    assert(got(2) == "acct <NUM> but room 42 stays")
+    assert(got(3) == "mixed <EMAIL> and <IP> and <NUM>")
+  }
+
   test("hashSplit: deterministic across re-evaluation and repartitioning, ~80/20") {
     import graft.ops.Sampling
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select("doc_id")
