@@ -513,6 +513,16 @@ object Queries {
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** Benchmark decontamination: per-train-doc fraction of 3-gram digests
+    * that also occur in the (hash-split) test corpus — a digest semi-join,
+    * no row explosion. */
+  private def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+    Dedup.contamination(
+      split.where(col("split") === "train"),
+      split.where(col("split") === "test"))
+  }
+
   /** N-gram Jaccard with the stop-gram cap ON (maxNgramFreq=25): the
     * scale-safe form — candidate fan-out is bounded by document frequency,
     * pruning the Σdf² term (SCALE.md measured 2×). Oracle replicates the
@@ -767,6 +777,7 @@ object Queries {
     "q_dedup_stats" -> (dedupStats _),
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "q_contamination" -> (contaminationQ _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
@@ -1153,6 +1164,7 @@ object Queries {
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
+    "q_contamination" -> contaminationOracle,
     "q_media_features" -> mediaFeaturesOracle,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
@@ -1270,6 +1282,27 @@ object Queries {
        |  CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
   }
+
+  /** Contamination re-derived over gram STRINGS (the engine compares
+    * 8-byte digests — identical counts modulo xxhash collisions, the same
+    * accepted trade as the Jaccard oracles); the split reuses
+    * q_train_split's md5-threshold derivation. */
+  private def contaminationOracle: String =
+    s"""WITH s AS (SELECT doc_id, text,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
+       |  FROM documents),
+       |tk AS (SELECT doc_id, split, $toks AS t FROM s),
+       |gl AS (SELECT doc_id, split, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, split, unnest(l) AS gram FROM gl),
+       |ref AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+       |tr AS (SELECT doc_id, count(*) AS n_grams FROM g WHERE split = 'train' GROUP BY 1),
+       |hit AS (SELECT g.doc_id, count(*) AS n_hit FROM g JOIN ref USING (gram)
+       |  WHERE split = 'train' GROUP BY 1)
+       |SELECT tr.doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contamination
+       |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
 
   /** q_ngram_jaccard's oracle with the engine's maxNgramFreq prune: grams
     * present in more than `m` docs are dropped from the INTERSECTION counts

@@ -448,6 +448,50 @@ object Dedup {
     * drops stop-n-grams (present in too many docs) before the self-join —
     * standard candidate-pair pruning that keeps the join near-linear.
     */
+  /** One (id, gram-digest) row per DISTINCT word n-gram of each document.
+    * Native one-pass path (`graft_grams`: builds each shingle once, dedups
+    * 8-byte digests) when the session carries GraftExtensions; the HOF
+    * chain (shinglesOf → array_distinct → xxhash64) otherwise — digest
+    * values are identical (XXH64 seed 42 both ways, Poly64Spec-pinned). */
+  private def gramDigestsOf(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val tokenized = docs
+      .select(col(idCol).as("id"), TextAnalysis.tokensIn(spark)(col(textCol)).as("__toks"))
+    if (spark.catalog.functionExists("graft_grams"))
+      tokenized.select(col("id"),
+        explode(call_function("graft_grams", col("__toks"), lit(n))).as("gram"))
+    else tokenized
+      .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gram"))
+  }
+
+  /** Per-document n-gram contamination of `docs` against a reference corpus
+    * (benchmark decontamination): the fraction of each doc's distinct
+    * n-gram digests that occur ANYWHERE in `reference`. Scale shape: one
+    * left-semi join on 8-byte gram digests (the reference side collapses to
+    * distinct digests with map-side partial aggregation first), per-doc
+    * counts via partial-agg groupBys — no row explosion anywhere. Output:
+    * (idCol, n_grams, n_hit, contamination). */
+  def contamination(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3
+  ): DataFrame = {
+    val ga = gramDigestsOf(docs, textCol, idCol, n)
+    val refGrams = gramDigestsOf(reference, textCol, idCol, n).select("gram").distinct()
+    val sizes = ga.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = ga.join(refGrams, Seq("gram"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        // n_grams >= 1 always: short docs yield one whole-list shingle
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"), 6)
+          .as("contamination"))
+  }
+
   def ngramJaccard(
       docs: DataFrame,
       textCol: String = "text",
@@ -466,20 +510,7 @@ object Dedup {
     // on paper, but materializing the gram array into a column inflates the
     // self-join side's size estimate, the pair join loses its
     // auto-broadcast, and the whole query runs ~2× slower.
-    // Native one-pass distinct-digest path when registered: builds each
-    // shingle once and dedups 8-byte digests instead of shingle strings —
-    // the HOF chain below materializes + string-compares every shingle
-    // first. Digest values are identical (XXH64 seed 42 both ways).
-    val spark = docs.sparkSession
-    val tokenized = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokensIn(spark)(col(textCol)).as("__toks"))
-    val grams =
-      if (spark.catalog.functionExists("graft_grams"))
-        tokenized.select(col("id"),
-          explode(call_function("graft_grams", col("__toks"), lit(n))).as("gram"))
-      else tokenized
-        .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
-        .select(col("id"), xxhash64(col("gram")).as("gram"))
+    val grams = gramDigestsOf(docs, textCol, idCol, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val pruned = maxNgramFreq match {
       case Some(m) =>

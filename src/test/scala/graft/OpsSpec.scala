@@ -275,6 +275,24 @@ class OpsSpec extends SparkSpec {
     assert(prunedPairs.size < got.size, "the cap must actually drop hot-block candidates")
   }
 
+  test("contamination: hand-computed overlap fractions against a reference corpus") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (1L, "a b c d e"),      // 3-grams: {abc, bcd, cde}
+      (2L, "x y z w"),        // {xyz, yzw} — disjoint from reference
+      (3L, "hi")              // <3 tokens → single whole-list gram "hi"
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, "a b c d"),       // contributes {abc, bcd}
+      (11L, "hi")             // contributes "hi"
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("repetitionStats: hand-computed signals; short and repetitious docs") {
     import graft.ops.TextAnalysis
     val d = Seq(
