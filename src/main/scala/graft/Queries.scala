@@ -513,6 +513,21 @@ object Queries {
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** The LLM data pipeline end-to-end as ONE Catalyst plan — the extension
+    * surface's flagship: exact dedup to representatives (8-byte digest
+    * shuffle + semi join) → per-doc quality scoring (zero-shuffle token
+    * math) → absolute threshold filter → reproducible hash split. Each
+    * stage is an operator with its own oracle-checked query; this one pins
+    * that they COMPOSE. */
+  private def pipelineQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val reps = Dedup.exactByDigest(docs).select("doc_id")
+    val deduped = docs.join(reps, Seq("doc_id"), "left_semi")
+    val kept = TextAnalysis.textStats(deduped).where(col("quality_score") >= 0.5)
+    Sampling.hashSplit(kept, "doc_id")
+      .select(col("doc_id"), col("quality_score"), col("split"))
+  }
+
   /** Benchmark decontamination: per-train-doc fraction of 3-gram digests
     * that also occur in the (hash-split) test corpus — a digest semi-join,
     * no row explosion. */
@@ -778,6 +793,7 @@ object Queries {
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_contamination" -> (contaminationQ _),
+    "q_pipeline" -> (pipelineQ _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
@@ -1165,6 +1181,7 @@ object Queries {
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_contamination" -> contaminationOracle,
+    "q_pipeline" -> pipelineOracle,
     "q_media_features" -> mediaFeaturesOracle,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
@@ -1282,6 +1299,18 @@ object Queries {
        |  CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
        |FROM sig a JOIN sig b ON a.source < b.source""".stripMargin
   }
+
+  /** The composite pipeline: dedup representatives by raw text (== the
+    * engine's digest grouping modulo xxhash collisions, as in
+    * q_exact_dedup_digest), quality via the shared textStats derivation
+    * over the deduped relation, threshold, md5 split. */
+  private def pipelineOracle: String =
+    s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |d AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
+       |stats AS (${textStatsSql("d")})
+       |SELECT doc_id, quality_score,
+       |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
+       |FROM stats WHERE quality_score >= 0.5""".stripMargin
 
   /** Contamination re-derived over gram STRINGS (the engine compares
     * 8-byte digests — identical counts modulo xxhash collisions, the same
@@ -1459,8 +1488,12 @@ object Queries {
        |  FROM scored) WHERE rn <= 5""".stripMargin
   }
 
-  private def textStatsOracle: String =
-    s"""WITH tk AS (SELECT doc_id, length(text) AS n_chars_m, $toks AS t FROM documents),
+  private def textStatsOracle: String = textStatsSql("documents")
+
+  /** textStats re-derived over any doc-shaped relation (used standalone
+    * and as a stage of the composite pipeline oracle). */
+  private def textStatsSql(from: String): String =
+    s"""WITH tk AS (SELECT doc_id, length(text) AS n_chars_m, $toks AS t FROM $from),
        |st AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens, CAST(greatest(len(t), 1) AS DOUBLE) AS nd,
        |  CAST(len(list_filter(t, x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE) AS stop_hits,
        |  CAST(len(list_distinct(t)) AS DOUBLE) AS distinct_tok,
