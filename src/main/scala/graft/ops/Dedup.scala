@@ -448,22 +448,29 @@ object Dedup {
     * drops stop-n-grams (present in too many docs) before the self-join —
     * standard candidate-pair pruning that keeps the join near-linear.
     */
-  /** One (id, gram-digest) row per DISTINCT word n-gram of each document.
-    * Native one-pass path (`graft_grams`: builds each shingle once, dedups
-    * 8-byte digests) when the session carries GraftExtensions; the HOF
-    * chain (shinglesOf → array_distinct → xxhash64) otherwise — digest
-    * values are identical (XXH64 seed 42 both ways, Poly64Spec-pinned). */
-  private def gramDigestsOf(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val spark = docs.sparkSession
-    val tokenized = docs
-      .select(col(idCol).as("id"), TextAnalysis.tokensIn(spark)(col(textCol)).as("__toks"))
+  /** Explode a `__toks` frame into one row per DISTINCT word-n-gram digest
+    * (passthrough columns kept). Native one-pass path (`graft_grams`:
+    * builds each shingle once, dedups 8-byte digests) when the session
+    * carries GraftExtensions; the HOF chain (shinglesOf → array_distinct →
+    * xxhash64) otherwise — digest values are identical (XXH64 seed 42 both
+    * ways, Poly64Spec-pinned). */
+  private def explodedGrams(withToks: DataFrame, n: Int): DataFrame = {
+    val spark = withToks.sparkSession
     if (spark.catalog.functionExists("graft_grams"))
-      tokenized.select(col("id"),
-        explode(call_function("graft_grams", col("__toks"), lit(n))).as("gram"))
-    else tokenized
-      .select(col("id"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
-      .select(col("id"), xxhash64(col("gram")).as("gram"))
+      withToks
+        .select(col("*"), explode(call_function("graft_grams", col("__toks"), lit(n))).as("gram"))
+        .drop("__toks")
+    else withToks
+      .select(col("*"), explode(array_distinct(shinglesOf(col("__toks"), n))).as("gram"))
+      .drop("__toks")
+      .withColumn("gram", xxhash64(col("gram")))
   }
+
+  /** One (id, gram-digest) row per distinct word n-gram of each document. */
+  private def gramDigestsOf(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    explodedGrams(
+      docs.select(col(idCol).as("id"),
+        TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks")), n)
 
   /** Per-document n-gram contamination of `docs` against a reference corpus
     * (benchmark decontamination): the fraction of each doc's distinct
@@ -480,15 +487,20 @@ object Dedup {
       n: Int = 3
   ): DataFrame = {
     val ga = gramDigestsOf(docs, textCol, idCol, n)
-    val refGrams = gramDigestsOf(reference, textCol, idCol, n).select("gram").distinct()
-    val sizes = ga.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val hits = ga.join(refGrams, Seq("gram"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_grams"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+    // the reference needs only a text column — no id projection required
+    val refGrams = explodedGrams(
+      reference.select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
+      .distinct()
+    // ONE pass over the exploded grams: refGrams is distinct, so the left
+    // join cannot fan out, and sizes + hits fall out of the same aggregate
+    // (two separate aggregations over `ga` would evaluate the expensive
+    // explosion subtree twice and add a third shuffle to re-join them)
+    ga.join(refGrams.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_hit"),
         // n_grams >= 1 always: short docs yield one whole-list shingle
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_grams").cast("double"), 6)
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6)
           .as("contamination"))
   }
 

@@ -114,7 +114,10 @@ object TextAnalysis {
     * repetitious machine-generated text shows a high `top_2gram_frac` /
     * low `distinct_2gram_ratio`, the standard filter signal. Zero-shuffle
     * per-row array math: sort the gram array once, then ONE fold counts
-    * the longest equal-run (ANSI-safe; empty docs → ratios 0).
+    * the longest equal-run (ANSI-safe). Docs with <2 tokens — including
+    * empty ones — yield a single whole-list gram, so n_2grams = 1 and both
+    * ratios are 1.0 (degenerate "fully repetitious"); pre-filter empties
+    * if a top_2gram_frac threshold must not drop them.
     * Output: doc_id, n_2grams, distinct_2gram_ratio, top_2gram_frac. */
   def repetitionStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val grams = col("__graft_rep_grams")
