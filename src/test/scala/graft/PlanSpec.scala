@@ -162,6 +162,14 @@ class PlanSpec extends SparkSpec {
       "both per-doc size joins must broadcast against the pair counts")
   }
 
+  test("q_contamination: one gram explosion per corpus side, one aggregate") {
+    val p = plan("q_contamination")
+    // the regression this pins: computing sizes and hits as separate
+    // aggregations evaluated the explosion subtree twice (3 Generates)
+    assert(nodes(p, "Generate") <= 2,
+      s"gram explosion must run once per corpus side:\n$p")
+  }
+
   test("q_simhash_neardup: both self-join sides reuse ONE fingerprint shuffle") {
     // Exchange reuse under AQE happens at RUNTIME (stage reuse), so execute
     // first and inspect the final adaptive plan. The blocked fingerprints
