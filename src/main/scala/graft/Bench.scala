@@ -3,12 +3,15 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line `{"metric":"total","value":N,"unit":"sec",
-  * "queries":{...mean sec...},"qmin":{...min sec...},"runs":R,"sf":...}`.
+  * "queries":{...mean sec...},"runs":R,"sf":...}`.
   *
   * Robustness against the driver's output capture (r02/r03 lost the line to
-  * tail truncation): the line is printed and flushed BEFORE spark.stop()'s
-  * shutdown noise, values are rounded to 3 decimals to keep it short, and
-  * the same line is tee'd to bench_last.json (cwd) as a file fallback.
+  * tail truncation; r04 lost it again because adding a per-query `qmin` map
+  * pushed the line past the driver's ~4KB tail window and clipped it from
+  * the FRONT): the stdout line now carries ONLY the per-query means — ~2.2KB
+  * at 76 queries, safely inside the window — and is printed and flushed
+  * BEFORE spark.stop()'s shutdown noise. The full stats (means + minima +
+  * run count) still land in bench_last.json (cwd) as the file fallback.
   *
   * Noise control: each query runs SPARK_GRAFT_BENCH_RUNS times (default 3);
   * `queries` carries per-query means (cross-round comparisons stop being
@@ -51,11 +54,13 @@ object Bench {
     val failed = results.collect { case (k, _, _, f) if f > 0 => s"\"$k\":$f" }
     val errors = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"runs":$runs$errors,"sf":"$sfDir"}"""
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"runs":$runs$errors,"sf":"$sfDir"}"""
     // stdout first + explicit flush, THEN the file fallback, THEN shutdown
     println(line)
     System.out.flush()
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

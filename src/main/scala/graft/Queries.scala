@@ -1315,11 +1315,16 @@ object Queries {
   /** Contamination re-derived over gram STRINGS (the engine compares
     * 8-byte digests — identical counts modulo xxhash collisions, the same
     * accepted trade as the Jaccard oracles); the split reuses
-    * q_train_split's md5-threshold derivation. */
+    * q_train_split's md5-threshold derivation. Null handling mirrors
+    * [[graft.ops.Dedup.contamination]]: train text coalesces to '' (every
+    * train doc appears in the report), null test text contributes no
+    * reference grams. */
   private def contaminationOracle: String =
-    s"""WITH s AS (SELECT doc_id, text,
-       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
-       |  FROM documents),
+    s"""WITH s AS (SELECT doc_id,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN coalesce(text, '') ELSE text END AS text
+       |  FROM documents
+       |  WHERE text IS NOT NULL OR md5(CAST(doc_id AS VARCHAR)) < 'cc'),
        |tk AS (SELECT doc_id, split, $toks AS t FROM s),
        |gl AS (SELECT doc_id, split, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),

@@ -67,7 +67,15 @@ final class FeatureStore(
 
   /** Latest-per-key snapshot for a view, computed once and reused across
     * lookups ([[OnlineStore.latestSnapshot]]'s map-side-collapsing argmax).
-    * The production equivalent of Feast's materialize-to-Redis. */
+    * The production equivalent of Feast's materialize-to-Redis.
+    *
+    * The snapshot is FROZEN at first use: the cached plan pins the source's
+    * parquet file listing, so appends after materialization stay invisible
+    * and a concurrent [[OfflineStore.compactDay]] (which replaces data
+    * files) can make lookups on the stale plan fail with
+    * FileNotFoundException. That mirrors Feast, where online state only
+    * advances on an explicit `materialize` — call [[refreshOnline]] after
+    * ingest/compaction to advance it here. */
   def materializeOnline(viewName: String): DataFrame =
     snapshots.getOrElseUpdate(viewName, {
       val v = registry.view(viewName)
@@ -76,6 +84,18 @@ final class FeatureStore(
         sourceLoader(v.source), v.entity.joinKeys, v.timestampField,
         tieBreaks.getOrElse(v.source, Nil))
     })
+
+  /** Re-materialize a view's snapshot against the source's CURRENT file
+    * listing (the explicit Feast `materialize` step). Returns the fresh
+    * snapshot; subsequent [[getOnlineFeatures]] calls use it. */
+  def refreshOnline(viewName: String): DataFrame = {
+    snapshots.remove(viewName)
+    materializeOnline(viewName)
+  }
+
+  /** Drop every cached snapshot (e.g. after a bulk backfill or compaction
+    * across views); each view re-materializes lazily on next use. */
+  def invalidateOnline(): Unit = snapshots.clear()
 
   /** Feast `get_online_features`: broadcast-join the requested entity keys
     * against each view's latest snapshot. `asOf` + the view TTL expire

@@ -52,14 +52,17 @@ object Ingest {
     * path, this exists for compatibility with consumers of the reference's
     * landing file. Framing (`[`, `",\n"`, `]`) matches byte-for-byte;
     * records are compact JSON (json.dumps pads with `", "`/`": "` — a
-    * semantically identical difference) and Spark's writer omits
-    * null-valued fields where the reference writes explicit nulls. */
+    * semantically identical difference). Null-valued fields are rendered
+    * explicitly (`"x":null`) like the reference's json.dumps: `toJSON`
+    * would silently omit them, so records are serialized with
+    * `to_json(struct(*), ignoreNullFields=false)` instead. */
   def writeJsonArray(df: DataFrame, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     import java.nio.charset.StandardCharsets.UTF_8
     val spark = df.sparkSession
     val tmp = new Path(path + "_jsonl_tmp")
-    df.toJSON.write.mode("overwrite").text(tmp.toString)
+    df.select(to_json(struct(col("*")), Map("ignoreNullFields" -> "false")).as("value"))
+      .write.mode("overwrite").text(tmp.toString)
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(dst, true)

@@ -140,8 +140,9 @@ final case class OfflineStore(spark: SparkSession, root: String) {
     // copy holds files the rewrite never saw — deleting it would lose them.
     // Verified post-swap; on mismatch the swap is rolled back and the
     // caller retries. (A writer that STARTS after the partDir->old rename
-    // recreates partDir and the tmp rename below fails loudly — full
-    // exclusion needs a table format with transactional listing.)
+    // recreates partDir; that path is detected by the exists() guard
+    // before the tmp rename below and rolled back with the late appends
+    // preserved — full exclusion needs transactional listing.)
     val preManifest = fileManifest(partDir)
     // partition-column values live in the directory name, not the files —
     // read/write the bare directory so the rewritten files stay schema-equal.
@@ -156,6 +157,23 @@ final case class OfflineStore(spark: SparkSession, root: String) {
       fs.delete(tmp, true)
       throw new java.io.IOException(
         s"concurrent append detected in $partDir during compaction; rolled back — rerun")
+    }
+    // A writer that started after the partDir->old rename may have
+    // recreated partDir with fresh appends. rename(tmp, existingDir) only
+    // fails on local FS — on HDFS it silently moves tmp INTO partDir as a
+    // nested subdirectory. Detect the recreation explicitly, fold the late
+    // appends into the set-aside copy (fresh part files have unique UUID
+    // names), restore it to partDir, and make the caller retry — both
+    // filesystems now fail loudly WITH the partition data in place.
+    if (fs.exists(partDir)) {
+      for (s <- fs.listStatus(partDir) if s.isFile && !s.getPath.getName.startsWith("_"))
+        must(fs.rename(s.getPath, new Path(old, s.getPath.getName)),
+          s"fold late append ${s.getPath} -> $old")
+      fs.delete(partDir, true)
+      must(fs.rename(old, partDir), s"rollback $old -> $partDir")
+      fs.delete(tmp, true)
+      throw new java.io.IOException(
+        s"concurrent writer recreated $partDir during compaction; rolled back — rerun")
     }
     must(fs.rename(tmp, partDir), s"$tmp -> $partDir")
     fs.delete(old, true)

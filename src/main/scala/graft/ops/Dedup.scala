@@ -486,10 +486,20 @@ object Dedup {
       idCol: String = "doc_id",
       n: Int = 3
   ): DataFrame = {
-    val ga = gramDigestsOf(docs, textCol, idCol, n)
+    // NULL text must still appear in the report: tokensIn(null) propagates
+    // null through the gram array and explode() would silently drop the
+    // doc — and a doc ABSENT from a decontamination report reads as "not
+    // contaminated" downstream. Coalescing to '' gives it the empty-token
+    // whole-list shingle like any other short doc (n_grams=1). On the
+    // reference side a null text contributes no grams, so those rows are
+    // filtered instead of coalesced — '' there would otherwise mark every
+    // empty train doc as contaminated. Both mirrored in the DuckDB oracle.
+    val ga = gramDigestsOf(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), textCol, idCol, n)
     // the reference needs only a text column — no id projection required
     val refGrams = explodedGrams(
-      reference.select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
+      reference.where(col(textCol).isNotNull)
+        .select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
       .distinct()
     // ONE pass over the exploded grams: refGrams is distinct, so the left
     // join cannot fan out, and sizes + hits fall out of the same aggregate

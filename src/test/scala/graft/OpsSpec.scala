@@ -293,6 +293,25 @@ class OpsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("contamination: null-text docs stay in the report; null reference text adds no grams") {
+    import graft.ops.Dedup
+    val train = Seq(
+      (1L, null.asInstanceOf[String]), // must NOT vanish from the report
+      (2L, ""),                        // empty-token whole-list shingle
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val ref = Seq(
+      (10L, "a b c"),
+      (11L, null.asInstanceOf[String]) // contributes nothing — must not make '' docs "contaminated"
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"null-text doc dropped: ${got.keySet}")
+    assert(got(1L) == ((1L, 0L, 0.0)))
+    assert(got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("repetitionStats: hand-computed signals; short and repetitious docs") {
     import graft.ops.TextAnalysis
     val d = Seq(

@@ -107,6 +107,20 @@ class StoreFacadeSpec extends SparkSpec {
 
     val online = store.getOnlineFeatures(refs, Seq(entityId).toDF("entity_id")).collect().head
     assert(online.getAs[Double]("aqi") == 230.0)
+
+    // the snapshot is frozen at first use: appends after materialization
+    // stay invisible until an explicit refresh (the Feast materialize step)
+    val later = Seq((entityId, Timestamp.valueOf("2025-05-02 03:00:00"), 3, 2, 6, 999.0, 99L))
+      .toDF("entity_id", "feature_timestamp", "hour", "day", "dayOfWeek", "aqi", "fid")
+    offline.append("aqi_info", later
+      .withColumn("year", year(col("feature_timestamp")))
+      .withColumn("month", month(col("feature_timestamp")))
+      .withColumn("day", dayofmonth(col("feature_timestamp"))))
+    val frozen = store.getOnlineFeatures(refs, Seq(entityId).toDF("entity_id")).collect().head
+    assert(frozen.getAs[Double]("aqi") == 230.0, "cached snapshot must be frozen pre-refresh")
+    store.refreshOnline("aqi_info_v1")
+    val refreshed = store.getOnlineFeatures(refs, Seq(entityId).toDF("entity_id")).collect().head
+    assert(refreshed.getAs[Double]("aqi") == 999.0, "refreshOnline must see the append")
   }
 
   test("multi-view resolution joins each requested view once") {
