@@ -16,7 +16,13 @@ import org.apache.spark.sql.SparkSession
   * Noise control: each query runs SPARK_GRAFT_BENCH_RUNS times (default 3);
   * `queries` carries per-query means (cross-round comparisons stop being
   * dominated by the ±20% single-run scheduling noise BASELINE.md documents),
-  * `qmin` the per-query minima (the steady-state floor). */
+  * `qmin` the per-query minima (the steady-state floor). Runs are
+  * interleaved ROUND-ROBIN across the whole surface (run 1 of every query,
+  * then run 2, ...) rather than back-to-back per query: r05's three
+  * consecutive regressions (q_percentiles/q_pii_scrub/q_pipeline, adjacent
+  * in sorted order) showed a transient host load spike poisoning ALL of one
+  * query's samples; interleaving bounds a spike's damage to one sample per
+  * query, so the min survives it. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,14 +43,17 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var failures = 0
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => failures += 1 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (name, r3(times.sum / runs), r3(times.min), failures)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = Array.fill(named.size)(Vector.empty[Double])
+    val failures = Array.fill(named.size)(0)
+    for (_ <- 1 to runs; i <- named.indices) {
+      val t0 = System.nanoTime()
+      try { named(i)._2(spark, sfDir).count() }
+      catch { case _: Throwable => failures(i) += 1 }
+      samples(i) :+= (System.nanoTime() - t0) / 1e9
+    }
+    val results = named.indices.map { i =>
+      (named(i)._1, r3(samples(i).sum / runs), r3(samples(i).min), failures(i))
     }
     val mean = results.map { case (k, m, _, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
     val mins = results.map { case (k, _, n, _) => s"\"$k\":$n" }.mkString("{", ",", "}")

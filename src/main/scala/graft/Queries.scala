@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.fs.{Expressions, FeatureStore, OnlineStore, PointInTime, Registry, Serving}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.fs.{Expressions, FeatureStore, Ingest, OfflineStore, OnlineStore, PointInTime, Registry, Schemas, Serving}
+import graft.ops.{Dedup, Multimodal, Quantiles, Sampling, Similarity, TextAnalysis}
 
 /** The registered query surface — one entry per implemented operator from
   * SURVEY.md §2 (+ the extension ops), each runnable over a driver testdata
@@ -317,6 +317,19 @@ object Queries {
         round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
         count(lit(1)).as("n"))
 
+  /** The scale-safe twin of [[percentilesQ]]: identical values via rank
+    * arithmetic over spillable window sorts ([[graft.ops.Quantiles]])
+    * instead of the `percentile` aggregate's per-group in-memory value
+    * buffer — the buffer is memory-unbounded in group size, an OOM at
+    * 100 TB groups. Same oracle as q_percentiles: a cross-form
+    * differential the driver hash-checks. */
+  private def percentilesRanked(s: SparkSession, dir: String): DataFrame =
+    Quantiles.rankedPercentiles(t(s, dir, "lineitem"), "l_returnflag", Seq(
+      Quantiles.Spec("l_quantity", 0.5, "med_qty"),
+      Quantiles.Spec("l_extendedprice", 0.25, "p25_price"),
+      Quantiles.Spec("l_extendedprice", 0.75, "p75_price"),
+      Quantiles.Spec("l_extendedprice", 0.95, "p95_price")))
+
   /** Multiple distinct aggregates in one group-by (plans via Expand —
     * each distinct column gets its own dedup stream, single pass). */
   private def distinctAgg(s: SparkSession, dir: String): DataFrame =
@@ -567,6 +580,45 @@ object Queries {
   private def simhashNearDupCapped(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup64(t(s, dir, "documents"), maxBlockFreq = Some(50))
 
+  /** Near-dup pairs → CLUSTERS: connected components over the portable
+    * simhash pair graph ([[graft.ops.Dedup.connectedComponents]], bounded
+    * min-label propagation) + singleton join-back — the missing last step
+    * that turns pair lists into actionable dedup groups. The DuckDB oracle
+    * re-derives the same fixpoint as a recursive-CTE transitive closure. */
+  private def neardupClustersQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.neardupClusters(t(s, dir, "documents"))
+
+  /** The COMPLETE LLM training-data path, flagship form: exact dedup →
+    * fuzzy simhash cluster dedup keeping the best-quality member per
+    * cluster → quality threshold → reproducible split → 3-gram
+    * decontamination gate on the train side. Every stage is itself an
+    * oracle-checked operator; this query pins that they compose. */
+  private def pipelineFullQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val reps = Dedup.exactByDigest(docs).select("doc_id")
+    val exact = docs.join(reps, Seq("doc_id"), "left_semi")
+    // fuzzy cluster dedup: pairs -> components -> keep best quality
+    // (ties -> lowest doc_id; same max_by-struct shape as dropNearDuplicates,
+    // open-coded here because the quality score comes from textStats)
+    val clusters = Dedup.neardupClusters(exact)
+    val stats = TextAnalysis.textStats(exact)
+    val keep = stats.select(col("doc_id"), col("quality_score"))
+      .join(clusters, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("doc_id"))
+    val fuzzy = stats.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val kept = fuzzy.where(col("quality_score") >= 0.5)
+    val split = Sampling.hashSplit(kept, "doc_id")
+    val train = split.where(col("split") === "train")
+    val test = split.where(col("split") === "test")
+    val cont = Dedup.contamination(train, test)
+    train.join(cont.select("doc_id", "contamination"), Seq("doc_id"))
+      .where(col("contamination") <= 0.2)
+      .select(col("doc_id"), col("quality_score"), col("split"), col("contamination"))
+      .unionByName(test.select(col("doc_id"), col("quality_score"), col("split"),
+        lit(null).cast("double").as("contamination")))
+  }
+
   /** Source-vs-source content overlap via MinHash-union sketch aggregate
     * (portable hash family → oracle-checked). */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
@@ -677,6 +729,61 @@ object Queries {
   private def registryQ(s: SparkSession, dir: String): DataFrame =
     Registry.defaultRegistry().describe(s)
 
+  /** The raw fixture the ingest round-trip lands (the reference extractor's
+    * JSON-array layout, extract.py:52-108): two day-1 records, two day-2
+    * records — one with an explicit null plus an absent field (both must
+    * read back as null), one with >2dp floats pinning normalize's rounding
+    * (every 3rd decimal ≠ 5, so HALF_UP is unambiguous in binary fp). */
+  private val ingestFixture: String =
+    """[{"dt": 86400, "lat": 10.12, "lon": 20.65, "aqi_level": 2, "co": 0.12, "no": 0.01, "no2": 3.14, "o3": 1.0, "so2": 0.5, "pm2_5": 12.34, "pm10": 30.1, "nh3": 0.2},
+      |{"dt": 90000, "lat": 10.12, "lon": 20.65, "aqi_level": 3, "co": 0.2, "no": 0.02, "no2": 2.5, "o3": 1.5, "so2": 0.25, "pm2_5": 55.55, "pm10": 40.0, "nh3": 0.3},
+      |{"dt": 172800, "lat": -5.5, "lon": 100.0, "aqi_level": 1, "co": null, "no2": 1.333, "o3": 2.0, "so2": 0.1, "pm2_5": 5.004, "pm10": 10.0, "nh3": 0.05},
+      |{"dt": 176400, "lat": -5.554, "lon": 100.987, "aqi_level": 4, "co": 1.456, "no": 0.249, "no2": 4.0, "o3": 0.5, "so2": 0.75, "pm2_5": 150.987, "pm10": 80.5, "nh3": 0.8}]""".stripMargin
+
+  /** S2-S6 + S8 + A3 under the hard signal: land the fixture as the
+    * reference's JSON-array file, write it back through the byte-parity
+    * sink (S2), re-read it (S3), normalize (S4), day-partitioned append
+    * (S5/S8), advance the watermark (A3), then an incremental `readSince`
+    * whose partition filter prunes day 1 away (S6). The rows are fully
+    * deterministic, so the oracle is a literal VALUES table. */
+  private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest_rt")
+    java.nio.file.Files.writeString(base.resolve("raw.json"), ingestFixture)
+    val raw0 = Ingest.readRawJson(s, base.resolve("raw.json").toString, multiLine = true)
+    val landed = base.resolve("landed.json").toString
+    Ingest.writeJsonArray(raw0.select(Schemas.rawRecord.fieldNames.map(col): _*), landed)
+    val norm = Ingest.normalize(Ingest.readRawJson(s, landed, multiLine = true))
+    val store = OfflineStore(s, base.resolve("store").toString)
+    store.append("aqi_raw", norm)
+    store.advanceWatermark("aqi_raw", norm)
+    val wm = store.watermark("aqi_raw").map(_.toString).getOrElse("")
+    store.readSince("aqi_raw", java.time.LocalDate.of(1970, 1, 3))
+      .withColumn("next_watermark", lit(wm))
+      .select("dt", "lat", "lon", "aqi_level", "co", "no", "no2", "o3", "so2",
+        "pm2_5", "pm10", "nh3", "year", "month", "day", "next_watermark")
+  }
+
+  /** S11/S12 + F4 + A2 under the hard signal: two metadata registrations,
+    * a duplicate attempt the existence guard must reject, and a lineage
+    * append — read back as one deterministic catalog frame (timestamps
+    * projected away; the guard's rejection is visible as v1 keeping its
+    * original formula). Literal-VALUES oracle. */
+  private def lineageGuard(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+    val store = OfflineStore(s, base)
+    store.registerFeatureMetadata("aqi", "v1", "piecewise_linear(pm2_5)", "EPA PM2.5 AQI")
+    store.registerFeatureMetadata("aqi", "v1", "SHOULD_NOT_LAND", "duplicate insert")
+    store.registerFeatureMetadata("aqi", "v2", "piecewise_linear(pm2_5) smoothed", "v2 smoothing")
+    store.appendLineage("aqi_info", "v1", "openaq_api", "ingest.scala")
+    val meta = store.read("feature_metadata")
+      .select(lit("feature_metadata").as("kind"), col("feature_name").as("name"),
+        col("version"), col("formula").as("detail_1"), col("description").as("detail_2"))
+    val lin = store.read("lineage")
+      .select(lit("lineage").as("kind"), col("name"), col("version"),
+        col("source").as("detail_1"), col("transformation_file").as("detail_2"))
+    meta.unionByName(lin)
+  }
+
   /** The reference's `aqi_info` feature history re-derived from events:
     * the view's registered schema (hour/day/dayOfWeek/aqi keyed by
     * entity_id at feature_timestamp) + a unique tie-break id. */
@@ -764,6 +871,7 @@ object Queries {
     "q_cube_pricing" -> (cubePricing _),
     "q_grouping_sets" -> (groupingSetsQ _),
     "q_percentiles" -> (percentilesQ _),
+    "q_percentiles_ranked" -> (percentilesRanked _),
     "q_distinct_agg" -> (distinctAgg _),
     "q_range_join" -> (rangeJoin _),
     "q_range_join_merge" -> (rangeJoinMerge _),
@@ -794,6 +902,10 @@ object Queries {
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_contamination" -> (contaminationQ _),
     "q_pipeline" -> (pipelineQ _),
+    "q_pipeline_full" -> (pipelineFullQ _),
+    "q_neardup_clusters" -> (neardupClustersQ _),
+    "q_ingest_roundtrip" -> (ingestRoundtrip _),
+    "q_lineage_guard" -> (lineageGuard _),
     "q_minhash_pairs" -> (minhashPairs _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
@@ -901,6 +1013,13 @@ object Queries {
       val lit = p.map(_.toString).mkString("[", ", ", "]")
       s"CASE WHEN ${dotSql(embCol, lit)} >= 0 THEN '1' ELSE '0' END"
     }.mkString("concat(", ", ", ")")
+
+  private val percentilesOracle =
+    """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+      |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+      |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+      |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin
 
   private val asofOracle =
     """WITH e AS (SELECT event_id AS probe_id, user_id, ts AS event_ts FROM events WHERE event_type = 'purchase'),
@@ -1110,12 +1229,11 @@ object Queries {
         |CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
         |CAST(grouping(l_linestatus) AS INTEGER) AS g_status
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
-    "q_percentiles" ->
-      """SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
-        |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
-        |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
-        |round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-        |count(*) AS n FROM lineitem GROUP BY 1""".stripMargin,
+    // ONE oracle for both percentile formulations (the asofOracle twin
+    // convention): the rank-based spillable form must reproduce the
+    // buffer-based aggregate's interpolated values exactly
+    "q_percentiles" -> percentilesOracle,
+    "q_percentiles_ranked" -> percentilesOracle,
     "q_distinct_agg" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
         |count(DISTINCT l_partkey) AS n_part, count(*) AS n
@@ -1182,6 +1300,10 @@ object Queries {
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_contamination" -> contaminationOracle,
     "q_pipeline" -> pipelineOracle,
+    "q_pipeline_full" -> pipelineFullOracle,
+    "q_neardup_clusters" -> neardupClustersOracle,
+    "q_ingest_roundtrip" -> ingestRoundtripOracle,
+    "q_lineage_guard" -> lineageGuardOracle,
     "q_media_features" -> mediaFeaturesOracle,
     "q_decode_meta" -> stubDecodeSql,
     "q_frame_sample" ->
@@ -1210,9 +1332,9 @@ object Queries {
 
   /** CTE chain ending in `fp(doc_id, u)` — the portable SimHash fingerprint
     * as an unsigned HUGEINT (empty docs → 0, matching the engine's votes of
-    * an empty token set). */
-  private def polyFpCte: String =
-    s"""tk AS (SELECT doc_id, list_distinct($toks) AS t FROM documents),
+    * an empty token set). `from` is any doc-shaped relation (doc_id, text). */
+  private def polyFpCte(from: String = "documents"): String =
+    s"""tk AS (SELECT doc_id, list_distinct($toks) AS t FROM $from),
        |th AS (SELECT doc_id, list_transform(t, tok -> ${Poly64.baseHashSql("tok")}) AS hs FROM tk),
        |fp AS (SELECT doc_id,
        |  list_reduce(list_prepend(CAST(0 AS HUGEINT),
@@ -1223,15 +1345,17 @@ object Queries {
        |  FROM th)""".stripMargin
 
   private def simhashGroupsOracle: String =
-    s"""WITH $polyFpCte
+    s"""WITH ${polyFpCte()}
        |SELECT doc_id, ${Poly64.signedSql("u")} AS simhash,
        |  min(doc_id) OVER (PARTITION BY u) AS group_id
        |FROM fp""".stripMargin
 
-  /** Block-candidate near-dup re-derived end-to-end: 4×16-bit blocks from
-    * the unsigned fingerprint, optional hot-block prune (count over the
-    * block key — the engine's maxBlockFreq), exact popcount verify. */
-  private def simhashNearDupOracle(maxBlockFreq: Option[Int]): String = {
+  /** Block-candidate near-dup re-derived end-to-end as a CTE chain ending
+    * in `prs(id_a, id_b, hamming)`: 4×16-bit blocks from the unsigned
+    * fingerprint, optional hot-block prune (count over the block key — the
+    * engine's maxBlockFreq), exact popcount verify. Composable: the
+    * near-dup query SELECTs from it, the cluster oracles append a closure. */
+  private def simhashPairsCtes(maxBlockFreq: Option[Int], from: String = "documents"): String = {
     val (pruneCte, src) = maxBlockFreq match {
       case Some(m) =>
         (s""",
@@ -1240,14 +1364,102 @@ object Queries {
           "pr")
       case None => ("", "bb")
     }
-    s"""WITH $polyFpCte,
+    s"""${polyFpCte(from)},
        |b AS (SELECT doc_id, u, unnest(range(0, 4)) AS bi FROM fp),
        |bb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM b)$pruneCte,
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.u AS ua, y.u AS ub
-       |  FROM $src x JOIN $src y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INTEGER) AS hamming
-       |FROM cand WHERE bit_count(xor(ua, ub)) <= 3""".stripMargin
+       |  FROM $src x JOIN $src y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id),
+       |prs AS (SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INTEGER) AS hamming
+       |  FROM cand WHERE bit_count(xor(ua, ub)) <= 3)""".stripMargin
   }
+
+  private def simhashNearDupOracle(maxBlockFreq: Option[Int]): String =
+    s"""WITH ${simhashPairsCtes(maxBlockFreq)}
+       |SELECT id_a, id_b, hamming FROM prs""".stripMargin
+
+  /** The closure CTEs shared by the cluster oracles: symmetrized edges,
+    * recursive transitive closure r(s,t), then min reachable id per node —
+    * the same fixpoint the engine's min-label propagation converges to. */
+  private def closureCtes: String =
+    """e AS (SELECT id_a AS s, id_b AS t FROM prs UNION SELECT id_b, id_a FROM prs),
+      |r(s, t) AS (SELECT s, s AS t FROM (SELECT DISTINCT s FROM e)
+      |  UNION
+      |  SELECT r.s, e.t FROM r JOIN e ON r.t = e.s),
+      |cl AS (SELECT s AS doc_id, min(t) AS cluster_id FROM r GROUP BY s)""".stripMargin
+
+  /** Pair graph → clusters via recursive-CTE transitive closure; singleton
+    * docs (no near-dup pair) re-enter through the left join as their own
+    * cluster. */
+  private def neardupClustersOracle: String =
+    s"""WITH RECURSIVE ${simhashPairsCtes(None)},
+       |$closureCtes
+       |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin
+
+  /** The COMPLETE LLM-data path as one oracle: exact dedup (by text, ==
+    * the engine's digest grouping modulo xxhash collisions) → simhash
+    * cluster dedup keeping the best-quality member (row_number over
+    * (quality DESC, id ASC) == the engine's max_by struct) → quality
+    * threshold → md5 split → the contamination gate's gram algebra over
+    * the surviving docs, train side gated at contamination ≤ 0.2, test
+    * side passed through with NULL contamination. */
+  private def pipelineFullOracle: String =
+    s"""WITH RECURSIVE
+       |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |d AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
+       |${simhashPairsCtes(None, "d")},
+       |$closureCtes,
+       |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM d LEFT JOIN cl USING (doc_id)),
+       |stats AS (${textStatsSql("d")}),
+       |keep AS (SELECT doc_id FROM (SELECT s.doc_id, s.quality_score, c.cluster_id
+       |    FROM stats s JOIN clusters c USING (doc_id))
+       |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality_score DESC, doc_id ASC) = 1),
+       |sp AS (SELECT stats.doc_id, stats.quality_score, d.text,
+       |    CASE WHEN md5(CAST(stats.doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
+       |  FROM stats JOIN keep USING (doc_id) JOIN d USING (doc_id)
+       |  WHERE quality_score >= 0.5),
+       |gs AS (SELECT doc_id, split,
+       |    CASE WHEN split = 'train' THEN coalesce(text, '') ELSE text END AS text
+       |  FROM sp WHERE text IS NOT NULL OR split = 'train'),
+       |gtk AS (SELECT doc_id, split, $toks AS t FROM gs),
+       |ggl AS (SELECT doc_id, split, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM gtk),
+       |gg AS (SELECT doc_id, split, unnest(l) AS gram FROM ggl),
+       |ref AS (SELECT DISTINCT gram FROM gg WHERE split = 'test'),
+       |tr AS (SELECT doc_id, count(*) AS n_grams FROM gg WHERE split = 'train' GROUP BY 1),
+       |hit AS (SELECT gg.doc_id, count(*) AS n_hit FROM gg JOIN ref USING (gram)
+       |  WHERE split = 'train' GROUP BY 1),
+       |cont AS (SELECT tr.doc_id,
+       |    round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contamination
+       |  FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id)
+       |SELECT sp.doc_id, sp.quality_score, sp.split, cont.contamination
+       |FROM sp JOIN cont ON sp.doc_id = cont.doc_id
+       |WHERE sp.split = 'train' AND cont.contamination <= 0.2
+       |UNION ALL
+       |SELECT doc_id, quality_score, split, CAST(NULL AS DOUBLE) AS contamination
+       |FROM sp WHERE split = 'test'""".stripMargin
+
+  /** Literal twin of [[ingestRoundtrip]]'s deterministic day-2 rows. */
+  private def ingestRoundtripOracle: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(172800 AS BIGINT), -5.5, 100.0, CAST(1 AS BIGINT), CAST(NULL AS DOUBLE),
+      |   CAST(NULL AS DOUBLE), 1.33, 2.0, 0.1, 5.0, 10.0, 0.05,
+      |   CAST(1970 AS INTEGER), CAST(1 AS INTEGER), CAST(3 AS INTEGER), '1970-01-04'),
+      |  (CAST(176400 AS BIGINT), -5.55, 100.99, CAST(4 AS BIGINT), 1.46,
+      |   0.25, 4.0, 0.5, 0.75, 150.99, 80.5, 0.8,
+      |   CAST(1970 AS INTEGER), CAST(1 AS INTEGER), CAST(3 AS INTEGER), '1970-01-04')
+      |) AS t(dt, lat, lon, aqi_level, co, "no", no2, o3, so2, pm2_5, pm10, nh3, year, month, day, next_watermark)""".stripMargin
+
+  /** Literal twin of [[lineageGuard]]: v1 keeps its ORIGINAL formula — the
+    * duplicate registration must not land. */
+  private def lineageGuardOracle: String =
+    """SELECT * FROM (VALUES
+      |  ('feature_metadata', 'aqi', 'v1', 'piecewise_linear(pm2_5)', 'EPA PM2.5 AQI'),
+      |  ('feature_metadata', 'aqi', 'v2', 'piecewise_linear(pm2_5) smoothed', 'v2 smoothing'),
+      |  ('lineage', 'aqi_info', 'v1', 'openaq_api', 'ingest.scala')
+      |) AS t(kind, name, version, detail_1, detail_2)""".stripMargin
 
   /** CTE chain ending in `sg(doc_id, sig)` — the portable 32-hash MinHash
     * signature as a list of SIGNED BIGINTs (the engine's min is signed). */

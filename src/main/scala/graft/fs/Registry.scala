@@ -68,9 +68,15 @@ object Registry {
   /** One JSON row per view for registry persistence. `ttlSeconds` is the
     * current format; `ttlDays` is read for registries written by the
     * earlier day-granularity format (a persisted catalog must stay
-    * loadable across engine versions). */
-  private final case class PersistedField(name: String, dtype: String, description: String)
-  private final case class PersistedView(
+    * loadable across engine versions).
+    *
+    * NOT `private`: the Dataset encoder's generated `SafeProjection` lives
+    * outside this object and cannot reference a private nested class —
+    * Janino fails to compile and Spark silently falls back to interpreted
+    * projection (an ERROR CodeGenerator line per run masking real codegen
+    * regressions). Public-but-internal is the codegen-clean shape. */
+  final case class PersistedField(name: String, dtype: String, description: String)
+  final case class PersistedView(
       name: String, entityName: String, joinKeys: Seq[String], entityDescription: String,
       fields: Seq[PersistedField], source: String, timestampField: String,
       ttlSeconds: Option[Long], ttlDays: Option[Long], online: Boolean,

@@ -514,6 +514,92 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS. Min-label propagation: every
+    * node starts labeled with its own id; each round a node adopts the
+    * minimum of its own and its neighbors' labels; at fixpoint every node
+    * carries the smallest id reachable from it (the cluster id).
+    *
+    * Scale shape: the (symmetrized, distinct) edge list is computed once
+    * and persisted; each round is one join (labels onto edge endpoints) +
+    * one partial-agg groupBy — both shuffles keyed on node id, so AQE can
+    * reuse the layout. Labels are `localCheckpoint`ed per round: iterative
+    * lineage otherwise grows a plan per round and re-executes the whole
+    * history (on a cluster, prefer `spark.sparkContext.setCheckpointDir` +
+    * `checkpoint()` for fault tolerance — localCheckpoint pins executors).
+    * Convergence = label sum unchanged (labels only ever decrease, so the
+    * monotone sum is a complete convergence witness; decimal(38) can't
+    * overflow). Rounds needed = graph diameter; near-dup graphs are
+    * clique-ish (diameter 2-4), and `maxIter` bounds the pathological
+    * chain. At extreme scale swap in Hash-to-Min (Rastogi et al. 2013 —
+    * propagate neighbor SETS, O(log d) rounds) — same driver loop, heavier
+    * rounds; min-label is the right default below that.
+    *
+    * Output: (id long, cluster_id long), one row per node WITH an edge —
+    * singletons are the caller's join-back (see [[neardupClusters]]). */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
+      dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prev = checksum(labels)
+    var done = prev == null // empty pair set -> empty result, no rounds
+    var i = 0
+    while (i < maxIter && !done) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dl")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val s = checksum(next)
+      done = s.compareTo(prev) == 0
+      prev = s
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dup cluster assignment for EVERY document: SimHash Hamming pairs
+    * ([[simhashNearDup64]], portable fingerprint) → [[connectedComponents]]
+    * → join back so docs with no near-dup keep themselves as a singleton
+    * cluster. Output: (idCol, cluster_id). */
+  def neardupClusters(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None, maxIter: Int = 20): DataFrame = {
+    val pairs = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
+    val cc = connectedComponents(pairs, "id_a", "id_b", maxIter)
+    docs.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /** The actual DROP step of fuzzy dedup: keep exactly one representative
+    * per near-dup cluster — the best by `scoreCol`, ties to the lowest id
+    * (max_by on a (score, −id) struct: deterministic on any engine). The
+    * generalization of the reference's latest-per-key overwrite
+    * (load.py:139-148) from exact keys to fuzzy clusters. Returns the
+    * surviving docs with their original columns. */
+  def dropNearDuplicates(docs: DataFrame, scoreCol: String, textCol: String = "text",
+      idCol: String = "doc_id", nBlocks: Int = 4, maxBlockFreq: Option[Int] = None,
+      maxIter: Int = 20): DataFrame = {
+    val clusters = neardupClusters(docs, textCol, idCol, nBlocks, maxBlockFreq, maxIter)
+    val keep = docs.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol))
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("nid"))).as(idCol))
+    docs.join(keep.select(idCol), Seq(idCol), "left_semi")
+  }
+
   def ngramJaccard(
       docs: DataFrame,
       textCol: String = "text",

@@ -103,6 +103,28 @@ object OnlineRefresh {
       .dropDuplicatesWithinWatermark("__graft_digest")
       .drop("__graft_digest")
 
+  /** Streaming FUZZY dedup — the streaming twin of
+    * `Dedup.simhashGroups64`: rows whose portable 64-bit SimHash
+    * fingerprint was already seen inside the watermark are dropped, so
+    * near-identical documents (identical after tokenize/vote, e.g.
+    * whitespace or ordering-invariant edits) collapse at the ingest
+    * boundary. Fingerprint-EQUALITY is the only fuzzy form with
+    * streaming-safe state: Hamming-radius matching needs a candidate
+    * self-join, which an unbounded stream can't express — radius>0 dedup
+    * stays a batch pass ([[graft.ops.Dedup.neardupClusters]]) over the
+    * landed data. State per doc is one long (the digest-path trade made
+    * fuzzy); watermark expiry bounds the row count. Batch-differential:
+    * the kept set must equal batch `simhashGroups64`'s per-fingerprint
+    * first-arrival representatives (StreamingSpec pins this). */
+  def dedupStreamBySimhash(stream: DataFrame, textCol: String, tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withColumn("__graft_simhash",
+        graft.ops.Dedup.simhash64Of(stream.sparkSession)(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__graft_simhash")
+      .drop("__graft_simhash")
+
   /** Streaming gap-based sessionization via the built-in `session_window`
     * — the streaming twin of the batch lag/running-sum formulation (the
     * batch query q_sessionize computes identical session boundaries;

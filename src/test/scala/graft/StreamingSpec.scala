@@ -115,6 +115,43 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("textdedup_out").columns.contains("__graft_digest"))
   }
 
+  test("streaming simhash dedup: fingerprint-equal near-dups drop, kept set ≡ batch groups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-simdedup").toString
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val stream = input.toDF().toDF("doc_id", "ts", "text")
+    val q = OnlineRefresh.dedupStreamBySimhash(stream, "text", "ts")
+      .writeStream.format("memory").queryName("simdedup_out")
+      .outputMode("append").option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), "the quick brown fox jumps"),
+      // same tokens, different whitespace: identical fingerprint, NOT identical text
+      (2L, Timestamp.valueOf("2024-01-01 00:05:00"), "the  quick brown  fox jumps"),
+      (3L, Timestamp.valueOf("2024-01-01 00:10:00"), "a completely different body"))
+    input.addData(rows.take(2))
+    q.processAllAvailable()
+    input.addData(rows.drop(2)) // cross-batch: new fingerprint passes
+    input.addData(Seq((4L, Timestamp.valueOf("2024-01-01 00:20:00"),
+      "the quick  brown fox  jumps"))) // cross-batch fingerprint dup drops
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("simdedup_out").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"fingerprint-equal docs must dedup across batches: $out")
+    assert(!spark.table("simdedup_out").columns.contains("__graft_simhash"))
+    // batch differential: the streaming kept set must be exactly batch
+    // simhashGroups64's first-arrival representative per fingerprint
+    val batchReps = graft.ops.Dedup
+      .simhashGroups64((rows :+ ((4L, Timestamp.valueOf("2024-01-01 00:20:00"),
+        "the quick  brown fox  jumps"))).toDF("doc_id", "ts", "text"))
+      .groupBy(col("simhash")).agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchReps == out, s"stream ≡ batch broken: batch=$batchReps stream=$out")
+  }
+
   test("streaming PIT enrichment equals the one-shot batch as-of join") {
     import graft.fs.PointInTime
     val tmp = Files.createTempDirectory("graft-pit-stream").toString
