@@ -43,7 +43,12 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => () }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // ad-hoc A/B runs (e.g. measuring the shared surface without the heavy
+    // composite queries to separate GC shadow from real plan regressions):
+    // comma-separated query names to leave out of this run
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val named = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
     val samples = Array.fill(named.size)(Vector.empty[Double])
     val failures = Array.fill(named.size)(0)
     for (_ <- 1 to runs; i <- named.indices) {

@@ -590,23 +590,24 @@ object Queries {
 
   /** The COMPLETE LLM training-data path, flagship form: exact dedup →
     * fuzzy simhash cluster dedup keeping the best-quality member per
-    * cluster → quality threshold → reproducible split → 3-gram
-    * decontamination gate on the train side. Every stage is itself an
-    * oracle-checked operator; this query pins that they compose. */
+    * cluster ([[graft.ops.Dedup.dropNearDuplicates]] — the API users call,
+    * scored by textStats quality) → quality threshold → reproducible split
+    * → 3-gram decontamination gate on the train side. Every stage is itself
+    * an oracle-checked operator; this query pins that they compose.
+    *
+    * Cost shape: the scan→digest-dedup→textStats lineage is persisted (by
+    * dropNearDuplicates) and computed ONCE; the fuzzy survivor set is
+    * persisted here because it fans into three downstream consumers (train
+    * side, test side, and both sides of the contamination semi-join) — the
+    * uncached form re-derived the whole corpus lineage ~4× (48 s mean at
+    * sf0.1 vs ~the sum of its stage queries cached). */
   private def pipelineFullQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val reps = Dedup.exactByDigest(docs).select("doc_id")
     val exact = docs.join(reps, Seq("doc_id"), "left_semi")
-    // fuzzy cluster dedup: pairs -> components -> keep best quality
-    // (ties -> lowest doc_id; same max_by-struct shape as dropNearDuplicates,
-    // open-coded here because the quality score comes from textStats)
-    val clusters = Dedup.neardupClusters(exact)
     val stats = TextAnalysis.textStats(exact)
-    val keep = stats.select(col("doc_id"), col("quality_score"))
-      .join(clusters, Seq("doc_id"))
-      .groupBy(col("cluster_id"))
-      .agg(max_by(col("doc_id"), struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("doc_id"))
-    val fuzzy = stats.join(keep.select("doc_id"), Seq("doc_id"), "left_semi")
+    val fuzzy = Dedup.dropNearDuplicates(stats, "quality_score")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = fuzzy.where(col("quality_score") >= 0.5)
     val split = Sampling.hashSplit(kept, "doc_id")
     val train = split.where(col("split") === "train")
@@ -618,6 +619,15 @@ object Queries {
       .unionByName(test.select(col("doc_id"), col("quality_score"), col("split"),
         lit(null).cast("double").as("contamination")))
   }
+
+  /** The keep-best drop step as a first-class query: one surviving document
+    * per simhash near-dup cluster, best quality_score, ties to the lowest
+    * doc_id — [[graft.ops.Dedup.dropNearDuplicates]] standalone, so the API
+    * users actually call carries its own oracle (recursive-CTE components +
+    * per-cluster argmax on the DuckDB side). */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(TextAnalysis.textStats(t(s, dir, "documents")), "quality_score")
+      .select(col("doc_id"), col("quality_score"))
 
   /** Source-vs-source content overlap via MinHash-union sketch aggregate
     * (portable hash family → oracle-checked). */
@@ -729,6 +739,24 @@ object Queries {
   private def registryQ(s: SparkSession, dir: String): DataFrame =
     Registry.defaultRegistry().describe(s)
 
+  /** C12 under the hard signal: parse "d/m[/y]" dates out of free text
+    * ([[graft.fs.Expressions.dateInText]], agent.py:43-52). The fixture is
+    * derived deterministically from doc_id and covers all four branches —
+    * no date at all, day/month with the default year, full d/m/y, and
+    * calendar-invalid combinations (e.g. 31/2) that must parse to NULL.
+    * The oracle replays the regex + try-cast in DuckDB. */
+  private def dateInTextQ(s: SparkSession, dir: String): DataFrame = {
+    val dd = (col("doc_id") % 31 + 1).cast("string")
+    val mm = (col("doc_id") % 12 + 1).cast("string")
+    val yy = (col("doc_id") % 3 + 2023).cast("string")
+    val note = when(col("doc_id") % 5 === 0, lit("no schedule this week"))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("meet on "), dd, lit("/"), mm, lit(" at noon")))
+      .otherwise(concat(lit("deadline "), dd, lit("/"), mm, lit("/"), yy, lit(" sharp")))
+    t(s, dir, "documents").select(col("doc_id"), note.as("note"),
+      Expressions.dateInText(note, lit(2024)).cast("string").as("parsed_date"))
+  }
+
   /** The raw fixture the ingest round-trip lands (the reference extractor's
     * JSON-array layout, extract.py:52-108): two day-1 records, two day-2
     * records — one with an explicit null plus an absent field (both must
@@ -740,14 +768,38 @@ object Queries {
       |{"dt": 172800, "lat": -5.5, "lon": 100.0, "aqi_level": 1, "co": null, "no2": 1.333, "o3": 2.0, "so2": 0.1, "pm2_5": 5.004, "pm10": 10.0, "nh3": 0.05},
       |{"dt": 176400, "lat": -5.554, "lon": 100.987, "aqi_level": 4, "co": 1.456, "no": 0.249, "no2": 4.0, "o3": 0.5, "so2": 0.75, "pm2_5": 150.987, "pm10": 80.5, "nh3": 0.8}]""".stripMargin
 
+  /** Side-effecting fixture queries (ingest round-trip, lineage guard) are
+    * built ONCE per session and their temp dirs deleted on JVM exit: Bench
+    * re-invokes every query `runs`× per round, and a fresh dir per call
+    * leaked raw JSON + landed stores into /tmp on every run AND re-ran the
+    * landing side effects at query-construction time. The memoized frame
+    * only ever re-READS the landed store — idempotent and deterministic. */
+  private val fixtureMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, SparkSession), DataFrame]
+
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      try
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+    d
+  }
+
   /** S2-S6 + S8 + A3 under the hard signal: land the fixture as the
     * reference's JSON-array file, write it back through the byte-parity
     * sink (S2), re-read it (S3), normalize (S4), day-partitioned append
     * (S5/S8), advance the watermark (A3), then an incremental `readSince`
     * whose partition filter prunes day 1 away (S6). The rows are fully
     * deterministic, so the oracle is a literal VALUES table. */
-  private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_ingest_rt")
+  private def ingestRoundtrip(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("ingest", s), _ => buildIngestRoundtrip(s))
+
+  private def buildIngestRoundtrip(s: SparkSession): DataFrame = {
+    val base = scratchDir("graft_ingest_rt")
     java.nio.file.Files.writeString(base.resolve("raw.json"), ingestFixture)
     val raw0 = Ingest.readRawJson(s, base.resolve("raw.json").toString, multiLine = true)
     val landed = base.resolve("landed.json").toString
@@ -768,8 +820,11 @@ object Queries {
     * append — read back as one deterministic catalog frame (timestamps
     * projected away; the guard's rejection is visible as v1 keeping its
     * original formula). Literal-VALUES oracle. */
-  private def lineageGuard(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_lineage").toString
+  private def lineageGuard(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("lineage", s), _ => buildLineageGuard(s))
+
+  private def buildLineageGuard(s: SparkSession): DataFrame = {
+    val base = scratchDir("graft_lineage").toString
     val store = OfflineStore(s, base)
     store.registerFeatureMetadata("aqi", "v1", "piecewise_linear(pm2_5)", "EPA PM2.5 AQI")
     store.registerFeatureMetadata("aqi", "v1", "SHOULD_NOT_LAND", "duplicate insert")
@@ -903,6 +958,8 @@ object Queries {
     "q_contamination" -> (contaminationQ _),
     "q_pipeline" -> (pipelineQ _),
     "q_pipeline_full" -> (pipelineFullQ _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_ingest_roundtrip" -> (ingestRoundtrip _),
     "q_lineage_guard" -> (lineageGuard _),
@@ -1301,6 +1358,8 @@ object Queries {
     "q_contamination" -> contaminationOracle,
     "q_pipeline" -> pipelineOracle,
     "q_pipeline_full" -> pipelineFullOracle,
+    "q_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_date_in_text" -> dateInTextOracle,
     "q_neardup_clusters" -> neardupClustersOracle,
     "q_ingest_roundtrip" -> ingestRoundtripOracle,
     "q_lineage_guard" -> lineageGuardOracle,
@@ -1395,6 +1454,49 @@ object Queries {
        |$closureCtes
        |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin
+
+  /** Keep-best drop step: recursive-CTE components (same closure as the
+    * cluster oracle, singletons re-entering via the left join) + argmax per
+    * cluster (row_number over (quality DESC, id ASC) == the engine's
+    * max_by struct with the negated-id tiebreak). */
+  private def dedupKeepBestOracle: String =
+    s"""WITH RECURSIVE ${simhashPairsCtes(None)},
+       |$closureCtes,
+       |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cl USING (doc_id)),
+       |stats AS (${textStatsSql("documents")})
+       |SELECT doc_id, quality_score FROM (
+       |  SELECT s.doc_id, s.quality_score, c.cluster_id
+       |  FROM stats s JOIN clusters c USING (doc_id))
+       |QUALIFY row_number() OVER (PARTITION BY cluster_id
+       |  ORDER BY quality_score DESC, doc_id ASC) = 1""".stripMargin
+
+  /** C12 replay: the same deterministic note fixture, DuckDB's
+    * regexp_extract for the three groups, and try_cast of the normalized
+    * ISO string so invalid calendar dates go NULL exactly like the
+    * engine's try_to_date. */
+  private def dateInTextOracle: String =
+    """WITH f AS (SELECT doc_id,
+      |    CAST(doc_id % 31 + 1 AS BIGINT) AS dd,
+      |    CAST(doc_id % 12 + 1 AS BIGINT) AS mm,
+      |    CAST(doc_id % 3 + 2023 AS BIGINT) AS yy
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'no schedule this week'
+      |         WHEN doc_id % 5 = 1 THEN 'meet on ' || CAST(dd AS VARCHAR) || '/' || CAST(mm AS VARCHAR) || ' at noon'
+      |         ELSE 'deadline ' || CAST(dd AS VARCHAR) || '/' || CAST(mm AS VARCHAR) || '/' || CAST(yy AS VARCHAR) || ' sharp' END AS note
+      |  FROM f),
+      |p AS (SELECT doc_id, note,
+      |    regexp_extract(note, '(\d{1,2})/(\d{1,2})(?:/(\d{4}))?', 1) AS d,
+      |    regexp_extract(note, '(\d{1,2})/(\d{1,2})(?:/(\d{4}))?', 2) AS m,
+      |    regexp_extract(note, '(\d{1,2})/(\d{1,2})(?:/(\d{4}))?', 3) AS y
+      |  FROM n)
+      |SELECT doc_id, note,
+      |  CAST(CASE WHEN d = '' THEN NULL
+      |       ELSE try_cast(printf('%04d-%02d-%02d',
+      |         CAST(CASE WHEN y = '' THEN '2024' ELSE y END AS INTEGER),
+      |         CAST(m AS INTEGER), CAST(d AS INTEGER)) AS DATE) END AS VARCHAR) AS parsed_date
+      |FROM p""".stripMargin
 
   /** The COMPLETE LLM-data path as one oracle: exact dedup (by text, ==
     * the engine's digest grouping modulo xxhash collisions) → simhash

@@ -520,52 +520,69 @@ object Dedup {
     * minimum of its own and its neighbors' labels; at fixpoint every node
     * carries the smallest id reachable from it (the cluster id).
     *
-    * Scale shape: the (symmetrized, distinct) edge list is computed once
-    * and persisted; each round is one join (labels onto edge endpoints) +
-    * one partial-agg groupBy — both shuffles keyed on node id, so AQE can
-    * reuse the layout. Labels are `localCheckpoint`ed per round: iterative
-    * lineage otherwise grows a plan per round and re-executes the whole
-    * history (on a cluster, prefer `spark.sparkContext.setCheckpointDir` +
-    * `checkpoint()` for fault tolerance — localCheckpoint pins executors).
-    * Convergence = label sum unchanged (labels only ever decrease, so the
-    * monotone sum is a complete convergence witness; decimal(38) can't
-    * overflow). Rounds needed = graph diameter; near-dup graphs are
-    * clique-ish (diameter 2-4), and `maxIter` bounds the pathological
-    * chain. At extreme scale swap in Hash-to-Min (Rastogi et al. 2013 —
-    * propagate neighbor SETS, O(log d) rounds) — same driver loop, heavier
-    * rounds; min-label is the right default below that.
+    * Scale shape: the (symmetrized, distinct) edge list is computed once,
+    * pre-partitioned on the per-round join key, and persisted — every round
+    * reuses that layout, so only the labels side shuffles. A round is ONE
+    * Spark action: the propagation (edges⋈labels → union with the old
+    * labels → min per node) materializes through checkpoint, and the
+    * convergence witness (count of labels that strictly decreased — labels
+    * are monotone non-increasing, so zero changes IS the fixpoint) rides
+    * the same job as a [[org.apache.spark.sql.Observation]] metric rather
+    * than a second collect. Labels are checkpointed per round because
+    * iterative lineage otherwise grows a plan per round and re-executes the
+    * whole history: reliable `checkpoint()` when the session has a
+    * checkpoint dir (`spark.sparkContext.setCheckpointDir` — survives
+    * executor loss, the cluster-grade path), `localCheckpoint()` otherwise
+    * (fastest, but pins executors; fine on local mode).
+    * Rounds needed = graph diameter; near-dup graphs are clique-ish
+    * (diameter 2-4), and `maxIter` bounds the pathological chain — on
+    * exhaustion without convergence a warning is logged (silent under-dedup
+    * is hard to diagnose downstream). At extreme scale swap in Hash-to-Min
+    * (Rastogi et al. 2013 — propagate neighbor SETS, O(log d) rounds) —
+    * same driver loop, heavier rounds; min-label is the right default.
     *
     * Output: (id long, cluster_id long), one row per node WITH an edge —
     * singletons are the caller's join-back (see [[neardupClusters]]). */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
       dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prev = checksum(labels)
-    var done = prev == null // empty pair set -> empty result, no rounds
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id")))
+    var done = labels.isEmpty // empty pair set -> empty result, no rounds
     var i = 0
     while (i < maxIter && !done) {
-      val nbrMin = edges
+      // neighbor labels propagate across edges; unioning the old labels in
+      // lets one min-aggregate produce the new label AND keep the old one
+      // (max(own) — exactly one self row per id) for the change flag
+      val nbr = edges
         .join(labels.select(col("id").as("dst"), col("cluster_id").as("dl")), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dl")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
-      val s = checksum(next)
-      done = s.compareTo(prev) == 0
-      prev = s
-      labels = next
+        .select(col("src").as("id"), col("dl").as("lbl"), lit(null).cast("long").as("own"))
+      val merged = labels
+        .select(col("id"), col("cluster_id").as("lbl"), col("cluster_id").as("own"))
+        .unionByName(nbr)
+        .groupBy("id")
+        .agg(min(col("lbl")).as("cluster_id"), max(col("own")).as("own"))
+      val obs = new org.apache.spark.sql.Observation(s"graft_cc_$i")
+      val next = merged
+        .observe(obs, coalesce(sum(when(col("cluster_id") < col("own"), 1L)
+          .otherwise(0L)), lit(0L)).as("changed"))
+        .select(col("id"), col("cluster_id"))
+      labels = materialize(next) // the one action; obs resolves with it
+      done = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+          "some cluster ids may be non-minimal (under-dedup) — raise maxIter")
     edges.unpersist()
     labels
   }
@@ -588,16 +605,28 @@ object Dedup {
     * (max_by on a (score, −id) struct: deterministic on any engine). The
     * generalization of the reference's latest-per-key overwrite
     * (load.py:139-148) from exact keys to fuzzy clusters. Returns the
-    * surviving docs with their original columns. */
+    * surviving docs with their original columns.
+    *
+    * The input is persisted for the call's lifetime (unless the caller
+    * already cached it): the docs feed THREE passes — fingerprinting (via
+    * [[neardupClusters]], whose CC loop runs eagerly right here), the
+    * keep-best score join, and the final semi-join — and without a cache
+    * each pass re-derives the caller's whole upstream lineage (measured ~4×
+    * recompute on the composed pipeline). The ContextCleaner reclaims the
+    * blocks once the result frame is unreachable. */
   def dropNearDuplicates(docs: DataFrame, scoreCol: String, textCol: String = "text",
       idCol: String = "doc_id", nBlocks: Int = 4, maxBlockFreq: Option[Int] = None,
       maxIter: Int = 20): DataFrame = {
-    val clusters = neardupClusters(docs, textCol, idCol, nBlocks, maxBlockFreq, maxIter)
-    val keep = docs.select(col(idCol), col(scoreCol))
+    val cached =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val clusters = neardupClusters(cached, textCol, idCol, nBlocks, maxBlockFreq, maxIter)
+    val keep = cached.select(col(idCol), col(scoreCol))
       .join(clusters, Seq(idCol))
       .groupBy(col("cluster_id"))
       .agg(max_by(col(idCol), struct(col(scoreCol), (-col(idCol)).as("nid"))).as(idCol))
-    docs.join(keep.select(idCol), Seq(idCol), "left_semi")
+    cached.join(keep.select(idCol), Seq(idCol), "left_semi")
   }
 
   def ngramJaccard(

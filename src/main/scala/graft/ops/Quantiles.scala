@@ -46,15 +46,27 @@ object Quantiles {
     require(specs.nonEmpty, "need at least one percentile spec")
     val g = col(groupCol)
     val valueCols = specs.map(_.valueCol).distinct
-    // all windows share the group partitioning -> one exchange, k sorts
-    val sized = df.withColumn("__n", count(lit(1)).over(Window.partitionBy(g)))
+    // NULL parity with the percentile aggregate (which ignores NULLs
+    // entirely): rank arithmetic runs over PER-COLUMN non-null counts
+    // (`count(col)` skips nulls) with nulls ordered LAST, so non-null rows
+    // occupy ranks 0..n_i-1 and a null row (rank ≥ n_i > pos) can never
+    // match the interpolation positions. One shared count would shift every
+    // position whenever columns have different null sets. The caller-visible
+    // `n` stays the total ROW count (the frame's own row-count column).
+    // All windows share the group partitioning -> one exchange, k sorts.
+    val sized = valueCols.zipWithIndex.foldLeft(
+      df.withColumn("__n", count(lit(1)).over(Window.partitionBy(g)))) {
+      case (d, (vc, i)) =>
+        d.withColumn(s"__nn_$i", count(col(vc)).over(Window.partitionBy(g)))
+    }
     val ranked = valueCols.zipWithIndex.foldLeft(sized) { case (d, (vc, i)) =>
       d.withColumn(s"__rn_$i",
-        row_number().over(Window.partitionBy(g).orderBy(col(vc).asc)))
+        row_number().over(Window.partitionBy(g).orderBy(col(vc).asc_nulls_last)))
     }
     val aggs = specs.map { sp =>
-      val rn0 = (col(s"__rn_${valueCols.indexOf(sp.valueCol)}") - 1).cast("long")
-      val pos = lit(sp.p) * (col("__n") - 1).cast("double") // 0-indexed position
+      val i = valueCols.indexOf(sp.valueCol)
+      val rn0 = (col(s"__rn_$i") - 1).cast("long")
+      val pos = lit(sp.p) * (col(s"__nn_$i") - 1).cast("double") // 0-indexed
       val lo = floor(pos)
       val hi = ceil(pos)
       val v = col(sp.valueCol).cast("double")

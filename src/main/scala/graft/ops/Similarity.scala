@@ -146,21 +146,29 @@ object Similarity {
     val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
       lshBucket(col(embCol), planes, dp).as("bucket"),
       sqrt(dp(col(embCol), col(embCol))).as("__nc"))
-    val own = lshBucket(col(embCol), planes, dp)
+    // The probe's own bucket lands in a REAL column first: the flip variants
+    // reference it 3× each (31 refs at multiProbe=10), and inlining the
+    // plane-dot expression into every reference both re-computes it 31× per
+    // row and bloats the fused codegen stage past Janino's method limit —
+    // the window's pre-shuffle partial top-k sort fuses this projection into
+    // its addToSorter and was the suite's one remaining codegen failure.
+    // >1 reference to a non-cheap expression stops CollapseProject from
+    // re-inlining (the textStats trick).
+    val ownC = col("__own")
     val probeBuckets =
-      if (multiProbe == 0) array(own)
-      else array(own +: (0 until multiProbe).map { i =>
+      if (multiProbe == 0) array(ownC)
+      else array(ownC +: (0 until multiProbe).map { i =>
         // flip bit i of the bucket string: bucket ∂ Hamming-1 neighbor
         concat(
-          substring(own, 1, i),
-          when(substring(own, i + 1, 1) === "1", "0").otherwise("1"),
-          substring(own, i + 2, numPlanes - i - 1))
+          substring(ownC, 1, i),
+          when(substring(ownC, i + 1, 1) === "1", "0").otherwise("1"),
+          substring(ownC, i + 2, numPlanes - i - 1))
       }: _*)
     val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
-        probeBuckets.as("__buckets"),
+        lshBucket(col(embCol), planes, dp).as("__own"),
         sqrt(dp(col(embCol), col(embCol))).as("__np"))
-      .withColumn("bucket", explode(col("__buckets")))
-      .drop("__buckets")
+      .withColumn("bucket", explode(probeBuckets))
+      .drop("__own")
     val scored = pb.join(cb, Seq("bucket"))
       .where(col("probe_id") =!= col("corpus_id"))
       .withColumn("cosine", cosineFromNorms(dp,

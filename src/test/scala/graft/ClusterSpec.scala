@@ -38,6 +38,27 @@ class ClusterSpec extends SparkSpec {
     assert(Dedup.connectedComponents(pairs).isEmpty)
   }
 
+  test("connectedComponents: reliable checkpoint path (checkpoint dir set)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+      val files = new java.io.File(dir).listFiles
+      assert(files != null && files.nonEmpty,
+        "reliable checkpoint files must land in the checkpoint dir")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
+  test("connectedComponents: maxIter bounds the rounds (partial labels, warned)") {
+    // 8-node path graph needs 7 propagation hops; 2 rounds can't finish
+    val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 2).as[(Long, Long)].collect().toMap
+    assert(got.size == 8 && !got.values.forall(_ == 10L),
+      s"2 rounds must leave the chain unconverged (else the bound is dead): $got")
+  }
+
   test("neardupClusters: exact+near dups share one cluster, rest are singletons") {
     val got = Dedup.neardupClusters(docs).as[(Long, Long)].collect().toMap
     assert(got(0L) == 0L && got(1L) == 0L && got(2L) == 0L,
@@ -76,6 +97,32 @@ class ClusterSpec extends SparkSpec {
       count(lit(1)).as("n"))
       .as[(String, Double, Double, Double, Long)].collect().toSet
     assert(ranked == buffered)
+  }
+
+  test("rankedPercentiles matches the percentile aggregate on NULL-bearing columns") {
+    // different null sets per column + one group whose `a` is entirely null:
+    // the aggregate ignores NULLs, so the twin must rank/size per column
+    val df = (0 until 300).map { i =>
+      val g = if (i < 10) "gn" else s"g${i % 3}"
+      val a = if (i % 7 == 0 || g == "gn") None else Some((i * 37 % 101).toDouble)
+      val b = if (i % 11 == 0) None else Some((i * 53 % 997).toDouble)
+      (g, a, b)
+    }.toDF("g", "a", "b")
+    val specs = Seq(
+      Quantiles.Spec("a", 0.5, "med_a"),
+      Quantiles.Spec("b", 0.25, "p25_b"),
+      Quantiles.Spec("b", 0.95, "p95_b"))
+    val ranked = Quantiles.rankedPercentiles(df, "g", specs)
+      .as[(String, Option[Double], Option[Double], Option[Double], Long)].collect().toSet
+    val buffered = df.groupBy(col("g")).agg(
+      round(expr("percentile(a, 0.5)"), 4).as("med_a"),
+      round(expr("percentile(b, 0.25)"), 4).as("p25_b"),
+      round(expr("percentile(b, 0.95)"), 4).as("p95_b"),
+      count(lit(1)).as("n"))
+      .as[(String, Option[Double], Option[Double], Option[Double], Long)].collect().toSet
+    assert(ranked == buffered)
+    assert(ranked.exists { case (g, a, _, _, _) => g == "gn" && a.isEmpty },
+      "the all-null group must surface a NULL percentile, not vanish")
   }
 
   test("rankedPercentiles plans ONE exchange (windows + final agg share the key)") {
