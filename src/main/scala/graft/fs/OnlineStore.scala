@@ -4,6 +4,50 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Driver-cached point-read serving over a materialized online snapshot —
+  * the honest equivalent of the reference's Redis `get_online_features`
+  * (agent/aqi-agent/app/agent.py:73-76): a hash-map get per key, no Spark
+  * job per read. Built by [[OnlineStore.pointLookupCache]]; semantics are
+  * differential-tested against [[OnlineStore.lookup]] (same TTL nulling,
+  * same absent-key path).
+  *
+  * When to use which: `lookup` (broadcast join) is the BATCH serving path —
+  * right when the keys are themselves a DataFrame of many entities (a
+  * training frame, a scoring batch). This cache is the LOW-LATENCY path for
+  * one-key-at-a-time reads (an HTTP serving tier): the snapshot is one row
+  * per live entity — the same smallness argument that makes `lookup`
+  * broadcastable makes it collectable — so it is collected ONCE into the
+  * serving process and each read is a map get + the TTL staleness check.
+  * Staleness bound = snapshot age + feature TTL; refresh by rebuilding from
+  * the refreshed snapshot (cost ∝ live entities, not history). */
+final class PointLookupCache private[fs] (
+    tsCol: String,
+    ttlMillis: Option[Long],
+    val featureCols: Seq[String],
+    rows: Map[Vector[Any], Map[String, Any]]) extends Serializable {
+
+  private val absent: Map[String, Any] = featureCols.map(_ -> null).toMap
+
+  def size: Int = rows.size
+
+  /** Feature map for one entity key as of `asOf`. Absent key → all-null
+    * features (the reference's "no data" path, agent.py:78-79); row past
+    * TTL → all features nulled, exactly like `lookup`'s expiry (a null ts
+    * counts as expired in both). */
+  def get(key: Seq[Any], asOf: java.time.Instant = java.time.Instant.now()): Map[String, Any] =
+    rows.get(key.toVector) match {
+      case None => absent
+      case Some(v) =>
+        val live = ttlMillis.forall { ms =>
+          v(tsCol) match {
+            case ts: java.sql.Timestamp => ts.getTime >= asOf.toEpochMilli - ms
+            case _ => false
+          }
+        }
+        if (live) v else absent
+    }
+}
+
 /** Online store: latest feature row per entity key, upserts, key lookups.
   *
   * The reference keeps this in Redis (hash per key, latest wins —
@@ -96,5 +140,25 @@ object OnlineStore {
         }
       case None => joined
     }
+  }
+
+  /** Collect the snapshot into a [[PointLookupCache]] for driver/serving-
+    * process point reads. The collect is bounded by construction: the
+    * snapshot is one row per live entity (the broadcastability argument of
+    * [[lookup]]) — do NOT point this at raw history. `ttl` mirrors
+    * `lookup`'s staleness nulling. */
+  def pointLookupCache(
+      snapshot: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      ttl: Option[java.time.Duration] = None
+  ): PointLookupCache = {
+    val featureCols = snapshot.columns.filterNot(keys.contains).toSeq
+    val rows = snapshot.collect().map { r =>
+      val k = keys.map(c => r.get(r.fieldIndex(c))).toVector
+      val v = featureCols.map(c => c -> r.get(r.fieldIndex(c))).toMap
+      k -> v
+    }.toMap
+    new PointLookupCache(tsCol, ttl.map(_.toMillis), featureCols, rows)
   }
 }

@@ -56,4 +56,30 @@ class OnlineStoreSpec extends SparkSpec {
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
     assert(got == Map("a" -> Some(1.0), "b" -> None, "zz" -> None))
   }
+
+  test("pointLookupCache matches lookup per key — incl. TTL expiry and absent keys") {
+    val snapshot = Seq(
+      ("a", ts("2024-01-10 00:00:00"), 1.0),
+      ("b", ts("2024-01-01 00:00:00"), 2.0), // past TTL at asOf
+      ("c", ts("2024-01-11 00:00:00"), 3.0)
+    ).toDF("k", "t", "v")
+    val asOf = ts("2024-01-11 00:00:00")
+    val probeKeys = Seq("a", "b", "c", "zz")
+
+    val viaJoin = OnlineStore.lookup(probeKeys.toDF("k"), snapshot, Seq("k"), "t",
+      ttl = Some("7 DAYS"), asOf = Some(lit(asOf)))
+      .collect()
+      .map(r => r.getString(0) -> Map("t" -> r.get(1), "v" -> r.get(2)))
+      .toMap
+
+    val cache = OnlineStore.pointLookupCache(snapshot, Seq("k"), "t",
+      ttl = Some(java.time.Duration.ofDays(7)))
+    assert(cache.size == 3)
+    val viaCache = probeKeys.map(k => k -> cache.get(Seq(k), asOf.toInstant)).toMap
+
+    assert(viaCache == viaJoin) // differential: map get ≡ broadcast join
+    // no TTL -> raw row served as-is
+    val raw = OnlineStore.pointLookupCache(snapshot, Seq("k"), "t")
+    assert(raw.get(Seq("b")) == Map("t" -> ts("2024-01-01 00:00:00"), "v" -> 2.0))
+  }
 }
