@@ -541,15 +541,81 @@ object Dedup {
     * (Rastogi et al. 2013 — propagate neighbor SETS, O(log d) rounds) —
     * same driver loop, heavier rounds; min-label is the right default.
     *
+    * Small-graph path — the broadcast-join analog for iterative graphs: the
+    * near-dup pair graph is SPARSE relative to the corpus (edges exist only
+    * between near-duplicates), so even a 100 TB corpus commonly yields a
+    * pair list that fits on the driver. When the (persisted, so counted for
+    * free relative to the passes the loop would make anyway) edge count is
+    * ≤ `driverEdgeCap`, the edges are collected and resolved with a
+    * path-compressed union-find in milliseconds — the distributed loop's
+    * per-round job overhead (join + agg + checkpoint × diameter rounds)
+    * dwarfs the data at this size, exactly like shuffling a 1 KB dim table
+    * instead of broadcasting it. Above the cap the distributed min-label
+    * loop runs unchanged. Both paths produce identical minimal labels
+    * (differential-tested); set `driverEdgeCap = 0` to force the loop.
+    * Default 4M edges = 64 MB of (long, long) — well inside any driver.
+    *
     * Output: (id long, cluster_id long), one row per node WITH an edge —
     * singletons are the caller's join-back (see [[neardupClusters]]). */
   def connectedComponents(pairs: DataFrame, srcCol: String = "id_a",
-      dstCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+      dstCol: String = "id_b", maxIter: Int = 20,
+      driverEdgeCap: Long = 4000000L): DataFrame = {
     val spark = pairs.sparkSession
+    val fwd0 = pairs
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    if (driverEdgeCap > 0) {
+      val fwd = fwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = fwd.count() // materializes the cache either path reuses
+      if (n <= driverEdgeCap) {
+        val out = driverUnionFind(fwd)
+        fwd.unpersist()
+        return out
+      }
+      // cache reused by the loop's symmetrize+distinct; the loop's result is
+      // checkpoint-materialized eagerly, so the cache can drop right after
+      val out = ccLoop(fwd, maxIter)
+      fwd.unpersist()
+      return out
+    }
+    ccLoop(fwd0, maxIter)
+  }
+
+  /** Path-compressed union-find over a driver-collected edge list; roots are
+    * kept minimal by always attaching the larger root under the smaller, so
+    * `find(x)` IS the min-label cluster id. Result returns to the cluster
+    * via parallelize (not a LocalRelation — keeps the driver plan small). */
+  private def driverUnionFind(fwd: DataFrame): DataFrame = {
+    val spark = fwd.sparkSession
+    val parent = new java.util.HashMap[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    fwd.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+    parent.keySet().forEach(id => rows += org.apache.spark.sql.Row(id.longValue(), find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, false)))
+    val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 50000 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), schema)
+  }
+
+  /** The distributed min-label loop (see [[connectedComponents]] scaladoc). */
+  private def ccLoop(fwd: DataFrame, maxIter: Int): DataFrame = {
+    val spark = fwd.sparkSession
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val fwd = pairs.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("dst"))

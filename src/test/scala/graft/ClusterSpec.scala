@@ -27,10 +27,30 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("connectedComponents: converges on a long chain (diameter > 2 rounds)") {
-    // path graph 10-11-...-17: the min label must walk 7 hops
+    // path graph 10-11-...-17: the min label must walk 7 hops; cap=0 forces
+    // the distributed loop (default would take the driver union-find path)
     val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val got = Dedup.connectedComponents(pairs, driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.size == 8 && got.values.forall(_ == 10L), s"chain did not converge: $got")
+  }
+
+  test("connectedComponents: driver union-find ≡ distributed loop (differential)") {
+    // deterministic pseudo-random graph: chains, cliques, crossing edges,
+    // self-loops, duplicate and reversed edges
+    val raw = (0 until 300).flatMap { i =>
+      val a = (i * 131) % 97; val b = (i * 173 + 7) % 97
+      Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) // both directions
+    } ++ Seq((200L, 200L), (201L, 202L), (201L, 202L))
+    val pairs = raw.toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    // the edges collapse mod 97 into a sparse functional graph whose min-node
+    // eccentricity exceeds the default 20 rounds — raise maxIter so the loop
+    // actually converges (an instrumented run showed the convergence witness
+    // exact every round; 20 rounds simply isn't fixpoint on this fixture)
+    val loop = Dedup.connectedComponents(pairs, maxIter = 100, driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop, s"paths diverge:\n fast=$fast\n loop=$loop")
   }
 
   test("connectedComponents: empty pair set yields an empty frame, no rounds") {
@@ -43,7 +63,8 @@ class ClusterSpec extends SparkSpec {
     spark.sparkContext.setCheckpointDir(dir)
     try {
       val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
-      val got = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      val got = Dedup.connectedComponents(pairs, driverEdgeCap = 0)
+        .as[(Long, Long)].collect().toMap
       assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
       val files = new java.io.File(dir).listFiles
       assert(files != null && files.nonEmpty,
@@ -54,7 +75,8 @@ class ClusterSpec extends SparkSpec {
   test("connectedComponents: maxIter bounds the rounds (partial labels, warned)") {
     // 8-node path graph needs 7 propagation hops; 2 rounds can't finish
     val pairs = (10L until 17L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs, maxIter = 2).as[(Long, Long)].collect().toMap
+    val got = Dedup.connectedComponents(pairs, maxIter = 2, driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
     assert(got.size == 8 && !got.values.forall(_ == 10L),
       s"2 rounds must leave the chain unconverged (else the bound is dead): $got")
   }
