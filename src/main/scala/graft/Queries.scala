@@ -124,6 +124,46 @@ object Queries {
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
         col("event_type"), col("n"), col("avg_value"))
 
+  /** Structured Streaming under the oracle: the SAME hourly tumbling-window
+    * aggregate as [[hourlyWindow]], executed as a file-source STREAM
+    * (`Trigger.AvailableNow`, complete mode, memory sink) instead of a
+    * batch query. Event-time windows make the result independent of
+    * arrival/batch order, so the batch oracle replays it exactly — the
+    * stream≡batch differential promoted from spec to the driver's hard
+    * signal (source schema, NANOS-ts normalization, window semantics all
+    * pinned). Complete mode because AvailableNow ends the stream at the
+    * last file: append mode would hold the final windows in state forever
+    * (the watermark never passes them), complete emits everything at the
+    * terminal trigger. */
+  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source watches DIRECTORIES; stage the events file into
+    // a session-memoized scratch dir (same lifecycle as the ingest fixtures)
+    val staged = streamDirMemo.computeIfAbsent(dir, { d =>
+      val sd = scratchDir("graft_stream_src")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        sd.resolve("events.parquet"))
+      sd.toString
+    })
+    val agg = s.readStream.schema(schema).parquet(staged)
+      .withColumn("ts",
+        expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
+        col("event_type"), col("n"), col("avg_value"))
+    // fixed sink name: uniqueness is only enforced among ACTIVE queries, and
+    // this one terminates before returning; reusing it keeps repeated bench
+    // invocations from accumulating memory-sink tables
+    val q = agg.writeStream.format("memory").queryName("graft_stream_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_hourly")
+  }
+
   /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
     * strings so the cross-engine compare is representation-free. */
   private def watermark(s: SparkSession, dir: String): DataFrame =
@@ -588,6 +628,14 @@ object Queries {
   private def neardupClustersQ(s: SparkSession, dir: String): DataFrame =
     Dedup.neardupClusters(t(s, dir, "documents"))
 
+  /** The distributed min-label CC loop itself, forced (`driverEdgeCap = 0`
+    * disables the small-graph union-find shortcut) — the path that runs
+    * when the pair graph outgrows the driver must carry the hard signal
+    * too, not only via the shortcut that serves it at test SF. Same
+    * fixpoint, same recursive-CTE oracle. */
+  private def neardupClustersLoopQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.neardupClusters(t(s, dir, "documents"), driverEdgeCap = 0L)
+
   /** The COMPLETE LLM training-data path, flagship form: exact dedup →
     * fuzzy simhash cluster dedup keeping the best-quality member per
     * cluster ([[graft.ops.Dedup.dropNearDuplicates]] — the API users call,
@@ -645,6 +693,24 @@ object Queries {
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.bruteForceTopKJoin(emb, emb.where(col("vec_id") < 10), 5)
+  }
+
+  /** ANN quality gate: per-probe recall@5 of the IVF index against the
+    * brute-force exact top-5 — the measurement that justifies shipping an
+    * approximate index at 100 TB (recall is the accuracy axis of the
+    * speed/accuracy trade the nProbe knob buys). Both sides are
+    * deterministic, so recall is a hard number the oracle re-derives
+    * end-to-end. */
+  private def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    val approx = Similarity.ivfTopK(emb, probes, k = 5, nLists = 16, nProbe = 4)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
   }
 
   /** Approximate ANN: LSH-bucketed top-k (scale path; rows-only check). */
@@ -776,6 +842,10 @@ object Queries {
     * only ever re-READS the landed store — idempotent and deterministic. */
   private val fixtureMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession), DataFrame]
+
+  /** Staged source dirs for the streaming twin, keyed by sf dir. */
+  private val streamDirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
 
   private def scratchDir(prefix: String): java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory(prefix)
@@ -911,6 +981,7 @@ object Queries {
     "q_online_lookup" -> (onlineLookup _),
     "q_agg_calendar" -> (aggCalendar _),
     "q_hourly_window" -> (hourlyWindow _),
+    "q_stream_hourly" -> (streamHourly _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -961,6 +1032,7 @@ object Queries {
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
+    "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
     "q_ingest_roundtrip" -> (ingestRoundtrip _),
     "q_lineage_guard" -> (lineageGuard _),
     "q_minhash_pairs" -> (minhashPairs _),
@@ -971,6 +1043,7 @@ object Queries {
     "q_embedding_stats" -> (embeddingStatsQ _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_recall" -> (annRecallQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
@@ -1125,11 +1198,10 @@ object Queries {
         |CAST(day(ts) AS INTEGER) AS day, count(*) AS n, round(avg(value), 4) AS avg_value,
         |round(sum(value), 2) AS sum_value, max(ts) AS max_ts
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
-    "q_hourly_window" ->
-      """SELECT date_trunc('hour', ts) AS hour_start,
-        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
-        |event_type, count(*) AS n, round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "q_hourly_window" -> hourlyWindowOracle,
+    // the streaming twin computes the identical event-time aggregate, so it
+    // shares the batch oracle verbatim — that equality IS the claim
+    "q_stream_hourly" -> hourlyWindowOracle,
     "q_watermark" ->
       """SELECT strftime(CAST(max(ts) AS DATE), '%Y-%m-%d') AS max_date,
         |strftime(CAST(max(ts) AS DATE) + 1, '%Y-%m-%d') AS next_watermark,
@@ -1250,17 +1322,8 @@ object Queries {
          |      ELSE ${dotSql("a.embedding", "b.embedding")} / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("b.embedding", "b.embedding")})) END, 6) AS cosine
          |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
-    "q_ann_topk" ->
-      s"""WITH pairs AS (
-         |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
-         |    round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
-         |      ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
-         |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p
-         |  WHERE p.vec_id <> c.vec_id)
-         |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
-         |  SELECT probe_id, corpus_id, cosine,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
-         |  FROM pairs) WHERE rn <= 5""".stripMargin,
+    "q_ann_topk" -> annTopKOracle,
+    "q_ann_recall" -> annRecallOracle,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
@@ -1361,6 +1424,7 @@ object Queries {
     "q_dedup_keep_best" -> dedupKeepBestOracle,
     "q_date_in_text" -> dateInTextOracle,
     "q_neardup_clusters" -> neardupClustersOracle,
+    "q_neardup_clusters_loop" -> neardupClustersOracle,
     "q_ingest_roundtrip" -> ingestRoundtripOracle,
     "q_lineage_guard" -> lineageGuardOracle,
     "q_media_features" -> mediaFeaturesOracle,
@@ -1704,6 +1768,37 @@ object Queries {
          |'aqi_info' AS source, CAST(7 AS BIGINT) AS ttl_days, TRUE AS online""".stripMargin
     }.mkString("\nUNION ALL\n")
   }
+
+  private def hourlyWindowOracle: String =
+    """SELECT date_trunc('hour', ts) AS hour_start,
+      |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+      |event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Brute-force cosine top-5 for the 10 probe vectors (the exact ANN
+    * baseline), with the engine's operation order and tie-break. */
+  private def annTopKOracle: String =
+    s"""WITH pairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) p
+       |  WHERE p.vec_id <> c.vec_id)
+       |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM pairs) WHERE rn <= 5""".stripMargin
+
+  /** Recall@5 of the IVF index vs the exact baseline: both sub-oracles
+    * embedded as named subqueries, hits counted per probe. */
+  private def annRecallOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |approx AS (SELECT probe_id, corpus_id FROM ($ivfOracle))
+       |SELECT e.probe_id,
+       |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
+       |GROUP BY e.probe_id""".stripMargin
 
   /** IVF is deterministic end-to-end (centroids = the nLists lowest-id
     * vectors, dot products accumulated in index order on both engines), so

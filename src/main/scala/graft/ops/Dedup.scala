@@ -649,6 +649,9 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents did not converge in $maxIter rounds; " +
           "some cluster ids may be non-minimal (under-dedup) — raise maxIter")
+    else
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"connectedComponents converged in $i rounds") // rounds ≈ diameter+1
     edges.unpersist()
     labels
   }
@@ -658,9 +661,10 @@ object Dedup {
     * → join back so docs with no near-dup keep themselves as a singleton
     * cluster. Output: (idCol, cluster_id). */
   def neardupClusters(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None, maxIter: Int = 20): DataFrame = {
+      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None, maxIter: Int = 20,
+      driverEdgeCap: Long = 4000000L): DataFrame = {
     val pairs = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
-    val cc = connectedComponents(pairs, "id_a", "id_b", maxIter)
+    val cc = connectedComponents(pairs, "id_a", "id_b", maxIter, driverEdgeCap)
     docs.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
