@@ -135,34 +135,82 @@ object Queries {
     * last file: append mode would hold the final windows in state forever
     * (the watermark never passes them), complete emits everything at the
     * terminal trigger. */
-  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+  /** The events table as a file-source STREAM with the same NANOS-ts
+    * normalization as the batch reader. The file stream source watches
+    * DIRECTORIES; the events file is staged into a session-memoized
+    * scratch dir (same lifecycle as the ingest fixtures). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source watches DIRECTORIES; stage the events file into
-    // a session-memoized scratch dir (same lifecycle as the ingest fixtures)
     val staged = streamDirMemo.computeIfAbsent(dir, { d =>
       val sd = scratchDir("graft_stream_src")
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
         sd.resolve("events.parquet"))
       sd.toString
     })
-    val agg = s.readStream.schema(schema).parquet(staged)
+    s.readStream.schema(schema).parquet(staged)
       .withColumn("ts",
         expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+  }
+
+  /** Run a streaming frame to completion (Trigger.AvailableNow) into a
+    * memory sink and return the sink table. Fixed per-query sink names:
+    * uniqueness is only enforced among ACTIVE queries, and these terminate
+    * before returning — reuse keeps repeated bench invocations from
+    * accumulating memory-sink tables. */
+  private def runStream(s: SparkSession, df: DataFrame, name: String,
+      mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
         col("event_type"), col("n"), col("avg_value"))
-    // fixed sink name: uniqueness is only enforced among ACTIVE queries, and
-    // this one terminates before returning; reusing it keeps repeated bench
-    // invocations from accumulating memory-sink tables
-    val q = agg.writeStream.format("memory").queryName("graft_stream_hourly")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table("graft_stream_hourly")
+    runStream(s, agg, "graft_stream_hourly", "complete")
   }
+
+  /** The online-store materialization as a STREAM under the oracle: the
+    * same `max_by` latest-per-key aggregate the batch snapshot uses
+    * ([[graft.fs.OnlineStore.latestSnapshot]] applied unchanged to a
+    * streaming frame — one declarative plan, two execution modes), run to
+    * completion in complete mode. The terminal emission is exactly one row
+    * per key regardless of arrival order, so the batch oracle replays it —
+    * this is the reference's hourly online-refresh loop as a stream with
+    * the stream≡batch equality under the driver's hard signal. */
+  private def streamLatestPerKey(s: SparkSession, dir: String): DataFrame =
+    runStream(s,
+      OnlineStore.latestSnapshot(eventsStream(s, dir), Seq("user_id"), "ts", Seq("event_id")),
+      "graft_stream_latest", "complete")
+
+  /** Streaming exact dedup under the oracle: rows dedup on a PORTABLE
+    * fingerprint of the payload (`TextAnalysis.fingerprint` — fixed-width
+    * state, the property that keeps streaming-dedup state bounded in bytes
+    * at 100 TB/day; xxhash64 would be the production pick but this one the
+    * oracle re-derives), and the query returns the distinct fingerprints.
+    * `dropDuplicatesWithinWatermark` keeps the FIRST arrival per key —
+    * arrival-order-dependent in its payload — but the fingerprint SET is
+    * order-free, which is what makes a streaming dedup oracle-able at all:
+    * the projection to keys is the deterministic boundary. */
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    runStream(s,
+      eventsStream(s, dir)
+        // event-time watermarks require TimestampType (not NTZ); the session
+        // is pinned UTC and the column never reaches the output, so the cast
+        // is representation-only
+        .withColumn("ts_wm", col("ts").cast("timestamp"))
+        .withColumn("fp", TextAnalysis.fingerprint(col("props")))
+        .withWatermark("ts_wm", "2 hours")
+        .dropDuplicatesWithinWatermark("fp")
+        .select(col("fp")),
+      "graft_stream_dedup", "append")
 
   /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
     * strings so the cross-engine compare is representation-free. */
@@ -982,6 +1030,8 @@ object Queries {
     "q_agg_calendar" -> (aggCalendar _),
     "q_hourly_window" -> (hourlyWindow _),
     "q_stream_hourly" -> (streamHourly _),
+    "q_stream_latest_per_key" -> (streamLatestPerKey _),
+    "q_stream_dedup" -> (streamDedup _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -1199,9 +1249,15 @@ object Queries {
         |round(sum(value), 2) AS sum_value, max(ts) AS max_ts
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_hourly_window" -> hourlyWindowOracle,
-    // the streaming twin computes the identical event-time aggregate, so it
-    // shares the batch oracle verbatim — that equality IS the claim
+    // the streaming twins compute identical order-free results, so they
+    // share the batch oracles verbatim — that equality IS the claim
     "q_stream_hourly" -> hourlyWindowOracle,
+    "q_stream_latest_per_key" -> latestOracle,
+    "q_stream_dedup" ->
+      """SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  list_transform(range(1, CAST(length(props) + 1 AS INTEGER)), i -> CAST(ascii(props[i:i]) AS BIGINT))),
+        |  (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+        |FROM events""".stripMargin,
     "q_watermark" ->
       """SELECT strftime(CAST(max(ts) AS DATE), '%Y-%m-%d') AS max_date,
         |strftime(CAST(max(ts) AS DATE) + 1, '%Y-%m-%d') AS next_watermark,
