@@ -684,6 +684,13 @@ object Queries {
   private def neardupClustersLoopQ(s: SparkSession, dir: String): DataFrame =
     Dedup.neardupClusters(t(s, dir, "documents"), driverEdgeCap = 0L)
 
+  /** Sub-document dedup: corpus-wide removal of repeated 8-word spans,
+    * docs reassembled from surviving chunks ([[graft.ops.Dedup.chunkDedup]]
+    * — the line/paragraph dedup of web-corpus pipelines generalized to
+    * fixed word windows). */
+  private def chunkDedupQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(t(s, dir, "documents"))
+
   /** The COMPLETE LLM training-data path, flagship form: exact dedup →
     * fuzzy simhash cluster dedup keeping the best-quality member per
     * cluster ([[graft.ops.Dedup.dropNearDuplicates]] — the API users call,
@@ -1080,6 +1087,7 @@ object Queries {
     "q_pipeline" -> (pipelineQ _),
     "q_pipeline_full" -> (pipelineFullQ _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_chunk_dedup" -> (chunkDedupQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1336,6 +1344,22 @@ object Queries {
         |  list_transform(range(1, CAST(length(text) + 1 AS INTEGER)), i -> CAST(ascii(text[i:i]) AS BIGINT))),
         |  (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
         |FROM documents""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, u['pos'] AS pos, u['chunk'] AS chunk FROM (
+        |    SELECT doc_id, unnest(list_transform(range(0, CAST((len(w) - 1) // 8 + 1 AS INTEGER)),
+        |      i -> struct_pack(pos := i, chunk := array_to_string(w[CAST(i*8+1 AS INTEGER) : CAST(i*8+8 AS INTEGER)], ' ')))) AS u
+        |    FROM tok)),
+        |k AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk ORDER BY doc_id ASC, pos ASC) = 1 AS keep
+        |  FROM ch)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list(chunk ORDER BY pos) FILTER (WHERE keep), ' '), '') AS dedup_text,
+        |  CAST(coalesce(sum(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS kept_chunks,
+        |  count(*) AS total_chunks
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q_exact_dedup" ->
       "SELECT props, min(event_id) AS event_id FROM events GROUP BY props",
     "q_exact_dedup_digest" ->

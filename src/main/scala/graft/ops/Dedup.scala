@@ -737,4 +737,52 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Sub-document (chunk-level) dedup: the corpus-wide removal of repeated
+    * SPANS that document-level dedup can't see — boilerplate headers,
+    * license blocks, quoted passages duplicated across otherwise-distinct
+    * documents (the line/paragraph dedup step of web-corpus pipelines,
+    * generalized to fixed-size word windows because "line" is a formatting
+    * accident). Each document is split into consecutive `chunkWords`-word
+    * chunks; a chunk survives only at its globally FIRST occurrence
+    * (lowest (id, position) — total order, engine-independent), and each
+    * document is reassembled from its surviving chunks in original order.
+    *
+    * Plan shape: posexplode → ONE shuffle on chunk text (row_number picks
+    * the winner inside the sorted partition — no join back needed, the
+    * winner flag falls out of the same window pass) → one shuffle on id to
+    * reassemble. Shuffle bytes carry each chunk once per occurrence; at
+    * 100 TB swap the window key for `xxhash64(chunk)` to shuffle 8-byte
+    * digests (same one-liner trade as [[exactByDigest]] — kept as text
+    * here so the oracle can replay the key).
+    *
+    * Output: (idCol, dedup_text, kept_chunks, total_chunks) — documents
+    * whose every chunk was seen earlier elsewhere keep an empty
+    * dedup_text (kept_chunks = 0), mirroring what a pipeline would then
+    * drop with a trivial filter. */
+  def chunkDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      chunkWords: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk")).orderBy(col(idCol).asc, col("pos").asc)
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) div $chunkWords)," +
+          s" i -> array_join(slice(toks, i * $chunkWords + 1, $chunkWords), ' '))"))
+        .as(Seq("pos", "chunk")))
+    val kept = chunks
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__keep", col("__rn") === 1)
+    docs.select(col(idCol))
+      .join(
+        kept.groupBy(col(idCol)).agg(
+          array_join(expr("transform(array_sort(collect_list(CASE WHEN __keep THEN " +
+            "struct(pos, chunk) END)), s -> s.chunk)"), " ").as("dedup_text"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_chunks"),
+          count(lit(1)).as("total_chunks")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dedup_text"), lit("")).as("dedup_text"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("total_chunks"), lit(0L)).as("total_chunks"))
+  }
 }

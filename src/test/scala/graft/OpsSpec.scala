@@ -23,6 +23,21 @@ class OpsSpec extends SparkSpec {
     assert(stats == ((5L, 4L, 1L)))
   }
 
+  test("chunkDedup: repeated spans survive only at first occurrence, docs reassemble in order") {
+    // 2-word chunks: doc 0 = ["a b", "c d"], doc 1 = ["a b", "x y"],
+    // doc 2 = ["c d", "a b"], doc 3 repeats doc 0 exactly -> fully emptied
+    val d = Seq(
+      (0L, "a b c d"), (1L, "a b x y"), (2L, "c d a b"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(d, chunkWords = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == (("a b c d", 2L, 2L)))  // first occurrence of both chunks
+    assert(got(1L) == (("x y", 1L, 2L)))      // "a b" seen in doc 0
+    assert(got(2L) == (("", 0L, 2L)))         // both chunks seen earlier
+    assert(got(3L) == (("", 0L, 2L)))         // exact dup fully removed
+  }
+
   test("shingles: k-grams, degenerate short docs collapse to one shingle") {
     val got = Seq("a b c d", "a b").toDF("text")
       .select(Dedup.shingles(col("text"), 3)).as[Seq[String]].collect()
