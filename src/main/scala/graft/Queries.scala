@@ -801,6 +801,19 @@ object Queries {
   private def trainSplit(s: SparkSession, dir: String): DataFrame =
     Sampling.hashSplit(t(s, dir, "documents").select("doc_id"), "doc_id")
 
+  /** Deterministic sequence packing: docs → fixed-token-budget training
+    * sequences per source ([[graft.ops.Sampling.packSequences]] — window
+    * arithmetic, one shuffle, engine-independent layout). */
+  private def tokenPackQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(t(s, dir, "documents").select(col("doc_id"), col("source"),
+      col("text")), "text", "doc_id", "source", 512)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("seq_id"), col("seq_pos"))
+
+  /** Deterministic output sharding: portable-fingerprint shard + in-shard
+    * position ([[graft.ops.Sampling.shardAssign]]). */
+  private def shardAssignQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardAssign(t(s, dir, "documents").select(col("doc_id")), "doc_id", 16)
+
   /** Hybrid retrieval: reciprocal-rank fusion of vector similarity and text
     * quality. Top-20 cosine candidates per probe re-rank within the
     * candidate set by quality (vec_id ↔ doc_id correspondence in the
@@ -1088,6 +1101,8 @@ object Queries {
     "q_pipeline_full" -> (pipelineFullQ _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_chunk_dedup" -> (chunkDedupQ _),
+    "q_token_pack" -> (tokenPackQ _),
+    "q_shard_assign" -> (shardAssignQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1522,6 +1537,27 @@ object Queries {
     "q_train_split" ->
       """SELECT doc_id, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+    "q_token_pack" ->
+      """WITH n AS (SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |st AS (SELECT doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM n),
+        |sq AS (SELECT doc_id, source, n_tokens, CAST(floor(strt / 512.0) AS BIGINT) AS seq_id FROM st)
+        |SELECT doc_id, source, n_tokens, seq_id,
+        |  CAST(row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id ASC) AS INTEGER) AS seq_pos
+        |FROM sq""".stripMargin,
+    "q_shard_assign" ->
+      """WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, CAST(length(CAST(doc_id AS VARCHAR)) + 1 AS INTEGER)),
+        |      i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i:i]) AS BIGINT))),
+        |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+        |  FROM documents)
+        |SELECT doc_id, fp % 16 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
+        |FROM f""".stripMargin,
     "q_lsh_topk" -> lshOracle
   )
 
