@@ -169,11 +169,17 @@ object Queries {
   }
 
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
+    // DECIMAL sum, not double avg: streaming state-store merges accumulate
+    // in a different order than the batch scan, and at sf0.1 three hours
+    // landed on a round(.,4) boundary where the two orders disagree in the
+    // last ulp. Exact decimal summation is order-insensitive, so the
+    // stream≡batch-oracle equality holds at ANY scale, by construction.
     val agg = eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
-        col("event_type"), col("n"), col("avg_value"))
+        col("event_type"), col("n"), col("sum_value"))
     runStream(s, agg, "graft_stream_hourly", "complete")
   }
 
@@ -211,6 +217,28 @@ object Queries {
         .dropDuplicatesWithinWatermark("fp")
         .select(col("fp")),
       "graft_stream_dedup", "append")
+
+  /** Streaming sessionization under the oracle — the subtlest of the
+    * streaming twins because append mode only emits sessions the TERMINAL
+    * watermark has passed: with delay 0 the final watermark is the max
+    * event time truncated to Spark's millisecond watermark clock, so
+    * sessions ending within the last `(gap + sub-ms remainder)` stay in
+    * state and are (deterministically!) withheld. The oracle replays
+    * exactly that: gap-based sessions (end = last event + gap, the
+    * `session_window` convention) filtered to `session_end <=
+    * ms-truncated max(ts)` — pinning Spark's event-time emission semantics
+    * cross-engine, not just the happy path. ts is cast to TIMESTAMP
+    * (watermarks reject NTZ; session UTC makes it representation-only). */
+  private def streamSessionize(s: SparkSession, dir: String): DataFrame =
+    runStream(s,
+      streaming.OnlineRefresh.sessionAggregate(
+        eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "user_id", gap = "30 minutes", watermarkDelay = "0 seconds"),
+      "graft_stream_sessionize", "append")
+      // back to NTZ so the dumped parquet carries the same timestamp
+      // annotation as every batch query (UTC session → same wall values)
+      .select(col("user_id"), col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"), col("n_events"))
 
   /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
     * strings so the cross-engine compare is representation-free. */
@@ -1052,6 +1080,7 @@ object Queries {
     "q_stream_hourly" -> (streamHourly _),
     "q_stream_latest_per_key" -> (streamLatestPerKey _),
     "q_stream_dedup" -> (streamDedup _),
+    "q_stream_sessionize" -> (streamSessionize _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -1273,9 +1302,25 @@ object Queries {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_hourly_window" -> hourlyWindowOracle,
     // the streaming twins compute identical order-free results, so they
-    // share the batch oracles verbatim — that equality IS the claim
-    "q_stream_hourly" -> hourlyWindowOracle,
+    // share the batch oracles where schemas line up — that equality IS the
+    // claim (the hourly twin carries a decimal-exact sum instead of the
+    // double avg: see streamHourly)
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+        |event_type, count(*) AS n,
+        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_stream_latest_per_key" -> latestOracle,
+    "q_stream_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev_ts FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM o),
+        |sq AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC) AS seq FROM f),
+        |sess AS (SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(*) AS n_events
+        |  FROM sq GROUP BY user_id, seq)
+        |SELECT user_id, session_start, session_end, n_events FROM sess
+        |WHERE session_end <= make_timestamp(epoch_ms((SELECT max(ts) FROM events)) * 1000)""".stripMargin,
     "q_stream_dedup" ->
       """SELECT DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
         |  list_transform(range(1, CAST(length(props) + 1 AS INTEGER)), i -> CAST(ascii(props[i:i]) AS BIGINT))),

@@ -190,6 +190,21 @@ class PlanSpec extends SparkSpec {
       s"fingerprint must not be re-evaluated inside a pushed filter:\n$p")
   }
 
+  test("q_token_pack: both packing windows share ONE exchange") {
+    // hash(source) satisfies the (source, seq_id) clustering of the second
+    // window — the position window re-sorts but must NOT re-shuffle
+    val p = plan("q_token_pack")
+    assert(nodes(p, "Exchange") == 1, "packing must shuffle the docs once")
+    assert(nodes(p, "Window") == 2, "running sum + in-sequence position")
+    assert(nodes(p, "Scan parquet") == 1)
+  }
+
+  test("q_chunk_dedup: winner window + reassembly = two shuffles, no join-back on chunks") {
+    val p = plan("q_chunk_dedup")
+    assert(nodes(p, "Exchange") <= 2, "one shuffle on chunk, one on doc_id")
+    assert(nodes(p, "Window") == 1, "the first-occurrence winner falls out of the window sort")
+  }
+
   test("q_distinct_agg: two distinct columns expand in a single scan") {
     val p = plan("q_distinct_agg")
     assert(nodes(p, "Expand") == 1, "multi-distinct must plan via one Expand")
