@@ -117,12 +117,24 @@ object Queries {
 
   /** Event-time tumbling-window aggregate — batch twin of the streaming
     * hourly rollup (same `window()` operator Structured Streaming uses). */
+  /** The 4-dp HALF_UP average in EXACT integer arithmetic. `value` is a
+    * 2-dp quantity, so cents are exact longs; floor((2·cents·100 + n) /
+    * (2n)) IS round-half-up(avg·10⁴) — pure integer ops, bit-identical on
+    * any engine at any scale. Why not round(avg(double),4): the double avg
+    * accumulates in partition/merge order (and streaming state order), and
+    * why not round the decimal quotient either: quotients land EXACTLY on
+    * the half boundary (1134.09/24 = 47.253750), where Spark's BigDecimal
+    * HALF_UP and DuckDB's binary-double rounding genuinely disagree. */
+  private def exactAvg4(cents: Column, n: Column): Column =
+    floor((cents * 200 + n) / (n * 2)).cast("double") / 10000.0
+
   private def hourlyWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
-        col("event_type"), col("n"), col("avg_value"))
+        col("event_type"), col("n"), exactAvg4(col("__cents"), col("n")).as("avg_value"))
 
   /** Structured Streaming under the oracle: the SAME hourly tumbling-window
     * aggregate as [[hourlyWindow]], executed as a file-source STREAM
@@ -169,17 +181,16 @@ object Queries {
   }
 
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
-    // DECIMAL sum, not double avg: streaming state-store merges accumulate
-    // in a different order than the batch scan, and at sf0.1 three hours
-    // landed on a round(.,4) boundary where the two orders disagree in the
-    // last ulp. Exact decimal summation is order-insensitive, so the
-    // stream≡batch-oracle equality holds at ANY scale, by construction.
+    // identical integer-exact avg formulation as the batch twin (see
+    // hourlyWindow/exactAvg4: double avgs are accumulation-order-sensitive,
+    // and streaming state merges in yet another order) — so both twins
+    // share ONE oracle and the equality holds at any scale by construction
     val agg = eventsStream(s, dir)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("sum_value"))
+        sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
       .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
-        col("event_type"), col("n"), col("sum_value"))
+        col("event_type"), col("n"), exactAvg4(col("__cents"), col("n")).as("avg_value"))
     runStream(s, agg, "graft_stream_hourly", "complete")
   }
 
@@ -239,6 +250,24 @@ object Queries {
       // annotation as every batch query (UTC session → same wall values)
       .select(col("user_id"), col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"), col("n_events"))
+
+  /** Stream-static enrichment under the oracle: signup events arrive as a
+    * STREAM and are left-joined (stateless, append mode — no watermark
+    * needed) against the static latest-click snapshot, the streaming twin
+    * of the batch online lookup (J2). Enrichment is per-row deterministic
+    * regardless of arrival order, so the batch join replays it exactly;
+    * Spark broadcasts the static side exactly like the batch plan. */
+  private def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val snap = OnlineStore.latestSnapshot(
+      ev.where(col("event_type") === "click").select("user_id", "ts", "value", "event_id"),
+      Seq("user_id"), "ts", Seq("event_id"))
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val stream = eventsStream(s, dir).where(col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    runStream(s, streaming.OnlineRefresh.enrichStream(stream, snap, Seq("user_id")),
+      "graft_stream_enrich", "append")
+  }
 
   /** A3: high-watermark (max partition date + 1 day). Dates rendered as ISO
     * strings so the cross-engine compare is representation-free. */
@@ -1081,6 +1110,7 @@ object Queries {
     "q_stream_latest_per_key" -> (streamLatestPerKey _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_sessionize" -> (streamSessionize _),
+    "q_stream_enrich" -> (streamEnrich _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -1302,16 +1332,16 @@ object Queries {
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
     "q_hourly_window" -> hourlyWindowOracle,
     // the streaming twins compute identical order-free results, so they
-    // share the batch oracles where schemas line up — that equality IS the
-    // claim (the hourly twin carries a decimal-exact sum instead of the
-    // double avg: see streamHourly)
-    "q_stream_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour_start,
-        |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
-        |event_type, count(*) AS n,
-        |CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // share the batch oracles verbatim — that equality IS the claim
+    "q_stream_hourly" -> hourlyWindowOracle,
     "q_stream_latest_per_key" -> latestOracle,
+    "q_stream_enrich" ->
+      """WITH snap AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value FROM events
+        |  WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts, s.click_ts, s.click_value
+        |FROM events e LEFT JOIN snap s USING (user_id) WHERE e.event_type = 'signup'""".stripMargin,
     "q_stream_sessionize" ->
       """WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS prev_ts FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM o),
@@ -1931,10 +1961,14 @@ object Queries {
   }
 
   private def hourlyWindowOracle: String =
-    """SELECT date_trunc('hour', ts) AS hour_start,
-      |date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
-      |event_type, count(*) AS n, round(avg(value), 4) AS avg_value
-      |FROM events GROUP BY 1, 2, 3""".stripMargin
+    """WITH g AS (SELECT date_trunc('hour', ts) AS hour_start,
+      |    date_trunc('hour', ts) + INTERVAL 1 HOUR AS hour_end,
+      |    event_type, count(*) AS n,
+      |    CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT hour_start, hour_end, event_type, n,
+      |  CAST((cents * 200 + n) // (n * 2) AS DOUBLE) / 10000.0 AS avg_value
+      |FROM g""".stripMargin
 
   /** Brute-force cosine top-5 for the 10 probe vectors (the exact ANN
     * baseline), with the engine's operation order and tie-break. */

@@ -54,7 +54,8 @@ for d in sorted(glob.glob(f"{outdir}/*/")):
             neq = a[c] != b[c]
             if a[c].dtype.kind == 'f':
                 import numpy as np
-                neq = ~(np.isclose(a[c], b[c], rtol=0, atol=0, equal_nan=True))
+                neq = pd.Series(~(np.isclose(a[c], b[c], rtol=0, atol=0, equal_nan=True)),
+                                index=a.index)
             idx = neq[neq].index[:3]
             for i in idx:
                 print(f"    [{i}] {c}: spark={a[c][i]!r} duck={b[c][i]!r}")
