@@ -112,8 +112,17 @@ object Queries {
     t(s, dir, "events")
       .groupBy(year(col("ts")).as("year"), month(col("ts")).as("month"),
         dayofmonth(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"),
-        round(sum(col("value")), 2).as("sum_value"), max(col("ts")).as("max_ts"))
+      // same exact-cents discipline as the hourly twins ([[exactAvg4]]):
+      // the avg quotient can land exactly on the 4dp half boundary, where
+      // engines' rounding of the same double legitimately differs; the sum
+      // is exact at 2dp by construction (2dp inputs), so the decimal sum
+      // cast to double is identical on both engines with no rounding at all
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"),
+        max(col("ts")).as("max_ts"))
+      .select(col("year"), col("month"), col("day"), col("n"),
+        exactAvg4(col("__cents"), col("n")).as("avg_value"),
+        (col("__cents").cast("double") / 100.0).as("sum_value"), col("max_ts"))
 
   /** Event-time tumbling-window aggregate — batch twin of the streaming
     * hourly rollup (same `window()` operator Structured Streaming uses). */
@@ -1326,10 +1335,14 @@ object Queries {
         |), keys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
         |SELECT k.user_id, s.ts, s.value, s.event_id FROM keys k LEFT JOIN snap s USING (user_id)""".stripMargin,
     "q_agg_calendar" ->
-      """SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
-        |CAST(day(ts) AS INTEGER) AS day, count(*) AS n, round(avg(value), 4) AS avg_value,
-        |round(sum(value), 2) AS sum_value, max(ts) AS max_ts
-        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+      """WITH g AS (SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
+        |    CAST(day(ts) AS INTEGER) AS day, count(*) AS n,
+        |    CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents, max(ts) AS max_ts
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT year, month, day, n,
+        |  CAST((cents * 200 + n) // (n * 2) AS DOUBLE) / 10000.0 AS avg_value,
+        |  CAST(cents AS DOUBLE) / 100.0 AS sum_value, max_ts
+        |FROM g""".stripMargin,
     "q_hourly_window" -> hourlyWindowOracle,
     // the streaming twins compute identical order-free results, so they
     // share the batch oracles verbatim — that equality IS the claim
