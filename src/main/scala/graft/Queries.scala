@@ -260,6 +260,32 @@ object Queries {
       .select(col("user_id"), col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"), col("n_events"))
 
+  /** Streaming point-in-time enrichment under the oracle: the SAME entity
+    * and feature frames as [[asofJoin]], but the entities arrive as a
+    * file-source STREAM enriched per micro-batch in `foreachBatch` with
+    * the batch PIT join ([[graft.streaming.OnlineRefresh.enrichAsOfStream]]
+    * — semantics can't drift because it IS the batch code), landing
+    * batch-partitioned parquet. PIT enrichment is per-entity-row, so the
+    * union of micro-batch outputs equals the one-shot batch join and the
+    * as-of oracle replays it. Built once per session (fixture memo): the
+    * checkpoint makes re-invocation a no-op re-read, mirroring how a real
+    * incremental enrichment resumes. */
+  private def streamPit(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_pit:$dir", s), { _ =>
+      val (e, f) = asofInputs(s, dir)
+      val src = scratchDir("graft_pit_src")
+      val out = scratchDir("graft_pit_out")
+      val ck = scratchDir("graft_pit_ck")
+      e.write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.enrichAsOfStream(s, src.toString, schema,
+        () => f, out.toString, ck.toString, Seq("user_id"), "event_ts", "fts",
+        Seq("last_value", "fts"), Some("2 DAYS"), Seq("fid"))
+      q.awaitTermination()
+      s.read.parquet(out.toString)
+        .select(col("probe_id"), col("user_id"), col("event_ts"), col("last_value"), col("fts"))
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1120,6 +1146,7 @@ object Queries {
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
+    "q_stream_pit" -> (streamPit _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -1324,6 +1351,7 @@ object Queries {
     "q_latest_per_key_windowed" -> latestOracle,
     "q_asof_join" -> asofOracle,
     "q_asof_join_merge" -> asofOracle,
+    "q_stream_pit" -> asofOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
