@@ -260,6 +260,27 @@ object Queries {
       .select(col("user_id"), col("session_start").cast("timestamp_ntz").as("session_start"),
         col("session_end").cast("timestamp_ntz").as("session_end"), col("n_events"))
 
+  /** The `flatMapGroupsWithState` CDC path under the oracle: typed
+    * latest-per-key state maintenance ([[graft.streaming.OnlineRefresh
+    * .latestPerKeyStream]]) emits a row only when a key's latest advances.
+    * Emission COUNT is batch-split-dependent in general, but AvailableNow
+    * over one staged file is a single micro-batch, whose per-key emission
+    * is exactly the final argmax — so the batch latest-per-key oracle
+    * replays it. This puts the last streaming API style (custom typed
+    * state) under the hard signal alongside the declarative ones. */
+  private def streamLatestCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = eventsStream(s, dir)
+      .select(col("user_id").cast("string").as("key"),
+        col("ts").cast("timestamp").as("ts"), col("value"),
+        col("event_id").as("id"))
+      .as[streaming.OnlineRefresh.Obs]
+    runStream(s, streaming.OnlineRefresh.latestPerKeyStream(obs).toDF(),
+      "graft_stream_latest_cdc", "append")
+      .select(col("key"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("value"), col("id"))
+  }
+
   /** Streaming point-in-time enrichment under the oracle: the SAME entity
     * and feature frames as [[asofJoin]], but the entities arrive as a
     * file-source STREAM enriched per micro-batch in `foreachBatch` with
@@ -1147,6 +1168,7 @@ object Queries {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_pit" -> (streamPit _),
+    "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
     "q_next_hour" -> (nextHourQ _),
@@ -1376,6 +1398,9 @@ object Queries {
     // share the batch oracles verbatim — that equality IS the claim
     "q_stream_hourly" -> hourlyWindowOracle,
     "q_stream_latest_per_key" -> latestOracle,
+    "q_stream_latest_cdc" ->
+      """SELECT CAST(user_id AS VARCHAR) AS key, ts, value, event_id AS id FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
     "q_stream_enrich" ->
       """WITH snap AS (
         |  SELECT user_id, ts AS click_ts, value AS click_value FROM events
