@@ -107,6 +107,42 @@ object Queries {
     OnlineStore.lookup(keys, snap, Seq("user_id"), "ts")
   }
 
+  /** S10 under the oracle: the online UPSERT merge itself. A deliberately
+    * STALE snapshot (latest over even-event_id clicks only) is merged with
+    * the odd-event_id updates via [[graft.fs.OnlineStore.writeOnline]] —
+    * union + latest-per-key argmax, the reference's
+    * `write_to_online_store` semantics — and then the SAME update batch is
+    * upserted AGAIN, so idempotence (re-upserting is a no-op) is under the
+    * hard signal too, not just the spec. The merged result is the latest
+    * click per key over ALL clicks regardless of the even/odd split, which
+    * is exactly the latest-per-key oracle. */
+  private def onlineUpsert(s: SparkSession, dir: String): DataFrame = {
+    val clicks = t(s, dir, "events").where(col("event_type") === "click")
+      .select("user_id", "ts", "value", "event_id")
+    val stale = OnlineStore.latestSnapshot(
+      clicks.where(col("event_id") % 2 === 0), Seq("user_id"), "ts", Seq("event_id"))
+    val updates = clicks.where(col("event_id") % 2 === 1)
+    val merged = OnlineStore.writeOnline(stale, updates, Seq("user_id"), "ts", Seq("event_id"))
+    OnlineStore.writeOnline(merged, updates, Seq("user_id"), "ts", Seq("event_id"))
+  }
+
+  /** C11 under the oracle: free-text → entity-key resolution by
+    * case-insensitive substring city match ([[graft.fs.Serving.resolveCity]]
+    * — agent.py:56's lower/contains), over a deterministic query-text
+    * fixture derived from doc ids: matched cities in three case variants,
+    * an ambiguous text naming two cities (resolves to the first in
+    * [[graft.fs.Serving.CityEntities]] order), and a no-match row that
+    * keeps null city/entity (the "no data for that city" path). */
+  private def cityResolve(s: SparkSession, dir: String): DataFrame = {
+    val q = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit("AQI in Hanoi for doc "), col("doc_id")))
+        .when(col("doc_id") % 5 === 1, concat(lit("forecast HAI PHONG please "), col("doc_id")))
+        .when(col("doc_id") % 5 === 2, concat(lit("thai binh air quality "), col("doc_id")))
+        .when(col("doc_id") % 5 === 3, concat(lit("hanoi vs hai phong smog "), col("doc_id")))
+        .otherwise(concat(lit("weather in paris "), col("doc_id"))).as("query"))
+    Serving.resolveCity(q, "query")
+  }
+
   /** A1+A3: calendar-day rollup (the partition-grouping the loader hand-rolled). */
   private def aggCalendar(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -121,29 +157,22 @@ object Queries {
         sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"),
         max(col("ts")).as("max_ts"))
       .select(col("year"), col("month"), col("day"), col("n"),
-        exactAvg4(col("__cents"), col("n")).as("avg_value"),
+        Expressions.exactAvg4(col("__cents"), col("n")).as("avg_value"),
         (col("__cents").cast("double") / 100.0).as("sum_value"), col("max_ts"))
 
   /** Event-time tumbling-window aggregate — batch twin of the streaming
-    * hourly rollup (same `window()` operator Structured Streaming uses). */
-  /** The 4-dp HALF_UP average in EXACT integer arithmetic. `value` is a
-    * 2-dp quantity, so cents are exact longs; floor((2·cents·100 + n) /
-    * (2n)) IS round-half-up(avg·10⁴) — pure integer ops, bit-identical on
-    * any engine at any scale. Why not round(avg(double),4): the double avg
-    * accumulates in partition/merge order (and streaming state order), and
-    * why not round the decimal quotient either: quotients land EXACTLY on
-    * the half boundary (1134.09/24 = 47.253750), where Spark's BigDecimal
-    * HALF_UP and DuckDB's binary-double rounding genuinely disagree. */
-  private def exactAvg4(cents: Column, n: Column): Column =
-    floor((cents * 200 + n) / (n * 2)).cast("double") / 10000.0
-
+    * hourly rollup, via the SAME API function the stream calls
+    * ([[graft.streaming.OnlineRefresh.hourlyAggregate]] — `withWatermark`
+    * is a batch no-op), so the public API, the batch query, and the
+    * streaming query are one exact-cents definition under one oracle. */
   private def hourlyWindow(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
-      .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
-        col("event_type"), col("n"), exactAvg4(col("__cents"), col("n")).as("avg_value"))
+    streaming.OnlineRefresh.hourlyAggregate(
+      // watermarks reject NTZ; session UTC makes the cast representation-only
+      t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")),
+      "ts", "event_type", "value")
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("window.end").cast("timestamp_ntz").as("hour_end"),
+        col("event_type"), col("n"), col("avg_value"))
 
   /** Structured Streaming under the oracle: the SAME hourly tumbling-window
     * aggregate as [[hourlyWindow]], executed as a file-source STREAM
@@ -190,16 +219,17 @@ object Queries {
   }
 
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
-    // identical integer-exact avg formulation as the batch twin (see
-    // hourlyWindow/exactAvg4: double avgs are accumulation-order-sensitive,
-    // and streaming state merges in yet another order) — so both twins
-    // share ONE oracle and the equality holds at any scale by construction
-    val agg = eventsStream(s, dir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("value") * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
-      .select(col("window.start").as("hour_start"), col("window.end").as("hour_end"),
-        col("event_type"), col("n"), exactAvg4(col("__cents"), col("n")).as("avg_value"))
+    // the SAME API call as the batch twin (hourlyAggregate's exact-cents
+    // avg — double avgs are accumulation-order-sensitive, and streaming
+    // state merges in yet another order) — so both twins share ONE oracle
+    // and the equality holds at any scale by construction
+    val agg = streaming.OnlineRefresh
+      .hourlyAggregate(
+        eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "event_type", "value")
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("window.end").cast("timestamp_ntz").as("hour_end"),
+        col("event_type"), col("n"), col("avg_value"))
     runStream(s, agg, "graft_stream_hourly", "complete")
   }
 
@@ -224,7 +254,18 @@ object Queries {
     * `dropDuplicatesWithinWatermark` keeps the FIRST arrival per key —
     * arrival-order-dependent in its payload — but the fingerprint SET is
     * order-free, which is what makes a streaming dedup oracle-able at all:
-    * the projection to keys is the deterministic boundary. */
+    * the projection to keys is the deterministic boundary.
+    *
+    * Single-micro-batch invariant (like [[streamLatestCdc]]): AvailableNow
+    * over the one staged file is a single batch, so the watermark stays at
+    * its epoch initial value and NO dedup state is evicted — the emitted
+    * set equals DISTINCT(fp) exactly. With multiple batches (a second
+    * staged file, or maxFilesPerTrigger), the 2-hour
+    * dropDuplicatesWithinWatermark horizon starts expiring state and
+    * duplicate fingerprints >2 h apart in event time re-emit — correct
+    * streaming semantics, but no longer the DISTINCT oracle. The bounded
+    * horizon is the point of the operator (state that survives 100 TB/day);
+    * the oracle equality is scoped to the single-batch replay. */
   private def streamDedup(s: SparkSession, dir: String): DataFrame =
     runStream(s,
       eventsStream(s, dir)
@@ -784,8 +825,10 @@ object Queries {
   /** Near-dup pairs → CLUSTERS: connected components over the portable
     * simhash pair graph ([[graft.ops.Dedup.connectedComponents]], bounded
     * min-label propagation) + singleton join-back — the missing last step
-    * that turns pair lists into actionable dedup groups. The DuckDB oracle
-    * re-derives the same fixpoint as a recursive-CTE transitive closure. */
+    * that turns pair lists into actionable dedup groups. Runs the API
+    * DEFAULT (maxBlockFreq=50 capped candidate join — the ×10 probe
+    * measured 64× uncapped blowup, SCALE.md), so the oracle replays the
+    * cap's df-prune before the recursive-CTE transitive closure. */
   private def neardupClustersQ(s: SparkSession, dir: String): DataFrame =
     Dedup.neardupClusters(t(s, dir, "documents"))
 
@@ -793,7 +836,9 @@ object Queries {
     * disables the small-graph union-find shortcut) — the path that runs
     * when the pair graph outgrows the driver must carry the hard signal
     * too, not only via the shortcut that serves it at test SF. Same
-    * fixpoint, same recursive-CTE oracle. */
+    * fixpoint, same capped pair graph (the loop CODE is what this query
+    * exercises; uncapped pairs only added ~2 s of candidate-join cost
+    * without touching the loop), same recursive-CTE oracle. */
   private def neardupClustersLoopQ(s: SparkSession, dir: String): DataFrame =
     Dedup.neardupClusters(t(s, dir, "documents"), driverEdgeCap = 0L)
 
@@ -1160,6 +1205,8 @@ object Queries {
     "q_asof_join_merge" -> (asofJoinMerge _),
     "q_lag" -> (lagFeature _),
     "q_online_lookup" -> (onlineLookup _),
+    "q_online_upsert" -> (onlineUpsert _),
+    "q_city_resolve" -> (cityResolve _),
     "q_agg_calendar" -> (aggCalendar _),
     "q_hourly_window" -> (hourlyWindow _),
     "q_stream_hourly" -> (streamHourly _),
@@ -1384,6 +1431,27 @@ object Queries {
         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |), keys AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
         |SELECT k.user_id, s.ts, s.value, s.event_id FROM keys k LEFT JOIN snap s USING (user_id)""".stripMargin,
+    // the upsert-merge result over even/odd-split batches IS the latest
+    // click per key over all clicks — the merge semantics under the oracle
+    "q_online_upsert" ->
+      """SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+    "q_city_resolve" ->
+      """WITH q AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'AQI in Hanoi for doc ' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 1 THEN 'forecast HAI PHONG please ' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 2 THEN 'thai binh air quality ' || CAST(doc_id AS VARCHAR)
+        |         WHEN doc_id % 5 = 3 THEN 'hanoi vs hai phong smog ' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'weather in paris ' || CAST(doc_id AS VARCHAR) END AS query
+        |  FROM documents),
+        |c(city, entity, ord) AS (VALUES
+        |  ('hanoi', '21.0_105.75', 0), ('hai phong', '20.75_106.75', 1),
+        |  ('thai binh', '20.5_106.25', 2))
+        |SELECT doc_id, query, city, entity_id FROM (
+        |  SELECT q.doc_id, q.query, c.city, c.entity AS entity_id,
+        |    row_number() OVER (PARTITION BY q.doc_id ORDER BY c.ord ASC NULLS LAST) AS rn
+        |  FROM q LEFT JOIN c ON contains(lower(q.query), c.city))
+        |WHERE rn = 1""".stripMargin,
     "q_agg_calendar" ->
       """WITH g AS (SELECT CAST(year(ts) AS INTEGER) AS year, CAST(month(ts) AS INTEGER) AS month,
         |    CAST(day(ts) AS INTEGER) AS day, count(*) AS n,
@@ -1769,19 +1837,21 @@ object Queries {
 
   /** Pair graph → clusters via recursive-CTE transitive closure; singleton
     * docs (no near-dup pair) re-enter through the left join as their own
-    * cluster. */
+    * cluster. Replays the engine's DEFAULT maxBlockFreq=50 hot-block prune
+    * (the scale-safe form is the default since r8). */
   private def neardupClustersOracle: String =
-    s"""WITH RECURSIVE ${simhashPairsCtes(None)},
+    s"""WITH RECURSIVE ${simhashPairsCtes(Some(50))},
        |$closureCtes
        |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
        |FROM documents d LEFT JOIN cl USING (doc_id)""".stripMargin
 
   /** Keep-best drop step: recursive-CTE components (same closure as the
-    * cluster oracle, singletons re-entering via the left join) + argmax per
-    * cluster (row_number over (quality DESC, id ASC) == the engine's
-    * max_by struct with the negated-id tiebreak). */
+    * cluster oracle, singletons re-entering via the left join; capped pair
+    * graph — the engine's default) + argmax per cluster (row_number over
+    * (quality DESC, id ASC) == the engine's max_by struct with the
+    * negated-id tiebreak). */
   private def dedupKeepBestOracle: String =
-    s"""WITH RECURSIVE ${simhashPairsCtes(None)},
+    s"""WITH RECURSIVE ${simhashPairsCtes(Some(50))},
        |$closureCtes,
        |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
        |  FROM documents d LEFT JOIN cl USING (doc_id)),
@@ -1830,7 +1900,7 @@ object Queries {
     s"""WITH RECURSIVE
        |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
        |d AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
-       |${simhashPairsCtes(None, "d")},
+       |${simhashPairsCtes(Some(50), "d")},
        |$closureCtes,
        |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
        |  FROM d LEFT JOIN cl USING (doc_id)),

@@ -91,6 +91,21 @@ object Expressions {
   def entityId(keys: Column*): Column =
     concat_ws("_", keys.map(_.cast("string")): _*)
 
+  /** The 4-dp HALF_UP average of a 2-dp quantity in EXACT integer
+    * arithmetic: given exact cents (the decimal sum of value·100 cast to
+    * long) and the count, (cents·200 + n) div (2n) IS
+    * round-half-up(avg·10⁴) — `div` is Spark's integral Long division, so
+    * the whole computation stays in Long and is bit-identical on any
+    * engine at any scale (DuckDB's `//` shares the truncate-toward-zero
+    * convention). Why not round(avg(double),4): the double avg accumulates
+    * in partition/merge (and streaming-state) order, and quotients land
+    * EXACTLY on the half boundary (1134.09/24 = 47.253750), where Spark's
+    * BigDecimal HALF_UP and DuckDB's binary-double rounding of the same
+    * double legitimately disagree (the r7 sf0.1 audit caught this class).
+    * Half-up assumes nonnegative sums, like every rounding mode here. */
+  def exactAvg4(cents: Column, n: Column): Column =
+    call_function("div", cents * 200 + n, n * 2).cast("double") / 10000.0
+
   /** Calendar feature columns from a timestamp column. dayOfWeek follows the
     * Spark convention (1=Sunday..7=Saturday) — the canonical choice documented
     * in SURVEY.md §1.4; session timezone is fixed UTC. */

@@ -553,7 +553,11 @@ object Dedup {
     * instead of broadcasting it. Above the cap the distributed min-label
     * loop runs unchanged. Both paths produce identical minimal labels
     * (differential-tested); set `driverEdgeCap = 0` to force the loop.
-    * Default 4M edges = 64 MB of (long, long) — well inside any driver.
+    * Default 4M edges: the collected Row[] is transient (~100-200 MB peak
+    * during the collect), and the union-find itself is a primitive-long
+    * open-addressing table (~16 B/slot at ≤50% load, zero boxing — ≤8M
+    * nodes ≈ 256 MB). Well inside a normally-sized driver; size the cap
+    * down if the driver is shared and tight.
     *
     * Output: (id long, cluster_id long), one row per node WITH an edge —
     * singletons are the caller's join-back (see [[neardupClusters]]). */
@@ -583,31 +587,91 @@ object Dedup {
   /** Path-compressed union-find over a driver-collected edge list; roots are
     * kept minimal by always attaching the larger root under the smaller, so
     * `find(x)` IS the min-label cluster id. Result returns to the cluster
-    * via parallelize (not a LocalRelation — keeps the driver plan small). */
+    * via parallelize (not a LocalRelation — keeps the driver plan small).
+    *
+    * The parent map is a primitive-long open-addressing hash table
+    * ([[LongLongMap]] — ~16 B per slot at ≤50% load factor, zero boxing),
+    * NOT a boxed java.util.HashMap (~40-60 B/entry with Long boxes +
+    * node overhead): at the 4M-edge default cap the difference is ~130 MB
+    * vs ~400+ MB of driver heap. */
   private def driverUnionFind(fwd: DataFrame): DataFrame = {
     val spark = fwd.sparkSession
-    val parent = new java.util.HashMap[Long, Long]
+    val edges = fwd.collect()
+    // ≤2 distinct nodes per edge; the table grows to the next power of two
+    // keeping load ≤0.5, so lookups stay a short linear probe
+    val parent = new LongLongMap(math.max(16, edges.length * 2))
     def find(x: Long): Long = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
+      while (parent(r) != r) r = parent(r)
       var c = x
-      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      while (c != r) { val nx = parent(c); parent.put(c, r); c = nx }
       r
     }
-    fwd.collect().foreach { row =>
+    edges.foreach { row =>
       val (a, b) = (row.getLong(0), row.getLong(1))
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
+      if (!parent.contains(a)) parent.put(a, a)
+      if (!parent.contains(b)) parent.put(b, b)
       val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
     }
     val rows = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
-    parent.keySet().forEach(id => rows += org.apache.spark.sql.Row(id.longValue(), find(id)))
+    parent.foreachKey(id => rows += org.apache.spark.sql.Row(id, find(id)))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
       org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, false)))
     val parts = math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 50000 + 1))
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, parts), schema)
+  }
+
+  /** Minimal primitive long→long open-addressing map (linear probing,
+    * power-of-two capacity, ≤50% load) for the driver union-find hot path.
+    * Keys are doc ids; the empty slot sentinel is Long.MinValue, which is
+    * not a valid parquet-sourced id in practice — asserted on put. */
+  private[graft] final class LongLongMap(expected: Int) {
+    private val Empty = Long.MinValue
+    private var cap = java.lang.Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+    private var keys = Array.fill[Long](cap)(Empty)
+    private var vals = new Array[Long](cap)
+    private var n = 0
+    def size: Int = n
+    private def slot(k: Long): Int = {
+      // finalizer from splitmix64 — spreads sequential ids across the table
+      var h = k * -7046029254386353131L
+      h ^= h >>> 32
+      var i = (h & (cap - 1)).toInt
+      while (keys(i) != Empty && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    def contains(k: Long): Boolean = keys(slot(k)) != Empty
+    /** Value for `k`; `k` itself when absent (the union-find's identity
+      * default — callers always put before structural reads). */
+    def apply(k: Long): Long = {
+      val i = slot(k)
+      if (keys(i) == Empty) k else vals(i)
+    }
+    def put(k: Long, v: Long): Unit = {
+      require(k != Empty, "Long.MinValue is the empty-slot sentinel")
+      val i = slot(k)
+      if (keys(i) == Empty) {
+        keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      } else vals(i) = v
+    }
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (keys(i) != Empty) f(keys(i)); i += 1 }
+    }
+    private def grow(): Unit = {
+      val (ok, ov) = (keys, vals)
+      cap <<= 1
+      keys = Array.fill[Long](cap)(Empty)
+      vals = new Array[Long](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != Empty) { val j = slot(ok(i)); keys(j) = ok(i); vals(j) = ov(i) }
+        i += 1
+      }
+    }
   }
 
   /** The distributed min-label loop (see [[connectedComponents]] scaladoc). */
@@ -659,9 +723,18 @@ object Dedup {
   /** Near-dup cluster assignment for EVERY document: SimHash Hamming pairs
     * ([[simhashNearDup64]], portable fingerprint) → [[connectedComponents]]
     * → join back so docs with no near-dup keep themselves as a singleton
-    * cluster. Output: (idCol, cluster_id). */
+    * cluster. Output: (idCol, cluster_id).
+    *
+    * `maxBlockFreq` defaults to CAPPED (50): the candidate join's cost is
+    * Σ (per-block-value frequency)², and the repo's ×10 duplication probe
+    * measured 102.6 s uncapped vs 1.6 s capped on the same corpus
+    * (SCALE.md) — at real scale the cap is mandatory, so the safe form is
+    * the default and exact-radius semantics are the explicit opt-in
+    * (`maxBlockFreq = None`). The trade is recall on block values hotter
+    * than the cap — precisely the clusters exact dedup or a tighter
+    * fingerprint should collapse first. */
   def neardupClusters(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      nBlocks: Int = 4, maxBlockFreq: Option[Int] = None, maxIter: Int = 20,
+      nBlocks: Int = 4, maxBlockFreq: Option[Int] = Some(50), maxIter: Int = 20,
       driverEdgeCap: Long = 4000000L): DataFrame = {
     val pairs = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
     val cc = connectedComponents(pairs, "id_a", "id_b", maxIter, driverEdgeCap)
@@ -683,9 +756,14 @@ object Dedup {
     * keep-best score join, and the final semi-join — and without a cache
     * each pass re-derives the caller's whole upstream lineage (measured ~4×
     * recompute on the composed pipeline). The ContextCleaner reclaims the
-    * blocks once the result frame is unreachable. */
+    * blocks once the result frame is unreachable.
+    *
+    * Like [[neardupClusters]], `maxBlockFreq` defaults to the scale-safe
+    * cap (50): the ×10 probe measured 114.6 s uncapped vs 1.8 s capped
+    * through this full keep-best path (SCALE.md). Pass `None` for the
+    * exact-radius (unbounded candidate join) semantics. */
   def dropNearDuplicates(docs: DataFrame, scoreCol: String, textCol: String = "text",
-      idCol: String = "doc_id", nBlocks: Int = 4, maxBlockFreq: Option[Int] = None,
+      idCol: String = "doc_id", nBlocks: Int = 4, maxBlockFreq: Option[Int] = Some(50),
       maxIter: Int = 20): DataFrame = {
     val cached =
       if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

@@ -70,12 +70,27 @@ object OnlineRefresh {
 
   /** Watermarked hourly aggregate over an event-time stream — the streaming
     * twin of the offline calendar aggregation (late data bounded by the
-    * watermark; state store holds only open windows). */
+    * watermark; state store holds only open windows).
+    *
+    * `avg_value` is the EXACT integer-cents 4-dp half-up average
+    * ([[graft.fs.Expressions.exactAvg4]]), not `avg(double)`: streaming
+    * state merges partial sums in yet another order than batch partitions
+    * do, and a double average is accumulation-order-sensitive exactly at
+    * the rounding boundary — the bug class the r7 sf0.1 audit caught. The
+    * registered q_stream_hourly and the batch q_hourly_window both CALL
+    * this function, so the public API and the oracled queries are one
+    * definition that cannot drift. Assumes `valueCol` is a 2-dp quantity
+    * (currency/sensor readings), the contract of the exact-cents trick;
+    * `withWatermark` is a no-op on batch frames, so the same code serves
+    * both execution modes. */
   def hourlyAggregate(stream: DataFrame, tsCol: String, keyCol: String, valueCol: String): DataFrame =
     stream
       .withWatermark(tsCol, "2 hours")
       .groupBy(window(col(tsCol), "1 hour"), col(keyCol))
-      .agg(avg(col(valueCol)).as("avg_value"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n"),
+        sum((col(valueCol) * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
+      .select(col("window"), col(keyCol),
+        graft.fs.Expressions.exactAvg4(col("__cents"), col("n")).as("avg_value"), col("n"))
 
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
     * rows whose `idCols` were already seen, with state bounded by the
