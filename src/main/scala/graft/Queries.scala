@@ -207,14 +207,29 @@ object Queries {
     * memory sink and return the sink table. Fixed per-query sink names:
     * uniqueness is only enforced among ACTIVE queries, and these terminate
     * before returning — reuse keeps repeated bench invocations from
-    * accumulating memory-sink tables. */
+    * accumulating memory-sink tables.
+    *
+    * Stateful micro-batch cost at test SF is NOT data — it's per-state-
+    * partition fixed overhead (every batch, every state partition loads,
+    * commits, and snapshots its store; at shuffle.partitions=32 that's 32
+    * sets of file ops for a few thousand rows). The stream runs with 4
+    * shuffle partitions (restored after): state partitioning is baked into
+    * the checkpoint at first batch, and these queries use fresh temp
+    * checkpoints, so the setting never leaks across runs. At real scale
+    * the SAME knob goes the other way — size state partitions to
+    * state-rows/executor, which is exactly why it must not be hardcoded
+    * into the operators themselves. */
   private def runStream(s: SparkSession, df: DataFrame, name: String,
       mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

@@ -68,6 +68,27 @@ object ScaleProbe {
       time("q_simhash_neardup", "/tmp/sfbig")
       time("q_ngram_jaccard", "/tmp/sfbig")
     }
+    // Streaming state-scaling probe: the stateful twins at events ×10, with
+    // per-operator state metrics captured from the progress events — the
+    // evidence behind the "state ∝ distinct keys / open sessions, not
+    // input rows" claim (dedup state keys on fixed-width fingerprints,
+    // session state on open windows; input ×10 must not grow either ×10).
+    val stateLog = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach { so =>
+          stateLog.add(f"STATE ${e.progress.name}%-28s op=${so.operatorName} " +
+            f"rows=${so.numRowsTotal} updated=${so.numRowsUpdated} memBytes=${so.memoryUsedBytes}")
+        }
+    }
+    spark.streams.addListener(listener)
+    for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sfbig");
+         q <- Seq("q_stream_dedup", "q_stream_sessionize")) time(q, dir)
+    Thread.sleep(3000) // listener bus is async; let the last events land
+    spark.streams.removeListener(listener)
+    stateLog.forEach(println)
     spark.stop()
   }
 }
