@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.fs.{Expressions, FeatureStore, Ingest, OfflineStore, OnlineStore, PointInTime, Registry, Schemas, Serving}
-import graft.ops.{Dedup, Multimodal, Quantiles, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** The registered query surface — one entry per implemented operator from
   * SURVEY.md §2 (+ the extension ops), each runnable over a driver testdata
@@ -987,6 +987,38 @@ object Queries {
   private def shardAssignQ(s: SparkSession, dir: String): DataFrame =
     Sampling.shardAssign(t(s, dir, "documents").select(col("doc_id")), "doc_id", 16)
 
+  /** KMV distinct-count sketch vs the exact count, per source — the
+    * accuracy-gate pattern of q_ann_recall applied to cardinality
+    * estimation: the sketch ([[graft.ops.Sketches.kmvDistinct]], the
+    * bounded-state path for 100 TB corpus accounting) and the exact
+    * countDistinct it approximates, with the per-group error as a hard
+    * oracle-checked number. */
+  private def distinctKmvQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val est = Sketches.kmvDistinct(docs, "source", col("text"), k = 16)
+    val exact = docs.groupBy(col("source")).agg(countDistinct(col("text")).as("n_exact"))
+    est.join(exact, Seq("source"))
+      .withColumn("err_pct",
+        round(abs(col("est_distinct") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double") * 100.0, 2))
+  }
+
+  /** Temperature-weighted source mixing ([[graft.ops.Sampling
+    * .temperatureMix]]): deterministic √n down-sampling toward ~300 kept
+    * rows; the oracle replays the integer-pinned keep predicate row by
+    * row. */
+  private def sourceMixQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(t(s, dir, "documents").select(col("doc_id"), col("source")),
+      "source", "doc_id", targetRows = 300)
+      .select(col("doc_id"), col("source"))
+
+  /** SemDeDup-style semantic dedup ([[graft.ops.Similarity.semanticDedup]]):
+    * IVF-cell blocking + within-cell cosine prune, survivors with their
+    * cell. The oracle re-derives the centroid assignment AND the drop
+    * decision end-to-end in SQL. */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35, nLists = 16)
+
   /** Hybrid retrieval: reciprocal-rank fusion of vector similarity and text
     * quality. Top-20 cosine candidates per probe re-rank within the
     * candidate set by quality (vec_id ↔ doc_id correspondence in the
@@ -1282,6 +1314,9 @@ object Queries {
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_token_pack" -> (tokenPackQ _),
     "q_shard_assign" -> (shardAssignQ _),
+    "q_distinct_kmv" -> (distinctKmvQ _),
+    "q_source_mix" -> (sourceMixQ _),
+    "q_semantic_dedup" -> (semanticDedupQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1315,6 +1350,25 @@ object Queries {
 
   // DuckDB dialect fragments shared by several oracles.
   private val toks = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** DuckDB twin of [[graft.ops.TextAnalysis.fingerprint]]: rolling
+    * (acc*31 + cp) mod 1e9+7 over the characters of `e` — shared by the
+    * sharding and mixing oracles so the replay can't drift. */
+  private def fpSql(e: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, CAST(length($e) + 1 AS INTEGER)),
+       |      i -> CAST(ascii($e[i:i]) AS BIGINT))),
+       |    (acc, cp) -> (acc * 31 + cp) % 1000000007)""".stripMargin
+
+  /** DuckDB twin of [[graft.ops.Sketches.md5Long60]]: `hx` must be a
+    * 15-char lowercase-hex expression (substr(md5(..), 1, 15)); folds the
+    * digits to the same [0, 2^60) BIGINT Spark's conv(…,16,10) yields. */
+  private def hexToLongSql(hx: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 16),
+       |      i -> CAST(CASE WHEN ascii($hx[i:i]) >= 97 THEN ascii($hx[i:i]) - 87
+       |                ELSE ascii($hx[i:i]) - 48 END AS BIGINT))),
+       |    (acc, d) -> acc * 16 + d)""".stripMargin
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(list_zip($a, $b), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), " +
@@ -1774,14 +1828,14 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY source, seq_id ORDER BY doc_id ASC) AS INTEGER) AS seq_pos
         |FROM sq""".stripMargin,
     "q_shard_assign" ->
-      """WITH f AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(range(1, CAST(length(CAST(doc_id AS VARCHAR)) + 1 AS INTEGER)),
-        |      i -> CAST(ascii(CAST(doc_id AS VARCHAR)[i:i]) AS BIGINT))),
-        |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
-        |  FROM documents)
-        |SELECT doc_id, fp % 16 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
-        |FROM f""".stripMargin,
+      s"""WITH f AS (SELECT doc_id, ${fpSql("CAST(doc_id AS VARCHAR)")} AS fp
+         |  FROM documents)
+         |SELECT doc_id, fp % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
+         |FROM f""".stripMargin,
+    "q_distinct_kmv" -> distinctKmvOracle,
+    "q_source_mix" -> sourceMixOracle,
+    "q_semantic_dedup" -> semanticDedupOracle,
     "q_lsh_topk" -> lshOracle
   )
 
@@ -2080,6 +2134,59 @@ object Queries {
     * from the lowest-id bootstrap (bit-identical dots on both engines),
     * element sums via per-position unnest, means rounded with margin ≫ the
     * engines' summation-order fp drift. */
+  /** KMV sketch re-derived end-to-end: distinct md5-60-bit text hashes per
+    * source, rank ≤ 16 kept, and the (k-1)·2^60/u_k estimate — every step
+    * exact integers or IEEE-pinned doubles, so both engines agree
+    * bit-for-bit. */
+  private def distinctKmvOracle: String =
+    s"""WITH hx AS (SELECT source, substr(md5(text), 1, 15) AS hx
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (SELECT DISTINCT source, ${hexToLongSql("hx")} AS h FROM hx),
+       |r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM h),
+       |kk AS (SELECT source, count(*) AS n_seen, max(h) AS u FROM r WHERE rn <= 16 GROUP BY source),
+       |e AS (SELECT source, n_seen,
+       |    round(CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+       |      ELSE CAST(15 AS DOUBLE) * 1152921504606846976.0 / CAST(u AS DOUBLE) END, 4) AS est_distinct
+       |  FROM kk),
+       |x AS (SELECT source, count(DISTINCT text) AS n_exact FROM documents GROUP BY source)
+       |SELECT e.source, n_seen, est_distinct, n_exact,
+       |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
+       |FROM e JOIN x ON e.source = x.source""".stripMargin
+
+  /** Temperature mixing replayed row by row: per-source counts, the
+    * floor(√n·10⁶) integer weights, the md5-60-bit key uniform, and the
+    * cross-multiplied keep predicate in the engine's exact multiplication
+    * order. */
+  private def sourceMixOracle: String =
+    s"""WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |w AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM n),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+       |hx AS (SELECT doc_id, source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx FROM documents),
+       |u AS (SELECT doc_id, source, CAST(${hexToLongSql("hx")} AS DOUBLE) AS u FROM hx)
+       |SELECT u.doc_id, u.source FROM u JOIN w USING (source) CROSS JOIN tot
+       |WHERE u * CAST(n AS DOUBLE) * CAST(wsum AS DOUBLE)
+       |    < 300.0 * CAST(w AS DOUBLE) * 1152921504606846976.0""".stripMargin
+
+  /** SemDeDup replayed end-to-end: bootstrap centroids, argmax cell per
+    * vector (the engine's s-then-c tie-break), within-cell cosine pairs at
+    * the 6-dp rounding, drop the larger id of every ≥-threshold pair. */
+  private def semanticDedupOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, embedding AS emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(CASE WHEN sqrt(${dotSql("a.emb", "a.emb")}) * sqrt(${dotSql("b.emb", "b.emb")}) = 0 THEN NULL
+       |    ELSE ${dotSql("a.emb", "b.emb")} / (sqrt(${dotSql("a.emb", "a.emb")}) * sqrt(${dotSql("b.emb", "b.emb")})) END, 6) >= 0.35)
+       |SELECT a.vec_id, a.cell FROM asg a
+       |WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = a.vec_id)""".stripMargin
+  }
+
   private def kmeansOracle: String = {
     val d = dotSql("e.embedding", "cent.cemb")
     s"""WITH cent AS (

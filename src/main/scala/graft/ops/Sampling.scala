@@ -55,6 +55,44 @@ object Sampling {
       .drop("__start")
   }
 
+  /** Deterministic temperature-weighted source mixing: down-sample each
+    * source so the kept corpus follows √n (temperature α = 0.5) source
+    * weights — the standard multi-corpus rebalancing step (up-weight small
+    * high-quality sources, damp the web crawl) of multilingual/multi-source
+    * training recipes.
+    *
+    * Everything is exact integer or IEEE-pinned arithmetic so the SAME rows
+    * are kept on any engine, any layout, any day:
+    *  - per-source weight w_s = floor(√n_s · 10⁶) — `sqrt` is IEEE
+    *    correctly-rounded everywhere (why α is fixed at 0.5: a general
+    *    `pow` is NOT cross-engine reproducible), the floor pins it to an
+    *    exact integer;
+    *  - a row is kept iff u < targetRows·w_s/(W·n_s) with u the row-key's
+    *    [[Sketches.md5Long60]] uniform as a fraction of 2^60 (md5 is the
+    *    portable AVALANCHING hash — the polynomial fingerprints hash short
+    *    keys into narrow bands and would bias the sample), cross-multiplied
+    *    so both sides are products of pinned doubles in a fixed order —
+    *    both engines round identically.
+    *
+    * Plan shape: one tiny aggregate (one row per source) broadcast back onto
+    * the scan — the fact table is never shuffled; the filter is a per-row
+    * predicate that survives any scale-up. Expected kept rows ≈ targetRows
+    * when no source saturates (rate ≥ 1 keeps the whole source). */
+  def temperatureMix(df: DataFrame, sourceCol: String, keyCol: String,
+      targetRows: Long): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+    val wsum = counts.agg(sum(col("__w")).as("__wsum"))
+    val rates = counts.crossJoin(broadcast(wsum))
+    val u = Sketches.md5Long60(col(keyCol)).cast("double")
+    df.join(broadcast(rates), Seq(sourceCol))
+      // u/2^60 < target·w/(W·n)  ⟺  u·n·W < target·w·2^60 — multiplication
+      // order fixed left-to-right; the oracle spells the identical expression
+      .where(u * col("__n").cast("double") * col("__wsum").cast("double")
+        < lit(targetRows.toDouble) * col("__w").cast("double") * lit(1152921504606846976.0))
+      .drop("__n", "__w", "__wsum")
+  }
+
   /** Deterministic output sharding: shard = portable fingerprint of the key
     * mod nShards, plus the row's 1-based position within its shard (the
     * (shard, offset) address a training loader resumes from). The

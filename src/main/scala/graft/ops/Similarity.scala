@@ -433,6 +433,44 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Semantic (embedding-space) deduplication, SemDeDup-style (Abbas et
+    * al. 2023): cluster the corpus, compare pairs only WITHIN each cluster,
+    * and keep one representative (the lowest id) of every cosine-≥-threshold
+    * group. The cluster assignment is the same deterministic IVF bootstrap
+    * the ANN index uses ([[centroidBootstrap]] + argmax cell), so the
+    * blocking is reproducible across engines and the whole drop decision
+    * carries a DuckDB oracle.
+    *
+    * This is the scale shape for embedding near-dup: [[cosineNearDupPairs]]
+    * blocks on a LABEL column (needs one to exist); here the blocks are
+    * learned Voronoi cells, and the pairwise stage is quadratic only within
+    * a cell — at 100 TB you raise `nLists` so the expected cell size stays
+    * bounded (cells ∝ corpus/nLists), exactly how SemDeDup runs on web-scale
+    * corpora. One shuffle on `cell` feeds both self-join sides; norms are
+    * hoisted per side so each pair costs one dot product.
+    *
+    * Returns the SURVIVORS as (idCol, cell): a row is dropped iff it is the
+    * larger id of any within-cell pair with cosine ≥ threshold (null cosine
+    * — zero-norm vectors — never matches). */
+  def semanticDedup(corpus: DataFrame, threshold: Double, nLists: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val cells = cellScores(centroidBootstrap(corpus, nLists, idCol, embCol), dp) _
+    val asg = corpus.select(col(idCol), col(embCol),
+      array_max(cells(col(embCol))).getField("c").as("cell"),
+      sqrt(dp(col(embCol), col(embCol))).as("__n"))
+    val a = asg.select(col("cell"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      col("__n").as("__na"))
+    val b = asg.select(col("cell"), col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      col("__n").as("__nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFromNorms(dp, col("emb_a"), col("emb_b"), col("__na"), col("__nb"))
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    asg.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
+  }
+
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */
   def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dp = dotFn(df.sparkSession)

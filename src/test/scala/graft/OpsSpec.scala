@@ -404,4 +404,76 @@ class OpsSpec extends SparkSpec {
       case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
     }
   }
+
+  test("kmvDistinct: exact below k, estimator within KMV error bounds above k, nulls ignored") {
+    import graft.ops.Sketches
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"))
+    // below k: every group takes the exact path (n_seen < k ⇒ est == exact)
+    val small = Sketches.kmvDistinct(d, "source", col("text"), k = 64)
+      .as[(String, Long, Double)].collect()
+    val exact = d.where(col("text").isNotNull).groupBy("source")
+      .agg(countDistinct(col("text")).cast("double").as("x"))
+      .as[(String, Double)].collect().toMap
+    small.foreach { case (src, _, est) => assert(est == exact(src), s"$src exact path broke") }
+    // above k: estimator path, per-group error within ~4/sqrt(k) (generous
+    // tail; the mean tracks much tighter), and n_seen saturates at k
+    val est = Sketches.kmvDistinct(d, "source", col("doc_id").cast("string"), k = 16)
+      .as[(String, Long, Double)].collect()
+    est.foreach { case (src, nSeen, e) =>
+      assert(nSeen == 16L, s"$src did not saturate the sketch")
+      assert(math.abs(e / 25.0 - 1.0) < 1.0, s"$src estimate wild: $e vs 25")
+    }
+    val mean = est.map(_._3).sum / est.length
+    assert(math.abs(mean / 25.0 - 1.0) < 0.25, s"mean estimate drifted: $mean vs 25")
+    // nulls carry no cardinality
+    val withNulls = Seq(("a", Some("x")), ("a", None), ("a", Some("y")), ("b", None))
+      .toDF("g", "v")
+    val got = Sketches.kmvDistinct(withNulls, "g", col("v"), k = 4)
+      .as[(String, Long, Double)].collect().toList
+    assert(got == List(("a", 2L, 2.0)), s"null handling broke: $got")
+  }
+
+  test("temperatureMix: deterministic, hits the target, sqrt-weights favor small sources") {
+    import graft.ops.Sampling
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    // skew the corpus: one giant source (all of src0..src9), several small
+    val skewed = d.withColumn("source",
+      when(col("source").isin((0 to 9).map("src" + _): _*), "big").otherwise(col("source")))
+    val kept = Sampling.temperatureMix(skewed, "source", "doc_id", targetRows = 150)
+    val again = Sampling.temperatureMix(skewed.repartition(7), "source", "doc_id", targetRows = 150)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet,
+      "mixing must not depend on partitioning")
+    val n = kept.count()
+    assert(n > 100 && n < 200, s"expected ~150 kept rows, got $n")
+    // √n weighting: the big source's keep RATE must be below the small ones'
+    val rates = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    val fullCounts = skewed.groupBy("source").count().as[(String, Long)].collect().toMap
+    val bigRate = rates.getOrElse("big", 0L).toDouble / fullCounts("big")
+    val smallRates = fullCounts.keys.filter(_ != "big")
+      .map(s => rates.getOrElse(s, 0L).toDouble / fullCounts(s))
+    assert(bigRate < smallRates.min,
+      s"temperature weighting inverted: big=$bigRate small=${smallRates.min}")
+  }
+
+  test("semanticDedup: larger id of every within-cell near-pair dropped, survivors clean") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val survivors = Similarity.semanticDedup(emb, threshold = 0.35, nLists = 16)
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(ids.subsetOf(all) && ids.size < all.size, "dedup must drop something, from the corpus")
+    // no surviving within-cell pair may score >= threshold (every such pair
+    // dropped its larger member), checked by re-scoring the survivor set
+    val s = survivors.join(emb, "vec_id")
+    val a = s.select(col("cell"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = s.select(col("cell"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val bad = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("ea"), col("eb")) >= 0.35)
+      .count()
+    assert(bad == 0L, s"$bad surviving near-pairs remain")
+    // the smallest id of the corpus can never be dropped
+    assert(ids.contains(all.min), "minimum id must survive (only larger ids drop)")
+  }
 }
