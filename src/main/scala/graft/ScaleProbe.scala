@@ -43,7 +43,9 @@ object ScaleProbe {
         // round-7 focus: the capped near-dup forms and the composed
         // flagship dedup paths (keep-best, CC clusters, full pipeline)
         "q_simhash_neardup_capped", "q_ngram_jaccard_capped",
-        "q_neardup_clusters", "q_dedup_keep_best", "q_pipeline_full")) {
+        "q_neardup_clusters", "q_dedup_keep_best", "q_pipeline_full",
+        // round-8 additions: sketch, mixing, and semantic dedup
+        "q_distinct_kmv", "q_source_mix", "q_semantic_dedup")) {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }
@@ -63,6 +65,21 @@ object ScaleProbe {
       graft.ops.Dedup.dropNearDuplicates(
         graft.ops.TextAnalysis.textStats(docs), "quality_score",
         maxBlockFreq = Some(50)).count())
+    // semanticDedup's duplication axis is closed by the exact-collapse
+    // (copies ×10 measured near-flat above). The remaining scale axis is
+    // DISTINCT-corpus growth, where within-cell work is quadratic in
+    // cell size and nLists ∝ corpus is the knob — probe it on the ×10
+    // copies made distinct by a deterministic per-id perturbation.
+    locally {
+      import org.apache.spark.sql.functions._
+      val emb = spark.read.parquet("/tmp/sfbig/embeddings.parquet")
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          when(i === 0, (x + (col("vec_id") % 9973).cast("double") / 10000d).cast("float"))
+            .otherwise(x)))
+      for (nl <- Seq(16, 160))
+        timed(s"semanticDedup 50k DISTINCT vecs nLists=$nl @ sfbig")(
+          graft.ops.Similarity.semanticDedup(emb, threshold = 0.35, nLists = nl).count())
+    }
     if (uncapped) {
       // the quadratic baselines the caps are measured against
       time("q_simhash_neardup", "/tmp/sfbig")

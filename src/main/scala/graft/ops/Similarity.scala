@@ -451,14 +451,55 @@ object Similarity {
     *
     * Returns the SURVIVORS as (idCol, cell): a row is dropped iff it is the
     * larger id of any within-cell pair with cosine ≥ threshold (null cosine
-    * — zero-norm vectors — never matches). */
+    * — zero-norm vectors — never matches).
+    *
+    * Exact-duplicate embeddings are collapsed to their min-id
+    * representative BEFORE the pairwise stage. This is a pure optimization,
+    * not a semantics change: cos(x, x) = 1 ≥ threshold, so every non-min
+    * copy is dropped by its own representative anyway, and a copy is
+    * near-dup to exactly what its representative is near-dup to — the
+    * survivor set is provably identical. What it buys at scale: web-scale
+    * corpora are FULL of byte-identical embeddings, which all hash to the
+    * same cell — without the collapse, duplication ×d multiplies the hot
+    * cell's pair work by d² and no nLists increase can dilute it (measured
+    * 1.7 s → 14.8 s at copies ×10; near-flat collapsed). Null / empty /
+    * all-zero embeddings are EXCLUDED from the collapse: their cosine is
+    * null, they never match a pair, so the contract says every one of them
+    * survives — collapsing them would silently drop rows. */
   def semanticDedup(corpus: DataFrame, threshold: Double, nLists: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dp = dotFn(corpus.sparkSession)
-    val cells = cellScores(centroidBootstrap(corpus, nLists, idCol, embCol), dp) _
-    val asg = corpus.select(col(idCol), col(embCol),
-      array_max(cells(col(embCol))).getField("c").as("cell"),
-      sqrt(dp(col(embCol), col(embCol))).as("__n"))
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val degenerate = col(embCol).isNull || size(col(embCol)) === 0 ||
+      !exists(col(embCol), x => x =!= 0.0f)
+    val reps = corpus.where(!degenerate)
+      .groupBy(col(embCol)).agg(min(col(idCol)).as(idCol))
+    // Assignment = broadcast-join argmax, NOT the cellScores literal array:
+    // a per-row array of nLists (score, cell) structs re-materializes
+    // nLists×dim literal doubles per row, which dominates once nLists grows
+    // with the corpus (measured 48 s vs 12 s at nLists=160 over 50k
+    // vectors). The join form streams one (row, centroid) pair at a time
+    // through codegen and is what the oracle replays; max_by on a
+    // (score, cell) struct keeps the exact s-then-c tie-break.
+    val centDf = corpus.sparkSession
+      .createDataFrame(centroids.toIndexedSeq).toDF("cell", "__cemb")
+    val assigned = reps.crossJoin(broadcast(centDf))
+      .groupBy(col(idCol))
+      .agg(max_by(col("cell"), struct(dp(col(embCol), col("__cemb")).as("s"),
+          col("cell").as("c"))).as("cell"),
+        first(col(embCol)).as(embCol))
+    // degenerate rows (null cosine — never pair, always survive) keep the
+    // literal-array assignment: bit-for-bit the pre-collapse behavior
+    val cells = cellScores(centroids, dp) _
+    val degen = corpus.where(degenerate).select(col(idCol), col(embCol),
+      array_max(cells(col(embCol))).getField("c").as("cell"))
+    // three consumers (both pair sides + the survivor anti-join) — persist
+    // so the scan + collapse + assignment run once, not three times (the
+    // dropNearDuplicates precedent; ContextCleaner reclaims the blocks)
+    val asg = assigned.select(col(idCol), col(embCol), col("cell"))
+      .unionByName(degen)
+      .withColumn("__n", sqrt(dp(col(embCol), col(embCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("cell"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
       col("__n").as("__na"))
     val b = asg.select(col("cell"), col(idCol).as("id_b"), col(embCol).as("emb_b"),

@@ -475,5 +475,12 @@ class OpsSpec extends SparkSpec {
     assert(bad == 0L, s"$bad surviving near-pairs remain")
     // the smallest id of the corpus can never be dropped
     assert(ids.contains(all.min), "minimum id must survive (only larger ids drop)")
+    // exact-duplicate collapse is a pure optimization: duplicating the whole
+    // corpus under higher ids must leave the survivor set IDENTICAL (every
+    // copy is cosine-1 to its original, so copies always drop)
+    val dup = emb.unionByName(emb.withColumn("vec_id", col("vec_id") + 1000000L))
+    val dupIds = Similarity.semanticDedup(dup, threshold = 0.35, nLists = 16)
+      .select("vec_id").as[Long].collect().toSet
+    assert(dupIds == ids, "duplication changed the survivor set")
   }
 }
