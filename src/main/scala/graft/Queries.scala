@@ -1012,6 +1012,20 @@ object Queries {
       "source", "doc_id", targetRows = 300)
       .select(col("doc_id"), col("source"))
 
+  /** DSIR-style importance weighting ([[graft.ops.Dedup
+    * .importanceWeights]]): the raw (train-slice) docs scored by n-gram
+    * log-likelihood ratio against the test-slice target — the data-
+    * selection twin of q_contamination, over the same hash-split corpora.
+    * The oracle replays the whole computation at gram-string level (the
+    * engine's digests only need consistency, the contamination precedent)
+    * in exact milli-nat integer arithmetic. */
+  private def importanceWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+    Dedup.importanceWeights(
+      split.where(col("split") === "train"),
+      split.where(col("split") === "test"))
+  }
+
   /** SemDeDup-style semantic dedup ([[graft.ops.Similarity.semanticDedup]]):
     * IVF-cell blocking + within-cell cosine prune, survivors with their
     * cell. The oracle re-derives the centroid assignment AND the drop
@@ -1317,6 +1331,7 @@ object Queries {
     "q_distinct_kmv" -> (distinctKmvQ _),
     "q_source_mix" -> (sourceMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_importance_weights" -> (importanceWeightsQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1836,6 +1851,7 @@ object Queries {
     "q_distinct_kmv" -> distinctKmvOracle,
     "q_source_mix" -> sourceMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_importance_weights" -> importanceWeightsOracle,
     "q_lsh_topk" -> lshOracle
   )
 
@@ -2111,6 +2127,36 @@ object Queries {
        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
        |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contamination
        |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
+
+  /** DSIR importance weights re-derived at gram-string level: the
+    * contamination split/gram CTEs, per-gram document frequencies on both
+    * sides, add-1 smoothing over the union vocabulary, ln-ratio quantized
+    * to integer milli-nats BEFORE the per-doc sum (exact integer
+    * aggregation in any order — the only residual cross-engine risk is an
+    * ln ulp flip exactly on a quantization boundary). */
+  private def importanceWeightsOracle: String =
+    s"""WITH s AS (SELECT doc_id,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split,
+       |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN coalesce(text, '') ELSE text END AS text
+       |  FROM documents
+       |  WHERE text IS NOT NULL OR md5(CAST(doc_id AS VARCHAR)) < 'cc'),
+       |tk AS (SELECT doc_id, split, $toks AS t FROM s),
+       |gl AS (SELECT doc_id, split, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, split, unnest(l) AS gram FROM gl),
+       |ctq AS (SELECT gram,
+       |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS cq
+       |  FROM g GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cq) AS BIGINT) AS nq,
+       |    CAST(count(*) AS BIGINT) AS v FROM ctq),
+       |m AS (SELECT gram, CAST(round(ln(
+       |    (CAST(ct + 1 AS DOUBLE) * CAST(nq + v AS DOUBLE)) /
+       |    (CAST(cq + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) * 1000, 0) AS BIGINT) AS milli
+       |  FROM ctq CROSS JOIN tot)
+       |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(CAST(sum(milli) AS BIGINT) AS DOUBLE) / 1000.0 AS llr
+       |FROM g JOIN m USING (gram) WHERE split = 'train' GROUP BY g.doc_id""".stripMargin
 
   /** q_ngram_jaccard's oracle with the engine's maxNgramFreq prune: grams
     * present in more than `m` docs are dropped from the INTERSECTION counts

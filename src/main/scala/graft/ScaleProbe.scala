@@ -44,8 +44,9 @@ object ScaleProbe {
         // flagship dedup paths (keep-best, CC clusters, full pipeline)
         "q_simhash_neardup_capped", "q_ngram_jaccard_capped",
         "q_neardup_clusters", "q_dedup_keep_best", "q_pipeline_full",
-        // round-8 additions: sketch, mixing, and semantic dedup
-        "q_distinct_kmv", "q_source_mix", "q_semantic_dedup")) {
+        // round-8 additions: sketch, mixing, semantic dedup, DSIR selection
+        "q_distinct_kmv", "q_source_mix", "q_semantic_dedup",
+        "q_importance_weights")) {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }

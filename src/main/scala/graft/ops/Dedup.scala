@@ -514,6 +514,58 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"): score
+    * every `raw` document by the log-likelihood ratio of its n-grams under
+    * the `target` corpus vs the raw pool itself — the standard "select raw
+    * web data that looks like the high-quality target" step. Uses document
+    * frequencies of distinct word n-grams (the same gram machinery as
+    * [[contamination]]) with add-1 smoothing over the union vocabulary V:
+    *
+    *   llr(doc) = Σ_{g ∈ grams(doc)} ln( ((df_t(g)+1)·(Nq+V)) /
+    *                                     ((df_q(g)+1)·(Nt+V)) )
+    *
+    * Cross-engine determinism: the per-gram log-ratio is quantized to an
+    * integer (round(ln·1000) — "milli-nats") BEFORE the per-doc sum, so the
+    * aggregation is exact integer arithmetic in any order; the ratio inside
+    * ln is one division of two pinned double products of exact integers.
+    * (ln itself is the one transcendental — a cross-engine ulp flip exactly
+    * on a 0.0005 quantization boundary is the ~1e-13-per-gram residual risk
+    * the fixed-point form reduces it to.)
+    *
+    * Scale shape: one aggregate over tagged gram streams (map-side partial
+    * sums), a 3-scalar broadcast, the per-gram score table joined back on
+    * 8-byte digests, one per-doc sum. Nothing quadratic, no driver data
+    * paths. The gram stream and score table are persisted — both feed two
+    * consumers. NULL raw text scores like an empty doc (the
+    * [[contamination]] convention: absent-from-report reads as a decision).
+    *
+    * Output: (idCol, n_grams, llr) for every raw doc; select by llr rank. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val rawGrams = gramDigestsOf(
+      raw.withColumn(textCol, coalesce(col(textCol), lit(""))), textCol, idCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tgtGrams = explodedGrams(
+      target.where(col(textCol).isNotNull)
+        .select(TextAnalysis.tokensIn(target.sparkSession)(col(textCol)).as("__toks")), n)
+    val perGram = rawGrams.select(col("gram"), lit(0L).as("__t"), lit(1L).as("__q"))
+      .unionByName(tgtGrams.select(col("gram"), lit(1L).as("__t"), lit(0L).as("__q")))
+      .groupBy(col("gram")).agg(sum(col("__t")).as("ct"), sum(col("__q")).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = perGram.agg(sum(col("ct")).as("nt"), sum(col("cq")).as("nq"),
+      count(lit(1)).as("v"))
+    val milli = perGram.crossJoin(broadcast(tot)).select(col("gram"),
+      round(log((col("ct") + 1).cast("double") * (col("nq") + col("v")).cast("double")
+          / ((col("cq") + 1).cast("double") * (col("nt") + col("v")).cast("double")))
+        * 1000, 0).cast("long").as("__milli"))
+    rawGrams.join(milli, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__milli")).as("__ms"))
+      .select(col("id").as(idCol), col("n_grams"),
+        (col("__ms").cast("double") / 1000.0).as("llr"))
+  }
+
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS into dedup CLUSTERS. Min-label propagation: every
     * node starts labeled with its own id; each round a node adopts the

@@ -483,4 +483,22 @@ class OpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(dupIds == ids, "duplication changed the survivor set")
   }
+
+  test("importanceWeights: target-aligned docs outscore off-target docs; nulls score as empty") {
+    val target = Seq((100L, "alpha beta gamma delta"), (101L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "alpha beta gamma delta"),         // pure target language
+      (1L, "zeta eta theta iota"),            // never seen in target
+      (2L, "alpha beta gamma iota"),          // shares one target trigram
+      (3L, null.asInstanceOf[String])         // null → empty-doc convention
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.importanceWeights(raw, target)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L), "every raw doc must be scored")
+    assert(got(0L)._2 > got(2L)._2 && got(2L)._2 > got(1L)._2,
+      s"LLR ordering broke: $got")
+    assert(got(1L)._2 < 0, "off-target doc must score negative")
+    assert(got(3L)._1 == 1L, "null text scores as the single empty-list gram")
+  }
 }
