@@ -210,4 +210,28 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Expand") == 1, "multi-distinct must plan via one Expand")
     assert(nodes(p, "Scan parquet") == 1, "one pass over lineitem")
   }
+
+  test("q_source_mix: fact rows never shuffle — per-source rates broadcast onto the scan") {
+    val p = plan("q_source_mix")
+    assert(nodes(p, "SortMergeJoin") == 0, "the fact join must broadcast, not shuffle")
+    assert(nodes(p, "BroadcastHashJoin") >= 1, "rates join the scan via broadcast")
+    assert(nodes(p, "CartesianProduct") == 0, "the 1-row weight total must broadcast")
+  }
+
+  test("q_semantic_dedup: assignment cached for its consumers, no cartesian blowup") {
+    val p = plan("q_semantic_dedup")
+    assert(p.contains("InMemoryTableScan"),
+      "the cell assignment feeds three consumers and must be persisted")
+    assert(nodes(p, "CartesianProduct") == 0,
+      "the centroid cross join must be a broadcast nested loop, never cartesian")
+  }
+
+  test("q_importance_weights: gram streams cached, only the 1-row totals nested-loop") {
+    val p = plan("q_importance_weights")
+    assert(p.contains("InMemoryTableScan"),
+      "gram stream and per-gram counts each feed two consumers — both persist")
+    assert(nodes(p, "CartesianProduct") == 0)
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 1,
+      "only the 3-scalar totals row may join without keys")
+  }
 }
