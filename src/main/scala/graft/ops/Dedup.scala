@@ -752,8 +752,20 @@ object Dedup {
         .unionByName(nbr)
         .groupBy("id")
         .agg(min(col("lbl")).as("cluster_id"), max(col("own")).as("own"))
+      // pointer doubling: follow the label ONE more hop (label := label's
+      // label). Propagation alone moves the min ONE edge per round —
+      // O(diameter) rounds — and a capped pair graph grows long thin
+      // chains precisely because its hub edges were pruned (measured: the
+      // sf0.1 capped graph exceeds 20 rounds and under-converges).
+      // Compression doubles reach per round → O(log diameter). Safe
+      // because a label is always the id of a node in the same component,
+      // labels only decrease, and the parent side is unique per id (an
+      // inner 1:1 join — every label IS a node id, so nothing drops).
+      val parent = merged.select(col("id").as("cluster_id"), col("cluster_id").as("__pl"))
+      val compressed = merged.join(parent, Seq("cluster_id"))
+        .select(col("id"), col("__pl").as("cluster_id"), col("own"))
       val obs = new org.apache.spark.sql.Observation(s"graft_cc_$i")
-      val next = merged
+      val next = compressed
         .observe(obs, coalesce(sum(when(col("cluster_id") < col("own"), 1L)
           .otherwise(0L)), lit(0L)).as("changed"))
         .select(col("id"), col("cluster_id"))
@@ -767,7 +779,7 @@ object Dedup {
           "some cluster ids may be non-minimal (under-dedup) — raise maxIter")
     else
       org.slf4j.LoggerFactory.getLogger(getClass).info(
-        s"connectedComponents converged in $i rounds") // rounds ≈ diameter+1
+        s"connectedComponents converged in $i rounds") // ≈ log2(diameter)
     edges.unpersist()
     labels
   }
