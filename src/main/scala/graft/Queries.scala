@@ -1026,6 +1026,16 @@ object Queries {
       split.where(col("split") === "test"))
   }
 
+  /** Symmetric int8 embedding quantization ([[graft.ops.Similarity
+    * .quantizeInt8]]): the 4× storage-path compression with its integer
+    * fingerprints (Σq, Σq²) and reconstruction-error gate; driver output
+    * projects the scalar surface (the codes array stays engine-side — the
+    * comparator hashes cells). */
+  private def quantizeInt8Q(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .select(col("vec_id"), col("dim"), col("scale"), col("q_sum"),
+        col("q_norm2"), col("recon_mse"))
+
   /** SemDeDup-style semantic dedup ([[graft.ops.Similarity.semanticDedup]]):
     * IVF-cell blocking + within-cell cosine prune, survivors with their
     * cell. The oracle re-derives the centroid assignment AND the drop
@@ -1332,6 +1342,7 @@ object Queries {
     "q_source_mix" -> (sourceMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
+    "q_quantize_int8" -> (quantizeInt8Q _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1852,6 +1863,7 @@ object Queries {
     "q_source_mix" -> sourceMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_importance_weights" -> importanceWeightsOracle,
+    "q_quantize_int8" -> quantizeInt8Oracle,
     "q_lsh_topk" -> lshOracle
   )
 
@@ -2157,6 +2169,37 @@ object Queries {
        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        |  CAST(CAST(sum(milli) AS BIGINT) AS DOUBLE) / 1000.0 AS llr
        |FROM g JOIN m USING (gram) WHERE split = 'train' GROUP BY g.doc_id""".stripMargin
+
+  /** int8 quantization re-derived end-to-end: absmax fold → scale → codes
+    * (round-half-away, the engines agree) → integer summaries via exact
+    * BIGINT folds → reconstruction MSE in index order. The UNROUNDED scale
+    * feeds codes and MSE; only the output column is rounded — mirroring
+    * the engine exactly. */
+  private def quantizeInt8Oracle: String = {
+    val qD = "CAST(p[2] AS DOUBLE)"
+    val xD = "CAST(p[1] AS DOUBLE)"
+    s"""WITH q AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+       |      (a, v) -> greatest(a, v)) / 127.0 AS s
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, embedding, s,
+       |    list_transform(embedding, x -> CASE WHEN s = 0.0 THEN 0
+       |      ELSE CAST(round(CAST(x AS DOUBLE) / s) AS INTEGER) END) AS codes
+       |  FROM q)
+       |SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim, round(s, 9) AS scale,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(codes, v -> CAST(v AS BIGINT))), (a, v) -> a + v) AS BIGINT) AS q_sum,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(codes, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))), (a, v) -> a + v) AS BIGINT) AS q_norm2,
+       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_zip(embedding, codes),
+       |      p -> ($xD - $qD * s) * ($xD - $qD * s))), (a, v) -> a + v)
+       |    / CAST(greatest(len(embedding), 1) AS DOUBLE), 12) AS recon_mse
+       |FROM c""".stripMargin
+  }
 
   /** q_ngram_jaccard's oracle with the engine's maxNgramFreq prune: grams
     * present in more than `m` docs are dropped from the INTERSECTION counts

@@ -512,6 +512,44 @@ object Similarity {
     asg.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
   }
 
+  /** Per-vector symmetric int8 quantization — the storage-path operator for
+    * an embedding store: at 100 TB of float32 vectors, absmax-int8 cuts the
+    * bytes 4× (plus one float scale per vector) at ~0.1-1% cosine error,
+    * which is why serving-side ANN indexes quantize by default.
+    *
+    * scale = max|x| / 127; q_i = round(x_i / scale) — |q_i| ≤ 127 by
+    * construction (the max element maps to ±127 exactly), all-zero vectors
+    * get scale 0 and all-zero codes (ANSI-safe guard, no division). Every
+    * step is per-row, index-ordered, IEEE-pinned arithmetic: the codes, the
+    * integer summaries, and the reconstruction error are bit-identical on
+    * any engine — the DuckDB oracle re-derives them end-to-end.
+    *
+    * Output: (idCol, dim, scale, codes array<int>, q_sum, q_norm2,
+    * recon_mse). Zero shuffle — this is a projection; the int summaries
+    * (Σq, Σq² — exact integers) are the dedup/validation fingerprints a
+    * quantized store keeps, recon_mse the quality gate. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol)
+    val absMax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v.cast("double"))))
+    val out = df
+      .withColumn("__scale", absMax / 127.0)
+      .withColumn("codes", transform(emb, x =>
+        when(col("__scale") === 0.0, lit(0))
+          .otherwise(round(x.cast("double") / col("__scale"), 0).cast("int"))))
+      .withColumn("q_sum",
+        aggregate(col("codes"), lit(0L), (a, q) => a + q.cast("long")))
+      .withColumn("q_norm2",
+        aggregate(col("codes"), lit(0L), (a, q) => a + q.cast("long") * q.cast("long")))
+      .withColumn("recon_mse", round(
+        aggregate(zip_with(emb, col("codes"), (x, q) => {
+          val d = x.cast("double") - q.cast("double") * col("__scale")
+          d * d
+        }), lit(0.0), (a, v) => a + v) / greatest(size(emb), lit(1)).cast("double"), 12))
+    out.select(col(idCol), size(emb).as("dim"), round(col("__scale"), 9).as("scale"),
+      col("codes"), col("q_sum"), col("q_norm2"), col("recon_mse"))
+  }
+
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */
   def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dp = dotFn(df.sparkSession)

@@ -501,4 +501,27 @@ class OpsSpec extends SparkSpec {
     assert(got(1L)._2 < 0, "off-target doc must score negative")
     assert(got(3L)._1 == 1L, "null text scores as the single empty-list gram")
   }
+
+  test("quantizeInt8: codes in range, max maps to ±127, error ≤ scale/2, zero vector safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, -2.0f, 0.5f, 4.0f)),   // absmax 4 → scale 4/127
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),    // zero vector
+      (2L, Array(-3.0f, 3.0f, 1.5f, -1.5f))   // symmetric absmax
+    ).toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getSeq[Int](r.fieldIndex("codes")),
+          r.getAs[Double]("recon_mse")))
+      .toMap
+    val (s0, c0, m0) = got(0L)
+    assert(c0.max == 127 && c0.forall(q => q >= -127 && q <= 127),
+      s"codes out of range: $c0")
+    assert(math.abs(s0 - 4.0 / 127.0) < 1e-9)
+    // round-half error bound: every |x - q·s| ≤ s/2, so mse ≤ (s/2)²
+    assert(m0 <= (s0 / 2) * (s0 / 2) + 1e-12, s"mse $m0 exceeds the rounding bound")
+    val (s1, c1, m1) = got(1L)
+    assert(s1 == 0.0 && c1.forall(_ == 0) && m1 == 0.0, "zero vector must be a no-op")
+    assert(got(2L)._2.min == -127 && got(2L)._2.max == 127,
+      "symmetric absmax must hit both int8 extremes")
+  }
 }
