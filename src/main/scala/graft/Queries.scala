@@ -816,6 +816,16 @@ object Queries {
     Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1,
       maxNgramFreq = Some(25))
 
+  /** The sf-INVARIANT stop-gram cap: df ≤ ceil(5% of the corpus), derived
+    * in-plan — the knob that survives a scale-up where the absolute cap
+    * collapsed to zero recall at ×10 (SCALE.md). At sf0.01 (500 docs) the
+    * derived cap equals the absolute twin's 25, so the two queries
+    * cross-check each other at the gate SF while diverging correctly at
+    * any other scale. */
+  private def ngramJaccardRelCap(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1,
+      maxNgramFreqFraction = Some(0.05))
+
   /** MinHash+LSH near-dup pairs over the PORTABLE Poly64 hash family —
     * DuckDB re-derives the full signature/banding pipeline value-for-value,
     * so this carries a hard oracle (the xxhash64 family can't). */
@@ -1331,6 +1341,7 @@ object Queries {
     "q_dedup_stats" -> (dedupStats _),
     "q_ngram_jaccard" -> (ngramJaccardQ _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
+    "q_ngram_jaccard_relcap" -> (ngramJaccardRelCap _),
     "q_contamination" -> (contaminationQ _),
     "q_pipeline" -> (pipelineQ _),
     "q_pipeline_full" -> (pipelineFullQ _),
@@ -1817,6 +1828,7 @@ object Queries {
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
+    "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),
     "q_contamination" -> contaminationOracle,
     "q_pipeline" -> pipelineOracle,
     "q_pipeline_full" -> pipelineFullOracle,
@@ -2204,13 +2216,22 @@ object Queries {
   /** q_ngram_jaccard's oracle with the engine's maxNgramFreq prune: grams
     * present in more than `m` docs are dropped from the INTERSECTION counts
     * (set sizes stay unpruned — mirroring the engine exactly). */
+  /** The relative-cap twin: the df threshold is ceil(f·corpus) from a
+    * count CTE — the same in-plan derivation the engine broadcasts. */
+  private def ngramJaccardRelCapOracle(f: Double): String =
+    ngramJaccardCappedBody(
+      s"df <= CAST(ceil($f * CAST((SELECT count(*) FROM documents) AS DOUBLE)) AS BIGINT)")
+
   private def ngramJaccardCappedOracle(m: Int): String =
+    ngramJaccardCappedBody(s"df <= $m")
+
+  private def ngramJaccardCappedBody(capPredicate: String): String =
     s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
        |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
        |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
        |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
-       |fr AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE df <= $m),
+       |fr AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY 1) WHERE $capPredicate),
        |gp AS (SELECT g.doc_id, g.gram FROM g JOIN fr USING (gram)),
        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
        |  FROM gp x JOIN gp y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)

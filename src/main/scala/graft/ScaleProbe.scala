@@ -81,10 +81,25 @@ object ScaleProbe {
         timed(s"semanticDedup 50k DISTINCT vecs nLists=$nl @ sfbig")(
           graft.ops.Similarity.semanticDedup(emb, threshold = 0.35, nLists = nl).count())
     }
+    // The stop-gram cap trade triangle at ×10 duplication, measured:
+    //  - absolute cap (df ≤ 25): 3.4 s but ZERO pairs — recall collapses;
+    //  - relative cap (df ≤ 5%·corpus): full recall but 319 s — it rightly
+    //    keeps the duplicated grams, so the candidate quadratic returns
+    //    (uncapped-gated below, too expensive for every probe run);
+    //  - exact dedup FIRST, then the relative cap: recall AND near-flat —
+    //    pipeline ordering, not a cleverer cap, is the scale answer.
+    time("q_ngram_jaccard_relcap", "/root/testdata/sf0.1")
+    timed("relcap jaccard AFTER exact dedup @ sfbig") {
+      import org.apache.spark.sql.functions.col
+      val keep = graft.ops.Dedup.exact(docs, "text", "doc_id").select(col("doc_id"))
+      graft.ops.Dedup.ngramJaccard(docs.join(keep, Seq("doc_id"), "left_semi"),
+        n = 3, threshold = 0.1, maxNgramFreqFraction = Some(0.05)).count()
+    }
     if (uncapped) {
       // the quadratic baselines the caps are measured against
       time("q_simhash_neardup", "/tmp/sfbig")
       time("q_ngram_jaccard", "/tmp/sfbig")
+      time("q_ngram_jaccard_relcap", "/tmp/sfbig")
     }
     // Streaming state-scaling probe: the stateful twins at events ×10, with
     // per-operator state metrics captured from the progress events — the

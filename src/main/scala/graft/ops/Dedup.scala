@@ -841,13 +841,21 @@ object Dedup {
     cached.join(keep.select(idCol), Seq(idCol), "left_semi")
   }
 
+  /** `maxNgramFreq` is an ABSOLUTE document-frequency cap — a per-corpus
+    * constant. The ×10 probe measured its failure mode: duplication lifts
+    * every gram's df past the cap and the candidate set collapses to zero
+    * (SCALE.md). `maxNgramFreqFraction` is the sf-invariant form: the cap
+    * is ceil(fraction · corpus size), derived lazily in-plan from a 1-row
+    * count broadcast, so the same pipeline code prunes the same RELATIVE
+    * stop-gram mass at any scale. Absolute wins if both are set. */
   def ngramJaccard(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       n: Int = 3,
       threshold: Double = 0.5,
-      maxNgramFreq: Option[Int] = None
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
   ): DataFrame = {
     // Set sizes are joined back onto the (doc_a, doc_b) pair counts from a
     // tiny per-doc aggregate (auto-broadcast). Three rejected variants, all
@@ -861,11 +869,19 @@ object Dedup {
     // auto-broadcast, and the whole query runs ~2× slower.
     val grams = gramDigestsOf(docs, textCol, idCol, n)
     val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val pruned = maxNgramFreq match {
-      case Some(m) =>
+    val pruned = (maxNgramFreq, maxNgramFreqFraction) match {
+      case (Some(m), _) =>
         val freq = grams.groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= m)
         grams.join(freq.select("gram"), Seq("gram"))
-      case None => grams
+      case (None, Some(f)) =>
+        // cap = ceil(f · nDocs), derived in-plan: the 1-row count broadcasts
+        // onto the df filter, so the prune threshold scales with the corpus
+        val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") <= ceil(lit(f) * col("__nd").cast("double")))
+        grams.join(freq.select("gram"), Seq("gram"))
+      case _ => grams
     }
     val inter = pruned.as("x")
       .join(pruned.as("y"), col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
