@@ -1036,6 +1036,11 @@ object Queries {
       split.where(col("split") === "test"))
   }
 
+  /** Inverted-index build ([[graft.ops.TextAnalysis.invertedIndex]]):
+    * token → df + the 5 lowest doc ids, singleton tail pruned (df ≥ 5). */
+  private def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(t(s, dir, "documents"), maxPostings = 5, minDf = 5L)
+
   /** Symmetric int8 embedding quantization ([[graft.ops.Similarity
     * .quantizeInt8]]): the 4× storage-path compression with its integer
     * fingerprints (Σq, Σq²) and reconstruction-error gate; driver output
@@ -1354,6 +1359,7 @@ object Queries {
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
     "q_quantize_int8" -> (quantizeInt8Q _),
+    "q_inverted_index" -> (invertedIndexQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1876,6 +1882,17 @@ object Queries {
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
+    "q_inverted_index" ->
+      s"""WITH tk AS (SELECT doc_id, list_distinct($toks) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id, unnest(t) AS token FROM tk),
+         |r AS (SELECT token, doc_id,
+         |    row_number() OVER (PARTITION BY token ORDER BY doc_id ASC) AS rn FROM w),
+         |d AS (SELECT token, count(*) AS df FROM w GROUP BY 1),
+         |p AS (SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+         |  FROM r WHERE rn <= 5 GROUP BY token)
+         |SELECT d.token, CAST(df AS BIGINT) AS df, postings
+         |FROM d JOIN p USING (token) WHERE df >= 5""".stripMargin,
     "q_lsh_topk" -> lshOracle
   )
 

@@ -158,4 +158,34 @@ object TextAnalysis {
     val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
     regexp_replace(ip, "\\d{7,}", "<NUM>")
   }
+
+  /** Inverted-index build: token → document frequency + a CAPPED posting
+    * list (the `maxPostings` lowest doc ids, a deterministic total order) —
+    * the construction step of a retrieval index, shaped for scale: one
+    * token explosion, then the cap window and the df aggregate share ONE
+    * shuffle on token (the window's hash clustering satisfies the
+    * groupBy). Output rows ∝ vocabulary (bounded by the language, not the
+    * corpus) and each carries ≤ maxPostings ids — the full posting lists
+    * of hot tokens are exactly what must NOT be materialized per row at
+    * 100 TB; a real index spills them to a posting store, the capped head
+    * is the sample/debug surface. Tokens are distinct per doc; `minDf`
+    * prunes the singleton tail. Postings render as a comma-joined sorted
+    * string (engine-portable; arrays don't survive the driver compare). */
+  def invertedIndex(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxPostings: Int = 5, minDf: Long = 1L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksFn = tokensIn(docs.sparkSession)
+    val posting = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(array_distinct(toksFn(col(textCol)))).as("token"))
+    posting
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("token")).orderBy(col("__id").asc)))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(sort_array(collect_list(
+          when(col("__rn") <= maxPostings, col("__id")))),
+          x => x.cast("string")), ",").as("postings"))
+      .where(col("df") >= minDf)
+  }
 }

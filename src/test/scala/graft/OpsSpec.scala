@@ -524,4 +524,17 @@ class OpsSpec extends SparkSpec {
     assert(got(2L)._2.min == -127 && got(2L)._2.max == 127,
       "symmetric absmax must hit both int8 extremes")
   }
+
+  test("invertedIndex: df counts all docs, postings cap at k lowest ids, minDf prunes") {
+    val d = Seq(
+      (10L, "apple banana"), (11L, "apple cherry"), (12L, "apple banana"),
+      (13L, "apple date"), (14L, "apple elderberry"), (15L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(d, maxPostings = 3, minDf = 2L)
+      .as[(String, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("apple") == ((5L, "10,11,12")), s"df must count ALL docs, postings cap at 3: $got")
+    assert(got("banana") == ((2L, "10,12")))
+    assert(!got.contains("cherry"), "minDf=2 must prune singletons")
+    assert(!got.values.exists(_._2.split(",").length > 3), "posting cap violated")
+  }
 }

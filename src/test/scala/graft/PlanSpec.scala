@@ -226,6 +226,13 @@ class PlanSpec extends SparkSpec {
       "the centroid cross join must be a broadcast nested loop, never cartesian")
   }
 
+  test("q_inverted_index: cap window and df aggregate share ONE shuffle on token") {
+    val p = plan("q_inverted_index")
+    assert(nodes(p, "Exchange") == 1,
+      "window and groupBy both key on token — the exchange must be shared")
+    assert(nodes(p, "Window") == 1)
+  }
+
   test("q_importance_weights: gram streams cached, only the 1-row totals nested-loop") {
     val p = plan("q_importance_weights")
     assert(p.contains("InMemoryTableScan"),
