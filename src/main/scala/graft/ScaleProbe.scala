@@ -46,7 +46,7 @@ object ScaleProbe {
         "q_neardup_clusters", "q_dedup_keep_best", "q_pipeline_full",
         // round-8 additions: sketch, mixing, semantic dedup, DSIR selection
         "q_distinct_kmv", "q_source_mix", "q_semantic_dedup",
-        "q_importance_weights", "q_quantize_int8")) {
+        "q_importance_weights", "q_quantize_int8", "q_inverted_index")) {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }
