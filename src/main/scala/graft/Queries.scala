@@ -21,20 +21,27 @@ import graft.ops.{Dedup, Multimodal, Quantiles, Sampling, Similarity, Sketches, 
   */
 object Queries {
 
+  /** events.ts normalization, adaptive to the testdata vintage: TIMESTAMP
+    * (NANOS) parquet (which Spark's vectorized reader rejects — read as
+    * long nanos via the legacy flag and floor to micros with integer DIV;
+    * a double division would lose precision at ~1.7e18, and the truncation
+    * matches DuckDB's ns→µs) OR native timestamp[us], which Spark already
+    * reads as TIMESTAMP_NTZ and needs no rewrite. The epoch-anchored
+    * timestampadd builds TIMESTAMP_NTZ directly — no session-timezone
+    * involvement anywhere (a TimestampType round-trip would shift values in
+    * non-UTC sessions), so both vintages land on the same type and values. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      case _ => df
+    }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized reader
-    // rejects; read it as long nanos and floor to micros (integer DIV — a
-    // double division would lose precision at ~1.7e18), matching DuckDB's
-    // ns→µs truncation. The epoch-anchored timestampadd builds TIMESTAMP_NTZ
-    // directly — no session-timezone involvement anywhere (a TimestampType
-    // round-trip would shift values in non-UTC sessions), so the result
-    // mirrors how Spark reads the other tables' no-tz timestamps.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
 
   private val aqiSql = Expressions.aqiPm25Sql("value")
@@ -198,9 +205,7 @@ object Queries {
         sd.resolve("events.parquet"))
       sd.toString
     })
-    s.readStream.schema(schema).parquet(staged)
-      .withColumn("ts",
-        expr("timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    normalizeEventsTs(s.readStream.schema(schema).parquet(staged))
   }
 
   /** Run a streaming frame to completion (Trigger.AvailableNow) into a

@@ -206,9 +206,8 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Timestamp, Long)].collect().toSet
     val sw = {
       import org.apache.spark.sql.functions._
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", expr(
-          "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+      Queries.normalizeEventsTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"))
         .select($"user_id", $"session_window.start".as("session_start"), $"n_events")
