@@ -48,7 +48,12 @@ object Bench {
     // comma-separated query names to leave out of this run
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // ...and the converse: restrict a run to a named subset (A/B adjudication
+    // of individual floors without paying the full 105-query surface)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     val named = SparkEntry.queries.toSeq.sortBy(_._1).filterNot(q => skip(q._1))
+      .filter(q => only.forall(_.contains(q._1)))
     val samples = Array.fill(named.size)(Vector.empty[Double])
     val failures = Array.fill(named.size)(0)
     for (_ <- 1 to runs; i <- named.indices) {

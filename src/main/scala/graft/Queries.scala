@@ -44,6 +44,13 @@ object Queries {
     if (name == "events") normalizeEventsTs(df) else df
   }
 
+  /** Self-contained events read for tests: sets the NANOS legacy flag AND
+    * normalizes ts, so callers don't depend on conf leakage from an earlier
+    * query in the same session (a raw spark.read.parquet of the NANOS
+    * testdata only works if something else set the flag first). */
+  private[graft] def readEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+
   private val aqiSql = Expressions.aqiPm25Sql("value")
 
   // ---------------------------------------------------------------- parity
@@ -788,6 +795,16 @@ object Queries {
   private def ngramJaccardQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** The exact-dedup-FIRST composition ([[graft.ops.Dedup.ngramJaccardDeduped]]
+    * — collapse identical texts, pair the representatives with a
+    * duplication-weighted df, expand pairs back through group membership).
+    * Registered against the SAME oracle SQL as q_ngram_jaccard: the two
+    * engine paths must hash-match each other through DuckDB, which pins the
+    * output-identity proof the API's scale story rests on (SCALE.md's
+    * cap-trade triangle: 319 s → 3.2 s at ×10 duplication). */
+  private def ngramJaccardDedupedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDeduped(t(s, dir, "documents"), n = 3, threshold = 0.1)
+
   /** The LLM data pipeline end-to-end as ONE Catalyst plan — the extension
     * surface's flagship: exact dedup to representatives (8-byte digest
     * shuffle + semi join) → per-doc quality scoring (zero-shuffle token
@@ -851,6 +868,14 @@ object Queries {
     * the candidate join (SCALE.md measured 10× at the ×3 probe). */
   private def simhashNearDupCapped(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup64(t(s, dir, "documents"), maxBlockFreq = Some(50))
+
+  /** Exact-dedup-first simhash composition
+    * ([[graft.ops.Dedup.simhashNearDup64Deduped]]) at the capped default —
+    * hash-matched against the SAME oracle as q_simhash_neardup_capped,
+    * which pins output identity of the composed path (including the
+    * duplication-weighted cap) through DuckDB. */
+  private def simhashNearDupDedupedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64Deduped(t(s, dir, "documents"), maxBlockFreq = Some(50))
 
   /** Near-dup pairs → CLUSTERS: connected components over the portable
     * simhash pair graph ([[graft.ops.Dedup.connectedComponents]], bounded
@@ -954,6 +979,43 @@ object Queries {
     exact.join(approx, Seq("probe_id", "corpus_id"), "left")
       .groupBy(col("probe_id"))
       .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
+  }
+
+  /** Recall@5 of the REFINED index (2-round Lloyd) — the variant a user
+    * should actually ship — against the exact brute-force baseline. The
+    * bootstrap index's gate (q_ann_recall) answered "is IVF sound"; this
+    * one answers "is the refined index at least as good", which was the
+    * unmeasured headline before r9. */
+  private def annRecallRefinedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    val approx = Similarity.ivfRefinedTopK(emb, probes, k = 5, nLists = 16, nProbe = 4, iters = 2)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
+  }
+
+  /** Per-probe recall@5 of LSH at multiProbe 0 AND 2 side by side — the
+    * hard number for "does multi-probe buy recall": recall_mp2 ≥ recall_mp0
+    * row-by-row (supersets of buckets), and the oracle re-derives both
+    * bucket expansions from the same folded-in hyperplanes. */
+  private def annRecallLshQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    def recallOf(mp: Int, out: String): DataFrame = {
+      val approx = Similarity.lshTopK(emb, probes, k = 5, numPlanes = 8, dim = 64,
+          multiProbe = mp)
+        .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as(out))
+    }
+    recallOf(0, "recall_mp0").join(recallOf(2, "recall_mp2"), Seq("probe_id"))
   }
 
   /** Approximate ANN: LSH-bucketed top-k (scale path; rows-only check). */
@@ -1350,6 +1412,7 @@ object Queries {
     "q3_shipping" -> (q3Shipping _),
     "q_dedup_stats" -> (dedupStats _),
     "q_ngram_jaccard" -> (ngramJaccardQ _),
+    "q_ngram_jaccard_deduped" -> (ngramJaccardDedupedQ _),
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_ngram_jaccard_relcap" -> (ngramJaccardRelCap _),
     "q_contamination" -> (contaminationQ _),
@@ -1374,11 +1437,14 @@ object Queries {
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
     "q_simhash_neardup_capped" -> (simhashNearDupCapped _),
+    "q_simhash_neardup_deduped" -> (simhashNearDupDedupedQ _),
     "q_source_overlap" -> (sourceOverlap _),
     "q_embedding_stats" -> (embeddingStatsQ _),
     "q_embedding_neardup" -> (embeddingNearDup _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_recall" -> (annRecallQ _),
+    "q_ann_recall_refined" -> (annRecallRefinedQ _),
+    "q_ann_recall_lsh" -> (annRecallLshQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
@@ -1398,6 +1464,22 @@ object Queries {
 
   // DuckDB dialect fragments shared by several oracles.
   private val toks = "list_filter(string_split(text, ' '), x -> length(x) > 0)"
+
+  /** Shared by q_ngram_jaccard AND q_ngram_jaccard_deduped: the deduped
+    * composition's output-identity guarantee is pinned by hashing both
+    * against the one SQL. */
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
+       |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id
+       |) WHERE jaccard >= 0.1""".stripMargin
 
   /** DuckDB twin of [[graft.ops.TextAnalysis.fingerprint]]: rolling
     * (acc*31 + cp) mod 1e9+7 over the characters of `e` — shared by the
@@ -1718,18 +1800,11 @@ object Queries {
     "q_dedup_stats" ->
       """SELECT count(*) AS total, count(DISTINCT props) AS distinct_texts,
         |count(*) - count(DISTINCT props) AS dup_rows FROM events""".stripMargin,
-    "q_ngram_jaccard" ->
-      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
-         |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-         |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
-         |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
-         |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
-         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
-         |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
-         |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id
-         |) WHERE jaccard >= 0.1""".stripMargin,
+    "q_ngram_jaccard" -> ngramJaccardOracleSql,
+    // the dedup-first composition is output-identical BY CONSTRUCTION, so it
+    // must hash-match the very same oracle the direct form carries — the
+    // hardest possible check on the expansion algebra
+    "q_ngram_jaccard_deduped" -> ngramJaccardOracleSql,
     "q_embedding_stats" ->
       s"""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
          |round(sqrt(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
@@ -1745,6 +1820,8 @@ object Queries {
          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.35""".stripMargin,
     "q_ann_topk" -> annTopKOracle,
     "q_ann_recall" -> annRecallOracle,
+    "q_ann_recall_refined" -> annRecallRefinedOracle,
+    "q_ann_recall_lsh" -> annRecallLshOracle,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
@@ -1836,6 +1913,9 @@ object Queries {
     "q_simhash_groups" -> simhashGroupsOracle,
     "q_simhash_neardup" -> simhashNearDupOracle(None),
     "q_simhash_neardup_capped" -> simhashNearDupOracle(Some(50)),
+    // dedup-first composition vs the SAME capped oracle: pins both the
+    // expansion algebra and the duplication-weighted block-frequency cap
+    "q_simhash_neardup_deduped" -> simhashNearDupOracle(Some(50)),
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
@@ -2385,6 +2465,34 @@ object Queries {
        |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
        |GROUP BY e.probe_id""".stripMargin
 
+  /** Recall@5 of the refined (2-round Lloyd) IVF index vs exact: the same
+    * hit-count pattern as annRecallOracle, with the refined index's full
+    * SQL replay as the approx side. */
+  private def annRecallRefinedOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |approx AS (SELECT probe_id, corpus_id FROM ($ivfRefinedOracle))
+       |SELECT e.probe_id,
+       |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
+       |GROUP BY e.probe_id""".stripMargin
+
+  /** Per-probe LSH recall at multiProbe 0 and 2 vs exact, both bucket
+    * expansions re-derived from the folded-in hyperplanes. */
+  private def annRecallLshOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |a0 AS (SELECT probe_id, corpus_id FROM (${lshSql(0)})),
+       |a2 AS (SELECT probe_id, corpus_id FROM (${lshSql(2)})),
+       |r0 AS (SELECT e.probe_id,
+       |    round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_mp0
+       |  FROM exact e LEFT JOIN a0 a
+       |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1),
+       |r2 AS (SELECT e.probe_id,
+       |    round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_mp2
+       |  FROM exact e LEFT JOIN a2 a
+       |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)
+       |SELECT probe_id, recall_mp0, recall_mp2 FROM r0 JOIN r2 USING (probe_id)""".stripMargin
+
   /** IVF is deterministic end-to-end (centroids = the nLists lowest-id
     * vectors, dot products accumulated in index order on both engines), so
     * the oracle recomputes the whole index in SQL: centroid bootstrap →
@@ -2458,6 +2566,34 @@ object Queries {
        |    round(CASE WHEN sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")}) = 0 THEN NULL
        |      ELSE ${dotSql("p_emb", "c_emb")} / (sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})) END, 6) AS cosine
        |  FROM pcell JOIN ccell USING (cell) WHERE probe_id <> corpus_id)
+       |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
+  /** LSH top-5 replay parameterized by multiProbe: the probe's own bucket
+    * plus its first-`multiProbe` Hamming-1 flip variants (the same
+    * substring/flip construction the engine's lshTopK builds), each probe
+    * row unnested across its bucket list. numPlanes=8, dim=64, seed=42. */
+  private def lshSql(multiProbe: Int): String = {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64, seed = 42L)
+    val flips = (0 until multiProbe).map { i =>
+      s"concat(substring(own, 1, $i), CASE WHEN substring(own, ${i + 1}, 1) = '1' THEN '0' ELSE '1' END, substring(own, ${i + 2}, ${8 - i - 1}))"
+    }
+    val buckets = (Seq("own") ++ flips).mkString("[", ", ", "]")
+    s"""WITH cb AS (
+       |  SELECT vec_id AS corpus_id, embedding AS c_emb, ${bucketSql("embedding", planes)} AS bucket
+       |  FROM embeddings),
+       |pb0 AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb, ${bucketSql("embedding", planes)} AS own
+       |  FROM embeddings WHERE vec_id < 10),
+       |pb AS (SELECT probe_id, p_emb, unnest($buckets) AS bucket FROM pb0),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    round(CASE WHEN sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")}) = 0 THEN NULL
+       |      ELSE ${dotSql("p_emb", "c_emb")} / (sqrt(${dotSql("p_emb", "p_emb")}) * sqrt(${dotSql("c_emb", "c_emb")})) END, 6) AS cosine
+       |  FROM pb JOIN cb USING (bucket) WHERE probe_id <> corpus_id)
        |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
        |  SELECT probe_id, corpus_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn

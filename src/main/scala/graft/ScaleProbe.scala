@@ -95,6 +95,13 @@ object ScaleProbe {
       graft.ops.Dedup.ngramJaccard(docs.join(keep, Seq("doc_id"), "left_semi"),
         n = 3, threshold = 0.1, maxNgramFreqFraction = Some(0.05)).count()
     }
+    // Round-9: the composed entry point carries the ordering itself — it
+    // must return the DIRECT relcap form's exact output (~251k pairs at
+    // ×10 duplication, oracle-identical by construction) at dedup-then-cap
+    // cost, i.e. the 319 s corner closed as API instead of as advice.
+    timed("ngramJaccardDeduped relcap @ sfbig")(
+      graft.ops.Dedup.ngramJaccardDeduped(docs, n = 3, threshold = 0.1,
+        maxNgramFreqFraction = Some(0.05)).count())
     if (uncapped) {
       // the quadratic baselines the caps are measured against
       time("q_simhash_neardup", "/tmp/sfbig")

@@ -433,6 +433,87 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
+  /** [[simhashNearDup64]] with the exact-dedup-FIRST ordering built in —
+    * the simhash twin of [[ngramJaccardDeduped]], closing the same measured
+    * scale corner (candidate blowup quadratic in the duplication factor;
+    * SCALE.md ×3 probe: 15.2 s uncapped direct vs 1.48 s capped — and the
+    * cap itself prunes the wrong things when duplication inflates block
+    * frequencies). Output is PROVABLY identical to the direct form with
+    * the same knobs:
+    *
+    *   - identical texts have identical fingerprints, hence identical
+    *     (block index, block value) rows, so a block value's corpus
+    *     frequency = Σ group sizes over representatives carrying it — the
+    *     cap window here sums group sizes, pruning exactly what the direct
+    *     form's row count prunes;
+    *   - a cross-group member pair shares its representatives' fingerprints:
+    *     candidate-hood (≥1 surviving shared block) and the XOR popcount
+    *     both transfer unchanged;
+    *   - a within-group pair has hamming 0 and exists iff ANY of the
+    *     group's blocks survives the cap (the blocks are common to both
+    *     members), reproduced by one semi-join against the pruned blocks.
+    *
+    * Exact groups keyed by xxhash64(text), same collision trade as
+    * [[exactByDigest]]. Radius = nBlocks − 1 bits, as in the direct form. */
+  def simhashNearDup64Deduped(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", nBlocks: Int = 4,
+      maxBlockFreq: Option[Int] = None): DataFrame = {
+    require(nBlocks > 1 && 64 % nBlocks == 0, "nBlocks must divide 64")
+    import org.apache.spark.sql.expressions.Window
+    val width = 64 / nBlocks
+    val blockMask = (1L << width) - 1
+    val wdg = Window.partitionBy(col("__dg"))
+    val mapping = docs
+      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
+      .select(col("__m_id"),
+        min(col("__m_id")).over(wdg).as("__rep"),
+        count(lit(1)).over(wdg).as("__gsz"))
+    val reps = mapping.where(col("__m_id") === col("__rep"))
+      .select(col("__rep").as(idCol), col("__gsz"))
+    val repDocs = docs.join(reps, Seq(idCol))
+    val fp = coalesce(simhash64Of(docs.sparkSession)(col(textCol)), lit(0L))
+    val blocked = repDocs
+      .select(col(idCol).as("id"), fp.as("fp"), col("__gsz"))
+      .select(col("id"), col("fp"), col("__gsz"),
+        explode(array((0 until nBlocks).map(i =>
+          struct(lit(i).as("bi"),
+            shiftrightunsigned(col("fp"), 64 - width * (i + 1)).bitwiseAND(lit(blockMask)).as("bv"))): _*)).as("b"))
+      .select(col("id"), col("fp"), col("__gsz"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+      .repartition(col("bi"), col("bv"))
+    val pruned = maxBlockFreq match {
+      case Some(m) =>
+        // duplication-weighted frequency: Σ group sizes = the direct form's
+        // per-(bi,bv) row count; window reuses the repartition distribution
+        blocked
+          .withColumn("__df", sum(col("__gsz")).over(Window.partitionBy(col("bi"), col("bv"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => blocked
+    }
+    val a = pruned.select(col("id").as("id_a"), col("fp").as("fp_a"), col("bi"), col("bv"))
+    val b = pruned.select(col("id").as("id_b"), col("fp").as("fp_b"), col("bi"), col("bv"))
+    val repPairs = a.join(b.hint("merge"), Seq("bi", "bv"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .where(col("hamming") <= nBlocks - 1)
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+    val memb = mapping.select(col("__m_id"), col("__rep"))
+    val cross = repPairs
+      .join(memb.select(col("__rep").as("id_a"), col("__m_id").as("ia")), Seq("id_a"))
+      .join(memb.select(col("__rep").as("id_b"), col("__m_id").as("ib")), Seq("id_b"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("hamming"))
+    // a within-group pair exists iff any of the group's (common) blocks
+    // survived the cap; its hamming is 0 by fingerprint identity
+    val surv = pruned.select(col("id")).distinct()
+    val within = memb.as("p")
+      .join(memb.as("q"),
+        col("p.__rep") === col("q.__rep") && col("p.__m_id") < col("q.__m_id"))
+      .select(col("p.__rep").as("id"), col("p.__m_id").as("id_a"), col("q.__m_id").as("id_b"))
+      .join(surv, Seq("id"), "left_semi")
+      .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(within)
+  }
+
   /** Exact n-gram Jaccard similarity for candidate pairs that share at least
     * one n-gram: explode distinct n-grams, self-join on an 8-byte n-gram
     * digest, count intersections, derive |A∪B| = |A|+|B|−|A∩B|.
@@ -847,7 +928,15 @@ object Dedup {
     * (SCALE.md). `maxNgramFreqFraction` is the sf-invariant form: the cap
     * is ceil(fraction · corpus size), derived lazily in-plan from a 1-row
     * count broadcast, so the same pipeline code prunes the same RELATIVE
-    * stop-gram mass at any scale. Absolute wins if both are set. */
+    * stop-gram mass at any scale. Absolute wins if both are set.
+    *
+    * WARNING — ordering matters more than either cap: on a corpus with
+    * exact duplicates, the candidate join's Σdf² term grows with the
+    * SQUARE of the duplication factor, and neither cap fixes that
+    * (SCALE.md's cap-trade triangle measured relative-cap-alone at ×10
+    * duplication = 319 s vs exact-dedup-then-cap = 3.2 s, full recall).
+    * Call [[ngramJaccardDeduped]] — the exact-dedup-FIRST composition with
+    * provably identical output — unless the corpus is already exact-deduped. */
   def ngramJaccard(
       docs: DataFrame,
       textCol: String = "text",
@@ -894,6 +983,101 @@ object Dedup {
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** [[ngramJaccard]] with the exact-dedup-FIRST ordering built in — the
+    * composed entry point SCALE.md's cap-trade triangle measured as the
+    * only defaultable answer to duplicated corpora (relative cap alone at
+    * ×10 duplication: 319 s; exact dedup then cap: 3.2 s, full recall).
+    * Output is PROVABLY identical to calling [[ngramJaccard]] directly with
+    * the same knobs (and q_ngram_jaccard_deduped pins it against the same
+    * DuckDB oracle), because every quantity the direct form computes is
+    * recoverable from the collapsed corpus:
+    *
+    *   - identical texts have identical gram sets, so a gram's corpus df =
+    *     Σ over exact-dup groups of (group size × [gram ∈ representative]) —
+    *     the df aggregate here weights each representative's grams by group
+    *     size, making both cap knobs prune the SAME grams the direct form
+    *     prunes;
+    *   - a cross-group member pair (x, y) has the same (inter, na, nb) as
+    *     its representative pair, so rep-level pairs expand to member pairs
+    *     carrying the rep jaccard unchanged;
+    *   - a within-group pair shares ALL grams, of which only the surviving
+    *     `s` of `g` meet in the candidate join: jaccard = s/(2g − s)
+    *     (= 1.0 uncapped), and the pair exists only if s ≥ 1 — both
+    *     reproduced from two per-rep counts, no pairwise work.
+    *
+    * The candidate join's Σdf² cost thus shrinks by the SQUARE of the
+    * duplication factor while the pairwise stage sees each distinct text
+    * once; the expansion joins are linear in output size. Exact groups are
+    * keyed by xxhash64(text) — same collision trade as [[exactByDigest]]. */
+  def ngramJaccardDeduped(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
+  ): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
+    // one digest shuffle: member -> (representative = min id, group size)
+    val mapping = docs
+      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
+      .select(col("__m_id"),
+        min(col("__m_id")).over(wg).as("__rep"),
+        count(lit(1)).over(wg).as("__gsz"))
+    val reps = mapping.where(col("__m_id") === col("__rep"))
+      .select(col("__rep").as("id"), col("__gsz"))
+    val repDocs = docs.join(reps.select(col("id").as(idCol)), Seq(idCol), "left_semi")
+    val grams = gramDigestsOf(repDocs, textCol, idCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    // corpus df (duplication-weighted) — identical to the direct form's df
+    val dfW = grams.join(reps, Seq("id"))
+      .groupBy("gram").agg(sum(col("__gsz")).as("df"))
+    val pruned = (maxNgramFreq, maxNgramFreqFraction) match {
+      case (Some(m), _) =>
+        grams.join(dfW.where(col("df") <= m).select("gram"), Seq("gram"))
+      case (None, Some(f)) =>
+        val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        grams.join(
+          dfW.crossJoin(broadcast(nDocs))
+            .where(col("df") <= ceil(lit(f) * col("__nd").cast("double")))
+            .select("gram"), Seq("gram"))
+      case _ => grams
+    }
+    val surviving = pruned.groupBy("id").agg(count(lit(1)).as("__s"))
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("ra"), col("y.id").as("rb"))
+      .agg(count(lit(1)).as("inter"))
+    val repPairs = inter
+      .join(sizes.withColumnRenamed("id", "ra").withColumnRenamed("n_grams", "na"), Seq("ra"))
+      .join(sizes.withColumnRenamed("id", "rb").withColumnRenamed("n_grams", "nb"), Seq("rb"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("ra", "rb", "jaccard")
+    val memb = mapping.select(col("__m_id"), col("__rep"))
+    // rep pair -> all member pairs; groups are disjoint and ra < rb, so
+    // least/greatest restores the doc_a < doc_b contract
+    val cross = repPairs
+      .join(memb.select(col("__rep").as("ra"), col("__m_id").as("ia")), Seq("ra"))
+      .join(memb.select(col("__rep").as("rb"), col("__m_id").as("ib")), Seq("rb"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
+    // within-group pairs: jaccard = s/(2g − s); inner joins drop 0-gram and
+    // all-grams-pruned groups, exactly the pairs the direct form never forms
+    val within = memb.as("p")
+      .join(memb.as("q"),
+        col("p.__rep") === col("q.__rep") && col("p.__m_id") < col("q.__m_id"))
+      .select(col("p.__rep").as("id"), col("p.__m_id").as("doc_a"), col("q.__m_id").as("doc_b"))
+      .join(sizes, Seq("id")).join(surviving, Seq("id"))
+      .withColumn("jaccard", round(
+        col("__s").cast("double") / (lit(2) * col("n_grams") - col("__s")).cast("double"), 6))
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    cross.unionByName(within)
   }
 
   /** Sub-document (chunk-level) dedup: the corpus-wide removal of repeated

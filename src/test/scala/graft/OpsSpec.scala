@@ -81,6 +81,57 @@ class OpsSpec extends SparkSpec {
     assert(!got.keySet.exists { case (a, b) => b == 3L || a == 3L })
   }
 
+  test("ngramJaccardDeduped equals the direct form under every cap mode") {
+    // duplicated corpus exercising every expansion branch: a 3-member exact
+    // group (within-group pairs), a near-dup of it (cross-group pairs), a
+    // duplicated SHORT text (0-gram group — must produce no pairs), hot
+    // grams shared corpus-wide (cap pruning must use duplication-weighted
+    // df), and a disjoint doc
+    val d = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "the quick brown fox jumps over a lazy dog today"),
+      (14L, "tiny doc"), (15L, "tiny doc"),
+      (16L, "the quick brown cat sits under the lazy dog today"),
+      (17L, "completely different words entirely in this one here")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    for ((abs, frac) <- Seq((None, None), (Some(3), None), (None, Some(0.5)))) {
+      val direct = canon(Dedup.ngramJaccard(d, n = 2, threshold = 0.1,
+        maxNgramFreq = abs.asInstanceOf[Option[Int]], maxNgramFreqFraction = frac))
+      val composed = canon(Dedup.ngramJaccardDeduped(d, n = 2, threshold = 0.1,
+        maxNgramFreq = abs.asInstanceOf[Option[Int]], maxNgramFreqFraction = frac))
+      assert(composed == direct, s"cap mode (abs=$abs, frac=$frac)")
+      if (abs.isEmpty && frac.isEmpty)
+        assert(direct.exists { case (a, b, j) => a == 10L && b == 11L && j == 1.0 })
+    }
+  }
+
+  test("simhashNearDup64Deduped equals the direct form, capped and uncapped") {
+    // duplicated near-dup cluster + duplicated empty docs (fp 0 group) +
+    // a disjoint doc; the cap must prune by duplication-weighted block df
+    val d = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today"),
+      (21L, "the quick brown fox jumps over the lazy dog today"),
+      (22L, "the quick brown fox jumps over a lazy dog today"),
+      (23L, ""), (24L, ""),
+      (25L, "completely different words entirely in this one here")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().sorted.toSeq
+    for (cap <- Seq(None, Some(2), Some(50))) {
+      val direct = canon(Dedup.simhashNearDup64(d, maxBlockFreq = cap))
+      val composed = canon(Dedup.simhashNearDup64Deduped(d, maxBlockFreq = cap))
+      assert(composed == direct, s"cap=$cap")
+      if (cap.isEmpty) {
+        assert(direct.contains((20L, 21L, 0)))   // within-group pair
+        assert(direct.contains((23L, 24L, 0)))   // empty-doc group pairs too
+      }
+    }
+  }
+
   test("cosine: identity 1, orthogonal 0, zero-norm null (ANSI-safe)") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),

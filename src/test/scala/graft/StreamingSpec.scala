@@ -206,8 +206,7 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Timestamp, Long)].collect().toSet
     val sw = {
       import org.apache.spark.sql.functions._
-      Queries.normalizeEventsTs(
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      Queries.readEvents(spark, "/root/testdata/sf0.001")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n_events"))
         .select($"user_id", $"session_window.start".as("session_start"), $"n_events")
