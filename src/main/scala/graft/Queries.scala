@@ -1046,6 +1046,23 @@ object Queries {
   private def kmeansIterQ(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansIter(t(s, dir, "embeddings"), nLists = 16)
 
+  /** BM25 top-10 retrieval over the documents corpus for three fixed query
+    * strings ([[graft.ops.TextAnalysis.bm25TopK]]) — the ranked-search
+    * consumer of the inverted-index machinery. Scores are milli-quantized
+    * integer sums (the importanceWeights determinism recipe), so DuckDB
+    * re-derives tf/df/dl/avgdl and the full scoring formula exactly. */
+  private def bm25TopKQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Bm25Queries.toDF("query_id", "query")
+    TextAnalysis.bm25TopK(t(s, dir, "documents"), qs, k = 10)
+  }
+
+  /** Shared by the engine query and the oracle VALUES list. */
+  private val Bm25Queries = Seq(
+    ("q1", "spark window agg"),
+    ("q2", "customer query fast table"),
+    ("q3", "stream batch merge vector"))
+
   /** Reproducible hash-based train/test split over documents (md5 below a
     * hex threshold → train; identical assignment on any engine/layout). */
   private def trainSplit(s: SparkSession, dir: String): DataFrame =
@@ -1428,6 +1445,7 @@ object Queries {
     "q_importance_weights" -> (importanceWeightsQ _),
     "q_quantize_int8" -> (quantizeInt8Q _),
     "q_inverted_index" -> (invertedIndexQ _),
+    "q_bm25_topk" -> (bm25TopKQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1978,8 +1996,40 @@ object Queries {
          |  FROM r WHERE rn <= 5 GROUP BY token)
          |SELECT d.token, CAST(df AS BIGINT) AS df, postings
          |FROM d JOIN p USING (token) WHERE df >= 5""".stripMargin,
+    "q_bm25_topk" -> bm25Oracle,
     "q_lsh_topk" -> lshOracle
   )
+
+  /** q_bm25_topk re-derived end-to-end: tf/dl from one tokenization pass,
+    * corpus-exact df over the query-term-pruned postings, milli-nat idf
+    * (round(ln·1000) — the importanceWeights fixed-point recipe), integer
+    * milli-scores summed exactly, ties to the lowest doc id. k1=1.2,
+    * b=0.75, k=10 mirror the engine call. */
+  private def bm25Oracle: String = {
+    val values = Bm25Queries.map { case (id, q) => s"('$id', '$q')" }.mkString(", ")
+    val qtoks = "list_distinct(list_filter(string_split(query, ' '), x -> length(x) > 0))"
+    s"""WITH q(query_id, query) AS (VALUES $values),
+       |tk AS (SELECT doc_id AS doc, unnest($toks) AS token FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT n, CASE WHEN n > 0 THEN CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END AS avgdl
+       |  FROM (SELECT (SELECT count(*) FROM documents) AS n,
+       |               (SELECT coalesce(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS sdl)),
+       |qt AS (SELECT query_id, unnest($qtoks) AS token FROM q),
+       |ptf AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)),
+       |idf AS (SELECT token, CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1) * 1000, 0) AS BIGINT) AS idf_m
+       |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY 1) CROSS JOIN stats),
+       |per AS (SELECT qt.query_id, ptf.doc,
+       |    CAST(round(idf_m * (CAST(tf AS DOUBLE) * (1.2 + 1)) /
+       |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 +
+       |        CASE WHEN avgdl > 0 THEN 0.75 * CAST(dl AS DOUBLE) / avgdl ELSE 0 END)), 0) AS BIGINT) AS s_m
+       |  FROM ptf JOIN dl USING (doc) JOIN idf USING (token) JOIN qt USING (token) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc AS doc_id, CAST(sum(s_m) AS BIGINT) AS score_m FROM per GROUP BY 1, 2)
+       |SELECT query_id, doc_id, CAST(score_m AS DOUBLE) / 1000.0 AS score, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT query_id, doc_id, score_m,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_m DESC, doc_id ASC) AS rn
+       |  FROM sc) WHERE rn <= 10""".stripMargin
+  }
 
   // ------------------------------------------------ portable-sketch oracles
   // The Poly64 family (graft/plans/PolyHash.scala) makes every sketch

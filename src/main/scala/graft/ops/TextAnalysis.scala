@@ -188,4 +188,75 @@ object TextAnalysis {
           x => x.cast("string")), ",").as("postings"))
       .where(col("df") >= minDf)
   }
+
+  /** BM25 top-k retrieval — the ranked-search consumer of the
+    * [[invertedIndex]] machinery (Robertson/Sparck Jones; the Lucene
+    * `+1`-inside-the-log idf variant, which keeps idf positive for
+    * df > N/2 tokens):
+    *
+    *   score(q, d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *   idf(t) = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+    *
+    * Scale shape: ONE token explosion over the corpus feeds (doc, token)
+    * term frequencies; doc lengths fold out of the same tf aggregate (no
+    * second pass); the query side is tiny and BROADCAST twice — first the
+    * distinct query-term set semi-prunes the posting table (only postings
+    * of query terms flow anywhere), then the (query, term) pairs fan the
+    * pruned postings out per query. df is aggregated AFTER the term prune
+    * but over all docs (pruning is by token, so counts are corpus-exact)
+    * and is ≤ query-vocabulary rows → broadcast. The only corpus-sized
+    * shuffles: the tf groupBy and the dl join.
+    *
+    * Cross-engine determinism, the [[graft.ops.Dedup.importanceWeights]]
+    * recipe: idf is quantized to milli-nat integers (one ln per distinct
+    * query term), each per-term score to an integer milli-score, and the
+    * per-(query, doc) sum is exact integer arithmetic in any order;
+    * `score` = that sum / 1000. Ties rank by doc id ascending.
+    *
+    * Output: (query_id, doc_id, score, rn), rn ≤ k per query. */
+  def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query",
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksFn = tokensIn(docs.sparkSession)
+    val tf = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"), explode(toksFn(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
+    // N counts ALL docs (null/empty included — they just can't match);
+    // avgdl over token-bearing docs' lengths, zero-corpus guarded
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl"))))
+      .select(col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"))
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(toksFn(col(queryTextCol)))).as("token"))
+    val prunedTf = tf.join(broadcast(qTerms.select("token").distinct()), Seq("token"))
+    val idf = prunedTf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("token"),
+        round(log((col("n").cast("double") - col("df") + 0.5d) / (col("df") + 0.5d) + 1d)
+          * 1000d, 0).cast("long").as("__idf_m"))
+    val perTerm = prunedTf
+      .join(dl, Seq("__doc"))
+      .join(broadcast(idf), Seq("token"))
+      .join(broadcast(qTerms), Seq("token"))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col("query_id"), col("__doc"),
+        round(col("__idf_m") * (col("tf").cast("double") * (k1 + 1d)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1d - b) +
+            when(col("avgdl") > 0, lit(b) * col("dl").cast("double") / col("avgdl"))
+              .otherwise(lit(0d)))), 0).cast("long").as("__s_m"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__score_m").desc, col("__doc").asc)
+    perTerm.groupBy(col("query_id"), col("__doc"))
+      .agg(sum(col("__s_m")).as("__score_m"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("query_id"), col("__doc").as(idCol),
+        (col("__score_m").cast("double") / 1000d).as("score"), col("rn"))
+  }
 }

@@ -109,6 +109,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK: hand-computed scores, idf ordering, tie-break, empty query terms absent") {
+    val corpus = Seq(
+      (0L, "apple banana apple"),        // tf(apple)=2, dl=3
+      (1L, "apple cherry"),              // tf(apple)=1, dl=2
+      (2L, "banana banana banana"),      // no apple
+      (3L, "durian")
+    ).toDF("doc_id", "text")
+    val qs = Seq(("qa", "apple"), ("qb", "apple banana"), ("qc", "missingword"))
+      .toDF("query_id", "query")
+    val got = TextAnalysis.bm25TopK(corpus, qs, k = 10)
+      .as[(String, Long, Double, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._4).map(r => (r._2, r._3)) }
+    // hand-computed qa: N=4, df(apple)=2, idf=ln((4-2+.5)/(2+.5)+1)=ln(2)
+    // → idf_m=693; avgdl=(3+2+3+1)/4=2.25
+    // doc0: tf=2, dl=3 → 693*(2*2.2)/(2+1.2*(0.25+0.75*3/2.25)) = 693*4.4/3.5
+    // doc1: tf=1, dl=2 → 693*2.2/(1+1.2*(0.25+0.75*2/2.25)) = 693*2.2/2.1
+    val qa = got("qa")
+    assert(qa.map(_._1).toSeq == Seq(0L, 1L))
+    assert(qa.head._2 == math.rint(693 * (2 * (1.2 + 1)) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / 2.25))) / 1000)
+    assert(qa(1)._2 == math.rint(693 * (1 * (1.2 + 1)) / (1 + 1.2 * (1 - 0.75 + 0.75 * 2 / 2.25))) / 1000)
+    // qb: banana adds doc2 (tf=3); all three docs rank, scores positive
+    assert(got("qb").map(_._1).toSet == Set(0L, 1L, 2L))
+    assert(got("qb").forall(_._2 > 0))
+    // qc: term absent from the corpus -> no rows at all
+    assert(!got.contains("qc"))
+  }
+
   test("simhashNearDup64Deduped equals the direct form, capped and uncapped") {
     // duplicated near-dup cluster + duplicated empty docs (fp 0 group) +
     // a disjoint doc; the cap must prune by duplication-weighted block df
