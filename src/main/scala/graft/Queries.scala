@@ -1063,6 +1063,21 @@ object Queries {
     ("q2", "customer query fast table"),
     ("q3", "stream batch merge vector"))
 
+  /** Per-source weighted sample without replacement: 5 docs per source,
+    * weight = n_chars ([[graft.ops.Sampling.weightedSample]], A-ES with
+    * md5-uniform priorities quantized to micro-nats — fully replayed by
+    * the oracle). */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "n_chars", "doc_id", 5, Some("source"))
+
+  /** Distinctive vocabulary per source
+    * ([[graft.ops.TextAnalysis.topTermsPerGroup]] — milli-nat PMI,
+    * min-count 5, top-10 per source). */
+  private def topTermsQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerGroup(t(s, dir, "documents"))
+
   /** Reproducible hash-based train/test split over documents (md5 below a
     * hex threshold → train; identical assignment on any engine/layout). */
   private def trainSplit(s: SparkSession, dir: String): DataFrame =
@@ -1446,6 +1461,8 @@ object Queries {
     "q_quantize_int8" -> (quantizeInt8Q _),
     "q_inverted_index" -> (invertedIndexQ _),
     "q_bm25_topk" -> (bm25TopKQ _),
+    "q_weighted_sample" -> (weightedSampleQ _),
+    "q_top_terms" -> (topTermsQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -1997,8 +2014,43 @@ object Queries {
          |SELECT d.token, CAST(df AS BIGINT) AS df, postings
          |FROM d JOIN p USING (token) WHERE df >= 5""".stripMargin,
     "q_bm25_topk" -> bm25Oracle,
+    "q_weighted_sample" -> weightedSampleOracle,
+    "q_top_terms" -> topTermsOracle,
     "q_lsh_topk" -> lshOracle
   )
+
+  /** A-ES weighted sample replay: the engine's md5-60-bit uniform, the
+    * micro-nat priority ln(u)/w·1e6, per-source rank, top-5. */
+  private def weightedSampleOracle: String =
+    s"""WITH hx AS (SELECT doc_id, source, n_chars,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx
+       |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0),
+       |u AS (SELECT doc_id, source, n_chars,
+       |    (CAST(${hexToLongSql("hx")} AS DOUBLE) + 1) / 1152921504606846976.0 AS u FROM hx),
+       |p AS (SELECT doc_id, source, n_chars,
+       |    CAST(round(ln(u) / CAST(n_chars AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS pri FROM u)
+       |SELECT doc_id, source, n_chars, CAST(rn AS INTEGER) AS sample_rank FROM (
+       |  SELECT doc_id, source, n_chars, pri,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri DESC, doc_id ASC) AS rn
+       |  FROM p) WHERE rn <= 5""".stripMargin
+
+  /** Per-source PMI top terms replay: one tokenization, (source, token)
+    * counts, group/token/corpus totals, milli-nat PMI, top-10. */
+  private def topTermsOracle: String =
+    s"""WITH tk AS (SELECT source, unnest($toks) AS token FROM documents WHERE text IS NOT NULL),
+       |gt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+       |ng AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ng FROM gt GROUP BY 1),
+       |nt AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS nt FROM gt GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM gt),
+       |p AS (SELECT gt.source, gt.token, gt.cnt,
+       |    CAST(round(ln((CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |      (CAST(ng AS DOUBLE) * CAST(nt AS DOUBLE))) * 1000, 0) AS BIGINT) AS pmi_m
+       |  FROM gt JOIN ng USING (source) JOIN nt USING (token) CROSS JOIN tot
+       |  WHERE cnt >= 5)
+       |SELECT source, token, cnt, CAST(pmi_m AS DOUBLE) / 1000.0 AS pmi, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT source, token, cnt, pmi_m,
+       |    row_number() OVER (PARTITION BY source ORDER BY pmi_m DESC, token ASC) AS rn
+       |  FROM p) WHERE rn <= 10""".stripMargin
 
   /** q_bm25_topk re-derived end-to-end: tf/dl from one tokenization pass,
     * corpus-exact df over the query-term-pruned postings, milli-nat idf

@@ -93,6 +93,44 @@ object Sampling {
       .drop("__n", "__w", "__wsum")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row draws the reproducible uniform u from
+    * its key's md5-60-bit hash and competes with priority ln(u)/w — a
+    * monotone transform of the classic u^(1/w) (one `ln` instead of a
+    * `pow`, which is NOT cross-engine reproducible); the n highest
+    * priorities win, which is exactly a weighted sample without
+    * replacement. Priorities are quantized to micro-nat integers before
+    * ranking, so the order is exact integer comparison on any engine
+    * (ties → lowest key; the [[temperatureMix]]/[[hashSplit]] determinism
+    * family). Rows with non-positive weight are dropped.
+    *
+    * Scale shape: the priority is a zero-shuffle per-row projection.
+    * Grouped form: one shuffle per group for the top-n window. Global
+    * form: orderBy+limit plans as TakeOrderedAndProject — per-partition
+    * partial top-n, no single-task global sort; only the ≤ n winners are
+    * re-ranked.
+    *
+    * Output: input columns + sample_rank (1-based within group / sample). */
+  def weightedSample(df: DataFrame, weightCol: String, keyCol: String, n: Int,
+      groupCol: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = (Sketches.md5Long60(col(keyCol)).cast("double") + 1d) /
+      lit(1152921504606846976.0)
+    val pri = round(log(u) / col(weightCol).cast("double") * 1e6, 0).cast("long")
+    val scored = df.where(col(weightCol).cast("double") > 0d).withColumn("__pri", pri)
+    groupCol match {
+      case Some(g) =>
+        scored.withColumn("sample_rank", row_number().over(
+            Window.partitionBy(col(g)).orderBy(col("__pri").desc, col(keyCol).asc)))
+          .where(col("sample_rank") <= n).drop("__pri")
+      case None =>
+        scored.orderBy(col("__pri").desc, col(keyCol).asc).limit(n)
+          .withColumn("sample_rank", row_number().over(
+            Window.orderBy(col("__pri").desc, col(keyCol).asc)))
+          .drop("__pri")
+    }
+  }
+
   /** Deterministic output sharding: shard = portable fingerprint of the key
     * mod nShards, plus the row's 1-based position within its shard (the
     * (shard, offset) address a training loader resumes from). The

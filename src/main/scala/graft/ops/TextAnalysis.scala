@@ -189,6 +189,53 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Distinctive vocabulary per group — the "what is source X actually
+    * full of" corpus-profiling step (source auditing, contamination
+    * triage, mixture debugging): for every (group, token), pointwise
+    * mutual information between group and token,
+    *
+    *   pmi = ln( (cnt_gt · N) / (N_g · n_t) )
+    *
+    * with cnt_gt the token's count in the group, N_g the group's token
+    * total, n_t the token's corpus total, N the corpus token total. The
+    * top-k tokens per group by PMI (min-count-filtered — PMI without a
+    * support floor surfaces hapax noise) are the group's signature terms.
+    *
+    * Scale shape: ONE token explosion feeds a (group, token) aggregate
+    * that is persisted and re-aggregated two ways (group totals, token
+    * totals) — everything downstream of the first aggregate is
+    * vocabulary×groups-sized, not corpus-sized; the 1-row corpus total
+    * broadcasts. PMI is milli-nat-quantized (the
+    * [[graft.ops.Dedup.importanceWeights]] fixed-point recipe) so ranking
+    * is exact integer comparison cross-engine; ties → token ascending.
+    *
+    * Output: (groupCol, token, cnt, pmi, rank), rank ≤ k per group. */
+  def topTermsPerGroup(docs: org.apache.spark.sql.DataFrame, groupCol: String = "source",
+      textCol: String = "text", k: Int = 10, minCount: Long = 5L)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksFn = tokensIn(docs.sparkSession)
+    val gt = docs.where(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(toksFn(col(textCol))).as("token"))
+      .groupBy(col("__g"), col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ng = gt.groupBy(col("__g")).agg(sum(col("cnt")).as("__ng"))
+    val nt = gt.groupBy(col("token")).agg(sum(col("cnt")).as("__nt"))
+    val tot = gt.agg(sum(col("cnt")).as("__nn"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__pmi_m").desc, col("token").asc)
+    gt.where(col("cnt") >= minCount)
+      .join(ng, Seq("__g"))
+      .join(nt, Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__pmi_m", round(log(
+        (col("cnt").cast("double") * col("__nn").cast("double")) /
+          (col("__ng").cast("double") * col("__nt").cast("double"))) * 1000d, 0).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__g").as(groupCol), col("token"), col("cnt"),
+        (col("__pmi_m").cast("double") / 1000d).as("pmi"), col("rank"))
+  }
+
   /** BM25 top-k retrieval — the ranked-search consumer of the
     * [[invertedIndex]] machinery (Robertson/Sparck Jones; the Lucene
     * `+1`-inside-the-log idf variant, which keeps idf positive for

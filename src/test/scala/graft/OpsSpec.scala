@@ -109,6 +109,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample: matches a JVM replay of the A-ES priorities; zero weights dropped") {
+    import graft.ops.Sampling
+    val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      if (i == 13L) 0L else (i % 7) + 1L))
+    val df = rows.toDF("doc_id", "grp", "w").repartition(5)
+    def md5u(key: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1d) / 1152921504606846976.0
+    }
+    val expect = rows.filter(_._3 > 0)
+      .map { case (id, g, w) => (g, id, math.rint(math.log(md5u(id)) / w * 1e6).toLong) }
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, id, _), i) => (g, id, i + 1) }
+      }.toSet
+    val got = Sampling.weightedSample(df, "w", "doc_id", 3, Some("grp"))
+      .select("grp", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got == expect)
+    assert(!got.exists(_._2 == 13L), "zero-weight rows can never be sampled")
+    // global form: top-3 overall, ranked 1..3, same priority order
+    val globalExpect = rows.filter(_._3 > 0)
+      .map { case (id, _, w) => (id, math.rint(math.log(md5u(id)) / w * 1e6).toLong) }
+      .sortBy(r => (-r._2, r._1)).take(3).map(_._1)
+    val globalGot = Sampling.weightedSample(df, "w", "doc_id", 3, None)
+      .orderBy("sample_rank").select("doc_id").as[Long].collect().toSeq
+    assert(globalGot == globalExpect)
+  }
+
+  test("topTermsPerGroup: distinctive tokens rank first, min-count floors hapax noise") {
+    val d = Seq(
+      (0L, "a", "alpha alpha alpha alpha alpha common common common"),
+      (1L, "a", "alpha alpha alpha common common rare"),
+      (2L, "b", "beta beta beta beta beta common common common"),
+      (3L, "b", "beta beta beta common common")
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.topTermsPerGroup(d, "source", "text", k = 3, minCount = 3L)
+      .as[(String, String, Long, Double, Int)].collect()
+    val byGroup = got.groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._5).map(_._2).toSeq }
+    // "alpha" occurs only in a, "beta" only in b -> maximal PMI in each
+    assert(byGroup("a").head == "alpha")
+    assert(byGroup("b").head == "beta")
+    // "rare" (count 1 < minCount) never appears
+    assert(!got.exists(_._2 == "rare"))
+    // "common" has near-zero PMI in both groups (present everywhere)
+    assert(got.filter(_._2 == "common").forall(r => math.abs(r._4) < 0.2))
+  }
+
   test("bm25TopK: hand-computed scores, idf ordering, tie-break, empty query terms absent") {
     val corpus = Seq(
       (0L, "apple banana apple"),        // tf(apple)=2, dl=3

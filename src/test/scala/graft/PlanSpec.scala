@@ -241,4 +241,25 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "BroadcastNestedLoopJoin") <= 1,
       "only the 3-scalar totals row may join without keys")
   }
+
+  test("q_bm25_topk: query side broadcasts everywhere, corpus shuffles bounded") {
+    val p = plan("q_bm25_topk")
+    // term prune, idf, (query,term) fan-out — all tiny → all broadcast
+    assert(nodes(p, "BroadcastHashJoin") >= 3,
+      "query-term prune / idf / per-query fan-out must broadcast")
+    assert(nodes(p, "CartesianProduct") == 0,
+      "the 1-row corpus stats must broadcast, never cartesian")
+    // only the dl attach may be a corpus-sized keyed join
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") <= 1,
+      "at most the doc-length join shuffles; everything else broadcasts")
+  }
+
+  test("q_ngram_jaccard_deduped: digest pairwise core + group expansion, no cartesian") {
+    val p = plan("q_ngram_jaccard_deduped")
+    assert(p.contains("graft_grams") || p.contains("xxhash64"),
+      "gram digesting must reach the plan")
+    // representative collapse = min/count over ONE digest window
+    assert(nodes(p, "Window") >= 1, "exact-group mapping is a window over the text digest")
+    assert(nodes(p, "CartesianProduct") == 0)
+  }
 }
