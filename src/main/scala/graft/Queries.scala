@@ -1063,6 +1063,17 @@ object Queries {
     ("q2", "customer query fast table"),
     ("q3", "stream batch merge vector"))
 
+  /** Asymmetric containment pairs over documents
+    * ([[graft.ops.Dedup.ngramContainment]], threshold 0.1 — superset of
+    * the jaccard-0.1 pair set since containment ≥ jaccard). */
+  private def ngramContainmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainment(t(s, dir, "documents"), n = 3, threshold = 0.1)
+
+  /** Sliding-window chunking, 16-word windows at stride 12 (overlapping
+    * RAG layout; [[graft.ops.TextAnalysis.chunkText]]). */
+  private def chunkTextQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkText(t(s, dir, "documents"), chunkWords = 16, strideWords = 12)
+
   /** Per-source weighted sample without replacement: 5 docs per source,
     * weight = n_chars ([[graft.ops.Sampling.weightedSample]], A-ES with
     * md5-uniform priorities quantized to micro-nats — fully replayed by
@@ -1463,6 +1474,8 @@ object Queries {
     "q_bm25_topk" -> (bm25TopKQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_top_terms" -> (topTermsQ _),
+    "q_ngram_containment" -> (ngramContainmentQ _),
+    "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
     "q_neardup_clusters_loop" -> (neardupClustersLoopQ _),
@@ -2016,8 +2029,44 @@ object Queries {
     "q_bm25_topk" -> bm25Oracle,
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
+    "q_ngram_containment" -> ngramContainmentOracle,
+    "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
   )
+
+  /** Containment replay: the jaccard oracle's gram/size/intersection CTEs,
+    * both directions emitted per unordered candidate pair. */
+  private def ngramContainmentOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
+       |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |sized AS (SELECT doc_a, doc_b, i, a.n_grams AS na, b.n_grams AS nb
+       |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id),
+       |dirs AS (
+       |  SELECT doc_a AS doc_id, doc_b AS container_id,
+       |    round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment FROM sized
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS container_id,
+       |    round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment FROM sized)
+       |SELECT doc_id, container_id, containment FROM dirs WHERE containment >= 0.1""".stripMargin
+
+  /** Sliding-window chunk replay: 16-word windows at stride 12, 1-indexed
+    * DuckDB list slices, one empty chunk for token-free docs. */
+  private def chunkTextOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS l FROM tk),
+       |ch0 AS (SELECT doc_id, t,
+       |    unnest(range(0, CASE WHEN l <= 16 THEN CAST(1 AS BIGINT)
+       |      ELSE (l - 16 + 12 - 1) // 12 + 1 END)) AS chunk_id FROM n),
+       |ch AS (SELECT doc_id, chunk_id,
+       |    array_to_string(t[CAST(chunk_id * 12 + 1 AS INTEGER) : CAST(chunk_id * 12 + 16 AS INTEGER)], ' ') AS chunk_text,
+       |    CAST(len(t[CAST(chunk_id * 12 + 1 AS INTEGER) : CAST(chunk_id * 12 + 16 AS INTEGER)]) AS BIGINT) AS n_words
+       |  FROM ch0)
+       |SELECT doc_id, chunk_id, chunk_text, n_words FROM ch""".stripMargin
 
   /** A-ES weighted sample replay: the engine's md5-60-bit uniform, the
     * micro-nat priority ln(u)/w·1e6, per-source rank, top-5. */

@@ -1080,6 +1080,56 @@ object Dedup {
     cross.unionByName(within)
   }
 
+  /** Asymmetric n-gram CONTAINMENT — the quote-inclusion/subset detector
+    * symmetric Jaccard misses: containment(a→b) = |grams(a)∩grams(b)| /
+    * |grams(a)| is high when a is largely quoted inside b even if b is much
+    * longer (jaccard ≈ |a|/|b| → small). Standard companion to pairwise
+    * dedup in web pipelines: drop documents mostly contained in a longer
+    * container.
+    *
+    * Same candidate machinery as [[ngramJaccard]] (digest self-join, both
+    * stop-gram caps — and the same WARNING: on duplicated corpora run
+    * exact dedup first); each unordered candidate pair is evaluated in
+    * BOTH directions from one intersection count. Output:
+    * (idCol, container_id, containment) — one row per direction that
+    * clears the threshold. */
+  def ngramContainment(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
+  ): DataFrame = {
+    val grams = gramDigestsOf(docs, textCol, idCol, n)
+    val sizes = grams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val pruned = (maxNgramFreq, maxNgramFreqFraction) match {
+      case (Some(m), _) =>
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= m)
+        grams.join(freq.select("gram"), Seq("gram"))
+      case (None, Some(f)) =>
+        val nDocs = docs.agg(count(lit(1)).as("__nd"))
+        val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .where(col("df") <= ceil(lit(f) * col("__nd").cast("double")))
+        grams.join(freq.select("gram"), Seq("gram"))
+      case _ => grams
+    }
+    val inter = pruned.as("x")
+      .join(pruned.as("y"), col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sized = inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_grams", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_grams", "nb"), Seq("doc_b"))
+    val aInB = sized.select(col("doc_a").as(idCol), col("doc_b").as("container_id"),
+      round(col("inter").cast("double") / col("na").cast("double"), 6).as("containment"))
+    val bInA = sized.select(col("doc_b").as(idCol), col("doc_a").as("container_id"),
+      round(col("inter").cast("double") / col("nb").cast("double"), 6).as("containment"))
+    aInB.unionByName(bInA).where(col("containment") >= threshold)
+  }
+
   /** Sub-document (chunk-level) dedup: the corpus-wide removal of repeated
     * SPANS that document-level dedup can't see — boilerplate headers,
     * license blocks, quoted passages duplicated across otherwise-distinct

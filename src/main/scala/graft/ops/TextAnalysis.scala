@@ -189,6 +189,41 @@ object TextAnalysis {
       .where(col("df") >= minDf)
   }
 
+  /** Sliding-window text chunking (retrieval/RAG prep): split each document
+    * into `chunkWords`-word windows advancing by `strideWords` (stride <
+    * width → overlapping context windows; stride = width → the disjoint
+    * chunking of [[graft.ops.Dedup.chunkDedup]]). Deterministic layout:
+    * chunk i covers tokens [i·stride, i·stride + width); the last window
+    * may be shorter; every document emits ≥ 1 chunk (an empty/null text
+    * yields one empty chunk — a doc absent from chunk output silently
+    * vanishes from the downstream index, the [[graft.ops.Dedup.contamination]]
+    * absence-is-a-decision convention).
+    *
+    * Zero-shuffle: pure per-row explode; chunk count per doc is
+    * ceil((len − width)/stride) + 1 — output size is input size ×
+    * ~width/stride, decided by the caller's knobs, never by skew.
+    *
+    * Output: (idCol, chunk_id, chunk_text, n_words). */
+  def chunkText(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", chunkWords: Int = 64, strideWords: Int = 48)
+      : org.apache.spark.sql.DataFrame = {
+    require(chunkWords > 0 && strideWords > 0 && strideWords <= chunkWords,
+      "need 0 < strideWords <= chunkWords")
+    val toksFn = tokensIn(docs.sparkSession)
+    docs
+      .select(col(idCol), toksFn(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(
+           |  sequence(0, CASE WHEN size(__toks) <= $chunkWords THEN 0
+           |    ELSE (size(__toks) - $chunkWords + $strideWords - 1) div $strideWords END),
+           |  i -> struct(
+           |    array_join(slice(__toks, i * $strideWords + 1, $chunkWords), ' ') AS t,
+           |    size(slice(__toks, i * $strideWords + 1, $chunkWords)) AS n))""".stripMargin))
+        .as(Seq("chunk_id", "__c")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("__c.t").as("chunk_text"), col("__c.n").cast("long").as("n_words"))
+  }
+
   /** Distinctive vocabulary per group — the "what is source X actually
     * full of" corpus-profiling step (source auditing, contamination
     * triage, mixture debugging): for every (group, token), pointwise

@@ -109,6 +109,39 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramContainment: quoted short doc scores 1.0 one-way where jaccard stays low") {
+    // doc 1 is doc 0's opening quoted verbatim: every 2-gram of 1 occurs
+    // in 0, so containment(1 -> 0) = 1.0 while jaccard is ~len1/len0
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "totally unrelated content lives here")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(d, n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont((1L, 0L)) == 1.0, "the quote is fully contained in its source")
+    assert(!cont.contains((0L, 1L)), "the long doc is NOT contained in the quote (3/9 < 0.5)")
+    assert(!cont.keys.exists { case (a, b) => a == 2L || b == 2L })
+    val jac = Dedup.ngramJaccard(d, n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 1L || p._2 == 1L),
+      "symmetric jaccard misses the quote-inclusion pair at the same threshold")
+  }
+
+  test("chunkText: overlapping windows, short-doc single chunk, empty doc kept") {
+    val d = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7"),  // 7 words, width 4 stride 2 -> chunks at 0,2,4
+      (1L, "a b"),                   // short: one chunk
+      (2L, "")                       // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkText(d, chunkWords = 4, strideWords = 2)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2).map(c => (c._3, c._4)).toSeq }
+    assert(got(0L) == Seq(("w1 w2 w3 w4", 4L), ("w3 w4 w5 w6", 4L), ("w5 w6 w7", 3L)))
+    assert(got(1L) == Seq(("a b", 2L)))
+    assert(got(2L) == Seq(("", 0L)))
+  }
+
   test("weightedSample: matches a JVM replay of the A-ES priorities; zero weights dropped") {
     import graft.ops.Sampling
     val rows = (0L until 40L).map(i => (i, if (i % 2 == 0) "a" else "b",
