@@ -262,4 +262,19 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") >= 1, "exact-group mapping is a window over the text digest")
     assert(nodes(p, "CartesianProduct") == 0)
   }
+
+  test("q_chunk_text: pure per-row explode — zero exchanges, one Generate") {
+    val p = plan("q_chunk_text")
+    assert(nodes(p, "Exchange") == 0, "chunking must not shuffle anything")
+    assert(nodes(p, "Generate") == 1, "one window explosion per doc")
+    assert(nodes(p, "Scan parquet") == 1)
+  }
+
+  test("q_top_terms: the (group, token) aggregate is persisted for its three consumers") {
+    val p = plan("q_top_terms")
+    assert(p.contains("InMemoryTableScan"),
+      "group totals, token totals, and the PMI join all re-read the same aggregate")
+    assert(nodes(p, "Generate") <= 1, "tokenization must explode once")
+    assert(nodes(p, "CartesianProduct") == 0, "the 1-row corpus total must broadcast")
+  }
 }
