@@ -303,6 +303,12 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toksFn = tokensIn(docs.sparkSession)
+    // NOT persisted, deliberately: tf feeds both the doc-length
+    // re-aggregate and the query-term prune, but its two consumers share
+    // the (doc, token) exchange via ReusedExchange, so caching only adds
+    // the materialization cost — measured qmin 1.17 s unpersisted vs
+    // 1.52 s persisted at sf0.1 (the inverse of the pitfall-#1 shape:
+    // reuse already happens at the exchange level here)
     val tf = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"), explode(toksFn(col(textCol))).as("token"))
       .groupBy(col("__doc"), col("token")).agg(count(lit(1)).as("tf"))

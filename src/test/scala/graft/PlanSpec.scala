@@ -254,6 +254,18 @@ class PlanSpec extends SparkSpec {
       "at most the doc-length join shuffles; everything else broadcasts")
   }
 
+  test("q_bm25_topk: tf's two consumers reuse one exchange (why it is NOT persisted)") {
+    // pins the measured decision in bm25TopK: caching tf cost 0.35 s at
+    // sf0.1 because runtime stage reuse already shares the (doc, token)
+    // aggregate's exchange between the dl re-aggregate and the term prune
+    val df = Queries.all("q_bm25_topk")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "adaptive plan must have finalized")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"the corpus tf exchange must be computed once and reused:\n$p")
+  }
+
   test("q_ngram_jaccard_deduped: digest pairwise core + group expansion, no cartesian") {
     val p = plan("q_ngram_jaccard_deduped")
     assert(p.contains("graft_grams") || p.contains("xxhash64"),
