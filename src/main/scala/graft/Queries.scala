@@ -245,6 +245,32 @@ object Queries {
     s.table(name)
   }
 
+  /** Sliding windows over events, batch mode — each event in 4 overlapping
+    * 1 h windows at 15 min slide ([[graft.streaming.OnlineRefresh.slidingAggregate]],
+    * the one definition its streaming twin also runs). */
+  private def slidingWindowQ(s: SparkSession, dir: String): DataFrame =
+    streaming.OnlineRefresh
+      .slidingAggregate(
+        t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "event_type", "value")
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("window.end").cast("timestamp_ntz").as("win_end"),
+        col("event_type"), col("n"), col("avg_value"))
+
+  /** The same sliding aggregate as a STREAM run to completion — overlap
+    * means every event updates 4 state rows; complete mode emits the
+    * terminal state, which the shared batch oracle replays. */
+  private def streamSliding(s: SparkSession, dir: String): DataFrame = {
+    val agg = streaming.OnlineRefresh
+      .slidingAggregate(
+        eventsStream(s, dir).withColumn("ts", col("ts").cast("timestamp")),
+        "ts", "event_type", "value")
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("window.end").cast("timestamp_ntz").as("win_end"),
+        col("event_type"), col("n"), col("avg_value"))
+    runStream(s, agg, "graft_stream_sliding", "complete")
+  }
+
   private def streamHourly(s: SparkSession, dir: String): DataFrame = {
     // the SAME API call as the batch twin (hourlyAggregate's exact-cents
     // avg — double avgs are accumulation-order-sensitive, and streaming
@@ -1406,6 +1432,8 @@ object Queries {
     "q_agg_calendar" -> (aggCalendar _),
     "q_hourly_window" -> (hourlyWindow _),
     "q_stream_hourly" -> (streamHourly _),
+    "q_sliding_window" -> (slidingWindowQ _),
+    "q_stream_sliding" -> (streamSliding _),
     "q_stream_latest_per_key" -> (streamLatestPerKey _),
     "q_stream_dedup" -> (streamDedup _),
     "q_stream_sessionize" -> (streamSessionize _),
@@ -1712,6 +1740,9 @@ object Queries {
     // the streaming twins compute identical order-free results, so they
     // share the batch oracles verbatim — that equality IS the claim
     "q_stream_hourly" -> hourlyWindowOracle,
+    // sliding twins share ONE oracle — stream ≡ batch by one-definition
+    "q_sliding_window" -> slidingWindowOracle,
+    "q_stream_sliding" -> slidingWindowOracle,
     "q_stream_latest_per_key" -> latestOracle,
     "q_stream_latest_cdc" ->
       """SELECT CAST(user_id AS VARCHAR) AS key, ts, value, event_id AS id FROM events
@@ -2580,6 +2611,22 @@ object Queries {
          |'aqi_info' AS source, CAST(7 AS BIGINT) AS ttl_days, TRUE AS online""".stripMargin
     }.mkString("\nUNION ALL\n")
   }
+
+  /** Sliding 1 h / 15 min windows: every event belongs to exactly 4
+    * epoch-aligned window starts (its 15-min bucket minus 0..3 slides —
+    * DuckDB time_bucket's 2000-01-01 origin sits on the same 15-min grid
+    * as Spark's epoch alignment), exact-cents integer average as in the
+    * hourly oracle. */
+  private def slidingWindowOracle: String =
+    """WITH x AS (SELECT ts, event_type, value, unnest(range(0, 4)) AS i FROM events),
+      |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts) - i * INTERVAL '15 minutes' AS win_start,
+      |    event_type, value FROM x),
+      |g AS (SELECT win_start, win_start + INTERVAL '1 hour' AS win_end, event_type,
+      |    count(*) AS n, CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM w GROUP BY 1, 2, 3)
+      |SELECT win_start, win_end, event_type, n,
+      |  CAST((cents * 200 + n) // (n * 2) AS DOUBLE) / 10000.0 AS avg_value
+      |FROM g""".stripMargin
 
   private def hourlyWindowOracle: String =
     """WITH g AS (SELECT date_trunc('hour', ts) AS hour_start,

@@ -92,6 +92,23 @@ object OnlineRefresh {
       .select(col("window"), col(keyCol),
         graft.fs.Expressions.exactAvg4(col("__cents"), col("n")).as("avg_value"), col("n"))
 
+  /** Sliding event-time windows (width 1 h, slide 15 min by default): the
+    * overlapping-window shape [[hourlyAggregate]]'s tumbling windows can't
+    * express — each event lands in width/slide windows, the moving-average
+    * view dashboards and drift monitors read. Same exact-cents integer
+    * average (order-free, stream≡batch by construction) and the same
+    * one-definition contract: the batch q_sliding_window and streaming
+    * q_stream_sliding both call THIS function under one oracle. */
+  def slidingAggregate(stream: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      width: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), width, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum((col(valueCol) * 100).cast("decimal(18,0)")).cast("long").as("__cents"))
+      .select(col("window"), col(keyCol),
+        graft.fs.Expressions.exactAvg4(col("__cents"), col("n")).as("avg_value"), col("n"))
+
   /** Streaming exact dedup — the streaming twin of `Dedup.exact`: drop
     * rows whose `idCols` were already seen, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark` expires dedup
