@@ -1095,6 +1095,11 @@ object Queries {
   private def ngramContainmentQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainment(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** The exact-dedup-first containment composition, hash-matched against
+    * the direct form's OWN oracle (the jaccard-deduped identity pattern). */
+  private def ngramContainmentDedupedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentDeduped(t(s, dir, "documents"), n = 3, threshold = 0.1)
+
   /** Sliding-window chunking, 16-word windows at stride 12 (overlapping
     * RAG layout; [[graft.ops.TextAnalysis.chunkText]]). */
   private def chunkTextQ(s: SparkSession, dir: String): DataFrame =
@@ -1503,6 +1508,7 @@ object Queries {
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_ngram_containment" -> (ngramContainmentQ _),
+    "q_ngram_containment_deduped" -> (ngramContainmentDedupedQ _),
     "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
@@ -2061,6 +2067,7 @@ object Queries {
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
+    "q_ngram_containment_deduped" -> ngramContainmentOracle,
     "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
   )

@@ -104,6 +104,15 @@ object ScaleProbe {
         n = 3, threshold = 0.1, maxNgramFreqFraction = Some(0.05)).count()
     }
     }
+    // Round-9 linear-shape ops at ×10: these must be ~flat-per-row (scan/
+    // explode/broadcast-bound); a super-linear slope here means a shuffle
+    // grew where the design says none exists
+    if (inSection("r9ops"))
+      for (q <- Seq("q_chunk_text", "q_weighted_sample", "q_top_terms",
+          "q_bm25_topk", "q_sliding_window")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
     // Round-9: the composed entry point carries the ordering itself — it
     // must return the DIRECT relcap form's exact output (~251k pairs at
     // ×10 duplication, oracle-identical by construction) at dedup-then-cap

@@ -1011,15 +1011,18 @@ object Dedup {
     * duplication factor while the pairwise stage sees each distinct text
     * once; the expansion joins are linear in output size. Exact groups are
     * keyed by xxhash64(text) — same collision trade as [[exactByDigest]]. */
-  def ngramJaccardDeduped(
-      docs: DataFrame,
-      textCol: String = "text",
-      idCol: String = "doc_id",
-      n: Int = 3,
-      threshold: Double = 0.5,
-      maxNgramFreq: Option[Int] = None,
-      maxNgramFreqFraction: Option[Double] = None
-  ): DataFrame = {
+  /** Shared plumbing of the exact-dedup-first pairwise compositions
+    * ([[ngramJaccardDeduped]], [[ngramContainmentDeduped]]): collapse
+    * identical texts under a min-id representative (one digest window),
+    * gram the representatives once, prune by DUPLICATION-WEIGHTED df (so
+    * both cap knobs keep the direct forms' semantics), and size-join the
+    * representative-pair intersection counts. Returns
+    * (memb(__m_id, __rep), sizes(id, n_grams), surviving(id, __s),
+    * interSized(ra, rb, inter, na, nb)). */
+  private def dedupedPairCore(
+      docs: DataFrame, textCol: String, idCol: String, n: Int,
+      maxNgramFreq: Option[Int], maxNgramFreqFraction: Option[Double]
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
     // one digest shuffle: member -> (representative = min id, group size)
     val mapping = docs
@@ -1051,14 +1054,28 @@ object Dedup {
       .join(pruned.as("y"), col("x.gram") === col("y.gram") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("ra"), col("y.id").as("rb"))
       .agg(count(lit(1)).as("inter"))
-    val repPairs = inter
+    val interSized = inter
       .join(sizes.withColumnRenamed("id", "ra").withColumnRenamed("n_grams", "na"), Seq("ra"))
       .join(sizes.withColumnRenamed("id", "rb").withColumnRenamed("n_grams", "nb"), Seq("rb"))
+    (mapping.select(col("__m_id"), col("__rep")), sizes, surviving, interSized)
+  }
+
+  def ngramJaccardDeduped(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
+  ): DataFrame = {
+    val (memb, sizes, surviving, interSized) =
+      dedupedPairCore(docs, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    val repPairs = interSized
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("ra", "rb", "jaccard")
-    val memb = mapping.select(col("__m_id"), col("__rep"))
     // rep pair -> all member pairs; groups are disjoint and ra < rb, so
     // least/greatest restores the doc_a < doc_b contract
     val cross = repPairs
@@ -1077,6 +1094,50 @@ object Dedup {
         col("__s").cast("double") / (lit(2) * col("n_grams") - col("__s")).cast("double"), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+    cross.unionByName(within)
+  }
+
+  /** [[ngramContainment]] with the exact-dedup-FIRST ordering built in —
+    * the directed third member of the composed family
+    * ([[ngramJaccardDeduped]], [[simhashNearDup64Deduped]]), same
+    * output-identity argument via [[dedupedPairCore]]'s duplication-
+    * weighted prune. Directed transfers: containment(x→y) for members
+    * (x ∈ A, y ∈ B) equals containment(repA→repB) = inter/na (and
+    * inter/nb the other way); a within-group directed pair scores
+    * s/g in BOTH directions and exists iff s ≥ 1. Output matches the
+    * direct form row-for-row: (idCol, container_id, containment). */
+  def ngramContainmentDeduped(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
+  ): DataFrame = {
+    val (memb, sizes, surviving, interSized) =
+      dedupedPairCore(docs, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    // directed rep pairs: both directions from one intersection count
+    val dirRep = interSized.select(col("ra").as("dr"), col("rb").as("cr"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6).as("containment"))
+      .unionByName(interSized.select(col("rb").as("dr"), col("ra").as("cr"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6).as("containment")))
+      .where(col("containment") >= threshold)
+    val cross = dirRep
+      .join(memb.select(col("__rep").as("dr"), col("__m_id").as("__doc")), Seq("dr"))
+      .join(memb.select(col("__rep").as("cr"), col("__m_id").as("container_id")), Seq("cr"))
+      .select(col("__doc").as(idCol), col("container_id"), col("containment"))
+    // within-group: both directed orders, containment = s/g each way
+    val within = memb.as("p")
+      .join(memb.as("q"),
+        col("p.__rep") === col("q.__rep") && col("p.__m_id") =!= col("q.__m_id"))
+      .select(col("p.__rep").as("id"), col("p.__m_id").as(idCol),
+        col("q.__m_id").as("container_id"))
+      .join(sizes, Seq("id")).join(surviving, Seq("id"))
+      .withColumn("containment",
+        round(col("__s").cast("double") / col("n_grams").cast("double"), 6))
+      .where(col("containment") >= threshold)
+      .select(col(idCol), col("container_id"), col("containment"))
     cross.unionByName(within)
   }
 

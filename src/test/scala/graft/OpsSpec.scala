@@ -128,6 +128,33 @@ class OpsSpec extends SparkSpec {
       "symmetric jaccard misses the quote-inclusion pair at the same threshold")
   }
 
+  test("ngramContainmentDeduped equals the direct form under every cap mode") {
+    // same branch-covering corpus as the jaccard twin: 3-member exact
+    // group, near-dup, duplicated short texts, hot grams, disjoint doc
+    val d = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"),
+      (11L, "the quick brown fox jumps over the lazy dog today"),
+      (12L, "the quick brown fox jumps over the lazy dog today"),
+      (13L, "the quick brown fox jumps over a lazy dog today"),
+      (14L, "tiny doc"), (15L, "tiny doc"),
+      (16L, "the quick brown cat sits under the lazy dog today"),
+      (17L, "completely different words entirely in this one here")
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    for ((abs, frac) <- Seq((None, None), (Some(3), None), (None, Some(0.5)))) {
+      val direct = canon(Dedup.ngramContainment(d, n = 2, threshold = 0.1,
+        maxNgramFreq = abs.asInstanceOf[Option[Int]], maxNgramFreqFraction = frac))
+      val composed = canon(Dedup.ngramContainmentDeduped(d, n = 2, threshold = 0.1,
+        maxNgramFreq = abs.asInstanceOf[Option[Int]], maxNgramFreqFraction = frac))
+      assert(composed == direct, s"cap mode (abs=$abs, frac=$frac)")
+      if (abs.isEmpty && frac.isEmpty) {
+        assert(direct.contains((10L, 11L, 1.0)) && direct.contains((11L, 10L, 1.0)),
+          "within-group containment is 1.0 in BOTH directions uncapped")
+      }
+    }
+  }
+
   test("chunkText: overlapping windows, short-doc single chunk, empty doc kept") {
     val d = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7"),  // 7 words, width 4 stride 2 -> chunks at 0,2,4
