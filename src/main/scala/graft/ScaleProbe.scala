@@ -124,6 +124,9 @@ object ScaleProbe {
       timed("simhashNearDup64Deduped cap=50 @ sfbig")(
         graft.ops.Dedup.simhashNearDup64Deduped(docs,
           maxBlockFreq = Some(50)).count())
+      timed("ngramContainmentDeduped relcap @ sfbig")(
+        graft.ops.Dedup.ngramContainmentDeduped(docs, n = 3, threshold = 0.1,
+          maxNgramFreqFraction = Some(0.05)).count())
       if (uncapped) {
         // the full-recall comparison: the composed form returns the direct
         // form's EXACT uncapped output without paying duplication²
