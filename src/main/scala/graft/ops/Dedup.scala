@@ -1184,6 +1184,10 @@ object Dedup {
     val sized = inter
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_grams", "na"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_grams", "nb"), Seq("doc_b"))
+    // two-branch union, deliberately NOT a single-pass explode: the
+    // branches share the candidate-join stage at runtime (ReusedExchange),
+    // and each pushes the threshold filter below its projection — the
+    // explode-of-structs form measured 29% slower at sf0.1 (BASELINE.md r9)
     val aInB = sized.select(col("doc_a").as(idCol), col("doc_b").as("container_id"),
       round(col("inter").cast("double") / col("na").cast("double"), 6).as("containment"))
     val bInA = sized.select(col("doc_b").as(idCol), col("doc_a").as("container_id"),
