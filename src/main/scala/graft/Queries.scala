@@ -880,6 +880,15 @@ object Queries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.35, portableHash = true)
 
+  /** Exact-dedup-first MinHash composition
+    * ([[graft.ops.Dedup.minhashLshDeduped]]) — the last pairwise op gets
+    * its duplication-proof twin. Registered against the SAME oracle SQL as
+    * q_minhash_pairs, pinning the output-identity proof (signature
+    * equality of exact duplicates → bucket/estimate transfer) through
+    * DuckDB rather than asserting it. */
+  private def minhashPairsDedupedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshDeduped(t(s, dir, "documents"), threshold = 0.35, portableHash = true)
+
   /** SimHash groups over the portable long fingerprint (oracle-checked). */
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups64(t(s, dir, "documents"))
@@ -1516,6 +1525,7 @@ object Queries {
     "q_ingest_roundtrip" -> (ingestRoundtrip _),
     "q_lineage_guard" -> (lineageGuard _),
     "q_minhash_pairs" -> (minhashPairs _),
+    "q_minhash_pairs_deduped" -> (minhashPairsDedupedQ _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
     "q_simhash_neardup_capped" -> (simhashNearDupCapped _),
@@ -2002,6 +2012,9 @@ object Queries {
     // expansion algebra and the duplication-weighted block-frequency cap
     "q_simhash_neardup_deduped" -> simhashNearDupOracle(Some(50)),
     "q_minhash_pairs" -> minhashPairsOracle,
+    // dedup-first composition vs the SAME oracle: pins the signature-
+    // equality expansion algebra through DuckDB (the jaccard pattern)
+    "q_minhash_pairs_deduped" -> minhashPairsOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),

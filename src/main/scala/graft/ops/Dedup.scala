@@ -77,6 +77,20 @@ object Dedup {
     * band land in the same bucket → candidate pair → verified by estimated
     * Jaccard (signature agreement rate) >= threshold.
     *
+    * Candidate volume per (band, bucket) is frequency² — hot buckets (near-
+    * identical boilerplate, and above all EXACT duplicates, which share
+    * every band's bucket) dominate the join. `maxBucketFreq` drops bucket
+    * values shared by more than that many docs before the self-join (the
+    * [[simhashNearDup64]] `maxBlockFreq` trade: bounded fan-out for recall
+    * on the hottest clusters).
+    *
+    * WARNING — on a corpus with exact duplicates the candidate join grows
+    * with the SQUARE of the duplication factor, and the cap prunes whole
+    * clusters rather than fixing that. Call [[minhashLshDeduped]] — the
+    * exact-dedup-FIRST composition with provably identical output — unless
+    * the corpus is already exact-deduped (same guidance as
+    * [[ngramJaccardDeduped]], measured in SCALE.md's cap-trade triangle).
+    *
     * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     */
   def minhashLsh(
@@ -87,7 +101,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      portableHash: Boolean = false
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
@@ -109,8 +124,20 @@ object Dedup {
         concat_ws(",", transform(
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")))))
-    val a = banded.select(col(idCol).as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    val pruned = maxBucketFreq match {
+      case Some(m) =>
+        // repartition on the join keys first, so the frequency window reuses
+        // that exchange AND both self-join sides reference the same shuffle
+        // subtree (the simhashNearDupFromFp ReusedExchange recipe); the
+        // uncapped path keeps its original (measured) plan untouched
+        import org.apache.spark.sql.expressions.Window
+        banded.repartition(col("band"), col("bucket"))
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => banded
+    }
+    val a = pruned.select(col(idCol).as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = pruned.select(col(idCol).as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
@@ -119,6 +146,109 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(first("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** [[minhashLsh]] with the exact-dedup-FIRST ordering built in — the
+    * MinHash member of the composed family ([[ngramJaccardDeduped]],
+    * [[simhashNearDup64Deduped]]), closing the last pairwise op exposed to
+    * the duplication² trap: identical texts have identical signatures,
+    * hence identical buckets in EVERY band, so a duplication-factor-d
+    * corpus does d² candidate work in the direct form. Output is PROVABLY
+    * identical to [[minhashLsh]] with the same knobs:
+    *
+    *   - identical texts → identical signatures → a (band, bucket) value's
+    *     corpus frequency = Σ group sizes over the representatives carrying
+    *     it; the cap window here sums group sizes, pruning exactly the
+    *     buckets the direct form's row count prunes;
+    *   - a cross-group member pair shares its representatives' signatures:
+    *     candidate-hood (≥1 surviving shared bucket) and the agreement-rate
+    *     estimate both transfer unchanged;
+    *   - a within-group pair agrees on every signature position
+    *     (est_jaccard = 1.0) and is a candidate iff ANY of the group's
+    *     (common) buckets survives the cap — one semi-join. The estimate is
+    *     derived from the representative's signature, NOT a literal 1.0:
+    *     a null-signature group (null text) yields a null estimate in the
+    *     direct form and its pairs are dropped by the threshold filter —
+    *     the null-propagating self-agreement here reproduces that.
+    *
+    * Exact groups keyed by xxhash64(text), same collision trade as
+    * [[exactByDigest]]. */
+  def minhashLshDeduped(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = None
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    import org.apache.spark.sql.expressions.Window
+    val rowsPerBand = numHashes / bands
+    val wdg = Window.partitionBy(col("__dg"))
+    val mapping = docs
+      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
+      .select(col("__m_id"),
+        min(col("__m_id")).over(wdg).as("__rep"),
+        count(lit(1)).over(wdg).as("__gsz"))
+    val reps = mapping.where(col("__m_id") === col("__rep"))
+      .select(col("__rep").as(idCol), col("__gsz"))
+    val repDocs = docs.join(reps, Seq(idCol))
+    val sigExpr: Column = sessionSig(docs.sparkSession, portableHash, shingleK, numHashes)
+    val sig = repDocs
+      .select(col(idCol), col("__gsz"),
+        TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__gsz"), sigExpr.as("sig"))
+    val banded = sig
+      .select(col(idCol), col("__gsz"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+    val pruned = maxBucketFreq match {
+      case Some(m) =>
+        // duplication-weighted frequency: Σ group sizes = the direct form's
+        // per-(band, bucket) row count; window reuses the repartition
+        banded.repartition(col("band"), col("bucket"))
+          .withColumn("__df", sum(col("__gsz")).over(Window.partitionBy(col("band"), col("bucket"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => banded
+    }
+    val a = pruned.select(col(idCol).as("doc_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = pruned.select(col(idCol).as("doc_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    val repPairs = a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(rowsPerBand * bands).cast("double")).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(first("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+    val memb = mapping.select(col("__m_id"), col("__rep"))
+    val cross = repPairs
+      .join(memb.select(col("__rep").as("doc_a"), col("__m_id").as("ia")), Seq("doc_a"))
+      .join(memb.select(col("__rep").as("doc_b"), col("__m_id").as("ib")), Seq("doc_b"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("est_jaccard"))
+    // within-group pairs: self-agreement of the rep's signature (1.0, or
+    // null for a null signature — matching the direct form's dropped null
+    // estimates), gated on ≥1 surviving bucket
+    val surv = pruned.select(col(idCol).as("id")).distinct()
+    val selfEst = sig.select(col(idCol).as("id"),
+      (size(filter(zip_with(col("sig"), col("sig"), (x, y) => (x === y).cast("int")), v => v === 1))
+        .cast("double") / lit(rowsPerBand * bands).cast("double")).as("est_jaccard"))
+    val within = memb.as("p")
+      .join(memb.as("q"),
+        col("p.__rep") === col("q.__rep") && col("p.__m_id") < col("q.__m_id"))
+      .select(col("p.__rep").as("id"), col("p.__m_id").as("doc_a"), col("q.__m_id").as("doc_b"))
+      .join(surv, Seq("id"), "left_semi")
+      .join(selfEst, Seq("id"))
+      .where(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    cross.unionByName(within)
   }
 
   /** SimHash: 64-bit fingerprint — per bit, sign of the sum of ±1 votes from
@@ -985,32 +1115,6 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** [[ngramJaccard]] with the exact-dedup-FIRST ordering built in — the
-    * composed entry point SCALE.md's cap-trade triangle measured as the
-    * only defaultable answer to duplicated corpora (relative cap alone at
-    * ×10 duplication: 319 s; exact dedup then cap: 3.2 s, full recall).
-    * Output is PROVABLY identical to calling [[ngramJaccard]] directly with
-    * the same knobs (and q_ngram_jaccard_deduped pins it against the same
-    * DuckDB oracle), because every quantity the direct form computes is
-    * recoverable from the collapsed corpus:
-    *
-    *   - identical texts have identical gram sets, so a gram's corpus df =
-    *     Σ over exact-dup groups of (group size × [gram ∈ representative]) —
-    *     the df aggregate here weights each representative's grams by group
-    *     size, making both cap knobs prune the SAME grams the direct form
-    *     prunes;
-    *   - a cross-group member pair (x, y) has the same (inter, na, nb) as
-    *     its representative pair, so rep-level pairs expand to member pairs
-    *     carrying the rep jaccard unchanged;
-    *   - a within-group pair shares ALL grams, of which only the surviving
-    *     `s` of `g` meet in the candidate join: jaccard = s/(2g − s)
-    *     (= 1.0 uncapped), and the pair exists only if s ≥ 1 — both
-    *     reproduced from two per-rep counts, no pairwise work.
-    *
-    * The candidate join's Σdf² cost thus shrinks by the SQUARE of the
-    * duplication factor while the pairwise stage sees each distinct text
-    * once; the expansion joins are linear in output size. Exact groups are
-    * keyed by xxhash64(text) — same collision trade as [[exactByDigest]]. */
   /** Shared plumbing of the exact-dedup-first pairwise compositions
     * ([[ngramJaccardDeduped]], [[ngramContainmentDeduped]]): collapse
     * identical texts under a min-id representative (one digest window),
@@ -1060,6 +1164,32 @@ object Dedup {
     (mapping.select(col("__m_id"), col("__rep")), sizes, surviving, interSized)
   }
 
+  /** [[ngramJaccard]] with the exact-dedup-FIRST ordering built in — the
+    * composed entry point SCALE.md's cap-trade triangle measured as the
+    * only defaultable answer to duplicated corpora (relative cap alone at
+    * ×10 duplication: 319 s; exact dedup then cap: 3.2 s, full recall).
+    * Output is PROVABLY identical to calling [[ngramJaccard]] directly with
+    * the same knobs (and q_ngram_jaccard_deduped pins it against the same
+    * DuckDB oracle), because every quantity the direct form computes is
+    * recoverable from the collapsed corpus:
+    *
+    *   - identical texts have identical gram sets, so a gram's corpus df =
+    *     Σ over exact-dup groups of (group size × [gram ∈ representative]) —
+    *     the df aggregate here weights each representative's grams by group
+    *     size, making both cap knobs prune the SAME grams the direct form
+    *     prunes;
+    *   - a cross-group member pair (x, y) has the same (inter, na, nb) as
+    *     its representative pair, so rep-level pairs expand to member pairs
+    *     carrying the rep jaccard unchanged;
+    *   - a within-group pair shares ALL grams, of which only the surviving
+    *     `s` of `g` meet in the candidate join: jaccard = s/(2g − s)
+    *     (= 1.0 uncapped), and the pair exists only if s ≥ 1 — both
+    *     reproduced from two per-rep counts, no pairwise work.
+    *
+    * The candidate join's Σdf² cost thus shrinks by the SQUARE of the
+    * duplication factor while the pairwise stage sees each distinct text
+    * once; the expansion joins are linear in output size. Exact groups are
+    * keyed by xxhash64(text) — same collision trade as [[exactByDigest]]. */
   def ngramJaccardDeduped(
       docs: DataFrame,
       textCol: String = "text",

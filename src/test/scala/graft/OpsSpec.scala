@@ -269,6 +269,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhashLshDeduped equals the direct form, capped and uncapped, nulls dropped") {
+    // exact triple (within-group 1.0 pairs), a near-dup of it (cross-group
+    // expansion), duplicated NULL texts (null signatures — the direct form
+    // drops their pairs via the null estimate, the composed form must too),
+    // and a disjoint doc; the cap must prune by duplication-weighted
+    // bucket frequency
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    val d = Seq(
+      (30L, Some(base)), (31L, Some(base)), (32L, Some(base)),
+      (33L, Some(base.replace("india", "xray"))),
+      (34L, None: Option[String]), (35L, None: Option[String]),
+      (36L, Some("completely different words entirely here now"))
+    ).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    for (cap <- Seq(None, Some(2), Some(50))) {
+      val direct = canon(Dedup.minhashLsh(d, shingleK = 2, numHashes = 32,
+        bands = 8, threshold = 0.3, maxBucketFreq = cap))
+      val composed = canon(Dedup.minhashLshDeduped(d, shingleK = 2, numHashes = 32,
+        bands = 8, threshold = 0.3, maxBucketFreq = cap))
+      assert(composed == direct, s"cap=$cap")
+      if (cap.isEmpty) {
+        assert(direct.contains((30L, 31L, 1.0)) && direct.contains((31L, 32L, 1.0)),
+          "within-group pairs carry est 1.0")
+        assert(direct.exists { case (a, b, _) => a == 30L && b == 33L },
+          "cross-group near-dup expands")
+        assert(!direct.exists { case (a, b, _) => a >= 34L && b <= 35L },
+          "null-text pairs dropped in both forms")
+      }
+      if (cap == Some(2))
+        assert(!direct.exists { case (a, b, _) => (a >= 30L && a <= 33L) && b <= 33L },
+          "weighted bucket cap prunes the whole duplicated cluster (freq 3 or 4 > 2)")
+    }
+  }
+
   test("cosine: identity 1, orthogonal 0, zero-norm null (ANSI-safe)") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),
