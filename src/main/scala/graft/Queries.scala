@@ -1075,6 +1075,45 @@ object Queries {
       k = 5, nLists = 16, nProbe = 4, iters = 2)
   }
 
+  /** The IVF build/serve split exercised end-to-end: build the index
+    * ([[graft.ops.Similarity.ivfIndex]] — centroids + per-vector cell
+    * assignments), round-trip BOTH tables through parquet (the index as a
+    * materialized artifact, not a plan fragment), then serve the same
+    * probes from it ([[graft.ops.Similarity.ivfTopKFromIndex]] — corpus-
+    * side argmax never recomputed). Registered against q_ivf_topk's OWN
+    * oracle: served ≡ direct ≡ DuckDB. */
+  private def ivfTopKServedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val built = Similarity.ivfIndex(emb, nLists = 16)
+    val base = scratchDir("graft_ivf_")
+    val cPath = base.resolve("centroids").toString
+    val aPath = base.resolve("assignments").toString
+    built.centroids.write.mode("overwrite").parquet(cPath)
+    built.assignments.write.mode("overwrite").parquet(aPath)
+    val stored = Similarity.IvfIndex(s.read.parquet(cPath), s.read.parquet(aPath))
+    Similarity.ivfTopKFromIndex(stored, emb, emb.where(col("vec_id") < 10),
+      k = 5, nProbe = 4)
+  }
+
+  /** The BM25 build/serve split exercised end-to-end: build the index
+    * ([[graft.ops.TextAnalysis.bm25Index]] — postings with denormalized
+    * doc lengths + 1-row corpus stats), round-trip both tables through
+    * parquet, then answer the standard query set from the artifact
+    * ([[graft.ops.TextAnalysis.bm25TopKFromIndex]] — the corpus is never
+    * re-tokenized). Registered against q_bm25_topk's OWN oracle:
+    * served ≡ direct ≡ DuckDB. */
+  private def bm25TopKServedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val built = TextAnalysis.bm25Index(t(s, dir, "documents"))
+    val base = scratchDir("graft_bm25_")
+    val pPath = base.resolve("postings").toString
+    val sPath = base.resolve("stats").toString
+    built.postings.write.mode("overwrite").parquet(pPath)
+    built.stats.write.mode("overwrite").parquet(sPath)
+    val stored = TextAnalysis.Bm25Index(s.read.parquet(pPath), s.read.parquet(sPath))
+    TextAnalysis.bm25TopKFromIndex(stored, Bm25Queries.toDF("query_id", "query"), k = 10)
+  }
+
   /** One Lloyd iteration refining the IVF bootstrap centroids (scalar
     * per-cell surface; the native vector-sum aggregate does the heavy
     * lifting, posexplode fallback without extensions). */
@@ -1156,6 +1195,34 @@ object Queries {
   private def distinctKmvQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val est = Sketches.kmvDistinct(docs, "source", col("text"), k = 16)
+    val exact = docs.groupBy(col("source")).agg(countDistinct(col("text")).as("n_exact"))
+    est.join(exact, Seq("source"))
+      .withColumn("err_pct",
+        round(abs(col("est_distinct") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double") * 100.0, 2))
+  }
+
+  /** KMV MERGEABILITY exercised end-to-end — the entire reason to pick a
+    * sketch over exact distinct at 100 TB (partial sketches per
+    * shard/day, merged at read time): the corpus splits into two halves
+    * by doc_id parity, each half builds its own bounded
+    * [[graft.ops.Sketches.kmvSketch]], the partials round-trip through
+    * parquet (pinning the sketch as a MATERIALIZABLE artifact, not a
+    * plan fragment), and [[graft.ops.Sketches.kmvMerge]] +
+    * [[graft.ops.Sketches.kmvEstimate]] reassemble the estimate.
+    * Registered against the SAME oracle as q_distinct_kmv: merge of
+    * min-sets ≡ min-set of the union, bit-for-bit. */
+  private def distinctKmvMergedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val parts = Sketches.kmvSketch(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "source", col("text"), k = 16)
+      .unionByName(Sketches.kmvSketch(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "source", col("text"), k = 16))
+    val base = scratchDir("graft_kmv_")
+    val partsPath = base.resolve("sketches").toString
+    parts.write.mode("overwrite").parquet(partsPath)
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvMerge(s.read.parquet(partsPath), "source", k = 16), "source", k = 16)
     val exact = docs.groupBy(col("source")).agg(countDistinct(col("text")).as("n_exact"))
     est.join(exact, Seq("source"))
       .withColumn("err_pct",
@@ -1508,12 +1575,14 @@ object Queries {
     "q_token_pack" -> (tokenPackQ _),
     "q_shard_assign" -> (shardAssignQ _),
     "q_distinct_kmv" -> (distinctKmvQ _),
+    "q_distinct_kmv_merged" -> (distinctKmvMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
     "q_quantize_int8" -> (quantizeInt8Q _),
     "q_inverted_index" -> (invertedIndexQ _),
     "q_bm25_topk" -> (bm25TopKQ _),
+    "q_bm25_topk_served" -> (bm25TopKServedQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_ngram_containment" -> (ngramContainmentQ _),
@@ -1539,6 +1608,7 @@ object Queries {
     "q_ann_recall_lsh" -> (annRecallLshQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
+    "q_ivf_topk_served" -> (ivfTopKServedQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
     "q_kmeans_iter" -> (kmeansIterQ _),
     "q_train_split" -> (trainSplit _),
@@ -2036,6 +2106,9 @@ object Queries {
          |FROM m WHERE media_type = 'video'""".stripMargin,
     "q_registry" -> registryOracle,
     "q_ivf_topk" -> ivfOracle,
+    // serve-from-materialized-index path vs the SAME oracle: pins
+    // build ≡ serve through the parquet round-trip
+    "q_ivf_topk_served" -> ivfOracle,
     "q_ivf_refined_topk" -> ivfRefinedOracle,
     "q_kmeans_iter" -> kmeansOracle,
     "q_hybrid_rank" -> hybridOracle,
@@ -2061,6 +2134,9 @@ object Queries {
          |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
          |FROM f""".stripMargin,
     "q_distinct_kmv" -> distinctKmvOracle,
+    // split-sketch-merge path vs the SAME oracle: pins min-k(A ∪ B) =
+    // min-k(min-k(A) ∪ min-k(B)) — mergeability as a checked capability
+    "q_distinct_kmv_merged" -> distinctKmvOracle,
     "q_source_mix" -> sourceMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_importance_weights" -> importanceWeightsOracle,
@@ -2077,6 +2153,9 @@ object Queries {
          |SELECT d.token, CAST(df AS BIGINT) AS df, postings
          |FROM d JOIN p USING (token) WHERE df >= 5""".stripMargin,
     "q_bm25_topk" -> bm25Oracle,
+    // serve-from-materialized-index path vs the SAME oracle: pins
+    // build ≡ serve through the parquet round-trip
+    "q_bm25_topk_served" -> bm25Oracle,
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
@@ -2106,9 +2185,14 @@ object Queries {
        |SELECT doc_id, container_id, containment FROM dirs WHERE containment >= 0.1""".stripMargin
 
   /** Sliding-window chunk replay: 16-word windows at stride 12, 1-indexed
-    * DuckDB list slices, one empty chunk for token-free docs. */
+    * DuckDB list slices, one empty chunk for token-free docs. Text is
+    * coalesced to '' BEFORE tokenizing — the engine's null-text contract
+    * (every doc emits ≥ 1 chunk); without it a null text's token list is
+    * NULL and range(0, NULL) unnests to zero rows, silently dropping the
+    * doc (ADVICE r9: pinned here even though the fixture has no nulls). */
   private def chunkTextOracle: String =
-    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""WITH tk AS (SELECT doc_id,
+       |    ${toks.replace("text", "coalesce(text, '')")} AS t FROM documents),
        |n AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS l FROM tk),
        |ch0 AS (SELECT doc_id, t,
        |    unnest(range(0, CASE WHEN l <= 16 THEN CAST(1 AS BIGINT)

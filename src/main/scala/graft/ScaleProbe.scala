@@ -30,8 +30,9 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
-    // clusters, semdedup, triangle, r9dedup, streaming — lets a dev loop
-    // re-measure ONE probe without paying the full suite.
+    // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops,
+    // uncapped (additionally needs SPARK_GRAFT_PROBE_UNCAPPED=1), streaming
+    // — lets a dev loop re-measure ONE probe without paying the full suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     def inSection(name: String): Boolean = sections.forall(_.contains(name))
@@ -136,8 +137,29 @@ object ScaleProbe {
           graft.ops.Dedup.simhashNearDup64(docs).count())
       }
     }
-    if (uncapped) {
-      // the quadratic baselines the caps are measured against
+    // Round-10: the MinHash composed twin (the last pairwise op to get its
+    // duplication defense) vs the direct form the queries section times —
+    // identical output (oracle-pinned), candidate work /duplication².
+    if (inSection("r10dedup")) {
+      timed("minhashLshDeduped @ sf0.1")(
+        graft.ops.Dedup.minhashLshDeduped(
+          spark.read.parquet("/root/testdata/sf0.1/documents.parquet"),
+          threshold = 0.35, portableHash = true).count())
+      timed("minhashLshDeduped @ sfbig")(
+        graft.ops.Dedup.minhashLshDeduped(docs,
+          threshold = 0.35, portableHash = true).count())
+    }
+    // Round-10 build/serve + merge paths at ×10: all linear-shape (index
+    // scan + broadcast / bounded sketch rows) — must stay ~flat-per-row
+    if (inSection("r10ops"))
+      for (q <- Seq("q_distinct_kmv_merged", "q_bm25_topk_served",
+          "q_ivf_topk_served")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
+    if (uncapped && inSection("uncapped")) {
+      // the quadratic baselines the caps are measured against — section-
+      // gated too, so a filtered run with the env flag set doesn't pay them
       time("q_simhash_neardup", "/tmp/sfbig")
       time("q_ngram_jaccard", "/tmp/sfbig")
       time("q_ngram_jaccard_relcap", "/tmp/sfbig")

@@ -110,6 +110,12 @@ object Sampling {
     * partial top-n, no single-task global sort; only the ≤ n winners are
     * re-ranked.
     *
+    * PRECONDITION: `keyCol` must be UNIQUE per row (the same implicit
+    * contract as the [[hashSplit]] family). Duplicate keys draw identical
+    * priorities AND an identical tie-break, so which duplicate survives
+    * the top-n cut would depend on engine/partition order — determinism
+    * holds only for unique keys.
+    *
     * Output: input columns + sample_rank (1-based within group / sample). */
   def weightedSample(df: DataFrame, weightCol: String, keyCol: String, n: Int,
       groupCol: Option[String] = None): DataFrame = {

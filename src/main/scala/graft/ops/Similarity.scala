@@ -243,13 +243,30 @@ object Similarity {
       idCol: String,
       embCol: String
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dp = dotFn(corpus.sparkSession)
     val cellScores = this.cellScores(centroids, dp) _
-
     val cb = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
       sqrt(dp(col(embCol), col(embCol))).as("__nc"),
       array_max(cellScores(col(embCol))).getField("c").as("cell"))
+    ivfSearch(centroids, cb, probes, k, nProbe, idCol, embCol)
+  }
+
+  /** Probe-side IVF search over a prepared corpus frame
+    * (corpus_id, c_emb, __nc, cell) — the shared tail of [[ivfTopKFrom]]
+    * (cell computed in-plan) and [[ivfTopKFromIndex]] (cell joined from the
+    * materialized assignment table). */
+  private def ivfSearch(
+      centroids: Array[(Int, Array[Double])],
+      cb: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nProbe: Int,
+      idCol: String,
+      embCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(probes.sparkSession)
+    val cellScores = this.cellScores(centroids, dp) _
     val pb = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
         sqrt(dp(col(embCol), col(embCol))).as("__np"),
         slice(reverse(array_sort(cellScores(col(embCol)))), 1, nProbe).as("__cells"))
@@ -264,6 +281,66 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
+  }
+
+  /** A materialized IVF index: `centroids` (cell, centroid array<double>)
+    * and `assignments` (idCol, cell) — both plain DataFrames that write and
+    * read as parquet tables. The build artifact of the build-once /
+    * serve-many split: at 100 TB the corpus-side assignment (one argmax
+    * over nLists centroids PER CORPUS ROW — by far the expensive half) runs
+    * once per corpus snapshot; serving recomputes nothing but the probe
+    * side. */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /** BUILD the IVF index: bootstrap (iters = 0) or Lloyd-refine (iters > 0)
+    * the centroids, then assign every corpus vector to its cell with
+    * exactly the expression the in-plan search uses — so a served lookup
+    * ([[ivfTopKFromIndex]]) is provably the same search [[ivfTopK]] /
+    * [[ivfRefinedTopK]] run, just against the stored assignment
+    * (q_ivf_topk_served pins this through a parquet round-trip against
+    * q_ivf_topk's own oracle). */
+  def ivfIndex(
+      corpus: DataFrame,
+      nLists: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): IvfIndex = {
+    val spark = corpus.sparkSession
+    val dp = dotFn(spark)
+    val cents =
+      if (iters > 0) refinedCentroids(corpus, nLists, iters, idCol, embCol)
+      else centroidBootstrap(corpus, nLists, idCol, embCol)
+    val centDf = spark.createDataFrame(cents.toIndexedSeq).toDF("cell", "centroid")
+    val cellScores = this.cellScores(cents, dp) _
+    val assignments = corpus.select(col(idCol),
+      array_max(cellScores(col(embCol))).getField("c").as("cell"))
+    IvfIndex(centDf, assignments)
+  }
+
+  /** SERVE IVF top-k from a materialized [[IvfIndex]]: the ≤ nLists
+    * centroid rows collect back into probe-side literals (the same bounded
+    * driver hop the build used), and the corpus side joins the stored
+    * (id, cell) assignment instead of recomputing the per-row argmax —
+    * corpus vectors are touched only for the within-cell cosine. */
+  def ivfTopKFromIndex(
+      index: IvfIndex,
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val cents = index.centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cb = corpus
+      .select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
+        sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+      .join(index.assignments.select(col(idCol).as("corpus_id"), col("cell")),
+        Seq("corpus_id"))
+    ivfSearch(cents, cb, probes, k, nProbe, idCol, embCol)
   }
 
   /** One distributed Lloyd (k-means) iteration over the embedding corpus:

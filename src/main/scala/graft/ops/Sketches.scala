@@ -54,15 +54,72 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val pairs = df.where(valueCol.isNotNull)
       .select(col(groupCol), md5Long60(valueCol).as("__h")).distinct()
-    val ranked = pairs.withColumn("__rn", row_number().over(
-      Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)))
+    estimate(minK(pairs, groupCol, k), groupCol, k)
+  }
+
+  /** The k smallest distinct hashes per group, as a sorted-ascending array —
+    * shared tail of [[kmvSketch]] and [[kmvMerge]]. Input: (groupCol, __h)
+    * pairs, already distinct. */
+  private def minK(pairs: DataFrame, groupCol: String, k: Int): DataFrame =
+    pairs.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__h").asc)))
       .where(col("__rn") <= k)
-    ranked.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_seen"), max(col("__h")).as("__kth"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+
+  /** (k-1)/u_k estimate from a sketch frame (groupCol, kmv sorted asc). */
+  private def estimate(sketches: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketches
+      .select(col(groupCol), size(col("kmv")).cast("long").as("n_seen"),
+        element_at(col("kmv"), size(col("kmv"))).as("__kth"))
       .withColumn("est_distinct",
         round(when(col("n_seen") < k, col("n_seen").cast("double"))
           .otherwise(lit((k - 1).toDouble) * lit(1152921504606846976.0)
             / col("__kth").cast("double")), 4))
       .drop("__kth")
+
+  /** PARTIAL KMV sketch per group: the k smallest distinct md5-60 hashes as
+    * a sorted array — the materializable half of the sketch's 100 TB story.
+    * Build one sketch per shard/day/partition (each output row is ≤ k
+    * longs), persist them, and [[kmvMerge]] unions any subset at read time:
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), because every one of the k
+    * smallest hashes of the union is among the k smallest of its own side —
+    * the merge is EXACT, not approximate, so
+    * estimate(merge(sketch(h₁), sketch(h₂))) ≡ [[kmvDistinct]](whole)
+    * bit-for-bit (q_distinct_kmv_merged pins this against q_distinct_kmv's
+    * own oracle; OpsSpec pins it property-style over random splits).
+    *
+    * Output: (groupCol, kmv array<long> ascending, length ≤ k). */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int = 16): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val pairs = df.where(valueCol.isNotNull)
+      .select(col(groupCol), md5Long60(valueCol).as("__h")).distinct()
+    minK(pairs, groupCol, k)
+  }
+
+  /** Merge partial KMV sketches (any number per group): union the min-sets,
+    * drop duplicate hashes (the same distinct value sketched on two sides),
+    * re-truncate to the k smallest. Explode-based, so merging m partials
+    * shuffles ≤ m·k (group, hash) rows per group — never a corpus-sized
+    * structure; the result is again a valid sketch, so merges compose
+    * (day → month → year rollups). */
+  def kmvMerge(sketches: DataFrame, groupCol: String, k: Int = 16,
+      sketchCol: String = "kmv"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val pairs = sketches
+      .select(col(groupCol), explode(col(sketchCol)).as("__h")).distinct()
+    minK(pairs, groupCol, k)
+  }
+
+  /** [[kmvDistinct]]'s estimate surface from an already-built sketch frame:
+    * n_seen < k ⇒ the sketch holds EVERY distinct hash (exact count);
+    * otherwise (k-1)·2^60/u_k. Identical arithmetic to kmvDistinct, so
+    * sketch → estimate reproduces it bit-for-bit.
+    * Output: (groupCol, n_seen, est_distinct). */
+  def kmvEstimate(sketches: DataFrame, groupCol: String, k: Int = 16,
+      sketchCol: String = "kmv"): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    estimate(sketches.withColumnRenamed(sketchCol, "kmv"), groupCol, k)
   }
 }

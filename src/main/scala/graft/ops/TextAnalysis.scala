@@ -325,19 +325,36 @@ object TextAnalysis {
     val prunedTf = tf.join(broadcast(qTerms.select("token").distinct()), Seq("token"))
     val idf = prunedTf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
-      .select(col("token"),
-        round(log((col("n").cast("double") - col("df") + 0.5d) / (col("df") + 0.5d) + 1d)
-          * 1000d, 0).cast("long").as("__idf_m"))
+      .select(col("token"), idfMilli(col("n"), col("df")).as("__idf_m"))
     val perTerm = prunedTf
       .join(dl, Seq("__doc"))
       .join(broadcast(idf), Seq("token"))
       .join(broadcast(qTerms), Seq("token"))
       .crossJoin(broadcast(stats.select(col("avgdl"))))
       .select(col("query_id"), col("__doc"),
-        round(col("__idf_m") * (col("tf").cast("double") * (k1 + 1d)) /
-          (col("tf").cast("double") + lit(k1) * (lit(1d - b) +
-            when(col("avgdl") > 0, lit(b) * col("dl").cast("double") / col("avgdl"))
-              .otherwise(lit(0d)))), 0).cast("long").as("__s_m"))
+        scoreMilli(col("tf"), col("dl"), col("__idf_m"), col("avgdl"), k1, b).as("__s_m"))
+    bm25Rank(perTerm, k, idCol)
+  }
+
+  /** Lucene-variant idf, milli-nat-quantized — the one `ln` both the direct
+    * and the index-served BM25 paths must spell identically. */
+  private def idfMilli(n: Column, df: Column): Column =
+    round(log((n.cast("double") - df + 0.5d) / (df + 0.5d) + 1d) * 1000d, 0).cast("long")
+
+  /** Per-(query, doc, term) BM25 partial score as an integer milli-score —
+    * shared by [[bm25TopK]] and [[bm25TopKFromIndex]] so the two paths can
+    * never drift arithmetically. */
+  private def scoreMilli(tf: Column, dl: Column, idfM: Column, avgdl: Column,
+      k1: Double, b: Double): Column =
+    round(idfM * (tf.cast("double") * (k1 + 1d)) /
+      (tf.cast("double") + lit(k1) * (lit(1d - b) +
+        when(avgdl > 0, lit(b) * dl.cast("double") / avgdl)
+          .otherwise(lit(0d)))), 0).cast("long")
+
+  /** Shared ranking tail: exact integer per-(query, doc) sum → top-k window. */
+  private def bm25Rank(perTerm: org.apache.spark.sql.DataFrame, k: Int,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__score_m").desc, col("__doc").asc)
     perTerm.groupBy(col("query_id"), col("__doc"))
@@ -346,5 +363,74 @@ object TextAnalysis {
       .where(col("rn") <= k)
       .select(col("query_id"), col("__doc").as(idCol),
         (col("__score_m").cast("double") / 1000d).as("score"), col("rn"))
+  }
+
+  /** A materialized BM25 index: `postings` (token, idCol, tf, dl — one row
+    * per (doc, distinct token), doc length denormalized in) and `stats`
+    * (one row: n = total docs, avgdl). Both are plain DataFrames so they
+    * write/read as parquet tables — the build artifact of the
+    * build-once / serve-many split. */
+  final case class Bm25Index(postings: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame)
+
+  /** BUILD the BM25 index once: the corpus-sized work of [[bm25TopK]] (the
+    * token explosion, tf aggregate, doc-length re-aggregate, corpus stats)
+    * with no query in sight. At 100 TB this runs once per corpus snapshot
+    * and lands in parquet (partition `postings` by a token hash for serve-
+    * side pruning); [[bm25TopKFromIndex]] then answers every query batch
+    * from the artifact — the serve path never re-tokenizes the corpus.
+    *
+    * df is deliberately NOT precomputed per token: it equals the postings
+    * row count per token, which the serve path aggregates AFTER its query-
+    * term prune — a vocabulary-sized aggregate over only the pruned
+    * postings, cheaper than materializing (and keeping consistent) a
+    * second table. */
+  def bm25Index(docs: org.apache.spark.sql.DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Bm25Index = {
+    val toksFn = tokensIn(docs.sparkSession)
+    val tf = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("__doc"), explode(toksFn(col(textCol))).as("token"))
+      .groupBy(col("__doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("__doc")).agg(sum(col("tf")).as("dl"))
+    val postings = tf.join(dl, Seq("__doc"))
+      .select(col("token"), col("__doc").as(idCol), col("tf"), col("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl"))))
+      .select(col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** SERVE BM25 from a materialized [[Bm25Index]]: same scoring arithmetic
+    * as [[bm25TopK]] ([[idfMilli]]/[[scoreMilli]] are shared), but the
+    * corpus side is the postings table — already tokenized, tf'd, and
+    * length-joined at build time. The only corpus-sized operation left is
+    * the broadcast-semi prune of postings down to query-term rows; df is
+    * re-aggregated from the pruned postings (corpus-exact, since pruning
+    * is by token), everything after is query-vocabulary-sized.
+    * q_bm25_topk_served pins served ≡ direct ≡ oracle through a parquet
+    * round-trip of the index. Output: (query_id, idCol, score, rn). */
+  def bm25TopKFromIndex(index: Bm25Index,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 10,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id", queryTextCol: String = "query",
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val toksFn = tokensIn(queries.sparkSession)
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(toksFn(col(queryTextCol)))).as("token"))
+    val pruned = index.postings
+      .select(col("token"), col(idCol).as("__doc"), col("tf"), col("dl"))
+      .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
+    val idf = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(index.stats))
+      .select(col("token"), idfMilli(col("n"), col("df")).as("__idf_m"))
+    val perTerm = pruned
+      .join(broadcast(idf), Seq("token"))
+      .join(broadcast(qTerms), Seq("token"))
+      .crossJoin(broadcast(index.stats.select(col("avgdl"))))
+      .select(col("query_id"), col("__doc"),
+        scoreMilli(col("tf"), col("dl"), col("__idf_m"), col("avgdl"), k1, b).as("__s_m"))
+    bm25Rank(perTerm, k, idCol)
   }
 }

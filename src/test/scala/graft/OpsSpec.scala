@@ -246,6 +246,47 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains("qc"))
   }
 
+  test("bm25TopKFromIndex over a parquet round-trip equals the direct bm25TopK") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = Seq(("qa", "apple spark table"), ("qb", "stream merge window query"))
+      .toDF("query_id", "query")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val direct = canon(TextAnalysis.bm25TopK(corpus, qs, k = 7))
+    val built = TextAnalysis.bm25Index(corpus)
+    // in-plan serve
+    assert(canon(TextAnalysis.bm25TopKFromIndex(built, qs, k = 7)) == direct)
+    // materialized serve: the index must survive parquet as a plain table
+    val dir = java.nio.file.Files.createTempDirectory("bm25ix").toString
+    try {
+      built.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      built.stats.write.mode("overwrite").parquet(s"$dir/stats")
+      val stored = TextAnalysis.Bm25Index(
+        spark.read.parquet(s"$dir/postings"), spark.read.parquet(s"$dir/stats"))
+      assert(canon(TextAnalysis.bm25TopKFromIndex(stored, qs, k = 7)) == direct)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("ivfTopKFromIndex equals the direct search, bootstrap and refined") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val direct = canon(Similarity.ivfTopK(emb, probes, k = 4, nLists = 8, nProbe = 3))
+    val served = canon(Similarity.ivfTopKFromIndex(
+      Similarity.ivfIndex(emb, nLists = 8), emb, probes, k = 4, nProbe = 3))
+    assert(served == direct, "bootstrap index serve diverged")
+    val directRef = canon(Similarity.ivfRefinedTopK(emb, probes, k = 4,
+      nLists = 8, nProbe = 3, iters = 2))
+    val servedRef = canon(Similarity.ivfTopKFromIndex(
+      Similarity.ivfIndex(emb, nLists = 8, iters = 2), emb, probes, k = 4, nProbe = 3))
+    assert(servedRef == directRef, "refined index serve diverged")
+  }
+
   test("simhashNearDup64Deduped equals the direct form, capped and uncapped") {
     // duplicated near-dup cluster + duplicated empty docs (fp 0 group) +
     // a disjoint doc; the cap must prune by duplication-weighted block df
@@ -656,6 +697,39 @@ class OpsSpec extends SparkSpec {
     val got = Sketches.kmvDistinct(withNulls, "g", col("v"), k = 4)
       .as[(String, Long, Double)].collect().toList
     assert(got == List(("a", 2L, 2.0)), s"null handling broke: $got")
+  }
+
+  test("KMV sketches merge exactly: estimate(merge(parts)) == kmvDistinct(whole), any split") {
+    import graft.ops.Sketches
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double)].collect().sorted.toSeq
+    val whole = canon(Sketches.kmvDistinct(d, "source", col("text"), k = 16))
+    // three deterministic splits with different shapes: parity, skewed
+    // 90/10, three-way — and OVERLAPPING halves (a value sketched on both
+    // sides must not double-count: the merge dedups hashes)
+    val splits: Seq[Seq[org.apache.spark.sql.DataFrame]] = Seq(
+      Seq(d.where(pmod(col("doc_id"), lit(2)) === 0), d.where(pmod(col("doc_id"), lit(2)) === 1)),
+      Seq(d.where(pmod(col("doc_id"), lit(10)) === 0), d.where(pmod(col("doc_id"), lit(10)) =!= 0)),
+      Seq(d.where(pmod(col("doc_id"), lit(3)) === 0), d.where(pmod(col("doc_id"), lit(3)) === 1),
+        d.where(pmod(col("doc_id"), lit(3)) === 2)),
+      Seq(d.where(col("doc_id") < 400), d.where(col("doc_id") >= 200)) // overlap
+    )
+    for ((parts, i) <- splits.zipWithIndex) {
+      val sketches = parts.map(Sketches.kmvSketch(_, "source", col("text"), k = 16))
+        .reduce(_ unionByName _)
+      val merged = canon(Sketches.kmvEstimate(
+        Sketches.kmvMerge(sketches, "source", k = 16), "source", k = 16))
+      assert(merged == whole, s"split #$i: merged estimate diverged from the whole")
+    }
+    // merges compose: merge(merge(a, b), c) == sketch(whole) via a rollup
+    val abc = splits(2).map(Sketches.kmvSketch(_, "source", col("text"), k = 16))
+    val rolled = Sketches.kmvMerge(
+      Sketches.kmvMerge(abc(0).unionByName(abc(1)), "source", k = 16).unionByName(abc(2)),
+      "source", k = 16)
+    assert(canon(Sketches.kmvEstimate(rolled, "source", k = 16)) == whole,
+      "two-level rollup diverged")
   }
 
   test("temperatureMix: deterministic, hits the target, sqrt-weights favor small sources") {

@@ -266,6 +266,31 @@ class PlanSpec extends SparkSpec {
       s"the corpus tf exchange must be computed once and reused:\n$p")
   }
 
+  test("q_bm25_topk_served: serves from the postings scan — corpus never re-tokenized") {
+    val p = plan("q_bm25_topk_served")
+    // the corpus is NEVER touched at serve time: the only scans are the
+    // index tables and the literal query strings (each tiny query-side use
+    // re-explodes its 2 rows — Generates stay bounded by query count)
+    assert(!p.contains("documents.parquet"),
+      "serving must read the index, not the corpus")
+    // postings carry dl denormalized — NO corpus-keyed join remains; every
+    // serve-side join is a broadcast of query-vocabulary-sized data
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") == 0,
+      "serving must not shuffle-join the corpus: dl is pre-joined at build")
+    assert(nodes(p, "CartesianProduct") == 0)
+    // and the corpus-sized input really is the materialized index
+    assert(p.contains("graft_bm25_"), "postings/stats must scan the round-tripped parquet")
+  }
+
+  test("q_ivf_topk_served: assignment joined from the index, argmax not recomputed") {
+    val p = plan("q_ivf_topk_served")
+    assert(p.contains("graft_ivf_"), "assignments must scan the round-tripped parquet")
+    assert(nodes(p, "CartesianProduct") == 0)
+    // corpus-side cell argmax (an array_max over nLists struct scores) must
+    // NOT appear on the corpus branch — only the probe side ranks cells
+    assert(nodes(p, "Generate") == 1, "only the probe-side nProbe explode remains")
+  }
+
   test("q_ngram_jaccard_deduped: digest pairwise core + group expansion, no cartesian") {
     val p = plan("q_ngram_jaccard_deduped")
     assert(p.contains("graft_grams") || p.contains("xxhash64"),
