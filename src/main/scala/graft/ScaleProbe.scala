@@ -148,6 +148,10 @@ object ScaleProbe {
       timed("minhashLshDeduped @ sfbig")(
         graft.ops.Dedup.minhashLshDeduped(docs,
           threshold = 0.35, portableHash = true).count())
+      // same-box direct baseline (identical output, duplication² candidates)
+      timed("minhashLsh direct @ sfbig")(
+        graft.ops.Dedup.minhashLsh(docs,
+          threshold = 0.35, portableHash = true).count())
     }
     // Round-10 build/serve + merge paths at ×10: all linear-shape (index
     // scan + broadcast / bounded sketch rows) — must stay ~flat-per-row
