@@ -1114,6 +1114,27 @@ object Queries {
     TextAnalysis.bm25TopKFromIndex(stored, Bm25Queries.toDF("query_id", "query"), k = 10)
   }
 
+  /** The SHARDED BM25 build: each doc_id-parity half of the corpus builds
+    * its own independent [[graft.ops.TextAnalysis.bm25Index]] (the
+    * per-shard/per-day unit of a 100 TB build), both partial indexes land
+    * in parquet, and [[graft.ops.TextAnalysis.bm25IndexMerge]] + the serve
+    * path answer the standard queries from the merged artifact. Registered
+    * against q_bm25_topk's OWN oracle: merge(build(half₁), build(half₂)) ≡
+    * build(whole), bit-for-bit through the scoring. */
+  private def bm25TopKShardedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val base = scratchDir("graft_bm25sh_")
+    val halves = Seq(0, 1).map { par =>
+      val ix = TextAnalysis.bm25Index(docs.where(pmod(col("doc_id"), lit(2)) === par))
+      ix.postings.write.mode("overwrite").parquet(s"$base/p$par")
+      ix.stats.write.mode("overwrite").parquet(s"$base/s$par")
+      TextAnalysis.Bm25Index(s.read.parquet(s"$base/p$par"), s.read.parquet(s"$base/s$par"))
+    }
+    TextAnalysis.bm25TopKFromIndex(TextAnalysis.bm25IndexMerge(halves),
+      Bm25Queries.toDF("query_id", "query"), k = 10)
+  }
+
   /** One Lloyd iteration refining the IVF bootstrap centroids (scalar
     * per-cell surface; the native vector-sum aggregate does the heavy
     * lifting, posexplode fallback without extensions). */
@@ -1583,6 +1604,7 @@ object Queries {
     "q_inverted_index" -> (invertedIndexQ _),
     "q_bm25_topk" -> (bm25TopKQ _),
     "q_bm25_topk_served" -> (bm25TopKServedQ _),
+    "q_bm25_topk_sharded" -> (bm25TopKShardedQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_ngram_containment" -> (ngramContainmentQ _),
@@ -2156,6 +2178,9 @@ object Queries {
     // serve-from-materialized-index path vs the SAME oracle: pins
     // build ≡ serve through the parquet round-trip
     "q_bm25_topk_served" -> bm25Oracle,
+    // sharded-build-merge path vs the SAME oracle: pins
+    // merge(build(half1), build(half2)) = build(whole) through the scoring
+    "q_bm25_topk_sharded" -> bm25Oracle,
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,

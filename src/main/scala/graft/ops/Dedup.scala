@@ -187,12 +187,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     import org.apache.spark.sql.expressions.Window
     val rowsPerBand = numHashes / bands
-    val wdg = Window.partitionBy(col("__dg"))
-    val mapping = docs
-      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
-      .select(col("__m_id"),
-        min(col("__m_id")).over(wdg).as("__rep"),
-        count(lit(1)).over(wdg).as("__gsz"))
+    val mapping = exactGroupMapping(docs, textCol, idCol)
     val reps = mapping.where(col("__m_id") === col("__rep"))
       .select(col("__rep").as(idCol), col("__gsz"))
     val repDocs = docs.join(reps, Seq(idCol))
@@ -592,12 +587,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val width = 64 / nBlocks
     val blockMask = (1L << width) - 1
-    val wdg = Window.partitionBy(col("__dg"))
-    val mapping = docs
-      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
-      .select(col("__m_id"),
-        min(col("__m_id")).over(wdg).as("__rep"),
-        count(lit(1)).over(wdg).as("__gsz"))
+    val mapping = exactGroupMapping(docs, textCol, idCol)
     val reps = mapping.where(col("__m_id") === col("__rep"))
       .select(col("__rep").as(idCol), col("__gsz"))
     val repDocs = docs.join(reps, Seq(idCol))
@@ -1115,6 +1105,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Exact-duplicate group mapping under the min-id representative — the
+    * shared head of every exact-dedup-first composition
+    * ([[ngramJaccardDeduped]], [[simhashNearDup64Deduped]],
+    * [[minhashLshDeduped]]): ONE digest window pass producing
+    * (__m_id, __rep = min id sharing the text digest, __gsz = group size).
+    * Groups keyed by xxhash64(text), the [[exactByDigest]] collision
+    * trade. */
+  private def exactGroupMapping(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
+    docs
+      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
+      .select(col("__m_id"),
+        min(col("__m_id")).over(wg).as("__rep"),
+        count(lit(1)).over(wg).as("__gsz"))
+  }
+
   /** Shared plumbing of the exact-dedup-first pairwise compositions
     * ([[ngramJaccardDeduped]], [[ngramContainmentDeduped]]): collapse
     * identical texts under a min-id representative (one digest window),
@@ -1127,13 +1134,8 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String, n: Int,
       maxNgramFreq: Option[Int], maxNgramFreqFraction: Option[Double]
   ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
     // one digest shuffle: member -> (representative = min id, group size)
-    val mapping = docs
-      .select(xxhash64(col(textCol)).as("__dg"), col(idCol).as("__m_id"))
-      .select(col("__m_id"),
-        min(col("__m_id")).over(wg).as("__rep"),
-        count(lit(1)).over(wg).as("__gsz"))
+    val mapping = exactGroupMapping(docs, textCol, idCol)
     val reps = mapping.where(col("__m_id") === col("__rep"))
       .select(col("__rep").as("id"), col("__gsz"))
     val repDocs = docs.join(reps.select(col("id").as(idCol)), Seq(idCol), "left_semi")

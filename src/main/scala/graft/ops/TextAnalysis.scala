@@ -367,9 +367,10 @@ object TextAnalysis {
 
   /** A materialized BM25 index: `postings` (token, idCol, tf, dl — one row
     * per (doc, distinct token), doc length denormalized in) and `stats`
-    * (one row: n = total docs, avgdl). Both are plain DataFrames so they
-    * write/read as parquet tables — the build artifact of the
-    * build-once / serve-many split. */
+    * (one row: n = total docs, avgdl, sdl = total corpus token count —
+    * carried so two indexes MERGE exactly: avgdl alone loses the ulps).
+    * Both are plain DataFrames so they write/read as parquet tables — the
+    * build artifact of the build-once / serve-many split. */
   final case class Bm25Index(postings: org.apache.spark.sql.DataFrame,
       stats: org.apache.spark.sql.DataFrame)
 
@@ -395,9 +396,37 @@ object TextAnalysis {
     val postings = tf.join(dl, Seq("__doc"))
       .select(col("token"), col("__doc").as(idCol), col("tf"), col("dl"))
     val stats = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("sdl"))))
+      .crossJoin(broadcast(dl.agg(coalesce(sum(col("dl")), lit(0L)).as("__sdl"))))
       .select(col("n"), when(col("n") > 0,
-        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"))
+        col("__sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("__sdl").as("sdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** MERGE per-shard BM25 indexes over DISJOINT document sets into the
+    * whole-corpus index — the distributed-build story: at 100 TB each
+    * shard/day builds its own [[bm25Index]] (an embarrassingly parallel,
+    * failure-isolated unit), and the merged artifact is EXACTLY the index
+    * a monolithic build would produce. Postings rows are per-(doc, token),
+    * so disjoint doc sets union without conflict; stats re-derive from the
+    * exact integer sums (n = Σnᵢ, sdl = Σsdlᵢ, avgdl = sdl/n — one double
+    * division, bit-identical to the whole-corpus build; merging the
+    * already-divided avgdl values instead would drift ulps). df needs no
+    * merge bookkeeping at all: the serve path counts it from the unioned
+    * postings. Associative — shard → day → corpus rollups compose.
+    *
+    * PRECONDITION: document sets disjoint across the inputs (same contract
+    * as any partitioned build; a doc split across shards would double its
+    * postings). q_bm25_topk_sharded pins merge(half₁, half₂) against the
+    * direct query's own oracle; OpsSpec covers 2-way and 3-way splits. */
+  def bm25IndexMerge(parts: Seq[Bm25Index]): Bm25Index = {
+    require(parts.nonEmpty, "bm25IndexMerge needs at least one part")
+    val postings = parts.map(_.postings).reduce(_ unionByName _)
+    val stats = parts.map(_.stats).reduce(_ unionByName _)
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .select(col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("sdl"))
     Bm25Index(postings, stats)
   }
 

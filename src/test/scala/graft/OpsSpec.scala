@@ -271,6 +271,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25IndexMerge: per-shard builds merge into the whole-corpus index exactly") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val qs = Seq(("qa", "spark table window"), ("qb", "fast stream customer"))
+      .toDF("query_id", "query")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val whole = canon(TextAnalysis.bm25TopKFromIndex(TextAnalysis.bm25Index(corpus), qs, k = 6))
+    // 2-way parity split and a skewed 3-way split — both must reproduce the
+    // monolithic build bit-for-bit (postings disjoint, stats from exact sums)
+    val splits = Seq(
+      Seq(pmod(col("doc_id"), lit(2)) === 0, pmod(col("doc_id"), lit(2)) === 1),
+      Seq(col("doc_id") < 50, col("doc_id") >= 50 && col("doc_id") < 400, col("doc_id") >= 400))
+    for ((preds, i) <- splits.zipWithIndex) {
+      val merged = TextAnalysis.bm25IndexMerge(
+        preds.map(p => TextAnalysis.bm25Index(corpus.where(p))))
+      assert(canon(TextAnalysis.bm25TopKFromIndex(merged, qs, k = 6)) == whole,
+        s"split #$i diverged from the monolithic build")
+      // the merged stats row itself must match the whole-corpus one
+      val w = TextAnalysis.bm25Index(corpus).stats.as[(Long, Double, Long)].collect().head
+      assert(merged.stats.as[(Long, Double, Long)].collect().head == w)
+    }
+  }
+
   test("ivfTopKFromIndex equals the direct search, bootstrap and refined") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val probes = emb.where(col("vec_id") < 8)
