@@ -401,6 +401,35 @@ object Queries {
         .select(col("probe_id"), col("user_id"), col("event_ts"), col("last_value"), col("fts"))
     })
 
+  /** Streaming INCREMENTAL BM25 index build under the oracle: the
+    * documents corpus is staged as FOUR parquet files and streamed with
+    * maxFilesPerTrigger=1, so the index accumulates over four genuine
+    * micro-batches ([[graft.streaming.OnlineRefresh.buildBm25IndexStream]]
+    * — one partial index per epoch, `batch=<id>`-partitioned exactly-once
+    * appends); serving reads the accumulated artifact
+    * ([[graft.streaming.OnlineRefresh.readBm25Index]] — the
+    * bm25IndexMerge exact-sum fold) and must hash-match q_bm25_topk's OWN
+    * oracle: micro-batches partition the doc set, which IS the merge's
+    * disjointness precondition, so HOW the stream was batched cannot leak
+    * into the served scores. Built once per session (fixture memo); the
+    * checkpoint makes re-invocation a no-op, mirroring how a real
+    * continuously-fed index resumes. */
+  private def streamBm25Index(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_bm25:$dir", s), { _ =>
+      import s.implicits._
+      val src = scratchDir("graft_sbm25_src")
+      val out = scratchDir("graft_sbm25_out")
+      val ck = scratchDir("graft_sbm25_ck")
+      t(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildBm25IndexStream(s, src.toString, schema,
+        out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      TextAnalysis.bm25TopKFromIndex(
+        streaming.OnlineRefresh.readBm25Index(s, out.toString),
+        Bm25Queries.toDF("query_id", "query"), k = 10)
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1541,6 +1570,7 @@ object Queries {
     "q_stream_sessionize" -> (streamSessionize _),
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_pit" -> (streamPit _),
+    "q_stream_bm25_index" -> (streamBm25Index _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -1804,6 +1834,9 @@ object Queries {
     "q_asof_join" -> asofOracle,
     "q_asof_join_merge" -> asofOracle,
     "q_stream_pit" -> asofOracle,
+    // 4-micro-batch incremental index build vs the direct bm25 oracle:
+    // batching cannot leak into the served scores (disjoint-merge algebra)
+    "q_stream_bm25_index" -> bm25Oracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value

@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.types._
 import graft.streaming.OnlineRefresh
+import graft.ops.TextAnalysis
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -265,6 +266,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
     assert(out == Set((1L, "a", Some(10.0)), (3L, "c", None)))
+  }
+
+  test("incremental BM25 index build: multi-batch accumulation equals the monolithic index") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sbm25").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // stage as 3 files, stream 1 file per trigger -> 3 genuine micro-batches
+    corpus.repartition(3).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // the multi-batch reality, not just the merged result: one postings
+    // partition per epoch (a silent single-batch run would prove nothing)
+    val batches = new java.io.File(s"$tmp/ix/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches == 3, s"expected 3 batch partitions, got $batches")
+    val qs = Seq(("qa", "spark window table"), ("qb", "customer stream fast"))
+      .toDF("query_id", "query")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val streamed = canon(TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25Index(spark, s"$tmp/ix"), qs, k = 6))
+    val direct = canon(TextAnalysis.bm25TopK(corpus, qs, k = 6))
+    assert(streamed == direct, "accumulated index diverged from the one-shot build")
+    // checkpointed re-invocation is a no-op: no new epochs, same artifact
+    val q2 = OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val batches2 = new java.io.File(s"$tmp/ix/postings").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches2 == 3, "resume from checkpoint must not re-build epochs")
   }
 
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
