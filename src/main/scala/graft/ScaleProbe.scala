@@ -157,7 +157,7 @@ object ScaleProbe {
     // scan + broadcast / bounded sketch rows) — must stay ~flat-per-row
     if (inSection("r10ops"))
       for (q <- Seq("q_distinct_kmv_merged", "q_bm25_topk_served",
-          "q_ivf_topk_served")) {
+          "q_ivf_topk_served", "q_bm25_topk_sharded", "q_stream_bm25_index")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }

@@ -300,6 +300,15 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0)
   }
 
+  test("q_minhash_pairs_deduped: collapse window + banded rep pairs, no cartesian") {
+    val p = plan("q_minhash_pairs_deduped")
+    assert(nodes(p, "Window") >= 1, "exact-group mapping is a window over the text digest")
+    assert(nodes(p, "CartesianProduct") == 0)
+    // the pairwise stage is an equi-join on (band, bucket) — never all-pairs
+    assert(nodes(p, "BroadcastNestedLoopJoin") == 0,
+      "candidate generation must stay a keyed join")
+  }
+
   test("q_chunk_text: pure per-row explode — zero exchanges, one Generate") {
     val p = plan("q_chunk_text")
     assert(nodes(p, "Exchange") == 0, "chunking must not shuffle anything")
