@@ -318,6 +318,35 @@ object Similarity {
     IvfIndex(centDf, assignments)
   }
 
+  /** Assign a corpus shard to the cells of an EXISTING centroid table —
+    * the per-shard / incremental half of the IVF build: centroids are
+    * fixed once ([[ivfIndex]]), then any number of corpus shards build
+    * their assignments independently (per-row argmax against the same
+    * centroids ⇒ trivially disjoint-mergeable: union of shard assignments
+    * = the monolithic assignment, spec-pinned), and newly-landed shards
+    * append to the artifact without touching old rows — the same
+    * incremental story as [[graft.ops.TextAnalysis.bm25IndexMerge]], for
+    * free because assignment has no cross-row terms. Uses the search's
+    * exact argmax expression, so served lookups cannot drift. */
+  def ivfAssign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val cellScores = this.cellScores(collectCentroids(centroids), dp) _
+    corpus.select(col(idCol),
+      array_max(cellScores(col(embCol))).getField("c").as("cell"))
+  }
+
+  /** Collect a (cell, centroid) table back into the bounded literal array
+    * the probe/assignment expressions fold in — ≤ nLists rows by
+    * construction, the same driver hop the bootstrap uses. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("cell"), col("centroid")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+
   /** SERVE IVF top-k from a materialized [[IvfIndex]]: the ≤ nLists
     * centroid rows collect back into probe-side literals (the same bounded
     * driver hop the build used), and the corpus side joins the stored
@@ -333,8 +362,7 @@ object Similarity {
       embCol: String = "embedding"
   ): DataFrame = {
     val dp = dotFn(corpus.sparkSession)
-    val cents = index.centroids.select(col("cell"), col("centroid")).collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val cents = collectCentroids(index.centroids)
     val cb = corpus
       .select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
         sqrt(dp(col(embCol), col(embCol))).as("__nc"))

@@ -309,6 +309,22 @@ class OpsSpec extends SparkSpec {
     val servedRef = canon(Similarity.ivfTopKFromIndex(
       Similarity.ivfIndex(emb, nLists = 8, iters = 2), emb, probes, k = 4, nProbe = 3))
     assert(servedRef == directRef, "refined index serve diverged")
+    // the sharded/incremental build: per-shard ivfAssign against the SAME
+    // centroids unions into exactly the monolithic assignment table
+    val ix = Similarity.ivfIndex(emb, nLists = 8)
+    val whole = ix.assignments.as[(Long, Int)].collect().sorted.toSeq
+    val halves = Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .map(p => Similarity.ivfAssign(emb.where(p), ix.centroids))
+      .reduce(_ unionByName _).as[(Long, Int)].collect().sorted.toSeq
+    assert(halves == whole, "shard-wise assignment diverged from the monolithic build")
+    // ...and serving from the shard-built assignment equals the direct serve
+    val servedSharded = canon(Similarity.ivfTopKFromIndex(
+      Similarity.IvfIndex(ix.centroids,
+        Seq(col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+          .map(p => Similarity.ivfAssign(emb.where(p), ix.centroids))
+          .reduce(_ unionByName _)),
+      emb, probes, k = 4, nProbe = 3))
+    assert(servedSharded == direct, "sharded-assignment serve diverged")
   }
 
   test("simhashNearDup64Deduped equals the direct form, capped and uncapped") {
