@@ -62,8 +62,15 @@ object Bench {
       catch { case _: Throwable => failures(i) += 1 }
       samples(i) :+= (System.nanoTime() - t0) / 1e9
     }
+    // memoized fixture queries (Queries.memoizedQueries) only do real work
+    // on run 1 — later runs re-read the landed store, so their min/mean
+    // would measure a parquet re-read, not the operator. Report run 1 as
+    // both and tag them in the JSON so qmin stays one measurement class.
     val results = named.indices.map { i =>
-      (named(i)._1, r3(samples(i).sum / runs), r3(samples(i).min), failures(i))
+      if (Queries.memoizedQueries(named(i)._1))
+        (named(i)._1, r3(samples(i).head), r3(samples(i).head), failures(i))
+      else
+        (named(i)._1, r3(samples(i).sum / runs), r3(samples(i).min), failures(i))
     }
     val mean = results.map { case (k, m, _, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
     val mins = results.map { case (k, _, n, _) => s"\"$k\":$n" }.mkString("{", ",", "}")
@@ -74,8 +81,10 @@ object Bench {
     val errors = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"runs":$runs$errors,"sf":"$sfDir"}"""
+    val memoed = named.map(_._1).filter(Queries.memoizedQueries)
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"runs":$runs$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"memoized_first_run":$memoed,"runs":$runs$errors,"sf":"$sfDir"}"""
     // stdout first + explicit flush, THEN the file fallback, THEN shutdown
     println(line)
     System.out.flush()

@@ -710,6 +710,17 @@ object Queries {
       t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
       Seq("user_id"), "ts", "event_id", "30 MINUTES")
 
+  /** The same sessions via Spark's native `session_window` aggregate
+    * ([[graft.fs.PointInTime.sessionizeNative]]) — registered against the
+    * SAME oracle as q_sessionize (the twin-formulation convention): the
+    * built-in must reproduce the lag+running-sum form bit-for-bit —
+    * session_window's merge boundary is inclusive (splits only on a
+    * STRICTLY greater gap), matching the oracle's `ts > prev + 30min`. */
+  private def sessionizeNativeQ(s: SparkSession, dir: String): DataFrame =
+    PointInTime.sessionizeNative(
+      t(s, dir, "events").select(col("user_id"), col("ts")),
+      Seq("user_id"), "ts", "30 minutes")
+
   /** Pivot (wide aggregation): per-day event counts, one column per type.
     * With explicit pivot values this is ONE groupBy pass; absent combos are
     * coalesced to 0 to match the FILTER-aggregate oracle. */
@@ -1198,6 +1209,27 @@ object Queries {
   private def ngramContainmentDedupedQ(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramContainmentDeduped(t(s, dir, "documents"), n = 3, threshold = 0.1)
 
+  /** The containment KILL step ([[graft.ops.Dedup.dropContained]]):
+    * survivors of "drop every doc ≥ 0.1 contained in a longer container"
+    * (keep-longest, lowest-id tie-break) — the pipeline consumer of the
+    * q_ngram_containment pair set. Projects the id/source/length triple so
+    * the oracle replays the survivor SET, not the full text payload. */
+  private def dropContainedQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dropContained(t(s, dir, "documents"), n = 3, threshold = 0.1)
+      .select("doc_id", "source", "n_chars")
+
+  /** CCNet-style LM perplexity scoring
+    * ([[graft.ops.TextAnalysis.lmPerplexity]]): a bigram LM with add-1
+    * smoothing trained on the src0-src4 "target" slice ranks EVERY doc by
+    * cross-entropy — low xent ≈ target-like. Milli-nat integer transition
+    * scores make the per-doc sum order-free; the oracle replays the whole
+    * chain (counts, smoothing, ln quantization, fallback ladder). */
+  private def lmPerplexityQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TextAnalysis.lmPerplexity(d,
+      d.where(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+  }
+
   /** Sliding-window chunking, 16-word windows at stride 12 (overlapping
     * RAG layout; [[graft.ops.TextAnalysis.chunkText]]). */
   private def chunkTextQ(s: SparkSession, dir: String): DataFrame =
@@ -1422,6 +1454,15 @@ object Queries {
   private val fixtureMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, SparkSession), DataFrame]
 
+  /** Queries whose frame is memoized above: their 2nd..Nth bench runs
+    * re-time only a re-read of the landed fixture, not the operator, so
+    * `Bench` reports their FIRST run as both mean and floor and tags them
+    * in the output — qmin stays one measurement class across the surface
+    * (r9 verdict: q_stream_pit's 0.068 s "floor" was the memo, not the
+    * stream). */
+  val memoizedQueries: Set[String] =
+    Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index")
+
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -1592,6 +1633,7 @@ object Queries {
     "q_range_join" -> (rangeJoin _),
     "q_range_join_merge" -> (rangeJoinMerge _),
     "q_sessionize" -> (sessionize _),
+    "q_sessionize_native" -> (sessionizeNativeQ _),
     "q_pivot_daily" -> (pivotDaily _),
     "q_unpivot_daily" -> (unpivotDaily _),
     "q_rank_ntile" -> (rankNtile _),
@@ -1639,6 +1681,8 @@ object Queries {
     "q_top_terms" -> (topTermsQ _),
     "q_ngram_containment" -> (ngramContainmentQ _),
     "q_ngram_containment_deduped" -> (ngramContainmentDedupedQ _),
+    "q_drop_contained" -> (dropContainedQ _),
+    "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
     "q_neardup_clusters" -> (neardupClustersQ _),
@@ -2081,14 +2125,10 @@ object Queries {
     // join-form's counts exactly
     "q_range_join" -> rangeCountOracle,
     "q_range_join_merge" -> rangeCountOracle,
-    "q_sessionize" ->
-      """WITH o AS (
-        |  SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
-        |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM o),
-        |sq AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq FROM f)
-        |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
-        |FROM sq GROUP BY 1, 2""".stripMargin,
+    // ONE oracle for both sessionize formulations (lag+running-sum and the
+    // native session_window aggregate) — the twin convention again
+    "q_sessionize" -> sessionizeOracle,
+    "q_sessionize_native" -> sessionizeOracle,
     "q_pivot_daily" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS d,
         |count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -2218,12 +2258,57 @@ object Queries {
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
     "q_ngram_containment_deduped" -> ngramContainmentOracle,
+    "q_drop_contained" -> dropContainedOracle,
+    "q_lm_perplexity" -> lmPerplexityOracle,
     "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
   )
 
   /** Containment replay: the jaccard oracle's gram/size/intersection CTEs,
     * both directions emitted per unordered candidate pair. */
+  /** Gap-based sessionization replay: lag → strict-> 30 min boundary →
+    * running session counter → per-session min/max/count. Shared by the
+    * window form (q_sessionize) and the native session_window form
+    * (q_sessionize_native, whose +1µs gap reproduces the strict >). */
+  private def sessionizeOracle: String =
+    """WITH o AS (
+      |  SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      |f AS (SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess FROM o),
+      |sq AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS BIGINT) AS session_seq FROM f)
+      |SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+      |FROM sq GROUP BY 1, 2""".stripMargin
+
+  /** Bigram-LM cross-entropy replay: target (src0-src4) bigram/predecessor
+    * counts, add-1 smoothing over target vocab V, per-transition milli-nat
+    * ln quantization (the DSIR recipe), integer per-doc sum, then the same
+    * two-division double chain as the engine. Docs with < 2 tokens (or
+    * null text) report n_bigrams = 0 with a NULL score. */
+  private def lmPerplexityOracle: String =
+    s"""WITH tgt AS (SELECT $toks AS t FROM documents
+       |  WHERE text IS NOT NULL AND source IN ('src0','src1','src2','src3','src4')),
+       |ti AS (SELECT t, unnest(range(1, CAST(len(t) AS INTEGER))) AS i FROM tgt WHERE len(t) >= 2),
+       |tb AS (SELECT t[i] AS p, t[CAST(i + 1 AS INTEGER)] AS c FROM ti),
+       |c2 AS (SELECT p, c, CAST(count(*) AS BIGINT) AS c2 FROM tb GROUP BY 1, 2),
+       |c1 AS (SELECT p, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+       |  FROM (SELECT unnest(t) AS tok FROM tgt)),
+       |m2 AS (SELECT p, c, CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) * 1000, 0) AS BIGINT) AS m2
+       |  FROM c2 JOIN c1 USING (p) CROSS JOIN v),
+       |m1 AS (SELECT p, CAST(round(ln(1.0 / CAST(c1.c1 + v.v AS DOUBLE)) * 1000, 0) AS BIGINT) AS m1
+       |  FROM c1 CROSS JOIN v),
+       |dk AS (SELECT doc_id, $toks AS t FROM documents WHERE text IS NOT NULL),
+       |di AS (SELECT doc_id, t, unnest(range(1, CAST(len(t) AS INTEGER))) AS i FROM dk WHERE len(t) >= 2),
+       |db AS (SELECT doc_id, t[i] AS p, t[CAST(i + 1 AS INTEGER)] AS c FROM di),
+       |sc AS (SELECT doc_id, coalesce(m2.m2, m1.m1,
+       |    (SELECT CAST(round(ln(1.0 / CAST(v AS DOUBLE)) * 1000, 0) AS BIGINT) FROM v)) AS m
+       |  FROM db LEFT JOIN m2 USING (p, c) LEFT JOIN m1 USING (p)),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(m) AS BIGINT) AS ms
+       |  FROM sc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ag.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       |  CAST(0 - ag.ms AS DOUBLE) / 1000.0 / CAST(ag.n_bigrams AS DOUBLE) AS xent
+       |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
+
   private def ngramContainmentOracle: String =
     s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
        |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
@@ -2241,6 +2326,35 @@ object Queries {
        |  SELECT doc_b AS doc_id, doc_a AS container_id,
        |    round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment FROM sized)
        |SELECT doc_id, container_id, containment FROM dirs WHERE containment >= 0.1""".stripMargin
+
+  /** dropContained survivor replay: the containment pair chain above, then
+    * drop docs ≥ 0.1 contained in a strictly-larger container (gram-count
+    * ties break to the lowest id — mutual 1.0-containment exact dups keep
+    * only their min id). Anti-join via NOT IN is safe: doc_id is non-null. */
+  private def dropContainedOracle: String =
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk),
+       |g AS (SELECT doc_id, unnest(l) AS gram FROM gl),
+       |sz AS (SELECT doc_id, len(l) AS n_grams FROM gl),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |sized AS (SELECT doc_a, doc_b, i, a.n_grams AS na, b.n_grams AS nb
+       |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id),
+       |dirs AS (
+       |  SELECT doc_a AS doc_id, doc_b AS container_id,
+       |    round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment FROM sized
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS container_id,
+       |    round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS containment FROM sized),
+       |dropped AS (SELECT DISTINCT d.doc_id FROM dirs d
+       |  JOIN sz a ON d.doc_id = a.doc_id
+       |  JOIN sz b ON d.container_id = b.doc_id
+       |  WHERE d.containment >= 0.1
+       |    AND (b.n_grams > a.n_grams
+       |      OR (b.n_grams = a.n_grams AND d.container_id < d.doc_id)))
+       |SELECT doc_id, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   /** Sliding-window chunk replay: 16-word windows at stride 12, 1-indexed
     * DuckDB list slices, one empty chunk for token-free docs. Text is

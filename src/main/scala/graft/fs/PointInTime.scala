@@ -173,4 +173,38 @@ object PointInTime {
       .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** [[sessionize]] via Spark's NATIVE `session_window` aggregate — the
+    * built-in a 100×-scale user reaches for first, A/B'd against the same
+    * oracle as the lag+running-sum form (SCALE.md r10).
+    *
+    * Boundary contract (spec-pinned on an exact-gap corpus): Spark merges
+    * an event into the running session when its ts ≤ session end
+    * (= last ts + gap) — an event EXACTLY gap after its predecessor stays
+    * in the session, and a split needs a STRICTLY greater gap. That is
+    * precisely [[sessionize]]'s (and the DuckDB oracle's) `ts > prev +
+    * gap` rule, so the same gap string transfers verbatim.
+    *
+    * `session_window` emits its own (start, end = last+gap) bounds;
+    * the reference output wants observed min/max(ts), so both are
+    * re-aggregated and the synthetic window is dropped. `session_seq`
+    * (the per-key running session index) is not a session_window
+    * concept — one row_number pass over the SESSION-count-sized
+    * aggregate (not the event-sized input) restores it. */
+  def sessionizeNative(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gap: String = "30 minutes"
+  ): DataFrame = {
+    val grouped = df
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(min(col(tsCol)).as("session_start"), max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("session_start").asc)
+    grouped
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select((keys :+ "session_seq" :+ "session_start" :+ "session_end" :+ "n_events")
+        .map(col): _*)
+  }
 }

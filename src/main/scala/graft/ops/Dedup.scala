@@ -1249,6 +1249,15 @@ object Dedup {
   ): DataFrame = {
     val (memb, sizes, surviving, interSized) =
       dedupedPairCore(docs, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    containedDirectedPairs(memb, sizes, surviving, interSized, idCol, threshold)
+  }
+
+  /** Member-level directed containment pairs from [[dedupedPairCore]]'s
+    * collapsed frames — the shared tail of [[ngramContainmentDeduped]] and
+    * [[dropContained]]. Returns (idCol, container_id, containment). */
+  private def containedDirectedPairs(
+      memb: DataFrame, sizes: DataFrame, surviving: DataFrame,
+      interSized: DataFrame, idCol: String, threshold: Double): DataFrame = {
     // directed rep pairs: both directions from one intersection count
     val dirRep = interSized.select(col("ra").as("dr"), col("rb").as("cr"),
         round(col("inter").cast("double") / col("na").cast("double"), 6).as("containment"))
@@ -1271,6 +1280,54 @@ object Dedup {
       .where(col("containment") >= threshold)
       .select(col(idCol), col("container_id"), col("containment"))
     cross.unionByName(within)
+  }
+
+  /** The containment KILL step — the pipeline consumer of
+    * [[ngramContainment]]'s directed pairs: DROP every document that is
+    * ≥ `threshold` contained in a strictly LONGER container (more distinct
+    * n-grams), the standard quote/boilerplate removal pass of web-corpus
+    * pipelines. Ties (equal gram counts — e.g. exact duplicates, whose
+    * mutual containment is 1.0 uncapped) break deterministically by id:
+    * the LOWEST id among mutually-containing equal-size documents
+    * survives, so the step subsumes exact dedup as a side effect.
+    *
+    * Single-pass semantics, deliberately non-transitive: a document is
+    * judged against the ORIGINAL corpus, not the survivor set (if A ⊂ B
+    * ⊂ C, both A and B drop even though B's own container C also drops).
+    * Judging against survivors would need an iterated fixpoint whose
+    * result depends on removal order; the one-pass rule is order-free,
+    * embarrassingly parallel, and what production pipelines run.
+    *
+    * Built on the exact-dedup-first composition ([[dedupedPairCore]]), so
+    * a duplicated corpus pays distinct-text pairwise cost; the drop set
+    * is pair-output-sized and the final anti-join is key-only. Output:
+    * the surviving rows of `docs`, all columns intact. */
+  def dropContained(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxNgramFreq: Option[Int] = None,
+      maxNgramFreqFraction: Option[Double] = None
+  ): DataFrame = {
+    val (memb, sizes, surviving, interSized) =
+      dedupedPairCore(docs, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    val pairs =
+      containedDirectedPairs(memb, sizes, surviving, interSized, idCol, threshold)
+    // member-level gram counts: every member shares its representative's
+    // distinct-gram set, so sizes transfer through the group mapping
+    val msz = memb
+      .join(sizes.withColumnRenamed("id", "__rep"), Seq("__rep"))
+      .select(col("__m_id"), col("n_grams"))
+    val dropped = pairs
+      .join(msz.select(col("__m_id").as(idCol), col("n_grams").as("__nd")), Seq(idCol))
+      .join(msz.select(col("__m_id").as("container_id"), col("n_grams").as("__nc")),
+        Seq("container_id"))
+      .where(col("__nc") > col("__nd") ||
+        (col("__nc") === col("__nd") && col("container_id") < col(idCol)))
+      .select(col(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Asymmetric n-gram CONTAINMENT — the quote-inclusion/subset detector

@@ -462,4 +462,87 @@ object TextAnalysis {
         scoreMilli(col("tf"), col("dl"), col("__idf_m"), col("avgdl"), k1, b).as("__s_m"))
     bm25Rank(perTerm, k, idCol)
   }
+
+  /** Positional bigram stream WITH multiplicity — an LM scores the token
+    * SEQUENCE, so the distinct-gram machinery of the dedup family is the
+    * wrong tool. One row per consecutive token pair of each doc. */
+  private def bigramStream(df: org.apache.spark.sql.DataFrame, textCol: String,
+      passthrough: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("__t", tokensIn(df.sparkSession)(col(textCol)))
+      .where(size(col("__t")) >= 2)
+      .select(passthrough.map(col) :+ explode(expr(
+        "transform(sequence(1, size(__t) - 1), " +
+          "i -> struct(element_at(__t, i) AS p, element_at(__t, i + 1) AS c))"))
+        .as("__bg"): _*)
+      .select(passthrough.map(col) :+ col("__bg.p").as("p") :+ col("__bg.c").as("c"): _*)
+
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020: rank a web corpus
+    * by perplexity under a language model trained on a clean TARGET
+    * corpus; low cross-entropy ≈ target-like text). The model here is a
+    * bigram LM with add-1 smoothing over the target vocabulary V:
+    *
+    *   P(c | p) = (count(p,c) + 1) / (count(p,·) + V)
+    *   xent(doc) = −(1/n) Σ over the doc's n token transitions of ln P
+    *
+    * (nats per transition; perplexity = e^xent, monotone — rank on xent).
+    * Unseen transitions fall back to the same formula with count 0; an
+    * unseen predecessor degrades to 1/V.
+    *
+    * Cross-engine determinism is the DSIR recipe ([[graft.ops.Dedup
+    * .importanceWeights]]): each transition's ln is quantized to integer
+    * MILLI-NATS before the per-doc sum (order-free integer aggregation),
+    * and the final xent is a chain of two IEEE divisions of exact
+    * integers — bit-identical in any engine.
+    *
+    * Scale shape: LM counts are two partial-agg aggregates over the
+    * target's transition stream (shuffle ∝ distinct bigrams); docs'
+    * transitions join the count tables on 8-byte xxhash64 digests (the
+    * [[graft.ops.Dedup.ngramJaccard]] trade — the oracle replays string
+    * keys; a digest collision perturbs one transition's count), then ONE
+    * per-doc integer sum. V and the smoothing totals ride a broadcast
+    * 1-row frame. Nothing quadratic, no driver data paths. Docs with < 2
+    * tokens (or null text) stay in the report with n_bigrams = 0 and a
+    * null score — the [[graft.ops.Dedup.contamination]] convention that
+    * absence reads as a decision downstream.
+    *
+    * Output: (idCol, n_bigrams, xent) for EVERY doc; filter/rank on xent. */
+  def lmPerplexity(docs: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val tgtBg = bigramStream(target.where(col(textCol).isNotNull), textCol, Nil)
+    val c2 = tgtBg.groupBy(col("p"), col("c")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("p")).agg(sum(col("c2")).as("c1"))
+    val vocab = target.where(col(textCol).isNotNull)
+      .select(explode(tokensIn(target.sparkSession)(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    // per-SEEN-bigram milli-nat score: ln((c2+1)/(c1+V))·1000, rounded
+    val milli2 = c2.join(c1, Seq("p")).crossJoin(broadcast(vocab))
+      .select(xxhash64(col("p"), col("c")).as("__k2"),
+        round(log((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          * 1000, 0).cast("long").as("__m2"))
+    // per-predecessor fallback: ln(1/(c1+V))·1000 for unseen transitions
+    val milli1 = c1.crossJoin(broadcast(vocab))
+      .select(xxhash64(col("p")).as("__k1"),
+        round(log(lit(1.0) / (col("c1") + col("v")).cast("double")) * 1000, 0)
+          .cast("long").as("__m1"))
+    val docBg = bigramStream(
+      docs.where(col(textCol).isNotNull)
+        .select(col(idCol).as("__id"), col(textCol)), textCol, Seq("__id"))
+    val scored = docBg
+      .select(col("__id"), xxhash64(col("p"), col("c")).as("__k2"), xxhash64(col("p")).as("__k1"))
+      .join(milli2, Seq("__k2"), "left")
+      .join(milli1, Seq("__k1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), coalesce(col("__m2"), col("__m1"),
+        // predecessor unseen in the target: P = 1/V
+        round(log(lit(1.0) / col("v").cast("double")) * 1000, 0).cast("long")).as("__m"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__m")).as("__ms"))
+    docs.select(col(idCol))
+      .join(scored.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        ((lit(0L) - col("__ms")).cast("double") / lit(1000.0)
+          / col("n_bigrams").cast("double")).as("xent"))
+  }
 }

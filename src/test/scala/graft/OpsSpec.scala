@@ -155,6 +155,47 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dropContained: longer container kills, equal-size ties keep min id, single-pass chain") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // 9 bigrams
+      (1L, "alpha beta gamma delta"),               // quote of 0 AND of 5 -> dropped
+      (5L, "alpha beta gamma delta epsilon zeta"),  // middle of the chain: in 0 -> dropped
+      (2L, "totally unrelated content lives here"), // no qualifying container -> kept
+      (3L, "tiny doc copy here"),                   // exact dup pair: mutual 1.0,
+      (4L, "tiny doc copy here")                    //   equal size -> 4 drops, 3 keeps
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(d, n = 2, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 2L, 3L))
+    // the keep-longest guard: 0 is 5/9 ≈ 0.56-contained in 5 (over the
+    // threshold!) but 5 is SHORTER, so 0 must survive — and 5 drops via 0
+    // even though its own container 1-level up also dropped (single pass,
+    // judged against the ORIGINAL corpus, not the survivor set)
+    val pairs = Dedup.ngramContainment(d, n = 2, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs.contains((0L, 5L)), "0 IS threshold-contained in shorter 5")
+  }
+
+  test("lmPerplexity: hand-computed add-1 bigram scores incl. every fallback rung") {
+    // target "a b a b c": c2 = {(a,b):2, (b,a):1, (b,c):1}, c1 = {a:2, b:2}, V=3
+    val target = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),  // seen transitions: ln(3/5) + ln(2/5) -> (-511) + (-916)
+      (2L, "b z"),    // unseen bigram, seen prev: ln(1/(2+3)) -> -1609
+      (3L, "c a"),    // unseen prev: ln(1/V) = ln(1/3) -> -1099
+      (4L, "x"),      // single token: no transitions
+      (5L, null.asInstanceOf[String]) // null text: stays in the report
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lmPerplexity(docs, target)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(math.rint(r.getDouble(2) * 10000) / 10000)))).toMap
+    assert(got(1L) == ((2L, Some(0.7135))), s"seen-transition doc: ${got(1L)}")
+    assert(got(2L) == ((1L, Some(1.609))), "unseen bigram falls back to 1/(c1+V)")
+    assert(got(3L) == ((1L, Some(1.099))), "unseen predecessor falls back to 1/V")
+    assert(got(4L) == ((0L, None)), "short doc reports n_bigrams=0, null score")
+    assert(got(5L) == ((0L, None)), "null text stays in the report")
+  }
+
   test("chunkText: overlapping windows, short-doc single chunk, empty doc kept") {
     val d = Seq(
       (0L, "w1 w2 w3 w4 w5 w6 w7"),  // 7 words, width 4 stride 2 -> chunks at 0,2,4

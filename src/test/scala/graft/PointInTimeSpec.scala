@@ -64,6 +64,39 @@ class PointInTimeSpec extends SparkSpec {
     assert(merge.select("v").as[Double].collect().toSeq == Seq(5.0))
   }
 
+  test("sessionizeNative equals sessionize at the exact-gap boundary") {
+    // the ±1µs cases pin the boundary: session_window's merge is INCLUSIVE
+    // of ts == session end (split only on a strictly greater gap), which
+    // is exactly the lag form's `ts > prev + 30min` rule — same gap string
+    val t0 = ts("2024-01-01 00:00:00")
+    def us(base: Timestamp, micros: Long): Timestamp = {
+      val t = new Timestamp(base.getTime + micros / 1000)
+      t.setNanos(((base.getNanos / 1000 + micros % 1000) * 1000).toInt)
+      t
+    }
+    val gap = 1800L * 1000000L
+    val ev = Seq(
+      (1L, "u1", t0),
+      (2L, "u1", us(t0, gap)),          // exactly 30:00 later: SAME session
+      (3L, "u1", us(t0, 2 * gap + 1)),  // 30:00.000001 after #2: NEW session
+      (4L, "u2", t0)
+    ).toDF("event_id", "user_id", "ts")
+    def micros(t: Timestamp): Long = t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def canon(df: DataFrame) = df
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+      .as[(String, Long, Timestamp, Timestamp, Long)].collect()
+      .map(r => (r._1, r._2, micros(r._3), micros(r._4), r._5)).sorted.toSeq
+    val lagForm = canon(PointInTime.sessionize(ev, Seq("user_id"), "ts", "event_id"))
+    val native = canon(PointInTime.sessionizeNative(
+      ev.select("user_id", "ts"), Seq("user_id"), "ts"))
+    assert(lagForm == native, "the two sessionize formulations must agree")
+    assert(native.contains(("u1", 1L, micros(t0), micros(us(t0, gap)), 2L)),
+      "an exactly-30min gap does NOT split (strict >)")
+    assert(native.contains(
+      ("u1", 2L, micros(us(t0, 2 * gap + 1)), micros(us(t0, 2 * gap + 1)), 1L)),
+      "one microsecond past the gap DOES split")
+  }
+
   test("withLag shifts per key in time order with tie-break") {
     val df = Seq(("a", ts("2024-01-01 00:00:00"), 1.0, 1L),
       ("a", ts("2024-01-01 01:00:00"), 2.0, 2L),
