@@ -980,6 +980,8 @@ object Queries {
     Dedup.chunkDedup(t(s, dir, "documents"))
 
   /** The COMPLETE LLM training-data path, flagship form: exact dedup →
+    * containment kill ([[graft.ops.Dedup.dropContained]] — docs ≥ 0.5
+    * contained in a longer container drop, the quote/boilerplate pass) →
     * fuzzy simhash cluster dedup keeping the best-quality member per
     * cluster ([[graft.ops.Dedup.dropNearDuplicates]] — the API users call,
     * scored by textStats quality) → quality threshold → reproducible split
@@ -996,7 +998,8 @@ object Queries {
     val docs = t(s, dir, "documents")
     val reps = Dedup.exactByDigest(docs).select("doc_id")
     val exact = docs.join(reps, Seq("doc_id"), "left_semi")
-    val stats = TextAnalysis.textStats(exact)
+    val uncontained = Dedup.dropContained(exact, n = 3, threshold = 0.5)
+    val stats = TextAnalysis.textStats(uncontained)
     val fuzzy = Dedup.dropNearDuplicates(stats, "quality_score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = fuzzy.where(col("quality_score") >= 0.5)
@@ -2559,16 +2562,34 @@ object Queries {
       |FROM p""".stripMargin
 
   /** The COMPLETE LLM-data path as one oracle: exact dedup (by text, ==
-    * the engine's digest grouping modulo xxhash collisions) → simhash
-    * cluster dedup keeping the best-quality member (row_number over
-    * (quality DESC, id ASC) == the engine's max_by struct) → quality
-    * threshold → md5 split → the contamination gate's gram algebra over
-    * the surviving docs, train side gated at contamination ≤ 0.2, test
-    * side passed through with NULL contamination. */
+    * the engine's digest grouping modulo xxhash collisions) → containment
+    * kill (the dc* CTEs: drop docs ≥ 0.5 3-gram-contained in a
+    * strictly-larger container, lowest-id tie-break) → simhash cluster
+    * dedup keeping the best-quality member (row_number over (quality
+    * DESC, id ASC) == the engine's max_by struct) → quality threshold →
+    * md5 split → the contamination gate's gram algebra over the surviving
+    * docs, train side gated at contamination ≤ 0.2, test side passed
+    * through with NULL contamination. */
   private def pipelineFullOracle: String =
     s"""WITH RECURSIVE
        |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-       |d AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
+       |d0 AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
+       |dctk AS (SELECT doc_id, $toks AS t FROM d0),
+       |dcgl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM dctk),
+       |dcg AS (SELECT doc_id, unnest(l) AS gram FROM dcgl),
+       |dcsz AS (SELECT doc_id, len(l) AS n_grams FROM dcgl),
+       |dci AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM dcg x JOIN dcg y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |dcs AS (SELECT doc_a, doc_b, i, a.n_grams AS na, b.n_grams AS nb
+       |  FROM dci JOIN dcsz a ON doc_a = a.doc_id JOIN dcsz b ON doc_b = b.doc_id),
+       |dcd AS (SELECT doc_a AS doc_id, doc_b AS container_id,
+       |    round(CAST(i AS DOUBLE) / CAST(na AS DOUBLE), 6) AS containment, na AS nd, nb AS nc FROM dcs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a, round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6), nb, na FROM dcs),
+       |dcx AS (SELECT DISTINCT doc_id FROM dcd WHERE containment >= 0.5
+       |  AND (nc > nd OR (nc = nd AND container_id < doc_id))),
+       |d AS (SELECT d0.* FROM d0 WHERE doc_id NOT IN (SELECT doc_id FROM dcx)),
        |${simhashPairsCtes(Some(50), "d")},
        |$closureCtes,
        |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id

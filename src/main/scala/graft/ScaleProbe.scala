@@ -30,7 +30,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
-    // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops,
+    // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
     // uncapped (additionally needs SPARK_GRAFT_PROBE_UNCAPPED=1), streaming
     // — lets a dev loop re-measure ONE probe without paying the full suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -158,6 +158,17 @@ object ScaleProbe {
     if (inSection("r10ops"))
       for (q <- Seq("q_distinct_kmv_merged", "q_bm25_topk_served",
           "q_ivf_topk_served", "q_bm25_topk_sharded", "q_stream_bm25_index")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
+    // Round-10b: the containment kill step (built on the deduped pair
+    // core — the ×10-duplicated corpus must collapse, not square), the
+    // bigram-LM scorer (linear: two count aggregates + digest joins over
+    // the transition stream), and the sessionize twins (one shuffle each;
+    // the A/B behind adopting session_window as the recommended form)
+    if (inSection("r10b"))
+      for (q <- Seq("q_drop_contained", "q_lm_perplexity",
+          "q_sessionize", "q_sessionize_native")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }

@@ -133,6 +133,13 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange") == 1, s"sessionization must be a one-shuffle pipeline:\n$p")
   }
 
+  test("q_sessionize_native: session_window agg + seq window share ONE user shuffle") {
+    val p = plan("q_sessionize_native")
+    // the session-window aggregate clusters by user_id; the row_number
+    // window over (user_id) is satisfied by the same partitioning
+    assert(nodes(p, "Exchange") == 1, s"native sessionization must stay one-shuffle:\n$p")
+  }
+
   test("q_range_join: equi-key join with range predicate — no nested-loop") {
     val p = plan("q_range_join")
     assert(nodes(p, "BroadcastNestedLoopJoin") == 0,
