@@ -430,6 +430,34 @@ object Queries {
         Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
+  /** Streaming incremental IVF index under the hard oracle — the
+    * embedding twin of q_stream_bm25_index: centroids land once (the
+    * bootstrap over the full corpus, so they equal the direct build's),
+    * the corpus streams in as FOUR micro-batches
+    * ([[graft.streaming.OnlineRefresh.buildIvfIndexStream]] — one
+    * `batch=<id>` assignment shard per epoch, exactly-once overwrites),
+    * and serving reads the accumulated artifact
+    * ([[graft.streaming.OnlineRefresh.readIvfIndex]]) — hash-matched
+    * against q_ivf_topk's OWN oracle, because per-row argmax assignment
+    * has no cross-row terms: micro-batches partition the vector set and
+    * union into exactly the monolithic assignment. Built once per session
+    * (fixture memo; the checkpoint makes re-invocation a no-op). */
+  private def streamIvfIndex(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivf:$dir", s), { _ =>
+      val src = scratchDir("graft_sivf_src")
+      val out = scratchDir("graft_sivf_out")
+      val ck = scratchDir("graft_sivf_ck")
+      val emb = t(s, dir, "embeddings")
+      emb.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildIvfIndexStream(s, src.toString, schema,
+        out.toString, ck.toString, Similarity.ivfIndex(emb, nLists = 16).centroids,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      Similarity.ivfTopKFromIndex(streaming.OnlineRefresh.readIvfIndex(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1138,6 +1166,14 @@ object Queries {
       k = 5, nProbe = 4)
   }
 
+  /** Prototypicality pruning ([[graft.ops.Similarity
+    * .prototypicalityPrune]]): per-IVF-cell hardness ranking, keep the 20
+    * HARDEST (lowest cosine-to-centroid) per cell — the data-pruning
+    * sibling of semantic dedup, on the same bootstrap-centroid machinery
+    * so the oracle reuses the established centroid CTEs. */
+  private def protoPruneQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.prototypicalityPrune(t(s, dir, "embeddings"), nLists = 16, perCell = 20)
+
   /** The BM25 build/serve split exercised end-to-end: build the index
     * ([[graft.ops.TextAnalysis.bm25Index]] — postings with denormalized
     * doc lengths + 1-row corpus stats), round-trip both tables through
@@ -1464,7 +1500,8 @@ object Queries {
     * (r9 verdict: q_stream_pit's 0.068 s "floor" was the memo, not the
     * stream). */
   val memoizedQueries: Set[String] =
-    Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index")
+    Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
+      "q_stream_ivf_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -1615,6 +1652,7 @@ object Queries {
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_pit" -> (streamPit _),
     "q_stream_bm25_index" -> (streamBm25Index _),
+    "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -1708,6 +1746,7 @@ object Queries {
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_topk_served" -> (ivfTopKServedQ _),
+    "q_proto_prune" -> (protoPruneQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
     "q_kmeans_iter" -> (kmeansIterQ _),
     "q_train_split" -> (trainSplit _),
@@ -1884,6 +1923,7 @@ object Queries {
     // 4-micro-batch incremental index build vs the direct bm25 oracle:
     // batching cannot leak into the served scores (disjoint-merge algebra)
     "q_stream_bm25_index" -> bm25Oracle,
+    "q_stream_ivf_index" -> ivfOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
@@ -2207,6 +2247,7 @@ object Queries {
     // serve-from-materialized-index path vs the SAME oracle: pins
     // build ≡ serve through the parquet round-trip
     "q_ivf_topk_served" -> ivfOracle,
+    "q_proto_prune" -> protoPruneOracle,
     "q_ivf_refined_topk" -> ivfRefinedOracle,
     "q_kmeans_iter" -> kmeansOracle,
     "q_hybrid_rank" -> hybridOracle,
@@ -3016,6 +3057,33 @@ object Queries {
        |  SELECT probe_id, corpus_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
        |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
+  /** Prototypicality-prune replay: bootstrap centroids, the search's
+    * argmax assignment (s DESC, c DESC — the array_max tie), cosine to
+    * the assigned centroid from the SAME winning dot (zero-norm → NULL,
+    * ranked last), per-cell hardness rank ASC, quota 20. */
+  private def protoPruneOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, embedding, c AS cell, s FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s
+       |    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0) e
+       |    CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |cn AS (SELECT c AS cell, sqrt(${dotSql("cemb", "cemb")}) AS nc FROM cent),
+       |pr AS (
+       |  SELECT vec_id, cell,
+       |    CASE WHEN sqrt(${dotSql("embedding", "embedding")}) * nc = 0 THEN NULL
+       |      ELSE round(s / (sqrt(${dotSql("embedding", "embedding")}) * nc), 6) END AS proto
+       |  FROM asg JOIN cn USING (cell))
+       |SELECT vec_id, cell, proto, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT vec_id, cell, proto,
+       |    row_number() OVER (PARTITION BY cell ORDER BY proto ASC NULLS LAST, vec_id ASC) AS rn
+       |  FROM pr) WHERE rn <= 20""".stripMargin
   }
 
   /** q_ivf_refined_topk re-derived end-to-end: the bootstrap centroids, two

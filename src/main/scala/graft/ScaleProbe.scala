@@ -168,7 +168,8 @@ object ScaleProbe {
     // the A/B behind adopting session_window as the recommended form)
     if (inSection("r10b"))
       for (q <- Seq("q_drop_contained", "q_lm_perplexity",
-          "q_sessionize", "q_sessionize_native")) {
+          "q_sessionize", "q_sessionize_native",
+          "q_proto_prune", "q_stream_ivf_index")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }

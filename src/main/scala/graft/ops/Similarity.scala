@@ -371,6 +371,63 @@ object Similarity {
     ivfSearch(cents, cb, probes, k, nProbe, idCol, embCol)
   }
 
+  /** Prototypicality-based dataset PRUNING (Sorscher et al. 2022, "Beyond
+    * neural scaling laws": rank every example by its cosine to its
+    * cluster's centroid — prototypical/"easy" = close, "hard" = far — and
+    * keep a per-cluster quota; with abundant data keeping the HARDEST
+    * examples beats random pruning). The cluster structure is the IVF
+    * machinery verbatim: the deterministic [[centroidBootstrap]] cells and
+    * the search's own argmax assignment, so the oracle replays it with the
+    * established centroid CTEs.
+    *
+    * Per-cell quotas (vs a global top-k) are the point at scale: a global
+    * hardness cut empties dense clusters' neighborhoods unevenly, while
+    * per-cell ranking preserves coverage of every region of the embedding
+    * space — and it parallelizes as one window over a cell-keyed shuffle.
+    *
+    * The assignment dot product is reused as the cosine numerator
+    * (centroid norms fold in as ≤ nLists literals; vector norms are one
+    * in-plan dot), so pruning adds nothing corpus-sized beyond the
+    * assignment pass every IVF build already pays. Zero-norm vectors get a
+    * NULL score and rank LAST under either ordering (null ordering pinned
+    * cross-engine); null/empty embeddings are dropped up front (the
+    * [[kmeansIter]] convention). Output: (idCol, cell, proto, rn) for the
+    * ≤ perCell survivors of each cell — anti/semi-join back by id to
+    * materialize the pruned corpus. */
+  def prototypicalityPrune(
+      corpus: DataFrame,
+      nLists: Int = 16,
+      perCell: Int = 20,
+      keepHardest: Boolean = true,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    val dp = dotFn(spark)
+    val cents = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val cs = cellScores(cents, dp) _
+    // ≤ nLists centroid norms as an array literal indexed by cell id; the
+    // driver-side left-fold sum matches dotSql's list_reduce order
+    val normLits = array(cents.map { case (_, c) =>
+      lit(math.sqrt(c.map(x => x * x).sum)) }.toIndexedSeq: _*)
+    val ord =
+      if (keepHardest) col("proto").asc_nulls_last else col("proto").desc_nulls_last
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(ord, col(idCol).asc)
+    corpus
+      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol), array_max(cs(col(embCol))).as("__sc"),
+        sqrt(dp(col(embCol), col(embCol))).as("__nv"))
+      .select(col(idCol), col("__sc.c").as("cell"), col("__sc.s").as("__s"), col("__nv"))
+      .withColumn("__ncl", element_at(normLits, col("cell") + 1))
+      .withColumn("proto",
+        when(col("__nv") * col("__ncl") === 0, lit(null).cast("double"))
+          .otherwise(round(col("__s") / (col("__nv") * col("__ncl")), 6)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perCell)
+      .select(col(idCol), col("cell"), col("proto"), col("rn"))
+  }
+
   /** One distributed Lloyd (k-means) iteration over the embedding corpus:
     * assign every vector to its nearest centroid (same deterministic
     * lowest-id bootstrap as [[ivfTopK]] — the refinement loop a production

@@ -287,6 +287,57 @@ object OnlineRefresh {
       spark.read.parquet(s"$outPath/postings"),
       spark.read.parquet(s"$outPath/stats"))))
 
+  /** Streaming INCREMENTAL IVF index build — the embedding twin of
+    * [[buildBm25IndexStream]], completing the index-freshness story for
+    * both retrieval families: centroids are FIXED once (landed to
+    * `outPath/centroids` before the stream starts — the build-time
+    * artifact serving also reads), and each micro-batch of newly-landed
+    * vectors computes its own `batch=<id>` assignment shard with
+    * [[graft.ops.Similarity.ivfAssign]] — the per-row argmax against the
+    * SAME stored centroids the search folds in, so served lookups cannot
+    * drift from the monolithic build. Assignment has no cross-row terms,
+    * so micro-batches (which partition the vector set) union into exactly
+    * the monolithic assignment table no matter how the stream was
+    * batched — q_stream_ivf_index pins that against q_ivf_topk's own
+    * oracle. Exactly-once via the `batch=<id>` overwrite recipe; each
+    * batch re-reads the ≤ nLists centroid rows from the artifact
+    * (restart-safe — no driver state survives a resume anyway). */
+  def buildIvfIndexStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      centroids: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity
+          .ivfAssign(batch, spark.read.parquet(s"$outPath/centroids"), idCol, embCol)
+          .write.mode("overwrite").parquet(s"$outPath/assignments/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the artifact [[buildIvfIndexStream]] accumulates back as ONE
+    * served [[graft.ops.Similarity.IvfIndex]]: partition discovery unions
+    * the per-batch assignment shards; centroids read back as-landed. */
+  def readIvfIndex(spark: SparkSession, outPath: String): graft.ops.Similarity.IvfIndex =
+    graft.ops.Similarity.IvfIndex(
+      spark.read.parquet(s"$outPath/centroids"),
+      spark.read.parquet(s"$outPath/assignments"))
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -176,6 +176,28 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 5L)), "0 IS threshold-contained in shorter 5")
   }
 
+  test("prototypicalityPrune: per-cell hardness quota, orderings, zero-norm last") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),      // cell-0 centroid (proto 1.0)
+      (1L, Array(0f, 1f)),      // cell-1 centroid (proto 1.0)
+      (2L, Array(1f, 0.1f)),    // cell 0, near-prototypical
+      (3L, Array(0.5f, 0.45f)), // cell 0, hard (lowest cosine)
+      (4L, Array(0f, 0f))       // zero-norm: dot ties -> higher cell (1), null proto
+    ).toDF("vec_id", "embedding")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "rn").as[(Long, Int, Int)].collect()
+        .map(r => (r._2, r._3) -> r._1).toMap
+    val hard = ids(Similarity.prototypicalityPrune(emb, nLists = 2, perCell = 2))
+    assert(hard((0, 1)) == 3L && hard((0, 2)) == 2L,
+      "keepHardest ranks the farthest-from-centroid members first")
+    assert(hard((1, 1)) == 1L && hard((1, 2)) == 4L,
+      "zero-norm vector lands in the tie-break cell with a null proto ranked LAST")
+    val easy = ids(Similarity.prototypicalityPrune(emb, nLists = 2, perCell = 2,
+      keepHardest = false))
+    assert(easy((0, 1)) == 0L && easy((0, 2)) == 2L,
+      "keepHardest=false flips to most-prototypical-first")
+  }
+
   test("lmPerplexity: hand-computed add-1 bigram scores incl. every fallback rung") {
     // target "a b a b c": c2 = {(a,b):2, (b,a):1, (b,c):1}, c1 = {a:2, b:2}, V=3
     val target = Seq((100L, "a b a b c")).toDF("doc_id", "text")
