@@ -1024,9 +1024,17 @@ object Queries {
     * sf0.1 vs ~the sum of its stage queries cached). */
   private def pipelineFullQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val reps = Dedup.exactByDigest(docs).select("doc_id")
-    val exact = docs.join(reps, Seq("doc_id"), "left_semi")
-    val uncontained = Dedup.dropContained(exact, n = 3, threshold = 0.5)
+    // ONE kill step does both dedup stages: identical texts mutually
+    // contain at 1.0 with equal gram counts, so dropContained's
+    // equal-size lowest-id tie-break IS exact dedup, and its internals
+    // are already exact-dedup-first. A separate exactByDigest semi-join
+    // in front was A/B'd: its lineage recomputes per internal consumer
+    // (persisting it loses — see dropContained's scaladoc) and the
+    // composed stage measured 7.6 s qmin vs 6.5 s for this direct form at
+    // sf0.1. (Null-text corner: dropContained keeps ALL null-text docs —
+    // no grams, no pairs — where exactByDigest collapsed them to one;
+    // the pipeline contract assumes non-null text.)
+    val uncontained = Dedup.dropContained(docs, n = 3, threshold = 0.5)
     val stats = TextAnalysis.textStats(uncontained)
     val fuzzy = Dedup.dropNearDuplicates(stats, "quality_score")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2602,20 +2610,19 @@ object Queries {
       |         CAST(m AS INTEGER), CAST(d AS INTEGER)) AS DATE) END AS VARCHAR) AS parsed_date
       |FROM p""".stripMargin
 
-  /** The COMPLETE LLM-data path as one oracle: exact dedup (by text, ==
-    * the engine's digest grouping modulo xxhash collisions) → containment
-    * kill (the dc* CTEs: drop docs ≥ 0.5 3-gram-contained in a
-    * strictly-larger container, lowest-id tie-break) → simhash cluster
-    * dedup keeping the best-quality member (row_number over (quality
-    * DESC, id ASC) == the engine's max_by struct) → quality threshold →
-    * md5 split → the contamination gate's gram algebra over the surviving
-    * docs, train side gated at contamination ≤ 0.2, test side passed
-    * through with NULL contamination. */
+  /** The COMPLETE LLM-data path as one oracle: containment kill over the
+    * RAW corpus (the dc* CTEs: drop docs ≥ 0.5 3-gram-contained in a
+    * strictly-larger container, lowest-id tie-break — equal-size mutual
+    * 1.0-containment collapses exact duplicates to their min id, so this
+    * single stage replays BOTH dedup stages) → simhash cluster dedup
+    * keeping the best-quality member (row_number over (quality DESC, id
+    * ASC) == the engine's max_by struct) → quality threshold → md5 split
+    * → the contamination gate's gram algebra over the surviving docs,
+    * train side gated at contamination ≤ 0.2, test side passed through
+    * with NULL contamination. */
   private def pipelineFullOracle: String =
     s"""WITH RECURSIVE
-       |reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-       |d0 AS (SELECT documents.* FROM documents JOIN reps USING (doc_id)),
-       |dctk AS (SELECT doc_id, $toks AS t FROM d0),
+       |dctk AS (SELECT doc_id, $toks AS t FROM documents),
        |dcgl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM dctk),
        |dcg AS (SELECT doc_id, unnest(l) AS gram FROM dcgl),
@@ -2630,7 +2637,7 @@ object Queries {
        |  SELECT doc_b, doc_a, round(CAST(i AS DOUBLE) / CAST(nb AS DOUBLE), 6), nb, na FROM dcs),
        |dcx AS (SELECT DISTINCT doc_id FROM dcd WHERE containment >= 0.5
        |  AND (nc > nd OR (nc = nd AND container_id < doc_id))),
-       |d AS (SELECT d0.* FROM d0 WHERE doc_id NOT IN (SELECT doc_id FROM dcx)),
+       |d AS (SELECT documents.* FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dcx)),
        |${simhashPairsCtes(Some(50), "d")},
        |$closureCtes,
        |clusters AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id

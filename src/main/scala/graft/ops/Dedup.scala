@@ -1311,8 +1311,27 @@ object Dedup {
       maxNgramFreq: Option[Int] = None,
       maxNgramFreqFraction: Option[Double] = None
   ): DataFrame = {
-    val (memb, sizes, surviving, interSized) =
-      dedupedPairCore(docs, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    // The input lineage is consumed 4× (group mapping, rep gramming, the
+    // anti join, a cap's corpus count). Persisting it was A/B'd and LOSES:
+    // op-side persist 15.2 s / caller-side 8.4 s vs 7.6 s unpersisted for
+    // the composed pipeline stage at sf0.1 (and the window+semi-join input
+    // there recomputes in ~1.8 s — cache materialization of full text rows
+    // costs more than re-running it). Re-measure before "fixing" this.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = docs
+    val (memb0, sizes0, surviving, interSized0) =
+      dedupedPairCore(cached, textCol, idCol, n, maxNgramFreq, maxNgramFreqFraction)
+    // unlike the pair-list ops (2-3 consumers, runtime stage reuse), the
+    // drop step fans the core frames into FIVE+ consumers (both pair
+    // branches, two size joins, the anti-join key set) — unpersisted, the
+    // digest window and the candidate join re-derive per consumer (a
+    // measured 31-scan / 18-window plan, 7.7 s at sf0.1 vs 2.4 for the
+    // pair op). Persist at the fan-out points: memb is id-pair-width,
+    // sizes rep-count rows, interSized candidate-pair rows — all tiny
+    // relative to the gram streams they cut off.
+    val memb = memb0.persist(lvl)
+    val sizes = sizes0.persist(lvl)
+    val interSized = interSized0.persist(lvl)
     val pairs =
       containedDirectedPairs(memb, sizes, surviving, interSized, idCol, threshold)
     // member-level gram counts: every member shares its representative's
@@ -1327,7 +1346,7 @@ object Dedup {
       .where(col("__nc") > col("__nd") ||
         (col("__nc") === col("__nd") && col("container_id") < col(idCol)))
       .select(col(idCol)).distinct()
-    docs.join(dropped, Seq(idCol), "left_anti")
+    cached.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Asymmetric n-gram CONTAINMENT — the quote-inclusion/subset detector
