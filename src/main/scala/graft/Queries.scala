@@ -458,6 +458,33 @@ object Queries {
         emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
     })
 
+  /** Streaming KMV cardinality under the hard oracle: documents stream in
+    * as four micro-batches, each landing a partial per-source sketch
+    * ([[graft.streaming.OnlineRefresh.buildKmvSketchStream]]); the
+    * merge-fold read + estimate must hash-match q_distinct_kmv's OWN
+    * oracle — KMV merge tolerates OVERLAP (hash union dedups), so no
+    * disjointness argument is even needed, unlike the index twins. */
+  private def streamKmv(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_kmv:$dir", s), { _ =>
+      val src = scratchDir("graft_skmv_src")
+      val out = scratchDir("graft_skmv_out")
+      val ck = scratchDir("graft_skmv_ck")
+      val docs = t(s, dir, "documents")
+      docs.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildKmvSketchStream(s, src.toString, schema,
+        out.toString, ck.toString, "source", "text", k = 16, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val est = Sketches.kmvEstimate(
+        streaming.OnlineRefresh.readKmvSketch(s, out.toString, "source", k = 16),
+        "source", k = 16)
+      val exact = docs.groupBy(col("source")).agg(countDistinct(col("text")).as("n_exact"))
+      est.join(exact, Seq("source"))
+        .withColumn("err_pct",
+          round(abs(col("est_distinct") - col("n_exact").cast("double"))
+            / col("n_exact").cast("double") * 100.0, 2))
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1059,6 +1086,20 @@ object Queries {
     Dedup.dropNearDuplicates(TextAnalysis.textStats(t(s, dir, "documents")), "quality_score")
       .select(col("doc_id"), col("quality_score"))
 
+  /** INCREMENTAL dedup ([[graft.ops.Dedup.dedupAgainst]]): the odd-id
+    * half of documents lands as a "new shard" and is cleaned against the
+    * even-id half as the standing corpus — exact digest anti-join,
+    * within-shard exact collapse, then the simhash64 block-candidate
+    * cross join (Hamming ≤ 3, existing-side hot-block cap 50). The
+    * oracle replays all three stages incl. the Poly64 fingerprints. */
+  private def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.dedupAgainst(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1))
+      .select("doc_id", "source", "n_chars")
+  }
+
   /** Source-vs-source content overlap via MinHash-union sketch aggregate
     * (portable hash family → oracle-checked). */
   private def sourceOverlap(s: SparkSession, dir: String): DataFrame =
@@ -1509,7 +1550,7 @@ object Queries {
     * stream). */
   val memoizedQueries: Set[String] =
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
-      "q_stream_ivf_index")
+      "q_stream_ivf_index", "q_stream_kmv")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -1661,6 +1702,7 @@ object Queries {
     "q_stream_pit" -> (streamPit _),
     "q_stream_bm25_index" -> (streamBm25Index _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
+    "q_stream_kmv" -> (streamKmv _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -1713,6 +1755,7 @@ object Queries {
     "q_pipeline" -> (pipelineQ _),
     "q_pipeline_full" -> (pipelineFullQ _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_dedup_incremental" -> (dedupIncrementalQ _),
     "q_chunk_dedup" -> (chunkDedupQ _),
     "q_token_pack" -> (tokenPackQ _),
     "q_shard_assign" -> (shardAssignQ _),
@@ -1932,6 +1975,7 @@ object Queries {
     // batching cannot leak into the served scores (disjoint-merge algebra)
     "q_stream_bm25_index" -> bm25Oracle,
     "q_stream_ivf_index" -> ivfOracle,
+    "q_stream_kmv" -> distinctKmvOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
@@ -2238,6 +2282,7 @@ object Queries {
     "q_pipeline" -> pipelineOracle,
     "q_pipeline_full" -> pipelineFullOracle,
     "q_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_dedup_incremental" -> dedupIncrementalOracle,
     "q_date_in_text" -> dateInTextOracle,
     "q_neardup_clusters" -> neardupClustersOracle,
     "q_neardup_clusters_loop" -> neardupClustersOracle,
@@ -2512,6 +2557,30 @@ object Queries {
        |           THEN CAST(1 AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)),
        |    (acc, bit) -> acc * 2 + bit) AS u
        |  FROM th)""".stripMargin
+
+  /** Incremental-dedup replay: Poly64 fingerprints for the whole table
+    * (the fp CTE serves both halves), exact-vs-existing via
+    * null-safe text equality (== the digest anti join), within-shard
+    * min-id collapse, existing-side blocks capped at 50, Hamming-≤3
+    * candidate drop. */
+  private def dedupIncrementalOracle: String =
+    s"""WITH ${polyFpCte("documents")},
+       |ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |i1 AS (SELECT inc.* FROM inc WHERE NOT EXISTS (
+       |  SELECT 1 FROM ex WHERE ex.text IS NOT DISTINCT FROM inc.text)),
+       |i2 AS (SELECT * FROM i1
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |exb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM (
+       |  SELECT e.doc_id, f.u, unnest(range(0, 4)) AS bi FROM ex e JOIN fp f USING (doc_id))),
+       |exc AS (SELECT doc_id, u, bi, bv FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY bi, bv) AS df FROM exb) WHERE df <= 50),
+       |inb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM (
+       |  SELECT i.doc_id, f.u, unnest(range(0, 4)) AS bi FROM i2 i JOIN fp f USING (doc_id))),
+       |cand AS (SELECT DISTINCT i.doc_id FROM inb i JOIN exc x ON i.bi = x.bi AND i.bv = x.bv
+       |  WHERE bit_count(xor(i.u, x.u)) <= 3)
+       |SELECT doc_id, source, n_chars FROM i2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cand)""".stripMargin
 
   private def simhashGroupsOracle: String =
     s"""WITH ${polyFpCte()}

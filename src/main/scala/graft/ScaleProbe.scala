@@ -169,7 +169,8 @@ object ScaleProbe {
     if (inSection("r10b"))
       for (q <- Seq("q_drop_contained", "q_lm_perplexity",
           "q_sessionize", "q_sessionize_native",
-          "q_proto_prune", "q_stream_ivf_index")) {
+          "q_proto_prune", "q_stream_ivf_index",
+          "q_dedup_incremental", "q_stream_kmv")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }

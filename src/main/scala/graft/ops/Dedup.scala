@@ -558,6 +558,81 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
+  /** INCREMENTAL dedup: clean a newly-landed shard against the STANDING
+    * already-deduped corpus — the ingestion-time shape at 100 TB (per-day
+    * shards land continuously; yesterday's corpus was already deduped, so
+    * re-running corpus×corpus work per shard is the thing to avoid; the
+    * fuzzy generalization of the reference's per-key overwrite-on-rewrite
+    * ingest, load.py:139-148). Three stages, each the cross-corpus form
+    * of a standing operator:
+    *
+    *   1. exact-vs-existing — drop incoming docs whose text digest occurs
+    *      anywhere in `existing` (8-byte xxhash64 anti join; the existing
+    *      side collapses to distinct digests with map-side partials);
+    *   2. exact-within-shard — keep the min-id representative per digest
+    *      (one window, the [[exactByDigest]] semantics);
+    *   3. fuzzy-vs-existing — simhash64 block-candidate join of the
+    *      survivors against the existing fingerprints, dropping incoming
+    *      docs within Hamming ≤ nBlocks−1 of ANY existing doc (the
+    *      [[simhashNearDup64]] machinery in cross-corpus form;
+    *      `maxBlockFreq` caps hot blocks on the EXISTING side, where the
+    *      frequency skew lives).
+    *
+    * Existing contributes only digests and fingerprints (8 B/row streams,
+    * both rebuildable from a materialized fingerprint column at zero
+    * cost); there is NO existing×existing work, and the shard-side cost
+    * is a within-shard dedup's. Fuzzy pairs WITHIN the shard are
+    * deliberately out of scope — compose with
+    * [[simhashNearDup64Deduped]]/[[dropNearDuplicates]] over the shard
+    * when that matters (a daily shard is usually small enough to pay it).
+    *
+    * Null-text docs carry the digest-of-null convention: if `existing`
+    * has one, every incoming null-text doc drops in stage 1; otherwise
+    * stage 2 keeps exactly one. Fingerprints coalesce null to 0 (the
+    * empty-doc fingerprint, [[simhashNearDup64]]'s contract).
+    *
+    * Output: the surviving incoming rows, all columns intact. */
+  def dedupAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBlocks: Int = 4,
+      maxBlockFreq: Option[Int] = Some(50)
+  ): DataFrame = {
+    require(nBlocks > 1 && 64 % nBlocks == 0, "nBlocks must divide 64")
+    val width = 64 / nBlocks
+    val blockMask = (1L << width) - 1
+    val s = incoming.sparkSession
+    val exDig = existing.select(xxhash64(col(textCol)).as("__dg")).distinct()
+    val in1 = incoming.withColumn("__dg", xxhash64(col(textCol)))
+      .join(exDig, Seq("__dg"), "left_anti")
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
+    val in2 = in1.withColumn("__m", min(col(idCol)).over(wd))
+      .where(col(idCol) === col("__m")).drop("__m", "__dg")
+    def blocked(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+          coalesce(simhash64Of(s)(col(textCol)), lit(0L)).as("fp"))
+        .select(col("id"), col("fp"),
+          explode(array((0 until nBlocks).map(i =>
+            struct(lit(i).as("bi"),
+              shiftrightunsigned(col("fp"), 64 - width * (i + 1))
+                .bitwiseAND(lit(blockMask)).as("bv"))): _*)).as("b"))
+        .select(col("fp"), col("b.bi").as("bi"), col("b.bv").as("bv"), col("id"))
+    val exB0 = blocked(existing)
+    val exB = maxBlockFreq match {
+      case Some(m) =>
+        val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("bi"), col("bv"))
+        exB0.withColumn("__df", count(lit(1)).over(wb)).where(col("__df") <= m).drop("__df")
+      case None => exB0
+    }
+    val dropped = blocked(in2)
+      .join(exB.select(col("fp").as("__fpe"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .where(bit_count(col("fp").bitwiseXOR(col("__fpe"))).cast("int") <= nBlocks - 1)
+      .select(col("id").as(idCol)).distinct()
+    in2.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** [[simhashNearDup64]] with the exact-dedup-FIRST ordering built in —
     * the simhash twin of [[ngramJaccardDeduped]], closing the same measured
     * scale corner (candidate blowup quadratic in the duplication factor;

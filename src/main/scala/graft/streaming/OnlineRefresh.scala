@@ -338,6 +338,49 @@ object OnlineRefresh {
       spark.read.parquet(s"$outPath/centroids"),
       spark.read.parquet(s"$outPath/assignments"))
 
+  /** Streaming KMV sketch accumulation — the sketch-family member of the
+    * incremental-build trio (BM25 postings, IVF assignments, and now
+    * cardinality): each micro-batch lands its own partial
+    * [[graft.ops.Sketches.kmvSketch]] (≤ k longs per group per batch) and
+    * [[readKmvSketch]] merge-folds the artifact at read time. Unlike the
+    * index builds, KMV needs NO disjointness precondition at all:
+    * min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)) holds for OVERLAPPING
+    * sides too (the merge dedups hashes), so even an at-least-once replay
+    * of a whole batch cannot perturb the estimate — the `batch=<id>`
+    * overwrite is kept anyway to bound artifact growth. */
+  def buildKmvSketchStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      groupCol: String,
+      valueCol: String,
+      k: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.kmvSketch(batch, groupCol, org.apache.spark.sql.functions.col(valueCol), k)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Merge-fold the accumulated per-batch sketches back into one sketch
+    * frame per group (still ≤ k hashes each) — feed to
+    * [[graft.ops.Sketches.kmvEstimate]]. */
+  def readKmvSketch(spark: SparkSession, outPath: String, groupCol: String,
+      k: Int = 16): DataFrame =
+    graft.ops.Sketches.kmvMerge(spark.read.parquet(outPath), groupCol, k)
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

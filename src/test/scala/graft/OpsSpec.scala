@@ -176,6 +176,25 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 5L)), "0 IS threshold-contained in shorter 5")
   }
 
+  test("dedupAgainst: exact-vs-existing, within-shard collapse, fuzzy-vs-existing") {
+    val existing = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different text here now")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta gamma delta epsilon"),       // exact dup of existing -> stage 1
+      (13L, "new unique content in this shard"),     // survives
+      (15L, "new unique content in this shard"),     // within-shard dup -> stage 2
+      // repeated token: different TEXT than existing 0 (digest differs) but the
+      // same distinct-token set => identical simhash, Hamming 0 -> stage 3
+      (17L, "alpha alpha beta gamma delta epsilon"),
+      (19L, "zzz qqq www eee rrr")                   // survives
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainst(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(13L, 19L))
+  }
+
   test("prototypicalityPrune: per-cell hardness quota, orderings, zero-norm last") {
     val emb = Seq(
       (0L, Array(1f, 0f)),      // cell-0 centroid (proto 1.0)
