@@ -1400,6 +1400,54 @@ object Queries {
           / col("n_exact").cast("double") * 100.0, 2))
   }
 
+  /** Mergeable per-source quantile sketch (bottom-k-by-md5-priority row
+    * sample) under the hard signal: sketch → estimate, joined with the
+    * exact percentiles so the sample error is VISIBLE in the output (and
+    * recomputed identically by the oracle — the q_distinct_kmv exact-twin
+    * convention). k=16 over ~25 docs/source at sf0.01 exercises the
+    * REAL sampling path (n_seen saturates at k), not just the exact one. */
+  private def quantileSketchQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val est = Sketches.quantileEstimate(
+      Sketches.quantileSketch(docs, "source", col("doc_id"), col("n_chars"), k = 16),
+      "source", Seq(0.5 -> "p50", 0.9 -> "p90"))
+    quantileExactJoin(docs, est)
+  }
+
+  /** Shared exact-percentile twin + error surface of the quantile-sketch
+    * queries. Guarded division (ANSI mode; n_chars is positive in this
+    * corpus but the guard is the contract). */
+  private def quantileExactJoin(docs: DataFrame, est: DataFrame): DataFrame = {
+    val exact = docs.where(col("n_chars").isNotNull).groupBy(col("source"))
+      .agg(round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 4).as("p90_exact"))
+    est.join(exact, Seq("source"))
+      .withColumn("err_p90_pct",
+        when(col("p90_exact") === 0d, lit(null).cast("double"))
+          .otherwise(round(abs(col("p90") - col("p90_exact"))
+            / col("p90_exact") * 100.0, 2)))
+  }
+
+  /** The sketch's 100 TB deployment shape, pinned end-to-end: one partial
+    * sketch per half of the corpus (≤ k rows each), parquet round-trip,
+    * [[graft.ops.Sketches.quantileMerge]], estimate — hash-matched against
+    * q_quantile_sketch's OWN oracle, so merge(sketch(parts)) ≡
+    * sketch(whole) is checked by the driver, not claimed. */
+  private def quantileSketchMergedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val parts = Sketches.quantileSketch(docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "source", col("doc_id"), col("n_chars"), k = 16)
+      .unionByName(Sketches.quantileSketch(docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "source", col("doc_id"), col("n_chars"), k = 16))
+    val base = scratchDir("graft_qsk_")
+    val partsPath = base.resolve("sketches").toString
+    parts.write.mode("overwrite").parquet(partsPath)
+    val est = Sketches.quantileEstimate(
+      Sketches.quantileMerge(s.read.parquet(partsPath), "source", k = 16),
+      "source", Seq(0.5 -> "p50", 0.9 -> "p90"))
+    quantileExactJoin(docs, est)
+  }
+
   /** Temperature-weighted source mixing ([[graft.ops.Sampling
     * .temperatureMix]]): deterministic √n down-sampling toward ~300 kept
     * rows; the oracle replays the integer-pinned keep predicate row by
@@ -1761,6 +1809,8 @@ object Queries {
     "q_shard_assign" -> (shardAssignQ _),
     "q_distinct_kmv" -> (distinctKmvQ _),
     "q_distinct_kmv_merged" -> (distinctKmvMergedQ _),
+    "q_quantile_sketch" -> (quantileSketchQ _),
+    "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
@@ -2326,6 +2376,8 @@ object Queries {
          |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
          |FROM f""".stripMargin,
     "q_distinct_kmv" -> distinctKmvOracle,
+    "q_quantile_sketch" -> quantileSketchOracle,
+    "q_quantile_sketch_merged" -> quantileSketchOracle,
     // split-sketch-merge path vs the SAME oracle: pins min-k(A ∪ B) =
     // min-k(min-k(A) ∪ min-k(B)) — mergeability as a checked capability
     "q_distinct_kmv_merged" -> distinctKmvOracle,
@@ -2959,6 +3011,32 @@ object Queries {
        |x AS (SELECT source, count(DISTINCT text) AS n_exact FROM documents GROUP BY source)
        |SELECT e.source, n_seen, est_distinct, n_exact,
        |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
+       |FROM e JOIN x ON e.source = x.source""".stripMargin
+
+  /** Quantile sketch replayed end-to-end: the md5-60 row priority over
+    * doc_id, the per-source bottom-16 sample (pri-then-value order — the
+    * engine's collision tie-break), `quantile_cont` over the sampled
+    * values (== Spark `percentile`'s interpolation, the q_percentiles
+    * precedent), and the exact-percentile twin + guarded error column.
+    * Serves q_quantile_sketch AND q_quantile_sketch_merged: the merged
+    * form must reproduce the whole-corpus sample exactly (bottom-k of a
+    * union = bottom-k of the sides' bottom-ks), so one oracle pins both. */
+  private def quantileSketchOracle: String =
+    s"""WITH hx AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx,
+       |    CAST(n_chars AS DOUBLE) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       |pri AS (SELECT source, ${hexToLongSql("hx")} AS pri, v FROM hx),
+       |r AS (SELECT source, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri ASC, v ASC) AS rn FROM pri),
+       |e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
+       |    round(quantile_cont(v, 0.5), 4) AS p50, round(quantile_cont(v, 0.9), 4) AS p90
+       |  FROM r WHERE rn <= 16 GROUP BY source),
+       |x AS (SELECT source, round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
+       |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_exact
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source)
+       |SELECT e.source, n_seen, p50, p90, p50_exact, p90_exact,
+       |  CASE WHEN p90_exact = 0 THEN NULL
+       |    ELSE round(abs(p90 - p90_exact) / p90_exact * 100.0, 2) END AS err_p90_pct
        |FROM e JOIN x ON e.source = x.source""".stripMargin
 
   /** Temperature mixing replayed row by row: per-source counts, the

@@ -122,4 +122,94 @@ object Sketches {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     estimate(sketches.withColumnRenamed(sketchCol, "kmv"), groupCol, k)
   }
+
+  // ------------------------------------------------------ quantile sketch
+  // The third mergeable sketch family (after KMV cardinality and the
+  // sharded/streamed retrieval indexes): per-group QUANTILES from a
+  // bottom-k-by-hash-priority row sample. Assigning every row the uniform
+  // priority md5_60(key) and keeping the k smallest priorities per group
+  // is a simple random sample of k rows without replacement — and, like
+  // KMV, it is EXACTLY mergeable: every one of the k smallest priorities
+  // of a union is among the k smallest of its own side, so
+  // bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)). Unlike
+  // t-digest/KLL (whose buffers are engine-private and merge-order-
+  // dependent), the sample is DETERMINISTIC given unique keys, so the
+  // DuckDB oracle replays sketch → merge → estimate bit-for-bit.
+  // Accuracy: quantile-space error ~ 1/sqrt(k) (Dvoretzky–Kiefer–
+  // Wolfowitz over a k-sample); n_seen < k ⇒ the sample IS the group and
+  // every quantile is exact.
+
+  /** PARTIAL quantile sketch per group: the k rows with the smallest
+    * md5-60 priorities, as a priority-ascending array of (pri, v) structs
+    * — one materializable row per group per shard/day, ≤ k entries each;
+    * [[quantileMerge]] folds any subset at read time. The merge dedups on
+    * the (pri, v) pair, so OVERLAPPING partials (the same row sketched on
+    * two sides, e.g. an at-least-once replay) cannot double-count — the
+    * KMV overlap-tolerance argument verbatim.
+    *
+    * PRECONDITION: `keyCol` unique per row (the [[Sampling.weightedSample]]
+    * / hashSplit contract): duplicate keys draw identical priorities, and
+    * which duplicate's VALUE survives the k-boundary would be partition-
+    * order dependent. Ties on (pri, v) are harmless — the pair itself is
+    * the sample unit. NULL values carry no mass (quantile-over-non-null,
+    * the `quantile_cont`/`percentile` convention); NULL keys are dropped
+    * with them. */
+  def quantileSketch(df: DataFrame, groupCol: String, keyCol: Column,
+      valueCol: Column, k: Int = 16): DataFrame = {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    bottomK(
+      df.where(valueCol.isNotNull && keyCol.isNotNull)
+        .select(col(groupCol), md5Long60(keyCol).as("__pri"),
+          valueCol.cast("double").as("__v")),
+      groupCol, k)
+  }
+
+  /** Keep the k (pri, v) pairs with the smallest priorities per group —
+    * shared tail of [[quantileSketch]] and [[quantileMerge]]. The v
+    * tie-break makes the k-boundary deterministic even under md5-60
+    * priority collisions (possible only across groups' shared values or
+    * duplicate keys; harmless either way because the PAIR is the unit). */
+  private def bottomK(rows: DataFrame, groupCol: String, k: Int): DataFrame =
+    rows.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("__pri").asc, col("__v").asc)))
+      .where(col("__rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(col("__pri").as("pri"),
+        col("__v").as("v")))).as("qsk"))
+
+  /** Merge partial quantile sketches (any number per group, overlap
+    * allowed): explode, dedup the (pri, v) pairs, re-keep the k smallest.
+    * Shuffles ≤ m·k rows per group for m partials — never corpus-sized —
+    * and the result is again a valid sketch, so merges compose
+    * (shard → day → corpus rollups). estimate(merge(sketch(parts))) ≡
+    * estimate(sketch(whole)) exactly, for any cover of the input rows. */
+  def quantileMerge(sketches: DataFrame, groupCol: String, k: Int = 16,
+      sketchCol: String = "qsk"): DataFrame = {
+    require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    bottomK(
+      sketches.select(col(groupCol), explode(col(sketchCol)).as("__e"))
+        .select(col(groupCol), col("__e.pri").as("__pri"), col("__e.v").as("__v"))
+        .distinct(),
+      groupCol, k)
+  }
+
+  /** Quantiles of the sampled values: `percentile`'s linear interpolation
+    * (the exact arithmetic DuckDB spells `quantile_cont` — the
+    * q_percentiles cross-engine precedent), rounded to 4 dp. n_seen < k ⇒
+    * the sample is the whole group and the estimates are the exact
+    * quantiles. Output: (groupCol, n_seen, one column per requested
+    * (probability, name)). */
+  def quantileEstimate(sketches: DataFrame, groupCol: String,
+      probs: Seq[(Double, String)] = Seq(0.5 -> "p50", 0.9 -> "p90"),
+      sketchCol: String = "qsk"): DataFrame = {
+    require(probs.nonEmpty, "quantileEstimate needs at least one probability")
+    sketches.select(col(groupCol), explode(col(sketchCol)).as("__e"))
+      .select(col(groupCol), col("__e.v").as("__v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_seen"),
+        probs.map { case (p, name) =>
+          round(expr(s"percentile(__v, $p)"), 4).as(name)
+        }: _*)
+  }
 }

@@ -854,6 +854,56 @@ class OpsSpec extends SparkSpec {
       "two-level rollup diverged")
   }
 
+  test("quantileSketch: exact below k, merge ≡ whole across splits incl. overlap, nulls ignored") {
+    import graft.ops.Sketches
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Double, Double)].collect().sorted.toSeq
+    def est(sk: org.apache.spark.sql.DataFrame) =
+      canon(Sketches.quantileEstimate(sk, "source", Seq(0.5 -> "p50", 0.9 -> "p90")))
+    // below k: the sample IS the group, so estimates are the exact quantiles
+    val exact = d.where(col("n_chars").isNotNull).groupBy("source")
+      .agg(round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4).as("p50"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 4).as("p90"))
+      .as[(String, Double, Double)].collect()
+      .map { case (s, a, b) => s -> ((a, b)) }.toMap
+    est(Sketches.quantileSketch(d, "source", col("doc_id"), col("n_chars"), k = 64))
+      .foreach { case (src, _, p50, p90) =>
+        assert((p50, p90) == exact(src), s"$src exact path broke") }
+    // merge exactness: bottom-k(union) == bottom-k(sides' bottom-ks), for
+    // parity / skewed / 3-way / OVERLAPPING covers (the same row sketched
+    // twice dedups on its (pri, v) pair), plus a two-level rollup
+    val whole = est(Sketches.quantileSketch(d, "source", col("doc_id"), col("n_chars"), k = 16))
+    val splits: Seq[Seq[org.apache.spark.sql.DataFrame]] = Seq(
+      Seq(d.where(pmod(col("doc_id"), lit(2)) === 0), d.where(pmod(col("doc_id"), lit(2)) === 1)),
+      Seq(d.where(pmod(col("doc_id"), lit(10)) === 0), d.where(pmod(col("doc_id"), lit(10)) =!= 0)),
+      Seq(d.where(pmod(col("doc_id"), lit(3)) === 0), d.where(pmod(col("doc_id"), lit(3)) === 1),
+        d.where(pmod(col("doc_id"), lit(3)) === 2)),
+      Seq(d.where(col("doc_id") < 400), d.where(col("doc_id") >= 200)) // overlap
+    )
+    for ((parts, i) <- splits.zipWithIndex) {
+      val sk = parts.map(Sketches.quantileSketch(_, "source", col("doc_id"), col("n_chars"), k = 16))
+        .reduce(_ unionByName _)
+      assert(est(Sketches.quantileMerge(sk, "source", k = 16)) == whole,
+        s"split #$i: merged quantiles diverged from the whole")
+    }
+    val abc = splits(2).map(Sketches.quantileSketch(_, "source", col("doc_id"), col("n_chars"), k = 16))
+    val rolled = Sketches.quantileMerge(
+      Sketches.quantileMerge(abc(0).unionByName(abc(1)), "source", k = 16).unionByName(abc(2)),
+      "source", k = 16)
+    assert(est(rolled) == whole, "two-level quantile rollup diverged")
+    // null values carry no mass; null keys drop with them
+    val withNulls = Seq(("a", Some(1L), Some(10L)), ("a", Some(2L), None),
+      ("a", Some(3L), Some(30L)), ("a", None, Some(99L)), ("b", Some(4L), None))
+      .toDF("g", "k", "v")
+    val got = Sketches.quantileEstimate(
+      Sketches.quantileSketch(withNulls, "g", col("k"), col("v"), k = 4), "g",
+      Seq(0.5 -> "p50"))
+      .as[(String, Long, Double)].collect().toList
+    assert(got == List(("a", 2L, 20.0)), s"null handling broke: $got")
+  }
+
   test("temperatureMix: deterministic, hits the target, sqrt-weights favor small sources") {
     import graft.ops.Sampling
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
