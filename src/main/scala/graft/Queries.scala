@@ -485,6 +485,47 @@ object Queries {
             / col("n_exact").cast("double") * 100.0, 2))
     })
 
+  /** The INGESTION LOOP as a stream, under the hard oracle: four
+    * deterministic doc_id-mod-4 shards of the corpus arrive as four
+    * micro-batches (one file each, mtime-ordered so delivery order is
+    * pinned), and each batch lands only its
+    * [[graft.streaming.OnlineRefresh.dedupIncrementalStream]] survivors —
+    * cleaned against the accumulated survivors of all earlier batches,
+    * which the batch itself then extends. Order MATTERS here
+    * (first-arrival-wins), so the oracle replays the same four-stage
+    * sequential fold in chained CTEs: per stage, null-safe exact
+    * anti-join vs the standing union, within-shard min-id collapse, and
+    * the capped simhash block-candidate drop vs standing. The output
+    * carries each survivor's arrival batch — provenance the oracle
+    * re-derives as doc_id % 4. Built once per session (fixture memo; the
+    * checkpoint makes re-invocation a no-op resume). */
+  private def streamDedupIncremental(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_dedup_inc:$dir", s), { _ =>
+      val src = scratchDir("graft_sdinc_src")
+      val out = scratchDir("graft_sdinc_out")
+      val ck = scratchDir("graft_sdinc_ck")
+      val docs = t(s, dir, "documents")
+      // one file per shard, mtimes spaced 60 s apart: the file source
+      // delivers oldest-first, so batch i == shard i deterministically
+      for (i <- 0 until 4) {
+        val tmp = scratchDir(s"graft_sdinc_tmp$i")
+        docs.where(pmod(col("doc_id"), lit(4)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+        val dst = src.resolve(s"shard_$i.parquet")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.dedupIncrementalStream(s, src.toString, schema,
+        out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      s.read.parquet(s"$out/docs")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1598,7 +1639,7 @@ object Queries {
     * stream). */
   val memoizedQueries: Set[String] =
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
-      "q_stream_ivf_index", "q_stream_kmv")
+      "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -1751,6 +1792,7 @@ object Queries {
     "q_stream_bm25_index" -> (streamBm25Index _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
+    "q_stream_dedup_incremental" -> (streamDedupIncremental _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -2026,6 +2068,7 @@ object Queries {
     "q_stream_bm25_index" -> bm25Oracle,
     "q_stream_ivf_index" -> ivfOracle,
     "q_stream_kmv" -> distinctKmvOracle,
+    "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
@@ -2633,6 +2676,47 @@ object Queries {
        |  WHERE bit_count(xor(i.u, x.u)) <= 3)
        |SELECT doc_id, source, n_chars FROM i2
        |WHERE doc_id NOT IN (SELECT doc_id FROM cand)""".stripMargin
+
+  /** The streaming ingestion loop replayed as a SEQUENTIAL four-stage
+    * fold in chained CTEs — one stage per micro-batch, each the
+    * [[dedupIncrementalOracle]] machinery with the standing side = the
+    * union of all earlier stages' survivors (stage 0's standing is empty,
+    * so it reduces to the within-shard collapse). The shared fp CTE
+    * serves every stage; arrival batch re-derived as doc_id % 4. */
+  private def streamDedupIncrementalOracle: String = {
+    def blockedSql(relation: String, alias: String): String =
+      s"""$alias AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM (
+         |  SELECT r.doc_id, f.u, unnest(range(0, 4)) AS bi FROM $relation r JOIN fp f USING (doc_id)))""".stripMargin
+    val stages = (0 until 4).map { b =>
+      val shard = s"d$b AS (SELECT * FROM documents WHERE doc_id % 4 = $b)"
+      if (b == 0)
+        s"""$shard,
+           |s0 AS (SELECT * FROM d0
+           |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1)""".stripMargin
+      else {
+        val standing = (0 until b).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+        s"""$shard,
+           |st$b AS ($standing),
+           |i1_$b AS (SELECT d$b.* FROM d$b WHERE NOT EXISTS (
+           |  SELECT 1 FROM st$b WHERE st$b.text IS NOT DISTINCT FROM d$b.text)),
+           |i2_$b AS (SELECT * FROM i1_$b
+           |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+           |${blockedSql(s"st$b", s"exb_$b")},
+           |exc_$b AS (SELECT doc_id, u, bi, bv FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY bi, bv) AS df FROM exb_$b) WHERE df <= 50),
+           |${blockedSql(s"i2_$b", s"inb_$b")},
+           |cand_$b AS (SELECT DISTINCT i.doc_id FROM inb_$b i JOIN exc_$b x
+           |  ON i.bi = x.bi AND i.bv = x.bv
+           |  WHERE bit_count(xor(i.u, x.u)) <= 3),
+           |s$b AS (SELECT * FROM i2_$b
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM cand_$b))""".stripMargin
+      }
+    }
+    s"""WITH ${polyFpCte("documents")},
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, source, n_chars, CAST(doc_id % 4 AS INTEGER) AS batch
+       |FROM (${(0 until 4).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})""".stripMargin
+  }
 
   private def simhashGroupsOracle: String =
     s"""WITH ${polyFpCte()}

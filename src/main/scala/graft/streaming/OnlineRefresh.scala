@@ -381,6 +381,58 @@ object OnlineRefresh {
       k: Int = 16): DataFrame =
     graft.ops.Sketches.kmvMerge(spark.read.parquet(outPath), groupCol, k)
 
+  /** The ingestion loop RUN AS A STREAM: each micro-batch of newly-landed
+    * documents is cleaned against the standing corpus of all EARLIER
+    * batches' survivors with [[graft.ops.Dedup.dedupAgainst]] (digest
+    * anti-join → within-batch collapse → cross-corpus simhash candidate
+    * drop — the batch q_dedup_incremental operator, so semantics cannot
+    * drift), and its survivors land as the `batch=<id>` partition of the
+    * corpus — which IS the next batch's standing side. This is the shape
+    * a 100 TB corpus actually grows by: nothing existing×existing ever
+    * runs, each epoch pays one shard-vs-corpus pass, and the standing
+    * side contributes only digest + fingerprint streams (materialized
+    * columns of the corpus table in a real deployment).
+    *
+    * Unlike the index streams, the RESULT here depends on batch
+    * membership and order (first-arrival-wins); the caller must stage
+    * input files so delivery order is deterministic (the
+    * q_stream_dedup_incremental fixture lands one file per doc_id-mod-4
+    * shard with strictly increasing mtimes — the order the oracle
+    * replays). Exactly-once: the `batch=<id>` overwrite plus the
+    * `batch < batchId` standing filter make a replayed epoch idempotent —
+    * it can neither see its own previous output nor double-land it. */
+  def dedupIncrementalStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBlocks: Int = 4,
+      maxBlockFreq: Option[Int] = Some(50),
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/docs"))
+    val standingSchema = schema.add("batch", org.apache.spark.sql.types.LongType)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val standing = spark.read.schema(standingSchema).parquet(s"$outPath/docs")
+          .where(col("batch") < lit(batchId)).drop("batch")
+        graft.ops.Dedup
+          .dedupAgainst(standing, batch, textCol, idCol, nBlocks, maxBlockFreq)
+          .write.mode("overwrite").parquet(s"$outPath/docs/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -301,6 +301,50 @@ class StreamingSpec extends SparkSpec {
     assert(batches2 == 3, "resume from checkpoint must not re-build epochs")
   }
 
+  test("streaming incremental dedup: sequential fold vs standing corpus, resume is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sdinc").toString
+    // tiny corpus, shard = doc_id parity: a within-shard exact dup
+    // (2,12 — both even), a CROSS-shard exact dup (4 even, 1 odd — the
+    // standing-corpus kill), and unique rest
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "the quick brown fox"),
+      (3L, "unrelated text one"), (4L, "alpha beta gamma delta"),
+      (12L, "the quick brown fox"), (13L, "completely different words here")
+    ).toDF("doc_id", "text")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for (i <- 0 until 2) {
+      val part = Files.createTempDirectory("graft-sdinc-part").toString
+      docs.where(col("doc_id") % 2 === i).coalesce(1)
+        .write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // shard 0 (even ids 2, 4, 12): 12 dups 2 within-shard → survivors 2, 4
+    // shard 1 (odd ids 1, 3, 13): 1's text already stands as doc 4 → the
+    // digest anti-join kills it; survivors 3, 13
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.dedupIncrementalStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out/docs")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((2L, 0L), (3L, 1L), (4L, 0L), (13L, 1L)),
+      s"sequential fold broke: $got")
+    // resume from checkpoint: no re-delivery, no new partitions
+    val q2 = OnlineRefresh.dedupIncrementalStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val batches = new java.io.File(s"$tmp/out/docs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches == 2, "resume from checkpoint must not re-run epochs")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
