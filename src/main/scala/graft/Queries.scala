@@ -1243,6 +1243,65 @@ object Queries {
     * probes from it ([[graft.ops.Similarity.ivfTopKFromIndex]] — corpus-
     * side argmax never recomputed). Registered against q_ivf_topk's OWN
     * oracle: served ≡ direct ≡ DuckDB. */
+  /** The full retrieval deployment in ONE query: BOTH build artifacts
+    * (BM25 postings/stats, IVF centroids/assignments) land in parquet,
+    * and a hybrid lexical+vector answer is served entirely from them —
+    * reciprocal-rank fusion of [[graft.ops.TextAnalysis.bm25TopKFromIndex]]
+    * and [[graft.ops.Similarity.ivfTopKFromIndex]]. The corpus TEXT is
+    * never re-tokenized at serve time (only the ≤5 probe docs are read
+    * for their query text — a pushed doc_id<5 scan); the vector side
+    * reads embeddings only to fetch candidate payload vectors, the
+    * standard IVF shape. Probes 0-4 carry both modalities (doc_id ↔
+    * vec_id, the q_hybrid_rank correspondence).
+    *
+    * Self-hits: the IVF search excludes probe==corpus internally; the
+    * lexical side over-fetches k+1, drops self, and re-ranks — exact,
+    * because the top-21-with-self necessarily contains the top-20
+    * non-self under the same (score, id) order the re-rank uses. RRF
+    * treats a doc absent from one modality's top-20 as contributing
+    * nothing (full outer join + coalesce), the standard convention. */
+  private def hybridServedQ(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val base = scratchDir("graft_hybsrv_")
+    val bIx = TextAnalysis.bm25Index(docs)
+    bIx.postings.write.mode("overwrite").parquet(base.resolve("postings").toString)
+    bIx.stats.write.mode("overwrite").parquet(base.resolve("stats").toString)
+    val vIx = Similarity.ivfIndex(emb, nLists = 16)
+    vIx.centroids.write.mode("overwrite").parquet(base.resolve("centroids").toString)
+    vIx.assignments.write.mode("overwrite").parquet(base.resolve("assignments").toString)
+    val storedB = TextAnalysis.Bm25Index(
+      s.read.parquet(base.resolve("postings").toString),
+      s.read.parquet(base.resolve("stats").toString))
+    val storedV = Similarity.IvfIndex(
+      s.read.parquet(base.resolve("centroids").toString),
+      s.read.parquet(base.resolve("assignments").toString))
+    val queries = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("query"))
+    val lex = TextAnalysis.bm25TopKFromIndex(storedB, queries, k = 21)
+      .where(col("query_id") =!= col("doc_id"))
+      .withColumn("rn_b", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rn_b") <= 20)
+    val vec = Similarity.ivfTopKFromIndex(storedV, emb,
+      emb.where(col("vec_id") < 5), k = 20, nProbe = 4)
+    val fused = lex
+      .select(col("query_id").as("probe_id"), col("doc_id").as("corpus_id"), col("rn_b"))
+      .join(vec.select(col("probe_id"), col("corpus_id"), col("rn").as("rn_v")),
+        Seq("probe_id", "corpus_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("rn_b")), lit(0d))
+          + coalesce(lit(1.0) / (lit(60) + col("rn_v")), lit(0d)), 6))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("rrf").desc, col("corpus_id").asc)))
+      .where(col("rank") <= 5)
+      .select(col("probe_id"), col("corpus_id"), col("rrf"), col("rank"))
+  }
+
   private def ivfTopKServedQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val built = Similarity.ivfIndex(emb, nLists = 16)
@@ -1894,6 +1953,7 @@ object Queries {
     "q_kmeans_iter" -> (kmeansIterQ _),
     "q_train_split" -> (trainSplit _),
     "q_hybrid_rank" -> (hybridRank _),
+    "q_hybrid_served" -> (hybridServedQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_resize" -> (mediaResize _),
     "q_media_features" -> (mediaFeatures _),
@@ -2397,6 +2457,7 @@ object Queries {
     "q_ivf_refined_topk" -> ivfRefinedOracle,
     "q_kmeans_iter" -> kmeansOracle,
     "q_hybrid_rank" -> hybridOracle,
+    "q_hybrid_served" -> hybridServedOracle,
     "q_train_split" ->
       """SELECT doc_id, CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train' ELSE 'test' END AS split
         |FROM documents""".stripMargin,
@@ -3272,7 +3333,51 @@ object Queries {
     * the oracle recomputes the whole index in SQL: centroid bootstrap →
     * Voronoi cell argmax per corpus row → nProbe best cells per probe →
     * bucket-local cosine top-k. Mirrors ivfTopK(k=5, nLists=16, nProbe=4). */
-  private def ivfOracle: String = {
+  /** Hybrid-from-artifacts replay: the bm25Oracle machinery with the
+    * probe DOCS' own text as queries (tokenized with the same $toks the
+    * corpus side uses — the engine tokenizes queries identically), self
+    * excluded and ranked to 20; the IVF replay nested at depth 20; RRF
+    * with the absent-modality term coalesced to zero; top-5 per probe. */
+  private def hybridServedOracle: String =
+    s"""WITH q AS (SELECT doc_id AS query_id, text FROM documents WHERE doc_id < 5),
+       |qt AS (SELECT query_id, unnest(list_distinct($toks)) AS token FROM q),
+       |tk AS (SELECT doc_id AS doc, unnest($toks) AS token FROM documents WHERE text IS NOT NULL),
+       |tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT n, CASE WHEN n > 0 THEN CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END AS avgdl
+       |  FROM (SELECT (SELECT count(*) FROM documents) AS n,
+       |               (SELECT coalesce(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS sdl)),
+       |ptf AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)),
+       |idf AS (SELECT token, CAST(round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1) * 1000, 0) AS BIGINT) AS idf_m
+       |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY 1) CROSS JOIN stats),
+       |per AS (SELECT qt.query_id, ptf.doc,
+       |    CAST(round(idf_m * (CAST(tf AS DOUBLE) * (1.2 + 1)) /
+       |      (CAST(tf AS DOUBLE) + 1.2 * (1 - 0.75 +
+       |        CASE WHEN avgdl > 0 THEN 0.75 * CAST(dl AS DOUBLE) / avgdl ELSE 0 END)), 0) AS BIGINT) AS s_m
+       |  FROM ptf JOIN dl USING (doc) JOIN idf USING (token) JOIN qt USING (token) CROSS JOIN stats),
+       |sc AS (SELECT query_id, doc AS doc_id, CAST(sum(s_m) AS BIGINT) AS score_m FROM per GROUP BY 1, 2),
+       |lex AS (SELECT query_id, doc_id, rn_b FROM (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score_m DESC, doc_id ASC) AS rn_b
+       |  FROM sc WHERE doc_id <> query_id) WHERE rn_b <= 20),
+       |vec AS (SELECT probe_id, corpus_id, rn FROM (${ivfOracleWith(5, 20)})),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, v.probe_id) AS probe_id,
+       |    coalesce(l.doc_id, v.corpus_id) AS corpus_id,
+       |    round(coalesce(1.0 / (60 + l.rn_b), 0.0) + coalesce(1.0 / (60 + v.rn), 0.0), 6) AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.probe_id AND l.doc_id = v.corpus_id)
+       |SELECT probe_id, corpus_id, rrf, CAST(rank AS INTEGER) AS rank FROM (
+       |  SELECT probe_id, corpus_id, rrf,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, corpus_id ASC) AS rank
+       |  FROM fused) WHERE rank <= 5""".stripMargin
+
+  private def ivfOracle: String = ivfOracleWith(10, 5)
+
+  /** [[ivfOracle]] parameterized on the probe-id cutoff and k, so the
+    * hybrid fusion can embed the same replay with its own candidate
+    * depth (the q_ann_recall precedent of nesting a full WITH-chain as a
+    * parenthesized subquery). */
+  private def ivfOracleWith(probeMax: Int, k: Int): String = {
     val d = dotSql("e.embedding", "cent.cemb")
     s"""WITH cent AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
@@ -3284,7 +3389,7 @@ object Queries {
        |pcell AS (
        |  SELECT vec_id AS probe_id, embedding AS p_emb, c AS cell FROM (
        |    SELECT e.vec_id, e.embedding, cent.c, $d AS s
-       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent)
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < $probeMax) e CROSS JOIN cent)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
        |scored AS (
        |  SELECT probe_id, corpus_id,
@@ -3294,7 +3399,7 @@ object Queries {
        |SELECT probe_id, corpus_id, cosine, CAST(rn AS INTEGER) AS rn FROM (
        |  SELECT probe_id, corpus_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
-       |  FROM scored) WHERE rn <= 5""".stripMargin
+       |  FROM scored) WHERE rn <= $k""".stripMargin
   }
 
   /** Prototypicality-prune replay: bootstrap centroids, the search's

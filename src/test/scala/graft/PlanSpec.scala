@@ -298,6 +298,27 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Generate") == 1, "only the probe-side nProbe explode remains")
   }
 
+  test("q_hybrid_served: both modalities served from artifacts, corpus text scan is probe-only") {
+    val p = plan("q_hybrid_served")
+    // both round-tripped artifacts feed the plan
+    assert(p.contains("graft_hybsrv_"), "must serve from the landed index parquet")
+    // the ONLY documents.parquet scans are the ≤5 probe-text reads, with
+    // the probe predicate pushed to the reader — never a full-corpus
+    // re-tokenize (the lexical corpus side is the postings artifact).
+    // FormattedMode puts Location and PushedFilters on separate lines of
+    // a scan block, so pair each documents Location with the
+    // PushedFilters line that follows it.
+    val lines = p.split("\n")
+    val docScanFilters = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Location") && l.contains("documents.parquet") =>
+        lines.slice(i, i + 5).find(_.contains("PushedFilters")).getOrElse("")
+    }
+    assert(docScanFilters.nonEmpty, "probe text scan missing")
+    assert(docScanFilters.forall(_.contains("LessThan(doc_id,5)")),
+      s"corpus text scan without the probe pushdown:\n${docScanFilters.mkString("\n")}")
+    assert(nodes(p, "CartesianProduct") == 0)
+  }
+
   test("q_ngram_jaccard_deduped: digest pairwise core + group expansion, no cartesian") {
     val p = plan("q_ngram_jaccard_deduped")
     assert(p.contains("graft_grams") || p.contains("xxhash64"),
