@@ -485,6 +485,32 @@ object Queries {
             / col("n_exact").cast("double") * 100.0, 2))
     })
 
+  /** Streaming quantile-sketch accumulation under the hard oracle:
+    * documents stream in as four micro-batches, each landing a partial
+    * per-source bottom-k priority sample
+    * ([[graft.streaming.OnlineRefresh.buildQuantileSketchStream]]); the
+    * merge-fold read + estimate + exact twin must hash-match
+    * q_quantile_sketch's OWN oracle — bottom-k-by-priority merge
+    * tolerates OVERLAP (the (pri, v) pair dedup), so like q_stream_kmv
+    * no disjointness argument is needed. */
+  private def streamQuantile(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_qsk:$dir", s), { _ =>
+      val src = scratchDir("graft_sqsk_src")
+      val out = scratchDir("graft_sqsk_out")
+      val ck = scratchDir("graft_sqsk_ck")
+      val docs = t(s, dir, "documents")
+      docs.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildQuantileSketchStream(s, src.toString, schema,
+        out.toString, ck.toString, "source", "doc_id", "n_chars", k = 16,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      val est = Sketches.quantileEstimate(
+        streaming.OnlineRefresh.readQuantileSketch(s, out.toString, "source", k = 16),
+        "source", Seq(0.5 -> "p50", 0.9 -> "p90"))
+      quantileExactJoin(docs, est)
+    })
+
   /** The INGESTION LOOP as a stream, under the hard oracle: four
     * deterministic doc_id-mod-4 shards of the corpus arrive as four
     * micro-batches (one file each, mtime-ordered so delivery order is
@@ -1698,7 +1724,8 @@ object Queries {
     * stream). */
   val memoizedQueries: Set[String] =
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
-      "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental")
+      "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental",
+      "q_stream_quantile")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -1852,6 +1879,7 @@ object Queries {
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
+    "q_stream_quantile" -> (streamQuantile _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -2129,6 +2157,7 @@ object Queries {
     "q_stream_ivf_index" -> ivfOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
+    "q_stream_quantile" -> quantileSketchOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value

@@ -374,6 +374,49 @@ object OnlineRefresh {
       .start()
   }
 
+  /** Streaming QUANTILE sketch accumulation — completes the incremental-
+    * build quartet (BM25 postings, IVF assignments, KMV cardinality, and
+    * now quantiles): each micro-batch lands its own partial
+    * [[graft.ops.Sketches.quantileSketch]] (≤ k (pri, v) pairs per group
+    * per batch) and [[readQuantileSketch]] merge-folds the artifact at
+    * read time. Like KMV — and unlike the index builds — the merge needs
+    * NO disjointness: bottom-k by priority dedups the (pri, v) pairs, so
+    * an at-least-once replay of a whole batch cannot perturb the sample;
+    * the `batch=<id>` overwrite is kept to bound artifact growth. */
+  def buildQuantileSketchStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      groupCol: String,
+      keyCol: String,
+      valueCol: String,
+      k: Int = 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Sketches.quantileSketch(batch, groupCol, col(keyCol), col(valueCol), k)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Merge-fold the accumulated per-batch quantile sketches back into one
+    * sketch frame per group (still ≤ k pairs each) — feed to
+    * [[graft.ops.Sketches.quantileEstimate]]. */
+  def readQuantileSketch(spark: SparkSession, outPath: String, groupCol: String,
+      k: Int = 16): DataFrame =
+    graft.ops.Sketches.quantileMerge(spark.read.parquet(outPath), groupCol, k)
+
   /** Merge-fold the accumulated per-batch sketches back into one sketch
     * frame per group (still ≤ k hashes each) — feed to
     * [[graft.ops.Sketches.kmvEstimate]]. */
