@@ -1018,6 +1018,17 @@ object Queries {
       split.where(col("split") === "test"))
   }
 
+  /** The bloom-prefiltered twin, registered against q_contamination's OWN
+    * oracle: bloom false positives must be invisible (the exact semi-join
+    * confirms) and misses must be impossible (a present gram always
+    * passes its own probes) — output identity IS the check. */
+  private def contaminationBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+    Dedup.contaminationBloom(
+      split.where(col("split") === "train"),
+      split.where(col("split") === "test"))
+  }
+
   /** N-gram Jaccard with the stop-gram cap ON (maxNgramFreq=25): the
     * scale-safe form — candidate fan-out is bounded by document frequency,
     * pruning the Σdf² term (SCALE.md measured 2×). Oracle replicates the
@@ -1929,6 +1940,7 @@ object Queries {
     "q_ngram_jaccard_capped" -> (ngramJaccardCapped _),
     "q_ngram_jaccard_relcap" -> (ngramJaccardRelCap _),
     "q_contamination" -> (contaminationQ _),
+    "q_contamination_bloom" -> (contaminationBloomQ _),
     "q_pipeline" -> (pipelineQ _),
     "q_pipeline_full" -> (pipelineFullQ _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
@@ -2461,6 +2473,7 @@ object Queries {
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),
     "q_contamination" -> contaminationOracle,
+    "q_contamination_bloom" -> contaminationOracle,
     "q_pipeline" -> pipelineOracle,
     "q_pipeline_full" -> pipelineFullOracle,
     "q_dedup_keep_best" -> dedupKeepBestOracle,

@@ -790,6 +790,79 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** [[contamination]] with a LITERAL-BLOOM prefilter on the corpus gram
+    * stream — identical output (the exact semi-join still confirms every
+    * hit, so bloom false positives cannot leak into `n_hit`; misses only
+    * skip grams that cannot match), different 100 TB shape: the corpus
+    * side tests each gram digest against a broadcast-free bit-array
+    * LITERAL inside whole-stage codegen, so only true hits plus the FP
+    * rate ever reach the reference join's shuffle/probe — the runtime-
+    * filter pattern, spelled portably. The trade vs the one-pass direct
+    * form: one extra tokenize pass (n_grams is re-counted in its own
+    * id-keyed partial aggregate — no wide shuffle), bought back by the
+    * gram stream never carrying non-matching grams into the join; the
+    * direct form must present EVERY corpus gram to the probe.
+    *
+    * Geometry: m = next power of two ≥ |ref grams|·bitsPerGram (k=2
+    * probes: the digest's low bits and a re-avalanched xxhash64 of it —
+    * FP rate ≈ (2/bitsPerGram·ln2)² ≈ 0.8% at the default 16). The bit
+    * array lives in the PLAN as an array<long> literal (|ref|·2 bytes at
+    * the default — benchmark-sized references by contract, the same bound
+    * the reference-side collect of [[graft.ops.Similarity]] centroids
+    * rides); the guard caps it at 16 MiB. Probe positions are computed by
+    * the same Spark expressions on both the build collect and the test
+    * side, so there is no cross-implementation hash to keep in sync. */
+  def contaminationBloom(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      bitsPerGram: Int = 16
+  ): DataFrame = {
+    require(bitsPerGram >= 2, s"bitsPerGram must be >= 2, got $bitsPerGram")
+    val ga = gramDigestsOf(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), textCol, idCol, n)
+    val refGrams = explodedGrams(
+      reference.where(col(textCol).isNotNull)
+        .select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRef = refGrams.count()
+    var mBits = 64L
+    while (mBits < nRef * bitsPerGram) mBits <<= 1
+    require(mBits <= (1L << 27),
+      s"bloom of $mBits bits exceeds the 16 MiB plan-literal bound; " +
+        "shard the reference and union contamination reports instead")
+    val mask = lit(mBits - 1)
+    def p1(g: Column) = g.bitwiseAND(mask)
+    def p2(g: Column) = xxhash64(g).bitwiseAND(mask)
+    val positions = refGrams
+      .select(p1(col("gram")).as("a"), p2(col("gram")).as("b"))
+      .collect()
+    val bits = new Array[Long]((mBits / 64).toInt)
+    positions.foreach { r =>
+      Seq(r.getLong(0), r.getLong(1)).foreach(p =>
+        bits((p >>> 6).toInt) |= (1L << (p & 63).toInt))
+    }
+    val bitsLit = lit(bits)
+    def testBit(pos: Column): Column =
+      call_function("shiftrightunsigned",
+        element_at(bitsLit, shiftrightunsigned(pos, 6).cast("int") + 1),
+        pos.bitwiseAND(lit(63L)).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    val maybe = testBit(p1(col("gram"))) && testBit(p2(col("gram")))
+    val counts = ga.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val hits = ga.where(maybe)
+      .join(refGrams, Seq("gram"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hit"))
+    counts.join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 6).as("contamination"))
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"): score
     * every `raw` document by the log-likelihood ratio of its n-grams under

@@ -854,6 +854,23 @@ class OpsSpec extends SparkSpec {
       "two-level rollup diverged")
   }
 
+  test("contaminationBloom ≡ contamination, even with a deliberately lossy bloom") {
+    import graft.ops.{Dedup, Sampling}
+    val split = Sampling.hashSplit(
+      spark.read.parquet("/root/testdata/sf0.01/documents.parquet"), "doc_id")
+    val train = split.where(col("split") === "train")
+    val test = split.where(col("split") === "test")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long, Double)].collect().sorted.toSeq
+    val exact = canon(Dedup.contamination(train, test))
+    // default geometry (FP ~1%) and a deliberately lossy 2-bits-per-gram
+    // bloom (FP ~50%): the exact confirm must absorb EVERY false positive
+    assert(canon(Dedup.contaminationBloom(train, test)) == exact,
+      "bloom prefilter changed the contamination report")
+    assert(canon(Dedup.contaminationBloom(train, test, bitsPerGram = 2)) == exact,
+      "a lossy bloom must still be invisible behind the exact confirm")
+  }
+
   test("quantileSketch: exact below k, merge ≡ whole across splits incl. overlap, nulls ignored") {
     import graft.ops.Sketches
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")

@@ -319,6 +319,17 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0)
   }
 
+  test("q_contamination_bloom: literal bit-array probe filters grams before the reference join") {
+    val p = plan("q_contamination_bloom")
+    // the bloom probe is plan-literal bit arithmetic (element_at +
+    // unsigned shifts) — codegen-resident, no broadcast relation, and it
+    // sits on the corpus gram stream ahead of the exact semi-join confirm
+    assert(p.contains("shiftrightunsigned"), "bloom bit probe missing from the plan")
+    assert(nodes(p, "BroadcastHashJoin") + nodes(p, "SortMergeJoin") +
+      nodes(p, "ShuffledHashJoin") > 0, "the exact confirm join must remain")
+    assert(nodes(p, "CartesianProduct") == 0)
+  }
+
   test("q_ngram_jaccard_deduped: digest pairwise core + group expansion, no cartesian") {
     val p = plan("q_ngram_jaccard_deduped")
     assert(p.contains("graft_grams") || p.contains("xxhash64"),
