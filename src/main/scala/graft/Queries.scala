@@ -1630,6 +1630,21 @@ object Queries {
   private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35, nLists = 16)
 
+  /** SemDeDup served from the landed IVF artifact — the threshold-tuning
+    * loop's shape (re-runs skip the corpus argmax). Same oracle as
+    * q_semantic_dedup: served ≡ direct is driver-checked, not claimed. */
+  private def semanticDedupServedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val built = Similarity.ivfIndex(emb, nLists = 16)
+    val base = scratchDir("graft_semsrv_")
+    val cPath = base.resolve("centroids").toString
+    val aPath = base.resolve("assignments").toString
+    built.centroids.write.mode("overwrite").parquet(cPath)
+    built.assignments.write.mode("overwrite").parquet(aPath)
+    val stored = Similarity.IvfIndex(s.read.parquet(cPath), s.read.parquet(aPath))
+    Similarity.semanticDedupFromIndex(stored, emb, threshold = 0.35)
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of vector similarity and text
     * quality. Top-20 cosine candidates per probe re-rank within the
     * candidate set by quality (vec_id ↔ doc_id correspondence in the
@@ -1954,6 +1969,7 @@ object Queries {
     "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_semantic_dedup_served" -> (semanticDedupServedQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
     "q_quantize_int8" -> (quantizeInt8Q _),
     "q_inverted_index" -> (invertedIndexQ _),
@@ -2529,6 +2545,7 @@ object Queries {
     "q_distinct_kmv_merged" -> distinctKmvOracle,
     "q_source_mix" -> sourceMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_semantic_dedup_served" -> semanticDedupOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
     "q_inverted_index" ->

@@ -655,11 +655,19 @@ object Similarity {
     val cells = cellScores(centroids, dp) _
     val degen = corpus.where(degenerate).select(col(idCol), col(embCol),
       array_max(cells(col(embCol))).getField("c").as("cell"))
-    // three consumers (both pair sides + the survivor anti-join) — persist
-    // so the scan + collapse + assignment run once, not three times (the
-    // dropNearDuplicates precedent; ContextCleaner reclaims the blocks)
-    val asg = assigned.select(col(idCol), col(embCol), col("cell"))
-      .unionByName(degen)
+    semanticDropTail(
+      assigned.select(col(idCol), col(embCol), col("cell")).unionByName(degen),
+      dp, threshold, idCol, embCol)
+  }
+
+  /** Shared within-cell pair/drop tail of [[semanticDedup]] and
+    * [[semanticDedupFromIndex]]. Three consumers (both pair sides + the
+    * survivor anti-join) — persist so the upstream collapse + assignment
+    * run once, not three times (the dropNearDuplicates precedent;
+    * ContextCleaner reclaims the blocks). */
+  private def semanticDropTail(asgIn: DataFrame, dp: (Column, Column) => Column,
+      threshold: Double, idCol: String, embCol: String): DataFrame = {
+    val asg = asgIn
       .withColumn("__n", sqrt(dp(col(embCol), col(embCol))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = asg.select(col("cell"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
@@ -672,6 +680,32 @@ object Similarity {
         >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     asg.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
+  }
+
+  /** [[semanticDedup]] SERVED from a materialized [[IvfIndex]] — the
+    * build-once / serve-many split extended to the dedup family: the
+    * corpus-sized per-row argmax (the expensive half of a SemDeDup pass)
+    * comes from the stored assignment table instead of being recomputed,
+    * so a re-run after a threshold change — the common tuning loop — pays
+    * only the exact-collapse window and the within-cell pairs. Output is
+    * IDENTICAL to [[semanticDedup]] over the same corpus because the index
+    * build uses the search's exact argmax expression for every row,
+    * degenerate vectors included ([[ivfIndex]]'s cellScores path is
+    * bit-for-bit the direct form's degen assignment, and the broadcast-
+    * join max_by it replaces carries the same (s, c) tie-break) —
+    * q_semantic_dedup_served pins this against q_semantic_dedup's own
+    * oracle through a parquet round-trip of the index. */
+  def semanticDedupFromIndex(index: IvfIndex, corpus: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val degenerate = col(embCol).isNull || size(col(embCol)) === 0 ||
+      !exists(col(embCol), x => x =!= 0.0f)
+    val reps = corpus.where(!degenerate)
+      .groupBy(col(embCol)).agg(min(col(idCol)).as(idCol))
+    val asgIn = reps.select(col(idCol), col(embCol))
+      .unionByName(corpus.where(degenerate).select(col(idCol), col(embCol)))
+      .join(index.assignments.select(col(idCol), col("cell")), Seq(idCol))
+    semanticDropTail(asgIn, dp, threshold, idCol, embCol)
   }
 
   /** Per-vector symmetric int8 quantization — the storage-path operator for
