@@ -827,8 +827,19 @@ object Dedup {
       reference.where(col(textCol).isNotNull)
         .select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nRef = refGrams.count()
+    // ONE reference action collects each gram with its second hash
+    // pre-computed by the SAME Spark xxhash64 the test side evaluates —
+    // geometry (which needs the count first) masks on the driver, so no
+    // second pass and, deliberately, NO persist of refGrams: a persist
+    // here would substitute an InMemoryRelation into every OTHER query
+    // sharing the reference-gram lineage via the session cache (the
+    // direct contamination's pinned plan included). The semi-join below
+    // re-evaluates the benchmark-sized lineage once more — that is the
+    // cheap side by contract.
+    val collected = refGrams
+      .select(col("gram"), xxhash64(col("gram")).as("__h2"))
+      .collect()
+    val nRef = collected.length.toLong
     var mBits = 64L
     while (mBits < nRef * bitsPerGram) mBits <<= 1
     require(mBits <= (1L << 27),
@@ -837,12 +848,9 @@ object Dedup {
     val mask = lit(mBits - 1)
     def p1(g: Column) = g.bitwiseAND(mask)
     def p2(g: Column) = xxhash64(g).bitwiseAND(mask)
-    val positions = refGrams
-      .select(p1(col("gram")).as("a"), p2(col("gram")).as("b"))
-      .collect()
     val bits = new Array[Long]((mBits / 64).toInt)
-    positions.foreach { r =>
-      Seq(r.getLong(0), r.getLong(1)).foreach(p =>
+    collected.foreach { r =>
+      Seq(r.getLong(0) & (mBits - 1), r.getLong(1) & (mBits - 1)).foreach(p =>
         bits((p >>> 6).toInt) |= (1L << (p & 63).toInt))
     }
     val bitsLit = lit(bits)
