@@ -31,8 +31,8 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // uncapped (additionally needs SPARK_GRAFT_PROBE_UNCAPPED=1), streaming
-    // — lets a dev loop re-measure ONE probe without paying the full suite.
+    // r10c, uncapped (additionally needs SPARK_GRAFT_PROBE_UNCAPPED=1),
+    // streaming — lets a dev loop re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     def inSection(name: String): Boolean = sections.forall(_.contains(name))
@@ -174,6 +174,34 @@ object ScaleProbe {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
+    // Round-10c: the session's late additions — quantile sketch family
+    // (bounded per-group samples: must be flat), the streaming ingestion
+    // loop (standing-corpus dedup: duplication makes it CHEAPER, the
+    // q_dedup_incremental signature), hybrid-from-artifacts (index-sized
+    // serve work + probe-pushed corpus reads), the bloom-prefiltered
+    // decontamination vs its direct twin (the join-input reduction is the
+    // point), and SemDeDup served from the landed assignment
+    if (inSection("r10c")) {
+      for (q <- Seq("q_quantile_sketch", "q_quantile_sketch_merged",
+          "q_stream_quantile", "q_stream_dedup_incremental",
+          "q_hybrid_served", "q_contamination", "q_contamination_bloom",
+          "q_semantic_dedup_served")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
+      // the bloom's DESIGNED regime: a reference too big to broadcast.
+      // Force the SMJ path — direct contamination must shuffle the FULL
+      // corpus gram stream into the join; the bloom form shuffles only
+      // true hits + the FP rate. (With broadcast on, the direct form
+      // already avoids the shuffle and the bloom is pure probe overhead —
+      // the honest small-reference numbers above.)
+      val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        time("q_contamination", "/tmp/sfbig")
+        time("q_contamination_bloom", "/tmp/sfbig")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them
