@@ -1053,6 +1053,36 @@ object Queries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(t(s, dir, "documents"), threshold = 0.35, portableHash = true)
 
+  /** MinHash pairs SERVED from the materialized signature artifact
+    * ([[graft.ops.Dedup.minhashSignatures]] → parquet →
+    * [[graft.ops.Dedup.minhashPairsFromSignatures]]) — the third index
+    * family's build/serve split, under q_minhash_pairs' OWN oracle:
+    * served ≡ direct ≡ oracle, driver-checked. */
+  private def minhashServedQ(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(t(s, dir, "documents"), portableHash = true)
+    val base = scratchDir("graft_mhsrv_")
+    val p = base.resolve("sigs").toString
+    sigs.write.mode("overwrite").parquet(p)
+    Dedup.minhashPairsFromSignatures(s.read.parquet(p), threshold = 0.35)
+  }
+
+  /** Incremental MinHash dedup: the odd-id shard cleans against the
+    * even-id standing corpus's signature ARTIFACT (parquet round-trip) —
+    * [[graft.ops.Dedup.minhashAgainst]]'s three stages with the default
+    * existing-side bucket cap engaged, all replayed by the oracle. */
+  private def minhashIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sigs = Dedup.minhashSignatures(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0), portableHash = true)
+    val base = scratchDir("graft_mhinc_")
+    val p = base.resolve("sigs").toString
+    sigs.write.mode("overwrite").parquet(p)
+    Dedup.minhashAgainst(s.read.parquet(p),
+      docs.where(pmod(col("doc_id"), lit(2)) === 1),
+      threshold = 0.35, portableHash = true)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** Exact-dedup-first MinHash composition
     * ([[graft.ops.Dedup.minhashLshDeduped]]) — the last pairwise op gets
     * its duplication-proof twin. Registered against the SAME oracle SQL as
@@ -1989,6 +2019,8 @@ object Queries {
     "q_ingest_roundtrip" -> (ingestRoundtrip _),
     "q_lineage_guard" -> (lineageGuard _),
     "q_minhash_pairs" -> (minhashPairs _),
+    "q_minhash_pairs_served" -> (minhashServedQ _),
+    "q_minhash_incremental" -> (minhashIncrementalQ _),
     "q_minhash_pairs_deduped" -> (minhashPairsDedupedQ _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
@@ -2482,6 +2514,8 @@ object Queries {
     // expansion algebra and the duplication-weighted block-frequency cap
     "q_simhash_neardup_deduped" -> simhashNearDupOracle(Some(50)),
     "q_minhash_pairs" -> minhashPairsOracle,
+    "q_minhash_pairs_served" -> minhashPairsOracle,
+    "q_minhash_incremental" -> minhashIncrementalOracle,
     // dedup-first composition vs the SAME oracle: pins the signature-
     // equality expansion algebra through DuckDB (the jaccard pattern)
     "q_minhash_pairs_deduped" -> minhashPairsOracle,
@@ -3030,6 +3064,36 @@ object Queries {
        |bh AS (SELECT doc_id, list_transform(shs, sh -> ${Poly64.baseHashSql("sh")}) AS bs FROM gl),
        |sg AS (SELECT doc_id, list_transform(range(0, $numHashes), s ->
        |  list_min(list_transform(bs, b -> ${Poly64.signedSql(h)}))) AS sig FROM bh)""".stripMargin
+  }
+
+  /** [[minhashAgainst]] replayed: the dedupIncrementalOracle's exact
+    * stages 1-2, then the band-candidate drop against the CAPPED standing
+    * side. Bucket frequencies group on the literal signature-slice string
+    * where the engine groups on its xxhash64 — identical counts modulo
+    * xxhash collisions between distinct slices (the q_exact_dedup_digest
+    * collision caveat; candidates themselves are verified by the
+    * agreement estimate either way). */
+  private def minhashIncrementalOracle: String = {
+    def slice(rel: String): String =
+      s"array_to_string($rel.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)], ',')"
+    s"""WITH ${polySigCte()},
+       |ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |i1 AS (SELECT inc.* FROM inc WHERE NOT EXISTS (
+       |  SELECT 1 FROM ex WHERE ex.text IS NOT DISTINCT FROM inc.text)),
+       |i2 AS (SELECT * FROM i1
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |exb AS (SELECT e.doc_id, sg.sig, r.range AS band, ${slice("sg")} AS bv
+       |  FROM ex e JOIN sg ON sg.doc_id = e.doc_id CROSS JOIN range(0, 8) r),
+       |exc AS (SELECT doc_id, sig, band, bv FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bv) AS df FROM exb) WHERE df <= 50),
+       |inb AS (SELECT i.doc_id, sg.sig, r.range AS band, ${slice("sg")} AS bv
+       |  FROM i2 i JOIN sg ON sg.doc_id = i.doc_id CROSS JOIN range(0, 8) r),
+       |cand AS (SELECT DISTINCT i.doc_id
+       |  FROM inb i JOIN exc x ON i.band = x.band AND i.bv = x.bv
+       |  WHERE CAST(len(list_filter(list_zip(i.sig, x.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 >= 0.35)
+       |SELECT doc_id, source, n_chars FROM i2
+       |WHERE doc_id NOT IN (SELECT doc_id FROM cand)""".stripMargin
   }
 
   /** LSH banding re-derived without the (engine-internal) bucket hash:

@@ -104,26 +104,58 @@ object Dedup {
       portableHash: Boolean = false,
       maxBucketFreq: Option[Int] = None
   ): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
     // native one-pass signature (graft.plans.MinHashSig / Poly64MinHash)
     // when the session carries GraftExtensions; HOF formulation otherwise —
     // xxhash and HOF variants produce different (internal) hash values but
     // identical agreement semantics, which is all LSH banding observes.
     // portableHash=true swaps in the Poly64 family, whose signatures a
     // DuckDB oracle can recompute value-for-value (native ≡ HOF there).
+    minhashPairsFromSignatures(
+      minhashSignatures(docs, textCol, idCol, shingleK, numHashes, portableHash),
+      idCol, numHashes, bands, threshold, maxBucketFreq)
+  }
+
+  /** The MinHash BUILD artifact: one row per document with its text digest
+    * and its `numHashes`-long signature — the ~260 B/row table a 100 TB
+    * dedup deployment materializes once per corpus snapshot (the
+    * "materialized digest + fingerprint columns" the [[dedupAgainst]]
+    * scaladoc promises, for the Jaccard family). Everything downstream —
+    * within-corpus pairs ([[minhashPairsFromSignatures]]) and
+    * shard-vs-corpus incremental dedup ([[minhashAgainst]]) — reads this
+    * table instead of re-tokenizing text; band buckets are NOT stored
+    * because they re-derive from the signature as a cheap projection
+    * (storing them would ×bands the artifact for work the scan does in
+    * codegen). Output: (idCol, dg = xxhash64(text), sig array<long>). */
+  def minhashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      portableHash: Boolean = false
+  ): DataFrame = {
     val sigExpr: Column = sessionSig(docs.sparkSession, portableHash, shingleK, numHashes)
-    val sig = docs
-      .select(col(idCol), TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
-      .select(col(idCol), sigExpr.as("sig"))
-    // (id, band, bucketHash) — bucket is a hash of the band's slice
-    val banded = sig
-      .select(col(idCol), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("bucket", xxhash64(col("band"),
-        concat_ws(",", transform(
-          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+    docs
+      .select(col(idCol), xxhash64(col(textCol)).as("dg"),
+        TextAnalysis.tokensIn(docs.sparkSession)(col(textCol)).as("__toks"))
+      .select(col(idCol), col("dg"), sigExpr.as("sig"))
+  }
+
+  /** [[minhashLsh]]'s banding + candidate-join + verify tail over an
+    * already-built signature table — the SERVE half of the build/serve
+    * split (q_minhash_pairs_served pins served ≡ direct ≡ oracle through
+    * a parquet round-trip of [[minhashSignatures]]'s output). */
+  def minhashPairsFromSignatures(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucketFreq: Option[Int] = None
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val banded = bandedFromSig(sigs.select(col(idCol), col("sig")), bands, rowsPerBand)
     val pruned = maxBucketFreq match {
       case Some(m) =>
         // repartition on the join keys first, so the frequency window reuses
@@ -146,6 +178,87 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(first("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+  }
+
+  /** (id, sig, band, bucket) from a signature frame — bucket is a hash of
+    * the band's signature slice. Shared by the pair tail and the
+    * incremental form, so bucket identity can never drift between them. */
+  private def bandedFromSig(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig
+      .select(col("*"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket", xxhash64(col("band"),
+        concat_ws(",", transform(
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** [[dedupAgainst]]'s Jaccard-estimate sibling: clean a newly-landed
+    * shard against the standing corpus using its materialized
+    * [[minhashSignatures]] artifact — the MinHash variant of the
+    * ingestion-time shape, for deployments whose near-dup criterion is
+    * shingle overlap rather than Hamming distance. Same three stages:
+    *
+    *   1. exact-vs-existing — digest anti-join against the artifact's
+    *      `dg` column (8 B/row, no text touch);
+    *   2. exact-within-shard — min-id representative per digest;
+    *   3. fuzzy-vs-existing — band-bucket join of the shard's fresh
+    *      signatures against the artifact's, signature-agreement
+    *      estimate ≥ threshold drops the incoming doc. `maxBucketFreq`
+    *      caps hot buckets on the EXISTING side (where frequency skew
+    *      lives — the [[dedupAgainst]] convention), bounding the
+    *      candidate fan-in a pathological standing bucket can cause.
+    *
+    * The standing corpus contributes ONLY its signature table —
+    * per-shard cost is independent of corpus text re-reads, and stage 1
+    * gives the same duplication defense the ×10 probes measured for
+    * [[dedupAgainst]]: copies of standing docs die before any banding.
+    * Fuzzy pairs WITHIN the shard are out of scope — compose with
+    * [[minhashLshDeduped]] over the shard when that matters.
+    *
+    * `shingleK`/`numHashes`/`portableHash` must match the artifact's
+    * build parameters (a mismatch silently estimates garbage — the same
+    * contract as serving any index with the wrong analyzer).
+    * Output: the surviving incoming rows, all columns intact. */
+  def minhashAgainst(
+      existingSigs: DataFrame,
+      incoming: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = Some(50)
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val exDig = existingSigs.select(col("dg").as("__dg")).distinct()
+    val in1 = incoming.withColumn("__dg", xxhash64(col(textCol)))
+      .join(exDig, Seq("__dg"), "left_anti")
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("__dg"))
+    val in2 = in1.withColumn("__m", min(col(idCol)).over(wd))
+      .where(col(idCol) === col("__m")).drop("__m", "__dg")
+    val exB0 = bandedFromSig(
+      existingSigs.select(col(idCol).as("id"), col("sig")), bands, rowsPerBand)
+    val exB = maxBucketFreq match {
+      case Some(m) =>
+        import org.apache.spark.sql.expressions.Window
+        exB0.withColumn("__df", count(lit(1)).over(
+            Window.partitionBy(col("band"), col("bucket"))))
+          .where(col("__df") <= m).drop("__df")
+      case None => exB0
+    }
+    val inB = bandedFromSig(
+      minhashSignatures(in2, textCol, idCol, shingleK, numHashes, portableHash)
+        .select(col(idCol).as("id"), col("sig")), bands, rowsPerBand)
+    val dropped = inB
+      .join(exB.select(col("sig").as("__sx"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where((size(filter(zip_with(col("sig"), col("__sx"),
+          (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(numHashes).cast("double")) >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    in2.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** [[minhashLsh]] with the exact-dedup-FIRST ordering built in — the

@@ -195,6 +195,37 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(13L, 19L))
   }
 
+  test("minhashAgainst: three stages from the signature artifact; served pairs ≡ direct") {
+    // the artifact is what the standing corpus contributes — build it,
+    // then clean the shard against it (no existing text in sight)
+    val existing = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different text here now with words")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup -> stage 1
+      (13L, "new unique content in this shard today"),        // survives
+      (15L, "new unique content in this shard today"),        // within-shard dup -> stage 2
+      // shares all but one shingle with existing 0: est_jaccard over the
+      // 32-hash signature clears 0.5 -> stage 3 fuzzy kill
+      (17L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (19L, "zzz qqq www eee rrr ttt yyy uuu")                // survives
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(existing)
+    val kept = Dedup.minhashAgainst(sigs, incoming, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(13L, 19L), s"stage fold broke: $kept")
+    // build/serve identity: pairs from the round-trippable signature
+    // table equal the direct minhashLsh over the same corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sorted.toSeq
+    val direct = canon(Dedup.minhashLsh(corpus, threshold = 0.35))
+    val served = canon(Dedup.minhashPairsFromSignatures(
+      Dedup.minhashSignatures(corpus), threshold = 0.35))
+    assert(served == direct, "served pairs diverged from the direct form")
+  }
+
   test("prototypicalityPrune: per-cell hardness quota, orderings, zero-norm last") {
     val emb = Seq(
       (0L, Array(1f, 0f)),      // cell-0 centroid (proto 1.0)
