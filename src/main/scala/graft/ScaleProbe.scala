@@ -185,7 +185,8 @@ object ScaleProbe {
       for (q <- Seq("q_quantile_sketch", "q_quantile_sketch_merged",
           "q_stream_quantile", "q_stream_dedup_incremental",
           "q_hybrid_served", "q_contamination", "q_contamination_bloom",
-          "q_semantic_dedup_served")) {
+          "q_semantic_dedup_served",
+          "q_minhash_pairs_served", "q_minhash_incremental")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
