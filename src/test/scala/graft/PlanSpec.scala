@@ -319,6 +319,14 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0)
   }
 
+  test("q_minhash_pairs_served: pairs from the signature artifact, text never re-tokenized") {
+    val p = plan("q_minhash_pairs_served")
+    assert(p.contains("graft_mhsrv_"), "must serve from the landed signature parquet")
+    assert(!p.contains("documents.parquet"),
+      "serving must read the artifact, not the corpus text")
+    assert(nodes(p, "CartesianProduct") == 0)
+  }
+
   test("q_contamination_bloom: literal bit-array probe filters grams before the reference join") {
     val p = plan("q_contamination_bloom")
     // the bloom probe is plan-literal bit arithmetic (element_at +
