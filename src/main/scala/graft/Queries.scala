@@ -1624,6 +1624,21 @@ object Queries {
       "source", "doc_id", targetRows = 300)
       .select(col("doc_id"), col("source"))
 
+  /** Temperature mixing under a MASS budget ([[graft.ops.Sampling
+    * .budgetMix]]) — the "x tokens of this mixture" recipe form, budgeted
+    * here in characters (n_chars). The oracle replays T_s, the √-mass
+    * integer weights, and the cross-multiplied keep predicate row by row;
+    * the kept mass per source is also surfaced so the budget's expected
+    * split is VISIBLE in the gated output. */
+  private def budgetMixQ(s: SparkSession, dir: String): DataFrame = {
+    val kept = Sampling.budgetMix(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "doc_id", col("n_chars"), targetMass = 60000L)
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("mass_kept"))
+  }
+
   /** DSIR-style importance weighting ([[graft.ops.Dedup
     * .importanceWeights]]): the raw (train-slice) docs scored by n-gram
     * log-likelihood ratio against the test-slice target — the data-
@@ -1998,6 +2013,7 @@ object Queries {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
+    "q_budget_mix" -> (budgetMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_semantic_dedup_served" -> (semanticDedupServedQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
@@ -2578,6 +2594,7 @@ object Queries {
     // min-k(min-k(A) ∪ min-k(B)) — mergeability as a checked capability
     "q_distinct_kmv_merged" -> distinctKmvOracle,
     "q_source_mix" -> sourceMixOracle,
+    "q_budget_mix" -> budgetMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_semantic_dedup_served" -> semanticDedupOracle,
     "q_importance_weights" -> importanceWeightsOracle,
@@ -3320,6 +3337,23 @@ object Queries {
        |SELECT u.doc_id, u.source FROM u JOIN w USING (source) CROSS JOIN tot
        |WHERE u * CAST(n AS DOUBLE) * CAST(wsum AS DOUBLE)
        |    < 300.0 * CAST(w AS DOUBLE) * 1152921504606846976.0""".stripMargin
+
+  /** Budget mixing replayed row by row — the sourceMixOracle machinery
+    * with per-source MASS totals (Σ n_chars) in place of row counts, then
+    * the kept-rows aggregate the query surfaces. */
+  private def budgetMixOracle: String =
+    s"""WITH t AS (SELECT source, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS t
+       |  FROM documents GROUP BY 1),
+       |w AS (SELECT source, t, CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM t),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w),
+       |hx AS (SELECT doc_id, source, n_chars, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx FROM documents),
+       |u AS (SELECT doc_id, source, n_chars, CAST(${hexToLongSql("hx")} AS DOUBLE) AS u FROM hx),
+       |kept AS (SELECT u.doc_id, u.source, u.n_chars FROM u JOIN w USING (source) CROSS JOIN tot
+       |  WHERE u * CAST(t AS DOUBLE) * CAST(wsum AS DOUBLE)
+       |      < 60000.0 * CAST(w AS DOUBLE) * 1152921504606846976.0)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS mass_kept
+       |FROM kept GROUP BY source""".stripMargin
 
   /** SemDeDup replayed end-to-end: bootstrap centroids, argmax cell per
     * vector (the engine's s-then-c tie-break), within-cell cosine pairs at

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sampling and split operators for training-data pipelines.
@@ -91,6 +91,35 @@ object Sampling {
       .where(u * col("__n").cast("double") * col("__wsum").cast("double")
         < lit(targetRows.toDouble) * col("__w").cast("double") * lit(1152921504606846976.0))
       .drop("__n", "__w", "__wsum")
+  }
+
+  /** [[temperatureMix]] under a MASS budget — the form an LLM data recipe
+    * actually specifies: "x billion TOKENS of this mixture", not x rows.
+    * Per-source mass T_s = Σ massCol (tokens, bytes, chars — exact integer
+    * sum), temperature weight w_s = floor(√T_s·10⁶), and a row is kept iff
+    * u/2^60 < targetMass·w_s/(W·T_s), so the EXPECTED KEPT MASS per source
+    * is targetMass·w_s/W and totals targetMass across sources (rows are
+    * kept with probability proportional to their source's rate regardless
+    * of their own size — keeping by cumulative mass instead would make
+    * inclusion depend on scan order, which nothing distributed can pin).
+    * Same engine-portable arithmetic as [[temperatureMix]] (md5-60 uniform,
+    * cross-multiplied pinned-double predicate, broadcast rates, zero fact
+    * shuffle); rows with NULL mass contribute nothing to T_s but still
+    * draw their keep decision from their source's rate. */
+  def budgetMix(df: DataFrame, sourceCol: String, keyCol: String,
+      massCol: Column, targetMass: Long): DataFrame = {
+    val masses = df.groupBy(col(sourceCol))
+      .agg(coalesce(sum(massCol.cast("long")), lit(0L)).as("__t"))
+      .withColumn("__w", floor(sqrt(col("__t").cast("double")) * 1e6).cast("long"))
+    val wsum = masses.agg(sum(col("__w")).as("__wsum"))
+    val rates = masses.crossJoin(broadcast(wsum))
+    val u = Sketches.md5Long60(col(keyCol)).cast("double")
+    df.join(broadcast(rates), Seq(sourceCol))
+      // u/2^60 < target·w/(W·T)  ⟺  u·T·W < target·w·2^60 — multiplication
+      // order fixed left-to-right; the oracle spells the identical expression
+      .where(u * col("__t").cast("double") * col("__wsum").cast("double")
+        < lit(targetMass.toDouble) * col("__w").cast("double") * lit(1152921504606846976.0))
+      .drop("__t", "__w", "__wsum")
   }
 
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &

@@ -952,6 +952,35 @@ class OpsSpec extends SparkSpec {
     assert(got == List(("a", 2L, 20.0)), s"null handling broke: $got")
   }
 
+  test("budgetMix: deterministic, expected kept MASS near target, sqrt-damping by mass") {
+    import graft.ops.Sampling
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    // skew by MASS: fold ten sources into one giant source
+    val skewed = d.withColumn("source",
+      when(col("source").isin((0 to 9).map("src" + _): _*), "big").otherwise(col("source")))
+    val total = skewed.agg(sum("n_chars")).as[Long].head()
+    val target = total / 3
+    val kept = Sampling.budgetMix(skewed, "source", "doc_id", col("n_chars"), target)
+    val again = Sampling.budgetMix(skewed.repartition(7), "source", "doc_id",
+      col("n_chars"), target)
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet,
+      "budget mixing must not depend on partitioning")
+    val got = kept.agg(sum("n_chars")).as[Long].head()
+    assert(math.abs(got.toDouble / target - 1.0) < 0.35,
+      s"kept mass $got strayed from target $target")
+    // √-damping: the giant source's kept FRACTION of its own mass must be
+    // below a small source's kept fraction
+    val frac = kept.groupBy("source").agg(sum("n_chars").as("k"))
+      .join(skewed.groupBy("source").agg(sum("n_chars").as("t")), Seq("source"))
+      .select(col("source"), col("k").cast("double") / col("t").cast("double"))
+      .as[(String, Double)].collect().toMap
+    val smallFracs = frac.view.filterKeys(_ != "big").values
+    assert(smallFracs.nonEmpty && frac("big") < smallFracs.min,
+      s"sqrt damping inverted: $frac")
+  }
+
   test("temperatureMix: deterministic, hits the target, sqrt-weights favor small sources") {
     import graft.ops.Sampling
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
