@@ -1567,6 +1567,32 @@ object Queries {
           / col("n_exact").cast("double") * 100.0, 2))
   }
 
+  /** The per-source DATA CARD — the first query a data team runs against
+    * a landed corpus, composed from the accounting operators under ONE
+    * oracle: doc/mass counts, exact and KMV-estimated distinct texts,
+    * sketch quantiles of document length, and mean quality. The mean is
+    * order-free exact: per-doc quality (already 6-dp-rounded) quantizes
+    * to micro-units, integer-sums, and divides once — a naive double mean
+    * would be summation-order-dependent across engines. */
+  private def corpusReportQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+      countDistinct(col("text")).as("n_distinct_text"))
+    val kmv = Sketches.kmvDistinct(docs, "source", col("text"), k = 16)
+      .select(col("source"), col("est_distinct"))
+    val qs = Sketches.quantileEstimate(
+      Sketches.quantileSketch(docs, "source", col("doc_id"), col("n_chars"), k = 16),
+      "source", Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars")).drop("n_seen")
+    val quality = TextAnalysis.textStats(docs)
+      .select(col("source"), round(col("quality_score") * 1e6, 0).cast("long").as("__qm"))
+      .groupBy(col("source"))
+      .agg(round(sum(col("__qm")).cast("double")
+        / count(lit(1)).cast("double") / 1e6, 4).as("avg_quality"))
+    base.join(kmv, Seq("source")).join(qs, Seq("source")).join(quality, Seq("source"))
+  }
+
   /** Mergeable per-source quantile sketch (bottom-k-by-md5-priority row
     * sample) under the hard signal: sketch → estimate, joined with the
     * exact percentiles so the sample error is VISIBLE in the output (and
@@ -2010,6 +2036,7 @@ object Queries {
     "q_shard_assign" -> (shardAssignQ _),
     "q_distinct_kmv" -> (distinctKmvQ _),
     "q_distinct_kmv_merged" -> (distinctKmvMergedQ _),
+    "q_corpus_report" -> (corpusReportQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
@@ -2588,6 +2615,7 @@ object Queries {
          |  CAST(row_number() OVER (PARTITION BY fp % 16 ORDER BY doc_id ASC) AS INTEGER) AS shard_pos
          |FROM f""".stripMargin,
     "q_distinct_kmv" -> distinctKmvOracle,
+    "q_corpus_report" -> corpusReportOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_quantile_sketch_merged" -> quantileSketchOracle,
     // split-sketch-merge path vs the SAME oracle: pins min-k(A ∪ B) =
@@ -3297,6 +3325,43 @@ object Queries {
        |SELECT e.source, n_seen, est_distinct, n_exact,
        |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
        |FROM e JOIN x ON e.source = x.source""".stripMargin
+
+  /** The data card replayed: counts + exact distinct, the KMV estimate
+    * chain, the quantile-sketch chain, and the micro-unit-quantized mean
+    * quality — each the established replay, joined per source. */
+  private def corpusReportOracle: String =
+    s"""WITH base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_text
+       |  FROM documents GROUP BY 1),
+       |st AS (${textStatsSql("documents")}),
+       |qa AS (SELECT d.source,
+       |    round(CAST(sum(CAST(round(s.quality_score * 1000000, 0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) / 1000000.0, 4) AS avg_quality
+       |  FROM st s JOIN documents d USING (doc_id) GROUP BY 1),
+       |khx AS (SELECT source, substr(md5(text), 1, 15) AS hx
+       |  FROM documents WHERE text IS NOT NULL),
+       |kh AS (SELECT DISTINCT source, ${hexToLongSql("hx")} AS h FROM khx),
+       |kr AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM kh),
+       |kk AS (SELECT source, count(*) AS n_seen, max(h) AS u FROM kr WHERE rn <= 16 GROUP BY source),
+       |ke AS (SELECT source,
+       |    round(CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+       |      ELSE CAST(15 AS DOUBLE) * 1152921504606846976.0 / CAST(u AS DOUBLE) END, 4) AS est_distinct
+       |  FROM kk),
+       |qhx AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx,
+       |    CAST(n_chars AS DOUBLE) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       |qpri AS (SELECT source, ${hexToLongSql("hx")} AS pri, v FROM qhx),
+       |qr AS (SELECT source, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY pri ASC, v ASC) AS rn FROM qpri),
+       |qe AS (SELECT source, round(quantile_cont(v, 0.5), 4) AS p50_chars,
+       |    round(quantile_cont(v, 0.9), 4) AS p90_chars
+       |  FROM qr WHERE rn <= 16 GROUP BY source)
+       |SELECT base.source, n_docs, n_chars, n_distinct_text, est_distinct,
+       |  p50_chars, p90_chars, avg_quality
+       |FROM base JOIN ke ON base.source = ke.source
+       |JOIN qe ON base.source = qe.source
+       |JOIN qa ON base.source = qa.source""".stripMargin
 
   /** Quantile sketch replayed end-to-end: the md5-60 row priority over
     * doc_id, the per-source bottom-16 sample (pri-then-value order — the

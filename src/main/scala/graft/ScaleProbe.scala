@@ -186,7 +186,8 @@ object ScaleProbe {
           "q_stream_quantile", "q_stream_dedup_incremental",
           "q_hybrid_served", "q_contamination", "q_contamination_bloom",
           "q_semantic_dedup_served",
-          "q_minhash_pairs_served", "q_minhash_incremental")) {
+          "q_minhash_pairs_served", "q_minhash_incremental",
+          "q_budget_mix", "q_corpus_report")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
