@@ -957,7 +957,8 @@ object Dedup {
     while (mBits < nRef * bitsPerGram) mBits <<= 1
     require(mBits <= (1L << 27),
       s"bloom of $mBits bits exceeds the 16 MiB plan-literal bound; " +
-        "shard the reference and union contamination reports instead")
+        "hash-partition the reference GRAM set into disjoint shards and sum " +
+        "per-shard n_hit (disjointness makes the counts exactly additive)")
     val mask = lit(mBits - 1)
     def p1(g: Column) = g.bitwiseAND(mask)
     def p2(g: Column) = xxhash64(g).bitwiseAND(mask)
