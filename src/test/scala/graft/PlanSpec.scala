@@ -319,6 +319,24 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0)
   }
 
+  test("q_quantile_sketch: one window pass, group partitioning reused by the collect") {
+    val p = plan("q_quantile_sketch")
+    // bottom-k = ONE source-keyed window, and Spark pushes the rn <= k
+    // predicate down as a partial+final WindowGroupLimit pair — each task
+    // keeps only its local k candidates per group BEFORE the shuffle, the
+    // property that makes the sketch's shuffle bounded at scale. The
+    // collect_list aggregate after it groups on the same key and reuses
+    // the partitioning; with the exact-twin branch's partial+final
+    // aggregate that's ≤ 3 exchanges total, never one per consumer.
+    assert(nodes(p, "WindowGroupLimit") == 2,
+      "the rn<=k group-limit pushdown (partial+final) must be planned")
+    assert(nodes(p, "Window") - nodes(p, "WindowGroupLimit") == 1,
+      "bottom-k must be a single window pass")
+    assert(nodes(p, "Exchange") <= 3,
+      s"quantile sketch re-exchanged: ${nodes(p, "Exchange")} exchanges")
+    assert(nodes(p, "CartesianProduct") == 0)
+  }
+
   test("q_minhash_pairs_served: pairs from the signature artifact, text never re-tokenized") {
     val p = plan("q_minhash_pairs_served")
     assert(p.contains("graft_mhsrv_"), "must serve from the landed signature parquet")
