@@ -511,6 +511,35 @@ object Queries {
       quantileExactJoin(docs, est)
     })
 
+  /** The eval-set firewall as a stream, under the hard oracle: the
+    * hash-split train docs arrive as four micro-batches, each scored
+    * against the STATIC test split and landed only at contamination
+    * ≤ 0.2 with the score attached
+    * ([[graft.streaming.OnlineRefresh.decontaminateStream]]). Scoring is
+    * per-doc against a static reference — batching-invariant — so the
+    * oracle is the batch contamination replay filtered at the gate. */
+  private def streamDecontaminate(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_decont:$dir", s), { _ =>
+      val src = scratchDir("graft_sdec_src")
+      val out = scratchDir("graft_sdec_out")
+      val ck = scratchDir("graft_sdec_ck")
+      val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+      split.where(col("split") === "train").drop("split")
+        .repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.decontaminateStream(s, src.toString, schema,
+        () => Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
+          .where(col("split") === "test").drop("split"),
+        out.toString, ck.toString, maxContamination = 0.2,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      // batch membership comes from repartition(4) and is NOT deterministic
+      // — deliberately not projected (the score is; arrival order is noise
+      // here, unlike the order-DEPENDENT q_stream_dedup_incremental)
+      s.read.parquet(out.toString)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("contamination"))
+    })
+
   /** The INGESTION LOOP as a stream, under the hard oracle: four
     * deterministic doc_id-mod-4 shards of the corpus arrive as four
     * micro-batches (one file each, mtime-ordered so delivery order is
@@ -1822,7 +1851,7 @@ object Queries {
   val memoizedQueries: Set[String] =
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
       "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental",
-      "q_stream_quantile")
+      "q_stream_quantile", "q_stream_decontaminate")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -1977,6 +2006,7 @@ object Queries {
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
     "q_stream_quantile" -> (streamQuantile _),
+    "q_stream_decontaminate" -> (streamDecontaminate _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
     "q_watermark" -> (watermark _),
     "q_eval_metrics" -> (evalMetrics _),
@@ -2261,6 +2291,7 @@ object Queries {
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_quantile" -> quantileSketchOracle,
+    "q_stream_decontaminate" -> streamDecontaminateOracle,
     "q_lag" ->
       """SELECT event_id, user_id, ts, value,
         |lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS last_value
@@ -3214,6 +3245,15 @@ object Queries {
        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
        |  round(CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS contamination
        |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
+
+  /** The streaming firewall replayed as the batch form it must equal:
+    * the contamination chain, gated at ≤ 0.2, joined back for the
+    * surviving docs' columns. */
+  private def streamDecontaminateOracle: String =
+    s"""WITH cont AS ($contaminationOracle)
+       |SELECT c.doc_id, d.source, d.n_chars, c.contamination
+       |FROM cont c JOIN documents d USING (doc_id)
+       |WHERE c.contamination <= 0.2""".stripMargin
 
   /** DSIR importance weights re-derived at gram-string level: the
     * contamination split/gram CTEs, per-gram document frequencies on both

@@ -424,6 +424,50 @@ object OnlineRefresh {
       k: Int = 16): DataFrame =
     graft.ops.Sketches.kmvMerge(spark.read.parquet(outPath), groupCol, k)
 
+  /** Ingest-time benchmark DECONTAMINATION: each micro-batch of arriving
+    * documents is scored against the static reference corpus with
+    * [[graft.ops.Dedup.contamination]] (the batch operator verbatim) and
+    * only docs at or below `maxContamination` land, each carrying its
+    * score as provenance. Per-doc deterministic and batching-INVARIANT —
+    * a doc's score depends only on its own grams and the static
+    * reference — so the accumulated output equals the one-shot batch
+    * filter no matter how the stream was batched, and the oracle replays
+    * the batch form directly (unlike the order-dependent
+    * [[dedupIncrementalStream]]). Exactly-once via the `batch=<id>`
+    * overwrite recipe. This is the eval-set firewall a training-data
+    * ingest runs continuously: benchmark text can never enter the corpus,
+    * and the quarantine decision lands with the evidence attached. */
+  def decontaminateStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      reference: () => DataFrame,
+      outPath: String,
+      checkpoint: String,
+      maxContamination: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cont = graft.ops.Dedup.contamination(batch, reference(), textCol, idCol, n)
+        batch
+          .join(cont.where(col("contamination") <= maxContamination)
+            .select(col(idCol), col("contamination")), Seq(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** The ingestion loop RUN AS A STREAM: each micro-batch of newly-landed
     * documents is cleaned against the standing corpus of all EARLIER
     * batches' survivors with [[graft.ops.Dedup.dedupAgainst]] (digest
