@@ -513,24 +513,35 @@ object Queries {
 
   /** The eval-set firewall as a stream, under the hard oracle: the
     * hash-split train docs arrive as four micro-batches, each scored
-    * against the STATIC test split and landed only at contamination
-    * ≤ 0.2 with the score attached
-    * ([[graft.streaming.OnlineRefresh.decontaminateStream]]). Scoring is
-    * per-doc against a static reference — batching-invariant — so the
-    * oracle is the batch contamination replay filtered at the gate. */
+    * against the STATIC test split and landed only at or below the gate,
+    * score attached ([[graft.streaming.OnlineRefresh.decontaminateStream]]).
+    * The gate is TUNED OFFLINE from the snapshot — keep the cleanest
+    * quartile (p25 of the batch contamination distribution) — then
+    * applied as an ABSOLUTE threshold in the stream, the deployment
+    * shape: per-batch relative gating would make the decision depend on
+    * batch composition, while a pre-tuned absolute gate keeps scoring
+    * batching-invariant (a fixed gate of 0.2 keeps 274 docs at sf0.01
+    * and ZERO at sf0.1 — the synthetic corpus's gram overlap saturates
+    * with reference size, so no one constant is meaningful at every SF).
+    * Scoring is per-doc against a static reference, so the oracle is the
+    * batch contamination replay with the same p25 gate in SQL. */
   private def streamDecontaminate(s: SparkSession, dir: String): DataFrame =
     fixtureMemo.computeIfAbsent((s"stream_decont:$dir", s), { _ =>
       val src = scratchDir("graft_sdec_src")
       val out = scratchDir("graft_sdec_out")
       val ck = scratchDir("graft_sdec_ck")
       val split = Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
-      split.where(col("split") === "train").drop("split")
-        .repartition(4).write.mode("overwrite").parquet(src.toString)
+      val train = split.where(col("split") === "train").drop("split")
+      val test = split.where(col("split") === "test").drop("split")
+      val gate = Dedup.contamination(train, test)
+        .agg(round(expr("percentile(contamination, 0.25)"), 6).as("t"))
+        .head().getDouble(0)
+      train.repartition(4).write.mode("overwrite").parquet(src.toString)
       val schema = s.read.parquet(src.toString).schema
       val q = streaming.OnlineRefresh.decontaminateStream(s, src.toString, schema,
         () => Sampling.hashSplit(t(s, dir, "documents"), "doc_id")
           .where(col("split") === "test").drop("split"),
-        out.toString, ck.toString, maxContamination = 0.2,
+        out.toString, ck.toString, maxContamination = gate,
         maxFilesPerTrigger = Some(1))
       q.awaitTermination()
       // batch membership comes from repartition(4) and is NOT deterministic
@@ -3247,13 +3258,15 @@ object Queries {
        |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
 
   /** The streaming firewall replayed as the batch form it must equal:
-    * the contamination chain, gated at ≤ 0.2, joined back for the
-    * surviving docs' columns. */
+    * the contamination chain, the offline-tuned p25 gate (quantile_cont ≡
+    * the engine's percentile, the q_percentiles precedent, same 6-dp
+    * rounding), and the survivors' columns. */
   private def streamDecontaminateOracle: String =
-    s"""WITH cont AS ($contaminationOracle)
+    s"""WITH cont AS ($contaminationOracle),
+       |gate AS (SELECT round(quantile_cont(contamination, 0.25), 6) AS t FROM cont)
        |SELECT c.doc_id, d.source, d.n_chars, c.contamination
-       |FROM cont c JOIN documents d USING (doc_id)
-       |WHERE c.contamination <= 0.2""".stripMargin
+       |FROM cont c JOIN documents d USING (doc_id) CROSS JOIN gate
+       |WHERE c.contamination <= gate.t""".stripMargin
 
   /** DSIR importance weights re-derived at gram-string level: the
     * contamination split/gram CTEs, per-gram document frequencies on both
