@@ -301,6 +301,31 @@ class StreamingSpec extends SparkSpec {
     assert(batches2 == 3, "resume from checkpoint must not re-build epochs")
   }
 
+  test("decontaminateStream: batching-invariant — 1-file and 4-file runs land identical sets") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val ref = docs.where(col("doc_id") % 7 === 0)
+    val in = docs.where(col("doc_id") % 7 =!= 0)
+    def run(nFiles: Int): Seq[(Long, Double)] = {
+      val tmp = Files.createTempDirectory("graft-sdec").toString
+      in.repartition(nFiles).write.parquet(s"$tmp/src")
+      val schema = spark.read.parquet(s"$tmp/src").schema
+      val q = OnlineRefresh.decontaminateStream(spark, s"$tmp/src", schema,
+        () => ref, s"$tmp/out", s"$tmp/ck", maxContamination = 0.5,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      spark.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("contamination"))
+        .as[(Long, Double)].collect().sorted.toSeq
+    }
+    val one = run(1)
+    val four = run(4)
+    assert(one.nonEmpty && one.size < in.count(),
+      s"gate must actually discriminate (kept ${one.size})")
+    assert(one == four, "survivor set must not depend on how the stream was batched")
+  }
+
   test("streaming incremental dedup: sequential fold vs standing corpus, resume is a no-op") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sdinc").toString
