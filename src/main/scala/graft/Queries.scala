@@ -1633,6 +1633,53 @@ object Queries {
     base.join(kmv, Seq("source")).join(qs, Seq("source")).join(quality, Seq("source"))
   }
 
+  /** The data card SERVED from materialized per-shard artifacts — the
+    * monitoring surface a 100 TB deployment computes per shard/day and
+    * folds at read time, with NO corpus re-scan: per-half (counts, mass,
+    * micro-unit quality sums — exact integer partials), KMV sketches, and
+    * quantile sketches land in parquet; the report is artifact-fold only.
+    * Every column is exactly mergeable (integer sums; the KMV and
+    * bottom-k merge algebras), so the one non-mergeable column of the
+    * direct card (exact countDistinct) is deliberately absent — the KMV
+    * estimate IS the distinct surface at this shape. Oracle: the direct
+    * card's replay minus that column, so fold(build(shards)) ≡
+    * build(whole) is driver-checked per column. */
+  private def corpusReportServedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = scratchDir("graft_card_")
+    for (i <- 0 until 2) {
+      val half = docs.where(pmod(col("doc_id"), lit(2)) === i)
+      TextAnalysis.textStats(half)
+        .select(col("source"), col("n_chars"),
+          round(col("quality_score") * 1e6, 0).cast("long").as("__qm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"),
+          coalesce(sum(col("__qm")), lit(0L)).as("qm_sum"))
+        .write.mode("overwrite").parquet(base.resolve(s"stats_$i").toString)
+      Sketches.kmvSketch(half, "source", col("text"), k = 16)
+        .write.mode("overwrite").parquet(base.resolve(s"kmv_$i").toString)
+      Sketches.quantileSketch(half, "source", col("doc_id"), col("n_chars"), k = 16)
+        .write.mode("overwrite").parquet(base.resolve(s"qsk_$i").toString)
+    }
+    def both(prefix: String) =
+      s.read.parquet(base.resolve(s"${prefix}_0").toString)
+        .unionByName(s.read.parquet(base.resolve(s"${prefix}_1").toString))
+    val stats = both("stats").groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        sum(col("qm_sum")).as("__qm"))
+      .withColumn("avg_quality",
+        round(col("__qm").cast("double") / col("n_docs").cast("double") / 1e6, 4))
+      .drop("__qm")
+    val est = Sketches.kmvEstimate(Sketches.kmvMerge(both("kmv"), "source", k = 16),
+        "source", k = 16)
+      .select(col("source"), col("est_distinct"))
+    val qs = Sketches.quantileEstimate(
+      Sketches.quantileMerge(both("qsk"), "source", k = 16),
+      "source", Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars")).drop("n_seen")
+    stats.join(est, Seq("source")).join(qs, Seq("source"))
+  }
+
   /** Mergeable per-source quantile sketch (bottom-k-by-md5-priority row
     * sample) under the hard signal: sketch → estimate, joined with the
     * exact percentiles so the sample error is VISIBLE in the output (and
@@ -2078,6 +2125,7 @@ object Queries {
     "q_distinct_kmv" -> (distinctKmvQ _),
     "q_distinct_kmv_merged" -> (distinctKmvMergedQ _),
     "q_corpus_report" -> (corpusReportQ _),
+    "q_corpus_report_served" -> (corpusReportServedQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
@@ -2658,6 +2706,7 @@ object Queries {
          |FROM f""".stripMargin,
     "q_distinct_kmv" -> distinctKmvOracle,
     "q_corpus_report" -> corpusReportOracle,
+    "q_corpus_report_served" -> corpusReportServedOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_quantile_sketch_merged" -> quantileSketchOracle,
     // split-sketch-merge path vs the SAME oracle: pins min-k(A ∪ B) =
@@ -3378,6 +3427,15 @@ object Queries {
        |SELECT e.source, n_seen, est_distinct, n_exact,
        |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
        |FROM e JOIN x ON e.source = x.source""".stripMargin
+
+  /** The served card's replay = the direct card's minus its one
+    * non-mergeable column (exact countDistinct): fold(build(halves)) of
+    * every artifact must reproduce the whole-corpus numbers, which is the
+    * merge-exactness of each family applied at once. */
+  private def corpusReportServedOracle: String =
+    s"""WITH card AS ($corpusReportOracle)
+       |SELECT source, n_docs, n_chars, est_distinct, p50_chars, p90_chars, avg_quality
+       |FROM card""".stripMargin
 
   /** The data card replayed: counts + exact distinct, the KMV estimate
     * chain, the quantile-sketch chain, and the micro-unit-quantized mean

@@ -187,7 +187,8 @@ object ScaleProbe {
           "q_hybrid_served", "q_contamination", "q_contamination_bloom",
           "q_semantic_dedup_served",
           "q_minhash_pairs_served", "q_minhash_incremental",
-          "q_budget_mix", "q_corpus_report", "q_stream_decontaminate")) {
+          "q_budget_mix", "q_corpus_report", "q_corpus_report_served",
+          "q_stream_decontaminate")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
