@@ -1788,6 +1788,21 @@ object Queries {
   private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35, nLists = 16)
 
+  /** CORPUS CARTOGRAPHY: label each embedding cluster with its PMI-
+    * distinctive terms — the IVF assignment (embedding family) feeding
+    * [[graft.ops.TextAnalysis.topTermsPerGroup]] (text family) through
+    * the doc_id ↔ vec_id correspondence. The standard "what is in this
+    * cluster" exploration surface over a landed corpus; at 100 TB both
+    * halves are the artifacts the other queries already build (the
+    * assignment table + one token aggregate), nothing new is
+    * corpus-sized. */
+  private def clusterTopicsQ(s: SparkSession, dir: String): DataFrame = {
+    val asg = Similarity.ivfIndex(t(s, dir, "embeddings"), nLists = 16).assignments
+    val docs = t(s, dir, "documents")
+      .join(asg.select(col("vec_id").as("doc_id"), col("cell")), Seq("doc_id"))
+    TextAnalysis.topTermsPerGroup(docs, groupCol = "cell", k = 5)
+  }
+
   /** SemDeDup served from the landed IVF artifact — the threshold-tuning
     * loop's shape (re-runs skip the corpus argmax). Same oracle as
     * q_semantic_dedup: served ≡ direct is driver-checked, not claimed. */
@@ -2132,6 +2147,7 @@ object Queries {
     "q_budget_mix" -> (budgetMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
     "q_semantic_dedup_served" -> (semanticDedupServedQ _),
+    "q_cluster_topics" -> (clusterTopicsQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
     "q_quantize_int8" -> (quantizeInt8Q _),
     "q_inverted_index" -> (invertedIndexQ _),
@@ -2716,6 +2732,7 @@ object Queries {
     "q_budget_mix" -> budgetMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_semantic_dedup_served" -> semanticDedupOracle,
+    "q_cluster_topics" -> clusterTopicsOracle,
     "q_importance_weights" -> importanceWeightsOracle,
     "q_quantize_int8" -> quantizeInt8Oracle,
     "q_inverted_index" ->
@@ -2874,6 +2891,37 @@ object Queries {
 
   /** Per-source PMI top terms replay: one tokenization, (source, token)
     * counts, group/token/corpus totals, milli-nat PMI, top-10. */
+  /** Cluster labeling replayed: the IVF bootstrap-assignment chain (the
+    * ccell precedent) feeding the PMI top-terms chain with `cell` as the
+    * group — totals computed over the embedding-joined docs, exactly as
+    * the engine's composition sees them. */
+  private def clusterTopicsOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT e.vec_id, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |dd AS (SELECT a.cell, d.text FROM documents d JOIN asg a ON a.vec_id = d.doc_id
+       |  WHERE d.text IS NOT NULL),
+       |tk AS (SELECT cell, unnest($toks) AS token FROM dd),
+       |gt AS (SELECT cell, token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
+       |ng AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS ng FROM gt GROUP BY 1),
+       |nt AS (SELECT token, CAST(sum(cnt) AS BIGINT) AS nt FROM gt GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS nn FROM gt),
+       |p AS (SELECT gt.cell, gt.token, gt.cnt,
+       |    CAST(round(ln((CAST(cnt AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |      (CAST(ng AS DOUBLE) * CAST(nt AS DOUBLE))) * 1000, 0) AS BIGINT) AS pmi_m
+       |  FROM gt JOIN ng USING (cell) JOIN nt USING (token) CROSS JOIN tot
+       |  WHERE cnt >= 5)
+       |SELECT cell, token, cnt, CAST(pmi_m AS DOUBLE) / 1000.0 AS pmi, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT cell, token, cnt, pmi_m,
+       |    row_number() OVER (PARTITION BY cell ORDER BY pmi_m DESC, token ASC) AS rn
+       |  FROM p) WHERE rn <= 5""".stripMargin
+  }
+
   private def topTermsOracle: String =
     s"""WITH tk AS (SELECT source, unnest($toks) AS token FROM documents WHERE text IS NOT NULL),
        |gt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1, 2),
