@@ -188,7 +188,7 @@ object ScaleProbe {
           "q_semantic_dedup_served",
           "q_minhash_pairs_served", "q_minhash_incremental",
           "q_budget_mix", "q_corpus_report", "q_corpus_report_served",
-          "q_stream_decontaminate")) {
+          "q_stream_decontaminate", "q_cluster_topics")) {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
