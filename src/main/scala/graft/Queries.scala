@@ -1641,8 +1641,12 @@ object Queries {
     * Every column is exactly mergeable (integer sums; the KMV and
     * bottom-k merge algebras), so the one non-mergeable column of the
     * direct card (exact countDistinct) is deliberately absent — the KMV
-    * estimate IS the distinct surface at this shape. Oracle: the direct
-    * card's replay minus that column, so fold(build(shards)) ≡
+    * estimate IS the distinct surface at this shape. PRECONDITION: the
+    * shards PARTITION the corpus — the sketch columns tolerate overlap
+    * (their merges dedup), but the count/mass/quality sums are additive
+    * only for disjoint shards, the standard per-day partitioned-build
+    * contract (same as bm25IndexMerge's). Oracle: the direct card's
+    * replay minus the countDistinct column, so fold(build(shards)) ≡
     * build(whole) is driver-checked per column. */
   private def corpusReportServedQ(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
