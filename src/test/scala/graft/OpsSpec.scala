@@ -981,6 +981,37 @@ class OpsSpec extends SparkSpec {
       s"sqrt damping inverted: $frac")
   }
 
+  test("budgetMix/quantileSketch/minhashAgainst: documented edge contracts hold") {
+    import graft.ops.{Dedup, Sampling, Sketches}
+    // budgetMix: an all-null-mass source totals 0 → weight 0 → keeps nothing;
+    // null-mass rows in a live source still draw their source's rate
+    val d = Seq(("a", 1L, Some(100L)), ("a", 2L, None), ("a", 3L, Some(100L)),
+      ("b", 4L, None), ("b", 5L, None)).toDF("source", "doc_id", "mass")
+    val kept = Sampling.budgetMix(d, "source", "doc_id", col("mass"), targetMass = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(4L) && !kept.contains(5L),
+      "a zero-mass source must keep nothing")
+    assert(kept == Set(1L, 2L, 3L),
+      s"target above total mass must keep the whole live source, got $kept")
+    // quantileSketch: the k=2 lower bound is usable, k=1 rejected
+    val q2 = Sketches.quantileEstimate(
+      Sketches.quantileSketch(d, "source", col("doc_id"), col("mass"), k = 2),
+      "source", Seq(0.5 -> "p50"))
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(q2.map(_._1) == Seq("a"), s"null-mass-only groups must vanish: $q2")
+    intercept[IllegalArgumentException] {
+      Sketches.quantileSketch(d, "source", col("doc_id"), col("mass"), k = 1)
+    }
+    // minhashAgainst: an EMPTY standing artifact reduces to the
+    // within-shard exact collapse (the first-shard bootstrap case)
+    val docs = Seq((1L, "one two three"), (2L, "one two three"),
+      (3L, "four five six")).toDF("doc_id", "text")
+    val empty = Dedup.minhashSignatures(docs.where(lit(false)))
+    val kept2 = Dedup.minhashAgainst(empty, docs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(1L, 3L), s"empty-standing bootstrap broke: $kept2")
+  }
+
   test("temperatureMix: deterministic, hits the target, sqrt-weights favor small sources") {
     import graft.ops.Sampling
     val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
