@@ -225,6 +225,13 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") == 0, "the 1-row weight total must broadcast")
   }
 
+  test("q_budget_mix: fact rows never shuffle — per-source mass rates broadcast onto the scan") {
+    val p = plan("q_budget_mix")
+    assert(nodes(p, "SortMergeJoin") == 0, "the fact join must broadcast, not shuffle")
+    assert(nodes(p, "BroadcastHashJoin") >= 1, "mass rates join the scan via broadcast")
+    assert(nodes(p, "CartesianProduct") == 0, "the 1-row weight total must broadcast")
+  }
+
   test("q_semantic_dedup: assignment cached for its consumers, no cartesian blowup") {
     val p = plan("q_semantic_dedup")
     assert(p.contains("InMemoryTableScan"),
