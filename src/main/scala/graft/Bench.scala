@@ -62,6 +62,25 @@ object Bench {
       catch { case _: Throwable => failures(i) += 1 }
       samples(i) :+= (System.nanoTime() - t0) / 1e9
     }
+    // Heavy composites whose interleaved means run >3× their floors (cache
+    // cooling from neighboring queries — BASELINE.md methodology note, the
+    // r10 verdict's manual-adjudication complaint): each gets
+    // SPARK_GRAFT_BENCH_DEDICATED extra BACK-TO-BACK runs (default 2)
+    // folded into qmin ONLY — the mean stays the interleaved number so
+    // cross-round means remain one measurement class, while the floor
+    // stops needing a hand-run dedicated bench per round.
+    val dedicatedSet = Set("q_pipeline_full", "q_minhash_incremental",
+      "q_minhash_pairs_deduped", "q_minhash_pairs", "q_corpus_report_served",
+      "q_hybrid_served")
+    val dedicatedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDICATED", "2").toInt.max(0)
+    val dedicatedMin = Array.fill(named.size)(Double.MaxValue)
+    for (i <- named.indices if dedicatedSet(named(i)._1) && !Queries.memoizedQueries(named(i)._1);
+         _ <- 1 to dedicatedRuns) {
+      val t0 = System.nanoTime()
+      try { named(i)._2(spark, sfDir).count() }
+      catch { case _: Throwable => failures(i) += 1 }
+      dedicatedMin(i) = dedicatedMin(i).min((System.nanoTime() - t0) / 1e9)
+    }
     // memoized fixture queries (Queries.memoizedQueries) only do real work
     // on run 1 — later runs re-read the landed store, so their min/mean
     // would measure a parquet re-read, not the operator. Report run 1 as
@@ -70,7 +89,8 @@ object Bench {
       if (Queries.memoizedQueries(named(i)._1))
         (named(i)._1, r3(samples(i).head), r3(samples(i).head), failures(i))
       else
-        (named(i)._1, r3(samples(i).sum / runs), r3(samples(i).min), failures(i))
+        (named(i)._1, r3(samples(i).sum / runs),
+          r3(samples(i).min.min(dedicatedMin(i))), failures(i))
     }
     val mean = results.map { case (k, m, _, _) => s"\"$k\":$m" }.mkString("{", ",", "}")
     val mins = results.map { case (k, _, n, _) => s"\"$k\":$n" }.mkString("{", ",", "}")
@@ -83,8 +103,10 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"runs":$runs$errors,"sf":"$sfDir"}"""
     val memoed = named.map(_._1).filter(Queries.memoizedQueries)
       .map(n => s"\"$n\"").mkString("[", ",", "]")
+    val dedic = named.map(_._1).filter(n => dedicatedSet(n) && !Queries.memoizedQueries(n))
+      .map(n => s"\"$n\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"memoized_first_run":$memoed,"runs":$runs$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"memoized_first_run":$memoed,"dedicated_floor":$dedic,"runs":$runs$errors,"sf":"$sfDir"}"""
     // stdout first + explicit flush, THEN the file fallback, THEN shutdown
     println(line)
     System.out.flush()

@@ -430,6 +430,33 @@ object Queries {
         Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
+  /** Artifact COMPACTION under the hard oracle: the 4-epoch streamed BM25
+    * build of q_stream_bm25_index (own fixture dir), then
+    * [[graft.streaming.OnlineRefresh.compactBm25Index]] folds the three
+    * committed epochs into one partition (exact integer stats algebra;
+    * newest epoch kept verbatim — the only replayable one), and serving
+    * reads the compacted artifact — which must STILL hash-match
+    * q_bm25_topk's own oracle: compaction changes the directory's shape,
+    * never its algebraic content. The resume half (stream keeps appending
+    * after a compaction) is StreamingSpec's. */
+  private def streamBm25Compacted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_bm25c:$dir", s), { _ =>
+      import s.implicits._
+      val src = scratchDir("graft_sbm25c_src")
+      val out = scratchDir("graft_sbm25c_out")
+      val ck = scratchDir("graft_sbm25c_ck")
+      t(s, dir, "documents").repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildBm25IndexStream(s, src.toString, schema,
+        out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.compactBm25Index(s, out.toString),
+        "compaction was a no-op — the fixture should have produced 4 epochs")
+      TextAnalysis.bm25TopKFromIndex(
+        streaming.OnlineRefresh.readBm25Index(s, out.toString),
+        Bm25Queries.toDF("query_id", "query"), k = 10)
+    })
+
   /** Streaming incremental IVF index under the hard oracle — the
     * embedding twin of q_stream_bm25_index: centroids land once (the
     * bootstrap over the full corpus, so they equal the direct build's),
@@ -570,23 +597,58 @@ object Queries {
       val src = scratchDir("graft_sdinc_src")
       val out = scratchDir("graft_sdinc_out")
       val ck = scratchDir("graft_sdinc_ck")
-      val docs = t(s, dir, "documents")
-      // one file per shard, mtimes spaced 60 s apart: the file source
-      // delivers oldest-first, so batch i == shard i deterministically
-      for (i <- 0 until 4) {
-        val tmp = scratchDir(s"graft_sdinc_tmp$i")
-        docs.where(pmod(col("doc_id"), lit(4)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
-        val dst = src.resolve(s"shard_$i.parquet")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      stageModShards(s, dir, src, "graft_sdinc_tmp")
       val schema = s.read.parquet(src.toString).schema
       val q = streaming.OnlineRefresh.dedupIncrementalStream(s, src.toString, schema,
         out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      s.read.parquet(s"$out/docs")
+        .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
+    })
+
+  /** Stage the documents table as four doc_id-mod-4 shard files with
+    * mtimes spaced 60 s apart: the file source delivers oldest-first, so
+    * batch i == shard i deterministically — the fixture both order-
+    * dependent ingestion-loop streams replay. */
+  private def stageModShards(s: SparkSession, dir: String,
+      src: java.nio.file.Path, tmpPrefix: String): Unit = {
+    val docs = t(s, dir, "documents")
+    for (i <- 0 until 4) {
+      val tmp = scratchDir(s"$tmpPrefix$i")
+      docs.where(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
+        _.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      }
+      val dst = src.resolve(s"shard_$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  /** The MinHash ingestion loop as a stream under the hard oracle — the
+    * Jaccard-criterion twin of q_stream_dedup_incremental, now ALSO
+    * maintaining the standing artifact: four mtime-ordered doc_id-mod-4
+    * shards arrive as four micro-batches, each cleaned against the
+    * ACCUMULATED SIGNATURE artifact of earlier survivors
+    * ([[graft.streaming.OnlineRefresh.minhashIncrementalStream]] — digest
+    * anti-join, within-shard collapse, capped band-candidate drop at
+    * est ≥ 0.35 over the portable Poly64 family), with survivors'
+    * signatures appended per epoch. Order matters (first-arrival-wins),
+    * so the oracle replays the same four-stage sequential fold in chained
+    * CTEs over the shared signature CTE. */
+  private def streamMinhashIncremental(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_mh_inc:$dir", s), { _ =>
+      val src = scratchDir("graft_smhinc_src")
+      val out = scratchDir("graft_smhinc_out")
+      val ck = scratchDir("graft_smhinc_ck")
+      stageModShards(s, dir, src, "graft_smhinc_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.minhashIncrementalStream(s, src.toString, schema,
+        out.toString, ck.toString, threshold = 0.35, portableHash = true,
+        maxFilesPerTrigger = Some(1))
       q.awaitTermination()
       s.read.parquet(s"$out/docs")
         .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
@@ -1132,6 +1194,27 @@ object Queries {
   private def minhashPairsDedupedQ(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshDeduped(t(s, dir, "documents"), threshold = 0.35, portableHash = true)
 
+  /** The dedup ACCURACY gate ([[graft.ops.Dedup.minhashAccuracy]]): per-
+    * threshold precision/recall of the shipped MinHash+LSH configuration
+    * (32 hashes / 8 bands — q_minhash_pairs' exact knobs) against the
+    * exact n-gram Jaccard truth, both sides replayed end-to-end by the
+    * oracle — the q_ann_recall precedent applied to the sketch-dedup
+    * family, whose knobs are exactly what can't be validated at the scale
+    * where only the sketch form runs. */
+  private def minhashRecallQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(t(s, dir, "documents"),
+      thresholds = Seq(0.35, 0.5, 0.7), portableHash = true)
+
+  /** [[graft.ops.Dedup.simhashAccuracy]] at the shipped default (4 blocks,
+    * hot-block cap 50 — neardupClusters' knobs): per-radius 0..3
+    * precision/recall of the Hamming-ball pairs against exact Jaccard ≥
+    * 0.5 truth. The radius sweep falls out of ONE pigeonhole pair pass
+    * (radius = a filter on the verified popcount), so the gate costs what
+    * q_simhash_neardup_capped + q_ngram_jaccard cost — not 4×. */
+  private def simhashRecallQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashAccuracy(t(s, dir, "documents"),
+      jaccardThreshold = 0.5, maxBlockFreq = Some(50))
+
   /** SimHash groups over the portable long fingerprint (oracle-checked). */
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups64(t(s, dir, "documents"))
@@ -1449,6 +1532,27 @@ object Queries {
     TextAnalysis.bm25TopKFromIndex(stored, Bm25Queries.toDF("query_id", "query"), k = 10)
   }
 
+  /** Index RETRACTION under the hard signal: build the full-corpus index,
+    * round-trip it through parquet, RETRACT the doc_id % 7 == 3 slice
+    * ([[graft.ops.TextAnalysis.bm25IndexRetract]] — exact integer
+    * subtraction from the artifact alone, no corpus re-read), and serve
+    * the standard queries. Registered against a direct-build-over-the-
+    * SURVIVORS oracle: retract(build(W), D) ≡ build(W ∖ D) bit-for-bit
+    * through the scoring — the deletion-request path proven, not
+    * asserted. */
+  private def bm25TopKRetractedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val built = TextAnalysis.bm25Index(docs)
+    val base = scratchDir("graft_bm25rt_")
+    built.postings.write.mode("overwrite").parquet(s"$base/p")
+    built.stats.write.mode("overwrite").parquet(s"$base/s")
+    val stored = TextAnalysis.Bm25Index(s.read.parquet(s"$base/p"), s.read.parquet(s"$base/s"))
+    val retracted = TextAnalysis.bm25IndexRetract(stored,
+      docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+    TextAnalysis.bm25TopKFromIndex(retracted, Bm25Queries.toDF("query_id", "query"), k = 10)
+  }
+
   /** The SHARDED BM25 build: each doc_id-parity half of the corpus builds
     * its own independent [[graft.ops.TextAnalysis.bm25Index]] (the
     * per-shard/per-day unit of a 100 TB build), both partial indexes land
@@ -1732,6 +1836,36 @@ object Queries {
     quantileExactJoin(docs, est)
   }
 
+  /** The quantile-sketch ERROR gate (the dedup-accuracy-gate pattern
+    * applied to the sketch's ~1/√k DKW claim): one corpus-wide sample per
+    * k ∈ {16, 64, 256}, each estimate joined with the exact percentiles
+    * and its error made a COLUMN — so the k-vs-accuracy trade a 100 TB
+    * deployment tunes on is a measured number under the oracle, not a
+    * formula in a scaladoc. Corpus-wide single group deliberately: the
+    * per-source groups of q_quantile_sketch saturate n_seen < k above
+    * k=16 at this SF (exact, error trivially 0), while one 500-row group
+    * exercises genuine sampling at every k in the sweep. */
+  private def quantileErrorQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").withColumn("grp", lit("corpus"))
+    val exact = docs.where(col("n_chars").isNotNull)
+      .agg(round(expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 4).as("p50_exact"),
+        round(expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 4).as("p90_exact"))
+    def errCol(est: Column, ex: Column): Column =
+      when(ex === 0d, lit(null).cast("double"))
+        .otherwise(round(abs(est - ex) / ex * 100.0, 2))
+    Seq(16, 64, 256).map { k =>
+      Sketches.quantileEstimate(
+        Sketches.quantileSketch(docs, "grp", col("doc_id"), col("n_chars"), k),
+        "grp", Seq(0.5 -> "p50", 0.9 -> "p90"))
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(exact))
+      .select(col("k"), col("n_seen"), col("p50"), col("p90"),
+        col("p50_exact"), col("p90_exact"),
+        errCol(col("p50"), col("p50_exact")).as("err_p50_pct"),
+        errCol(col("p90"), col("p90_exact")).as("err_p90_pct"))
+  }
+
   /** Temperature-weighted source mixing ([[graft.ops.Sampling
     * .temperatureMix]]): deterministic √n down-sampling toward ~300 kept
     * rows; the oracle replays the integer-pinned keep predicate row by
@@ -1928,7 +2062,8 @@ object Queries {
   val memoizedQueries: Set[String] =
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
       "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental",
-      "q_stream_quantile", "q_stream_decontaminate")
+      "q_stream_quantile", "q_stream_decontaminate", "q_stream_minhash_incremental",
+      "q_bm25_topk_compacted")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2079,9 +2214,11 @@ object Queries {
     "q_stream_enrich" -> (streamEnrich _),
     "q_stream_pit" -> (streamPit _),
     "q_stream_bm25_index" -> (streamBm25Index _),
+    "q_bm25_topk_compacted" -> (streamBm25Compacted _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
+    "q_stream_minhash_incremental" -> (streamMinhashIncremental _),
     "q_stream_quantile" -> (streamQuantile _),
     "q_stream_decontaminate" -> (streamDecontaminate _),
     "q_stream_latest_cdc" -> (streamLatestCdc _),
@@ -2146,6 +2283,7 @@ object Queries {
     "q_corpus_report" -> (corpusReportQ _),
     "q_corpus_report_served" -> (corpusReportServedQ _),
     "q_quantile_sketch" -> (quantileSketchQ _),
+    "q_quantile_error" -> (quantileErrorQ _),
     "q_quantile_sketch_merged" -> (quantileSketchMergedQ _),
     "q_source_mix" -> (sourceMixQ _),
     "q_budget_mix" -> (budgetMixQ _),
@@ -2158,6 +2296,7 @@ object Queries {
     "q_bm25_topk" -> (bm25TopKQ _),
     "q_bm25_topk_served" -> (bm25TopKServedQ _),
     "q_bm25_topk_sharded" -> (bm25TopKShardedQ _),
+    "q_bm25_topk_retracted" -> (bm25TopKRetractedQ _),
     "q_weighted_sample" -> (weightedSampleQ _),
     "q_top_terms" -> (topTermsQ _),
     "q_ngram_containment" -> (ngramContainmentQ _),
@@ -2174,6 +2313,8 @@ object Queries {
     "q_minhash_pairs_served" -> (minhashServedQ _),
     "q_minhash_incremental" -> (minhashIncrementalQ _),
     "q_minhash_pairs_deduped" -> (minhashPairsDedupedQ _),
+    "q_minhash_recall" -> (minhashRecallQ _),
+    "q_simhash_recall" -> (simhashRecallQ _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
     "q_simhash_neardup_capped" -> (simhashNearDupCapped _),
@@ -2369,6 +2510,7 @@ object Queries {
     "q_stream_ivf_index" -> ivfOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
+    "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
     "q_stream_quantile" -> quantileSketchOracle,
     "q_stream_decontaminate" -> streamDecontaminateOracle,
     "q_lag" ->
@@ -2672,6 +2814,8 @@ object Queries {
     // dedup-first composition vs the SAME oracle: pins the signature-
     // equality expansion algebra through DuckDB (the jaccard pattern)
     "q_minhash_pairs_deduped" -> minhashPairsOracle,
+    "q_minhash_recall" -> minhashRecallOracle,
+    "q_simhash_recall" -> simhashRecallOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),
@@ -2729,6 +2873,7 @@ object Queries {
     "q_corpus_report_served" -> corpusReportServedOracle,
     "q_quantile_sketch" -> quantileSketchOracle,
     "q_quantile_sketch_merged" -> quantileSketchOracle,
+    "q_quantile_error" -> quantileErrorOracle,
     // split-sketch-merge path vs the SAME oracle: pins min-k(A ∪ B) =
     // min-k(min-k(A) ∪ min-k(B)) — mergeability as a checked capability
     "q_distinct_kmv_merged" -> distinctKmvOracle,
@@ -2757,6 +2902,9 @@ object Queries {
     // sharded-build-merge path vs the SAME oracle: pins
     // merge(build(half1), build(half2)) = build(whole) through the scoring
     "q_bm25_topk_sharded" -> bm25Oracle,
+    "q_bm25_topk_retracted" -> bm25OracleOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+    "q_bm25_topk_compacted" -> bm25Oracle,
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
@@ -2947,15 +3095,21 @@ object Queries {
     * (round(ln·1000) — the importanceWeights fixed-point recipe), integer
     * milli-scores summed exactly, ties to the lowest doc id. k1=1.2,
     * b=0.75, k=10 mirror the engine call. */
-  private def bm25Oracle: String = {
+  private def bm25Oracle: String = bm25OracleOver("documents")
+
+  /** The full BM25 replay over any doc-shaped relation — `documents` for
+    * the direct/served/sharded/streamed family, the survivor slice for
+    * q_bm25_topk_retracted (retract(build(W), D) ≡ build(W∖D), so the
+    * retracted serve must match a DIRECT build over the survivors). */
+  private def bm25OracleOver(docs: String): String = {
     val values = Bm25Queries.map { case (id, q) => s"('$id', '$q')" }.mkString(", ")
     val qtoks = "list_distinct(list_filter(string_split(query, ' '), x -> length(x) > 0))"
     s"""WITH q(query_id, query) AS (VALUES $values),
-       |tk AS (SELECT doc_id AS doc, unnest($toks) AS token FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT doc_id AS doc, unnest($toks) AS token FROM $docs WHERE text IS NOT NULL),
        |tf AS (SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
        |dl AS (SELECT doc, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT n, CASE WHEN n > 0 THEN CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0 END AS avgdl
-       |  FROM (SELECT (SELECT count(*) FROM documents) AS n,
+       |  FROM (SELECT (SELECT count(*) FROM $docs) AS n,
        |               (SELECT coalesce(CAST(sum(dl) AS BIGINT), 0) FROM dl) AS sdl)),
        |qt AS (SELECT query_id, unnest($qtoks) AS token FROM q),
        |ptf AS (SELECT tf.* FROM tf JOIN (SELECT DISTINCT token FROM qt) USING (token)),
@@ -3284,6 +3438,49 @@ object Queries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM cand)""".stripMargin
   }
 
+  /** The streaming MinHash ingestion loop replayed as a SEQUENTIAL
+    * four-stage fold in chained CTEs — the [[minhashIncrementalOracle]]
+    * machinery per stage, standing side = the union of earlier stages'
+    * survivors (whose signatures come from the ONE shared [[polySigCte]]:
+    * a doc's signature is fold-independent, exactly why the artifact can
+    * be maintained incrementally at all). Stage 0 is minhashAgainst vs an
+    * EMPTY standing corpus = the within-shard exact collapse alone. */
+  private def streamMinhashIncrementalOracle: String = {
+    def slice(rel: String): String =
+      s"array_to_string($rel.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)], ',')"
+    def bandedSql(docsRel: String, out: String): String =
+      s"""$out AS (SELECT d.doc_id, sg.sig, r.range AS band, ${slice("sg")} AS bv
+         |  FROM $docsRel d JOIN sg ON sg.doc_id = d.doc_id CROSS JOIN range(0, 8) r)""".stripMargin
+    val stages = (0 until 4).map { b =>
+      val shard = s"d$b AS (SELECT * FROM documents WHERE doc_id % 4 = $b)"
+      if (b == 0)
+        s"""$shard,
+           |s0 AS (SELECT * FROM d0
+           |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1)""".stripMargin
+      else {
+        val standing = (0 until b).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+        s"""$shard,
+           |st$b AS ($standing),
+           |i1_$b AS (SELECT d$b.* FROM d$b WHERE NOT EXISTS (
+           |  SELECT 1 FROM st$b WHERE st$b.text IS NOT DISTINCT FROM d$b.text)),
+           |i2_$b AS (SELECT * FROM i1_$b
+           |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+           |${bandedSql(s"st$b", s"exb_$b")},
+           |exc_$b AS (SELECT doc_id, sig, band, bv FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY band, bv) AS df FROM exb_$b) WHERE df <= 50),
+           |${bandedSql(s"i2_$b", s"inb_$b")},
+           |cand_$b AS (SELECT DISTINCT i.doc_id FROM inb_$b i JOIN exc_$b x
+           |  ON i.band = x.band AND i.bv = x.bv
+           |  WHERE CAST(len(list_filter(list_zip(i.sig, x.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 >= 0.35),
+           |s$b AS (SELECT * FROM i2_$b WHERE doc_id NOT IN (SELECT doc_id FROM cand_$b))""".stripMargin
+      }
+    }
+    s"""WITH ${polySigCte()},
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, source, n_chars, CAST(doc_id % 4 AS INTEGER) AS batch
+       |FROM (${(0 until 4).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})""".stripMargin
+  }
+
   /** LSH banding re-derived without the (engine-internal) bucket hash:
     * candidates are pairs agreeing exactly on some band SLICE (8 bands × 4
     * rows), verified by signature agreement rate ≥ threshold. */
@@ -3298,6 +3495,77 @@ object Queries {
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_filter(list_zip(sa, sb), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
        |  FROM p) WHERE est_jaccard >= 0.35""".stripMargin
+
+  /** The MinHash accuracy gate replayed end-to-end: the polySigCte
+    * signatures feed BOTH sides — the exact Jaccard truth re-derives from
+    * the same distinct 3-gram lists (`gl.shs` — shingleK = n by
+    * construction, so truth is exactly the quantity the signature
+    * estimates) and the sketch pairs from the band-slice candidate join
+    * (the q_minhash_pairs oracle verbatim) — then a FULL OUTER join and
+    * the per-threshold precision/recall aggregate over unnested threshold
+    * literals (cast to DOUBLE: a bare DuckDB decimal literal would compare
+    * differently from the engine's double thresholds at the boundary). */
+  private def minhashRecallOracle: String =
+    s"""WITH ${polySigCte()},
+       |g AS (SELECT doc_id, unnest(shs) AS gram FROM gl),
+       |sz AS (SELECT doc_id, len(shs) AS n_grams FROM gl),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter JOIN sz a ON doc_a = a.doc_id JOIN sz b ON doc_b = b.doc_id)
+       |  WHERE jaccard >= 0.35),
+       |pred AS (SELECT doc_a, doc_b, est_jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(list_zip(a.sig, b.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 AS est_jaccard
+       |  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |  WHERE EXISTS (FROM range(0, 8) r
+       |    WHERE a.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)]
+       |        = b.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)]))
+       |  WHERE est_jaccard >= 0.35),
+       |j AS (SELECT t.jaccard, p.est_jaccard
+       |  FROM truth t FULL OUTER JOIN pred p
+       |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b),
+       |th AS (SELECT unnest([CAST(0.35 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.7 AS DOUBLE)]) AS threshold)
+       |SELECT threshold, n_true, n_pred, n_hit,
+       |  CASE WHEN n_pred > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS "precision",
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+       |FROM (SELECT threshold,
+       |    CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN est_jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(sum(CASE WHEN jaccard >= threshold AND est_jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM j CROSS JOIN th GROUP BY threshold)""".stripMargin
+
+  /** The SimHash accuracy gate replayed: exact Jaccard ≥ 0.5 truth (gram
+    * strings — the ngramJaccardOracleSql machinery at the gate threshold)
+    * FULL OUTER joined with the capped block-candidate Hamming pairs
+    * (`simhashPairsCtes(Some(50))` — the shipped default), swept over
+    * radii 0..3 from the one verified popcount column. */
+  private def simhashRecallOracle: String =
+    s"""WITH ${simhashPairsCtes(Some(50))},
+       |tk2 AS (SELECT doc_id, $toks AS t FROM documents),
+       |gl2 AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+       |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk2),
+       |g2 AS (SELECT doc_id, unnest(l) AS gram FROM gl2),
+       |sz2 AS (SELECT doc_id, len(l) AS n_grams FROM gl2),
+       |inter2 AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+       |  FROM g2 x JOIN g2 y ON x.gram = y.gram AND x.doc_id < y.doc_id GROUP BY 1, 2),
+       |truth AS (SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b, round(CAST(i AS DOUBLE) / CAST(a.n_grams + b.n_grams - i AS DOUBLE), 6) AS jaccard
+       |  FROM inter2 JOIN sz2 a ON id_a = a.doc_id JOIN sz2 b ON id_b = b.doc_id)
+       |  WHERE jaccard >= 0.5),
+       |j AS (SELECT t.jaccard, p.hamming
+       |  FROM truth t FULL OUTER JOIN prs p
+       |    ON t.id_a = p.id_a AND t.id_b = p.id_b),
+       |rad AS (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS radius)
+       |SELECT radius, n_true, n_pred, n_hit,
+       |  CASE WHEN n_pred > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS "precision",
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+       |FROM (SELECT radius,
+       |    CAST(sum(CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN hamming <= radius THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(sum(CASE WHEN jaccard IS NOT NULL AND hamming <= radius THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+       |  FROM j CROSS JOIN rad GROUP BY radius)""".stripMargin
 
   /** Union-sketch overlap: per (source, seed) the min over ALL member
     * shingle hashes (min of a union = min of mins — exactly the engine's
@@ -3551,6 +3819,32 @@ object Queries {
        |  CASE WHEN p90_exact = 0 THEN NULL
        |    ELSE round(abs(p90 - p90_exact) / p90_exact * 100.0, 2) END AS err_p90_pct
        |FROM e JOIN x ON e.source = x.source""".stripMargin
+
+  /** The k-sweep error gate replayed: ONE corpus-wide priority ranking
+    * (the md5-60 uniform over doc_id), three bottom-k slices of it, each
+    * quantile_cont'd and joined to the exact twin with the same guarded
+    * error arithmetic. */
+  private def quantileErrorOracle: String = {
+    def slice(k: Int): String =
+      s"""SELECT CAST($k AS INTEGER) AS k, CAST(count(*) AS BIGINT) AS n_seen,
+         |  round(quantile_cont(v, 0.5), 4) AS p50, round(quantile_cont(v, 0.9), 4) AS p90
+         |FROM r WHERE rn <= $k""".stripMargin
+    s"""WITH hx AS (SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx,
+       |    CAST(n_chars AS DOUBLE) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
+       |r AS (SELECT v, row_number() OVER (ORDER BY pri ASC, v ASC) AS rn
+       |  FROM (SELECT ${hexToLongSql("hx")} AS pri, v FROM hx)),
+       |x AS (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
+       |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_exact
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |e AS (${Seq(16, 64, 256).map(slice).mkString("\nUNION ALL\n")})
+       |SELECT k, n_seen, p50, p90, p50_exact, p90_exact,
+       |  CASE WHEN p50_exact = 0 THEN NULL
+       |    ELSE round(abs(p50 - p50_exact) / p50_exact * 100.0, 2) END AS err_p50_pct,
+       |  CASE WHEN p90_exact = 0 THEN NULL
+       |    ELSE round(abs(p90 - p90_exact) / p90_exact * 100.0, 2) END AS err_p90_pct
+       |FROM e CROSS JOIN x""".stripMargin
+  }
 
   /** Temperature mixing replayed row by row: per-source counts, the
     * floor(√n·10⁶) integer weights, the md5-60-bit key uniform, and the

@@ -205,6 +205,66 @@ object ScaleProbe {
         time("q_contamination_bloom", "/tmp/sfbig")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
     }
+    // Round-11a: the ladder PAST ×10 — documents ×30 (150k rows, every doc
+    // 30 identical copies, built as 3 id-offset copies of the ×10 set).
+    // The composed dedup defaults collapse copies before any pairwise
+    // work, so ×10 → ×30 must scale ~linearly in ROWS (scan + digest
+    // window + flat representative core); a super-linear break here names
+    // the operator whose defense stopped working.
+    if (inSection("r11")) {
+      import org.apache.spark.sql.functions._
+      val big30 = "/tmp/sfbig30"
+      if (!new java.io.File(s"$big30/documents.parquet").exists()) {
+        val d10 = spark.read.parquet("/tmp/sfbig/documents.parquet")
+        (0 until 3).map(k => d10.withColumn("doc_id", col("doc_id") + lit(k * 1000000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big30/documents.parquet")
+      }
+      if (!new java.io.File(s"$big30/events.parquet").exists()) {
+        // user ids SHARED across copies: ×30 history depth per entity —
+        // the axis the as-of forms differ on (ts lands as micros NTZ;
+        // Queries.t passes it through unchanged)
+        val e10 = Queries.readEvents(spark, "/tmp/sfbig")
+        (0 until 3).map(k => e10.withColumn("event_id", col("event_id") + lit(k * 1000000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$big30/events.parquet")
+      }
+      val d30 = spark.read.parquet(s"$big30/documents.parquet")
+      timed("minhashLshDeduped @ sfbig30")(
+        graft.ops.Dedup.minhashLshDeduped(d30, threshold = 0.35, portableHash = true).count())
+      timed("dropContained @ sfbig30")(
+        graft.ops.Dedup.dropContained(d30, n = 3, threshold = 0.5).count())
+      timed("ngramJaccardDeduped relcap @ sfbig30")(
+        graft.ops.Dedup.ngramJaccardDeduped(d30, n = 3, threshold = 0.1,
+          maxNgramFreqFraction = Some(0.05)).count())
+      time("q_pipeline_full", big30)
+      time("q_asof_join", big30)
+      time("q_asof_join_merge", big30)
+    }
+    // Round-11b: the skewed-entity PIT probe — ~50% of all events rewritten
+    // onto ONE entity (hot key), the shape a city-level sensor feed or a
+    // bot account produces. The spec (join+rank) form multiplies hot-key
+    // probes × in-TTL hot-key features BEFORE ranking (≈ 6.6M intermediate
+    // rows for the sf0.1 hot key); the merge form's cost is one sorted
+    // window partition of |hot probes| + |hot features| rows. At ×10 the
+    // spec intermediate is ~660M rows for one key — gated with the other
+    // quadratic baselines (SPARK_GRAFT_PROBE_UNCAPPED=1).
+    if (inSection("r11")) {
+      import org.apache.spark.sql.functions._
+      for ((src, name) <- Seq("/root/testdata/sf0.1" -> "sfskew",
+          "/tmp/sfbig" -> "sfskew10")) {
+        val dir = s"/tmp/$name"
+        if (!new java.io.File(s"$dir/events.parquet").exists())
+          Queries.readEvents(spark, src)
+            .withColumn("user_id", when(pmod(col("event_id"), lit(2)) === 0,
+              lit(777777L)).otherwise(col("user_id")))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      }
+      time("q_asof_join", "/tmp/sfskew")
+      time("q_asof_join_merge", "/tmp/sfskew")
+      time("q_asof_join_merge", "/tmp/sfskew10")
+      if (uncapped) time("q_asof_join", "/tmp/sfskew10")
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them

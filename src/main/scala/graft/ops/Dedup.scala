@@ -141,6 +141,21 @@ object Dedup {
       .select(col(idCol), col("dg"), sigExpr.as("sig"))
   }
 
+  /** RETRACT a document set from a materialized [[minhashSignatures]]
+    * artifact — the deletion path completing the artifact trio with
+    * [[graft.ops.TextAnalysis.bm25IndexRetract]] and
+    * [[graft.ops.Similarity.ivfRetract]]: signature rows are per-doc with
+    * no cross-row terms (band buckets re-derive per row), so dropping the
+    * ids' rows IS `minhashSignatures(W ∖ D)` exactly; every downstream
+    * consumer ([[minhashPairsFromSignatures]], [[minhashAgainst]]) then
+    * behaves as if the docs never existed — incl. the hot-bucket cap,
+    * whose frequencies re-count from surviving rows only (a deleted doc
+    * can neither form pairs nor push a bucket over the cap). D
+    * broadcasts; nothing corpus-sized. */
+  def minhashSignaturesRetract(sigs: DataFrame, docIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    sigs.join(broadcast(docIds.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+
   /** [[minhashLsh]]'s banding + candidate-join + verify tail over an
     * already-built signature table — the SERVE half of the build/serve
     * split (q_minhash_pairs_served pins served ≡ direct ≡ oracle through
@@ -635,7 +650,17 @@ object Dedup {
     * pigeonhole block-candidate scheme, but blocks/popcounts are integer
     * bit ops on an 8-byte key instead of hex-string slices — smaller
     * shuffle rows AND a DuckDB-recomputable fingerprint. Radius =
-    * nBlocks - 1 bits; 64 must divide evenly by nBlocks. */
+    * nBlocks - 1 bits; 64 must divide evenly by nBlocks.
+    *
+    * ACCURACY (measure before adopting — [[simhashAccuracy]] /
+    * q_simhash_recall): a 64-bit unigram simhash sees token SETS; a
+    * single-token edit in an ~80-token doc flips many near-tied vote
+    * bits, so on a changed-token mutation profile Hamming ≤ 3 caught
+    * only 32% of exact-Jaccard-≥0.5 truth at ~1% precision (SCALE.md
+    * r11 — capped and uncapped alike). Equality (radius 0 via
+    * [[simhashGroups64]]) remains sound for format/whitespace variants
+    * with unchanged token sets; for shingle-overlap similarity default
+    * to [[minhashLshDeduped]], which measured 1.0/1.0 on the same gate. */
   def simhashNearDup64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       nBlocks: Int = 4, maxBlockFreq: Option[Int] = None): DataFrame = {
     require(nBlocks > 1 && 64 % nBlocks == 0, "nBlocks must divide 64")
@@ -940,25 +965,28 @@ object Dedup {
       reference.where(col(textCol).isNotNull)
         .select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
       .distinct()
-    // ONE reference action collects each gram with its second hash
-    // pre-computed by the SAME Spark xxhash64 the test side evaluates —
-    // geometry (which needs the count first) masks on the driver, so no
-    // second pass and, deliberately, NO persist of refGrams: a persist
-    // here would substitute an InMemoryRelation into every OTHER query
-    // sharing the reference-gram lineage via the session cache (the
-    // direct contamination's pinned plan included). The semi-join below
-    // re-evaluates the benchmark-sized lineage once more — that is the
-    // cheap side by contract.
-    val collected = refGrams
-      .select(col("gram"), xxhash64(col("gram")).as("__h2"))
-      .collect()
-    val nRef = collected.length.toLong
+    // The size guard fires BEFORE any driver-side materialization: a
+    // count-only action sizes the gram set first, so an oversized
+    // reference fails with the sharding guidance below instead of OOMing
+    // the driver inside collect() (the guard used to bound only the bit
+    // array, after the collect had already happened). The extra action
+    // re-evaluates the benchmark-sized reference lineage once more — the
+    // cheap side by contract — and, deliberately, refGrams is NOT
+    // persisted: a persist here would substitute an InMemoryRelation
+    // into every OTHER query sharing the reference-gram lineage via the
+    // session cache (the direct contamination's pinned plan included).
+    val nRef = refGrams.count()
     var mBits = 64L
     while (mBits < nRef * bitsPerGram) mBits <<= 1
     require(mBits <= (1L << 27),
       s"bloom of $mBits bits exceeds the 16 MiB plan-literal bound; " +
         "hash-partition the reference GRAM set into disjoint shards and sum " +
         "per-shard n_hit (disjointness makes the counts exactly additive)")
+    // ONE collect action gathers each gram with its second hash
+    // pre-computed by the SAME Spark xxhash64 the test side evaluates.
+    val collected = refGrams
+      .select(col("gram"), xxhash64(col("gram")).as("__h2"))
+      .collect()
     val mask = lit(mBits - 1)
     def p1(g: Column) = g.bitwiseAND(mask)
     def p2(g: Column) = xxhash64(g).bitwiseAND(mask)
@@ -1720,4 +1748,127 @@ object Dedup {
         coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
         coalesce(col("total_chunks"), lit(0L)).as("total_chunks"))
   }
+
+  // --------------------------------------------------------- accuracy gates
+  // The ANN family earned measured recall gates (q_ann_recall*) because an
+  // approximate index without a measured accuracy number is a knob nobody
+  // can trust. The sketch-dedup family has the same structure: at 100 TB
+  // only the sketch form is runnable, so the hash-count/band/radius knobs
+  // must be validated at a scale where the EXACT pairwise truth
+  // ([[ngramJaccard]]) is still computable — these gates are that
+  // measurement, shaped as registered queries so the numbers live under
+  // the oracle instead of in a notebook.
+
+  /** Per-threshold precision/recall of [[minhashLsh]]'s pairs against the
+    * exact n-gram Jaccard ground truth on the same corpus.
+    *
+    * Both sides are computed ONCE at `thresholds.min` and re-filtered per
+    * threshold — valid because banding is threshold-independent, so
+    * `minhashLsh(t)` ≡ `minhashLsh(tmin).where(est_jaccard >= t)`, and
+    * likewise for [[ngramJaccard]]; the sweep therefore costs one truth
+    * pass + one sketch pass regardless of |thresholds|. The gram
+    * definition is shared by construction (`n = shingleK`, both distinct
+    * word k-grams), so the truth is exactly the quantity the signature
+    * estimates.
+    *
+    * A pair can miss in TWO ways the sweep separates implicitly: never a
+    * band candidate (an LSH miss — lost before any estimate), or a
+    * candidate whose agreement estimate fell below t (an estimator miss).
+    * Both read as recall < 1; precision < 1 means est ≥ t pairs whose true
+    * Jaccard is < t (estimator variance ~1/sqrt(numHashes)).
+    *
+    * Scale shape: the expensive inputs are the two existing operators
+    * unchanged; the sweep itself is pair-list-sized (a broadcast cross
+    * join against |thresholds| literals, one aggregate). Run it per corpus
+    * SAMPLE at deployment scale — the knobs validated on an exchangeable
+    * sample transfer, the full-corpus exact truth never being computable
+    * there (which is the point of this gate existing).
+    *
+    * Empty denominators yield NULL (no predictions ⇒ precision undefined,
+    * not 0 — the [[contamination]] absence-is-a-decision convention); a
+    * corpus with NO pairs on either side yields an EMPTY report (the
+    * group-by has no pair rows — nothing to measure is distinguishable
+    * from measured-zero).
+    * Output: (threshold, n_true, n_pred, n_hit, precision, recall). */
+  def minhashAccuracy(
+      docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.35, 0.5, 0.7),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = None
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "minhashAccuracy needs at least one threshold")
+    val tmin = thresholds.min
+    val truth = ngramJaccard(docs, textCol, idCol, shingleK, tmin)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val pred = minhashLsh(docs, textCol, idCol, shingleK, numHashes, bands,
+        tmin, portableHash, maxBucketFreq)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    val joined = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
+    val th = joined.sparkSession.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    accuracyTail(
+      joined.crossJoin(broadcast(th)), col("threshold"),
+      col("jaccard") >= col("threshold"),
+      col("est_jaccard") >= col("threshold"))
+  }
+
+  /** Per-radius precision/recall of [[simhashNearDup64]]'s Hamming-ball
+    * pairs against the exact n-gram Jaccard truth at `jaccardThreshold` —
+    * the [[minhashAccuracy]] gate for the OTHER sketch family. SimHash
+    * approximates angular similarity of token-frequency vectors, not
+    * Jaccard, so this measures the question a deployment actually asks —
+    * "of the pairs my exact criterion would dedup, what does the Hamming
+    * radius catch, and how much noise rides along" — with the radius swept
+    * 0..nBlocks−1 from ONE pair pass (the pigeonhole join already yields
+    * every pair at distance ≤ nBlocks−1 with its exact popcount; radius r
+    * is a filter over it). n_true is constant across rows (the truth set
+    * doesn't move with the radius); rising n_pred vs flat n_hit is the
+    * precision cliff that says the radius outran the similarity the
+    * fingerprint can see. Output: (radius, n_true, n_pred, n_hit,
+    * precision, recall). */
+  def simhashAccuracy(
+      docs: DataFrame,
+      jaccardThreshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 3,
+      nBlocks: Int = 4,
+      maxBlockFreq: Option[Int] = None
+  ): DataFrame = {
+    val truth = ngramJaccard(docs, textCol, idCol, n, jaccardThreshold)
+      .select(col(s"doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
+    val pred = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
+    val joined = truth.join(pred, Seq("id_a", "id_b"), "full_outer")
+    val radii = joined.sparkSession.range(1)
+      .select(explode(sequence(lit(0), lit(nBlocks - 1))).as("radius"))
+    accuracyTail(
+      joined.crossJoin(broadcast(radii)), col("radius"),
+      col("jaccard").isNotNull,
+      col("hamming") <= col("radius"))
+  }
+
+  /** Shared precision/recall aggregate over a (pair × sweep-point) frame:
+    * count truth/predicted/hit per sweep value, NULL-denominator-safe.
+    * `isTrue`/`isPred` must be null-rejecting on the respective side's
+    * absence (a full-outer miss leaves its columns null). */
+  private def accuracyTail(pairsBySweep: DataFrame, sweep: Column,
+      isTrue: Column, isPred: Column): DataFrame =
+    pairsBySweep
+      .groupBy(sweep)
+      .agg(
+        sum(when(isTrue, 1L).otherwise(0L)).as("n_true"),
+        sum(when(isPred, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(isTrue && isPred, 1L).otherwise(0L)).as("n_hit"))
+      .select(sweep, col("n_true"), col("n_pred"), col("n_hit"),
+        when(col("n_pred") > 0,
+          round(col("n_hit").cast("double") / col("n_pred").cast("double"), 6))
+          .as("precision"),
+        when(col("n_true") > 0,
+          round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+          .as("recall"))
 }

@@ -340,6 +340,23 @@ object Similarity {
       array_max(cellScores(col(embCol))).getField("c").as("cell"))
   }
 
+  /** RETRACT a vector set from a materialized [[IvfIndex]] — the deletion
+    * path mirroring [[graft.ops.TextAnalysis.bm25IndexRetract]]: assignment
+    * rows are per-vector with no cross-row terms, so dropping the ids'
+    * rows IS `build(W ∖ D)` exactly (centroids are a fixed build-time
+    * artifact by the [[ivfAssign]] contract — retraction does not move
+    * them, just as incremental adds don't; re-centering is a rebuild
+    * decision, not a delete). Served top-k over the retracted index can
+    * surface the deleted ids ONLY via the corpus frame passed at serve
+    * time, and the assignment join drops unmatched corpus rows — so a
+    * serve against the ORIGINAL corpus frame still never returns deleted
+    * ids (spec-pinned). D broadcasts; nothing corpus-sized. */
+  def ivfRetract(index: IvfIndex, vecIds: DataFrame,
+      idCol: String = "vec_id"): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assignments.join(broadcast(vecIds.select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+
   /** Collect a (cell, centroid) table back into the bounded literal array
     * the probe/assignment expressions fold in — ≤ nLists rows by
     * construction, the same driver hop the bootstrap uses. */

@@ -157,10 +157,19 @@ object Sketches {
   def quantileSketch(df: DataFrame, groupCol: String, keyCol: Column,
       valueCol: Column, k: Int = 16): DataFrame = {
     require(k >= 2, s"quantile sketch needs k >= 2, got $k")
+    // .distinct() so the base path and [[quantileMerge]] share the same
+    // sample-unit semantics (the merge dedups (pri, v) pairs — without
+    // this the documented estimate(merge(sketch(parts))) ≡
+    // estimate(sketch(whole)) identity would silently depend on no
+    // md5-60 priority collision between distinct keys sharing a value
+    // in one group). Under the unique-key precondition it's a no-op on
+    // values; the extra shuffle gets map-side partial dedup like
+    // [[kmvSketch]]'s.
     bottomK(
       df.where(valueCol.isNotNull && keyCol.isNotNull)
         .select(col(groupCol), md5Long60(keyCol).as("__pri"),
-          valueCol.cast("double").as("__v")),
+          valueCol.cast("double").as("__v"))
+        .distinct(),
       groupCol, k)
   }
 

@@ -430,6 +430,54 @@ object TextAnalysis {
     Bm25Index(postings, stats)
   }
 
+  /** RETRACT a document set from a materialized [[Bm25Index]] — the
+    * deletion-request path (user takedowns, licence expiry, contamination
+    * discoveries) every month-one deployment needs, run WITHOUT touching
+    * the corpus text: drop the docs' postings rows (per-(doc, token), so
+    * an anti-join removes exactly their contribution) and subtract their
+    * exact integer sums from the stats row (n −= |D|, sdl −= Σ their dl;
+    * avgdl re-derives from the one double division the build also does).
+    * Because every stored quantity is a per-doc sum, subtraction is
+    * EXACT: `retract(build(W), D) ≡ build(W ∖ D)` bit-for-bit — the
+    * [[bm25IndexMerge]] disjoint-union argument run backwards
+    * (q_bm25_topk_retracted pins it against a direct build over the
+    * survivors' own oracle; OpsSpec covers the algebra incl. null-text
+    * members of D). df needs no bookkeeping either direction: the serve
+    * path re-counts it from surviving postings.
+    *
+    * PRECONDITION: `docIds` ⊆ the indexed corpus's ids (the deletion
+    * request names indexed docs — the merge precondition's mirror). Ids
+    * outside the corpus would decrement `n` for docs never counted;
+    * duplicates in `docIds` are collapsed here. NULL-text members of D
+    * are handled exactly: they have no postings rows (nothing to drop,
+    * zero dl) but were counted in n — the n subtraction covers them.
+    *
+    * Scale shape: one anti-join + one semi-join aggregate over postings,
+    * both keyed on the id the postings can be bucketed by; D broadcasts
+    * (deletion batches are small by nature). Nothing corpus-text-sized. */
+  def bm25IndexRetract(index: Bm25Index,
+      docIds: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id"): Bm25Index = {
+    val ids = docIds.select(col(idCol)).distinct()
+    // re-project to the build's column order (the join moves its key first)
+    // so the retracted artifact's schema is indistinguishable from a build's
+    val postings = index.postings.join(broadcast(ids), Seq(idCol), "left_anti")
+      .select(col("token"), col(idCol), col("tf"), col("dl"))
+    // Σ tf over the removed docs' postings = Σ of their dl (dl is that
+    // sum denormalized) — read from the index itself, no corpus access
+    val removed = index.postings.join(broadcast(ids), Seq(idCol), "left_semi")
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("__rsdl"))
+    val nRemoved = ids.agg(count(lit(1)).as("__rn"))
+    val stats = index.stats
+      .crossJoin(broadcast(removed))
+      .crossJoin(broadcast(nRemoved))
+      .select((col("n") - col("__rn")).as("n"), (col("sdl") - col("__rsdl")).as("sdl"))
+      .select(col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("sdl"))
+    Bm25Index(postings, stats)
+  }
+
   /** SERVE BM25 from a materialized [[Bm25Index]]: same scoring arithmetic
     * as [[bm25TopK]] ([[idfMilli]]/[[scoreMilli]] are shared), but the
     * corpus side is the postings table — already tokenized, tf'd, and

@@ -520,6 +520,186 @@ object OnlineRefresh {
       .start()
   }
 
+  // ------------------------------------------------------------ compaction
+  // The streaming builders above accrete one `batch=<id>` partition per
+  // micro-batch forever — correct, but partition/file counts decay read
+  // performance over months of epochs. Compaction merge-folds all COMMITTED
+  // partials into the artifact's oldest partition and rewrites the
+  // directory atomically; the newest partition is deliberately left alone
+  // because it is the only epoch foreachBatch may ever REPLAY (at-least-
+  // once: a batch whose write landed but whose epoch didn't commit re-runs
+  // on restart and overwrites its own `batch=<id>` path — folding it away
+  // would turn that idempotent overwrite into silent double-counting).
+  // Run between stream runs (the builders' file listings must not race the
+  // swap); the checkpoint is untouched, so the stream resumes at the next
+  // epoch id and keeps appending — StreamingSpec pins resume-after-
+  // compaction end-to-end, q_bm25_topk_compacted pins compacted ≡
+  // uncompacted serve output under the oracle.
+
+  /** Crash-safe directory swap (the [[start]] snapshot recipe): write the
+    * replacement via `write(tmpPath)`, move the old dir aside, move tmp
+    * in, drop old — a crash between renames leaves dst or dst_old intact,
+    * and the recovery branch restores dst on the next call. */
+  private def swapDir(spark: SparkSession, dirPath: String)(write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dst.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(dirPath + "_old")
+    val tmp = new org.apache.hadoop.fs.Path(dirPath + "_tmp")
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
+    if (!fs.exists(dst) && fs.exists(oldP))
+      must(fs.rename(oldP, dst), s"recovery rename $oldP -> $dst")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(oldP, true)
+    if (fs.exists(dst)) must(fs.rename(dst, oldP), s"rename $dst -> $oldP")
+    must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
+    fs.delete(oldP, true)
+    ()
+  }
+
+  /** Compact a `batch=<id>`-partitioned artifact directory: fold every
+    * partition EXCEPT the newest through `fold` (identity for
+    * concatenation-shaped artifacts — postings, IVF assignments; the
+    * exact merge for sketch artifacts) into the OLDEST partition's id,
+    * keep the newest verbatim, swap atomically. The target id must be an
+    * already-committed epoch's (any id < the newest qualifies; the oldest
+    * is used) so a replayed last epoch can never overwrite the compacted
+    * mass. No-op (returns false) with fewer than 3 partitions — with 2,
+    * the non-newest side is a single partition and there is nothing to
+    * fold. Correctness relies on the artifact's merge algebra: fold must
+    * satisfy read(fold(parts)) ≡ read(parts), which every artifact here
+    * proves via its *_merged / sharded oracle query. */
+  def compactBatchArtifact(spark: SparkSession, dir: String,
+      fold: DataFrame => DataFrame = identity): Boolean = {
+    val df = spark.read.parquet(dir)
+    val ids = df.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (ids.length < 3) return false
+    val newest = ids.last
+    val target = ids.head
+    val compacted = fold(df.where(col("batch") =!= newest).drop("batch"))
+    val latest = df.where(col("batch") === newest).drop("batch")
+    // both plans read `dir` — they execute inside the write step, BEFORE
+    // the swap replaces it
+    swapDir(spark, dir) { tmp =>
+      compacted.write.mode("overwrite").parquet(s"$tmp/batch=$target")
+      latest.write.mode("overwrite").parquet(s"$tmp/batch=$newest")
+    }
+    true
+  }
+
+  /** Compact the [[buildBm25IndexStream]] artifact: postings concatenate
+    * (per-(doc, token) rows — identity fold), stats fold by the
+    * [[graft.ops.TextAnalysis.bm25IndexMerge]] exact-integer-sum algebra
+    * (n = Σnᵢ, sdl = Σsdlᵢ, avgdl re-derived — bit-identical to the
+    * monolithic build, which is why compacted serve output cannot move). */
+  def compactBm25Index(spark: SparkSession, outPath: String): Boolean = {
+    val p = compactBatchArtifact(spark, s"$outPath/postings")
+    val st = compactBatchArtifact(spark, s"$outPath/stats", d => d
+      .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
+      .select(col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("sdl")))
+    p || st
+  }
+
+  /** Compact the [[buildIvfIndexStream]] assignment shards (per-row, no
+    * cross-row terms — identity fold; centroids are one fixed table). */
+  def compactIvfIndex(spark: SparkSession, outPath: String): Boolean =
+    compactBatchArtifact(spark, s"$outPath/assignments")
+
+  /** Compact the [[buildKmvSketchStream]] artifact: m partials per group
+    * fold to ONE ≤ k-hash sketch ([[graft.ops.Sketches.kmvMerge]] — the
+    * overlap-tolerant exact merge, so even a replay-duplicated partial in
+    * the compacted mass cannot perturb the estimate). */
+  def compactKmvSketch(spark: SparkSession, outPath: String, groupCol: String,
+      k: Int = 16): Boolean =
+    compactBatchArtifact(spark, outPath,
+      d => graft.ops.Sketches.kmvMerge(d, groupCol, k))
+
+  /** Compact the [[buildQuantileSketchStream]] artifact
+    * ([[graft.ops.Sketches.quantileMerge]] — same overlap-tolerant
+    * algebra over (pri, v) pairs). */
+  def compactQuantileSketch(spark: SparkSession, outPath: String, groupCol: String,
+      k: Int = 16): Boolean =
+    compactBatchArtifact(spark, outPath,
+      d => graft.ops.Sketches.quantileMerge(d, groupCol, k))
+
+  /** The MinHash (Jaccard-criterion) twin of [[dedupIncrementalStream]],
+    * closing the artifact-maintenance half of the incremental story: each
+    * micro-batch of newly-landed documents is cleaned against the STANDING
+    * SIGNATURE ARTIFACT of all earlier batches' survivors with
+    * [[graft.ops.Dedup.minhashAgainst]] (digest anti-join → within-batch
+    * collapse → band-bucket candidate drop, existing-side hot-bucket cap —
+    * the batch q_minhash_incremental operator, so semantics cannot drift),
+    * and then APPENDS the survivors' own signatures
+    * ([[graft.ops.Dedup.minhashSignatures]]) as the `batch=<id>` partition
+    * of the artifact — which IS the next batch's standing side. The
+    * standing corpus is never re-read as text: per-epoch cost is
+    * shard-size × standing-SIGNATURE-size, the bound that holds at
+    * 100 TB (signatures are ~260 B/doc regardless of doc length).
+    *
+    * Survivor docs land under `outPath/docs/batch=<id>`; signatures under
+    * `outPath/sigs/batch=<id>`. Signatures are computed from the LANDED
+    * docs partition (one cheap re-read) rather than the survivor frame's
+    * lineage — recomputing through the whole minhashAgainst plan would
+    * re-run the dedup per write. Exactly-once: both partitions are
+    * `batch=<id>` overwrites and the standing filter is `batch < batchId`,
+    * so a replayed epoch can neither see its own previous output nor
+    * double-land it (the [[dedupIncrementalStream]] recipe). Result
+    * depends on delivery order (first-arrival-wins) — stage input files
+    * with deterministic mtimes, as q_stream_minhash_incremental's fixture
+    * does. `shingleK`/`numHashes`/`portableHash` must match across the
+    * stream's lifetime (the artifact-analyzer contract of
+    * [[graft.ops.Dedup.minhashAgainst]]). */
+  def minhashIncrementalStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = Some(50),
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/sigs"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/docs"))
+    val idType = schema(idCol).dataType
+    val sigSchema = new StructType()
+      .add(idCol, idType).add("dg", org.apache.spark.sql.types.LongType)
+      .add("sig", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+      .add("batch", org.apache.spark.sql.types.LongType)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val standing = spark.read.schema(sigSchema).parquet(s"$outPath/sigs")
+          .where(col("batch") < lit(batchId)).drop("batch")
+        graft.ops.Dedup
+          .minhashAgainst(standing, batch, textCol, idCol, shingleK,
+            numHashes, bands, threshold, portableHash, maxBucketFreq)
+          .write.mode("overwrite").parquet(s"$outPath/docs/batch=$batchId")
+        graft.ops.Dedup
+          .minhashSignatures(spark.read.parquet(s"$outPath/docs/batch=$batchId"),
+            textCol, idCol, shingleK, numHashes, portableHash)
+          .write.mode("overwrite").parquet(s"$outPath/sigs/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -1115,4 +1115,91 @@ class OpsSpec extends SparkSpec {
     assert(!got.contains("cherry"), "minDf=2 must prune singletons")
     assert(!got.values.exists(_._2.split(",").length > 3), "posting cap violated")
   }
+
+  test("bm25IndexRetract: retract(build(W), D) == build(W minus D), incl. null-text member") {
+    val corpus = Seq(
+      (0L, "spark window agg over the stream"),
+      (1L, "customer query fast table scan"),
+      (2L, "stream batch merge vector index"),
+      (3L, "spark spark spark repeated tokens"),
+      (4L, null.asInstanceOf[String]), // counted in n, zero postings
+      (5L, "another document about windows and tables")
+    ).toDF("doc_id", "text")
+    val d = Seq(3L, 4L).toDF("doc_id") // one token-bearing, one null-text
+    val retracted = TextAnalysis.bm25IndexRetract(TextAnalysis.bm25Index(corpus), d)
+    val direct = TextAnalysis.bm25Index(corpus.where(!col("doc_id").isin(3L, 4L)))
+    // stats row bit-identical (n, avgdl, sdl)
+    assert(retracted.stats.as[(Long, Double, Long)].collect().head ==
+      direct.stats.as[(Long, Double, Long)].collect().head)
+    // postings row sets identical
+    def rows(ix: TextAnalysis.Bm25Index) =
+      ix.postings.as[(String, Long, Long, Long)].collect().sorted.toSeq
+    assert(rows(retracted) == rows(direct))
+    // ...and the served scores bit-identical through the full formula
+    val qs = Seq(("q1", "spark window table")).toDF("query_id", "query")
+    def serve(ix: TextAnalysis.Bm25Index) =
+      TextAnalysis.bm25TopKFromIndex(ix, qs, k = 5)
+        .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    assert(serve(retracted) == serve(direct))
+    assert(!serve(retracted).exists(_._2 == 3L), "deleted doc must never rank")
+    // duplicate ids in D collapse (n decremented once)
+    val dupD = Seq(3L, 3L, 4L).toDF("doc_id")
+    assert(TextAnalysis.bm25IndexRetract(TextAnalysis.bm25Index(corpus), dupD)
+      .stats.as[(Long, Double, Long)].collect().head ==
+      direct.stats.as[(Long, Double, Long)].collect().head)
+  }
+
+  test("ivfRetract / minhashSignaturesRetract: deleted ids vanish from every serve path") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = emb.where(col("vec_id") < 8)
+    val ix = Similarity.ivfIndex(emb, nLists = 8)
+    val del = emb.where(col("vec_id") % 5 === 0).select("vec_id")
+    val retracted = Similarity.ivfRetract(ix, del)
+    // assignments == direct assignment over survivors (per-row, no cross terms)
+    val directAsg = Similarity.ivfAssign(emb.where(col("vec_id") % 5 =!= 0), ix.centroids)
+      .as[(Long, Int)].collect().sorted.toSeq
+    assert(retracted.assignments.as[(Long, Int)].collect().sorted.toSeq == directAsg)
+    // serving against the ORIGINAL corpus frame still cannot return deleted
+    // ids: the assignment join drops unmatched corpus rows
+    val served = Similarity.ivfTopKFromIndex(retracted, emb, probes, k = 4, nProbe = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(served.nonEmpty && !served.exists(_._2 % 5 == 0))
+    // MinHash artifact: pairs from the retracted signatures == pairs built
+    // from the surviving docs directly (incl. the bucket-cap recount)
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val sigs = Dedup.minhashSignatures(docs)
+    val sigsRetracted = Dedup.minhashSignaturesRetract(sigs,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id"))
+    def pairs(sg: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashPairsFromSignatures(sg, threshold = 0.35, maxBucketFreq = Some(50))
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+    val direct = pairs(Dedup.minhashSignatures(docs.where(col("doc_id") % 3 =!= 0)))
+    assert(pairs(sigsRetracted) == direct)
+  }
+
+  test("minhashAccuracy / simhashAccuracy: a perfect detector scores 1.0; empty sides go NULL") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    val d = Seq(
+      (0L, base), (1L, base), // exact dup pair: true jaccard 1.0, est 1.0, hamming 0
+      (2L, "completely different words entirely here now"),
+      (3L, "some other unrelated document text")
+    ).toDF("doc_id", "text")
+    val mh = Dedup.minhashAccuracy(d, thresholds = Seq(0.5, 0.9))
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(mh(0.5) == ((1L, 1L, 1L, Some(1.0), Some(1.0))), s"minhash gate: $mh")
+    assert(mh(0.9) == ((1L, 1L, 1L, Some(1.0), Some(1.0))), s"minhash gate: $mh")
+    val sh = Dedup.simhashAccuracy(d, jaccardThreshold = 0.5)
+      .as[(Int, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(sh(0)._1 == 1L && sh(0)._3 == 1L && sh(0)._5 == Some(1.0),
+      s"identical texts must hit at radius 0: $sh")
+    assert((0 to 2).forall(r => sh(r)._2 <= sh(r + 1)._2 && sh(r)._3 <= sh(r + 1)._3),
+      s"radius widening can only add predictions and hits: $sh")
+    // no pairs on EITHER side -> empty report (groupBy over zero pair rows;
+    // the oracle's CROSS JOIN + GROUP BY agrees), not a 0/0 crash
+    val disjoint = Seq((0L, "one two three"), (1L, "four five six")).toDF("doc_id", "text")
+    assert(Dedup.minhashAccuracy(disjoint, thresholds = Seq(0.9)).isEmpty)
+  }
 }

@@ -370,6 +370,125 @@ class StreamingSpec extends SparkSpec {
     assert(batches == 2, "resume from checkpoint must not re-run epochs")
   }
 
+  test("compaction: serve output unchanged, stream resumes and appends on top") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sbm25c").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val wave1 = corpus.where(col("doc_id") < 400)
+    val wave2 = corpus.where(col("doc_id") >= 400)
+    wave1.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    def nParts(sub: String) = new java.io.File(s"$tmp/ix/$sub").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nParts("postings") == 4)
+    val qs = Seq(("qa", "spark window table"), ("qb", "customer stream fast"))
+      .toDF("query_id", "query")
+    def serve() = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25Index(spark, s"$tmp/ix"), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val before = serve()
+    assert(OnlineRefresh.compactBm25Index(spark, s"$tmp/ix"), "4 epochs must compact")
+    assert(nParts("postings") == 2 && nParts("stats") == 2,
+      "3 committed epochs fold into the oldest partition; newest kept verbatim")
+    assert(serve() == before, "compaction must not move the served scores")
+    // idempotent second call: 2 partitions -> nothing non-newest to fold
+    assert(!OnlineRefresh.compactBm25Index(spark, s"$tmp/ix"))
+    // RESUME: stage a second wave, restart from the same checkpoint — new
+    // epochs append on top of the compacted artifact, and the final serve
+    // equals a monolithic build over BOTH waves
+    wave2.repartition(2).write.mode("append").parquet(s"$tmp/src")
+    val q2 = OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    assert(nParts("postings") == 4, "resume must append 2 fresh epochs")
+    val direct = TextAnalysis.bm25TopK(corpus, qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    assert(serve() == direct, "resumed-after-compaction index diverged from monolithic")
+  }
+
+  test("KMV/quantile compaction: estimates unchanged after merge-fold") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-skmvc").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    docs.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.buildKmvSketchStream(spark, s"$tmp/src", schema,
+      s"$tmp/kmv", s"$tmp/ck", "source", "text", k = 16, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    def est() = graft.ops.Sketches.kmvEstimate(
+      OnlineRefresh.readKmvSketch(spark, s"$tmp/kmv", "source", 16), "source", 16)
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    val before = est()
+    assert(OnlineRefresh.compactKmvSketch(spark, s"$tmp/kmv", "source", 16))
+    assert(est() == before, "KMV estimate moved under compaction")
+    val q2 = OnlineRefresh.buildQuantileSketchStream(spark, s"$tmp/src", schema,
+      s"$tmp/qsk", s"$tmp/ck2", "source", "doc_id", "n_chars", k = 16,
+      maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    def qest() = graft.ops.Sketches.quantileEstimate(
+      OnlineRefresh.readQuantileSketch(spark, s"$tmp/qsk", "source", 16), "source")
+      .as[(String, Long, Double, Double)].collect().sorted.toSeq
+    val qBefore = qest()
+    assert(OnlineRefresh.compactQuantileSketch(spark, s"$tmp/qsk", "source", 16))
+    assert(qest() == qBefore, "quantile estimate moved under compaction")
+  }
+
+  test("minhashIncrementalStream: fold vs the signature artifact; artifact tracks survivors") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-smhinc").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    // shard = parity: 12 exact-dups 2 within shard 0; odd 1 is an exact
+    // dup of standing 2; odd 5 is standing 4 plus trailing whitespace —
+    // its RAW-text digest differs (stage 1 misses it) but its shingle set
+    // is identical (est_jaccard = 1.0, band collision certain), so ONLY
+    // the signature-artifact stage can kill it — deterministic, unlike a
+    // changed-token near-dup whose band collision is a hash coin flip
+    val docs = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, base), (12L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (5L, base + " "),
+      (3L, "totally unrelated words in this one here")
+    ).toDF("doc_id", "text")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for (i <- 0 until 2) {
+      val part = Files.createTempDirectory("graft-smhinc-part").toString
+      docs.where(col("doc_id") % 2 === i).coalesce(1)
+        .write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.minhashIncrementalStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out/docs")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((2L, 0L), (3L, 1L), (4L, 0L)),
+      s"fold broke (12 dups 2 in-shard; 1 exact-kills vs standing; 5 near-kills): $got")
+    // the signature artifact must hold exactly the survivors' signatures
+    val sigIds = spark.read.parquet(s"$tmp/out/sigs")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(sigIds == Seq(2L, 3L, 4L), s"artifact out of step with survivors: $sigIds")
+    // resume from checkpoint: no re-delivery, no new partitions
+    val q2 = OnlineRefresh.minhashIncrementalStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val batches = new java.io.File(s"$tmp/out/sigs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches == 2, "resume from checkpoint must not re-run epochs")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
