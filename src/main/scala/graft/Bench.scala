@@ -74,12 +74,19 @@ object Bench {
       "q_hybrid_served")
     val dedicatedRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEDICATED", "2").toInt.max(0)
     val dedicatedMin = Array.fill(named.size)(Double.MaxValue)
+    // dedicated-run failures get their OWN counter: folding them into
+    // failures(i) let "errors" exceed the interleaved run count and hid
+    // whether qmin was a dedicated or interleaved sample's floor
+    val dedicatedFails = Array.fill(named.size)(0)
     for (i <- named.indices if dedicatedSet(named(i)._1) && !Queries.memoizedQueries(named(i)._1);
          _ <- 1 to dedicatedRuns) {
       val t0 = System.nanoTime()
-      try { named(i)._2(spark, sfDir).count() }
-      catch { case _: Throwable => failures(i) += 1 }
-      dedicatedMin(i) = dedicatedMin(i).min((System.nanoTime() - t0) / 1e9)
+      // a failed dedicated run records its error and nothing else — its
+      // elapsed time must not become the query's floor
+      try {
+        named(i)._2(spark, sfDir).count()
+        dedicatedMin(i) = dedicatedMin(i).min((System.nanoTime() - t0) / 1e9)
+      } catch { case _: Throwable => dedicatedFails(i) += 1 }
     }
     // memoized fixture queries (Queries.memoizedQueries) only do real work
     // on run 1 — later runs re-read the landed store, so their min/mean
@@ -99,6 +106,11 @@ object Bench {
     // surface in their own map (absent when everything succeeded)
     val failed = results.collect { case (k, _, _, f) if f > 0 => s"\"$k\":$f" }
     val errors = if (failed.isEmpty) "" else failed.mkString(""","errors":{""", ",", "}")
+    val dedicatedFailed = named.indices.collect {
+      case i if dedicatedFails(i) > 0 => s"\"${named(i)._1}\":${dedicatedFails(i)}"
+    }
+    val dedErrors = if (dedicatedFailed.isEmpty) ""
+      else dedicatedFailed.mkString(""","dedicated_errors":{""", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"runs":$runs$errors,"sf":"$sfDir"}"""
     val memoed = named.map(_._1).filter(Queries.memoizedQueries)
@@ -106,7 +118,7 @@ object Bench {
     val dedic = named.map(_._1).filter(n => dedicatedSet(n) && !Queries.memoizedQueries(n))
       .map(n => s"\"$n\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"memoized_first_run":$memoed,"dedicated_floor":$dedic,"runs":$runs$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$mean,"qmin":$mins,"memoized_first_run":$memoed,"dedicated_floor":$dedic,"runs":$runs$errors$dedErrors,"sf":"$sfDir"}"""
     // stdout first + explicit flush, THEN the file fallback, THEN shutdown
     println(line)
     System.out.flush()

@@ -654,6 +654,120 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
     })
 
+  /** IVF artifact compaction under the hard oracle — the embedding twin
+    * of q_bm25_topk_compacted, closing the one compaction wrapper that
+    * had no call site: the 4-epoch streamed IVF build of
+    * q_stream_ivf_index (own fixture dir), then
+    * [[graft.streaming.OnlineRefresh.compactIvfIndex]] folds the three
+    * committed assignment shards into one partition (identity fold —
+    * assignments are per-row with no cross-row terms; newest epoch kept
+    * verbatim), and serving reads the compacted artifact — which must
+    * STILL hash-match q_ivf_topk's own oracle. The resume half is
+    * StreamingSpec's. */
+  private def streamIvfCompacted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivfc:$dir", s), { _ =>
+      val src = scratchDir("graft_sivfc_src")
+      val out = scratchDir("graft_sivfc_out")
+      val ck = scratchDir("graft_sivfc_ck")
+      val emb = t(s, dir, "embeddings")
+      emb.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildIvfIndexStream(s, src.toString, schema,
+        out.toString, ck.toString, Similarity.ivfIndex(emb, nLists = 16).centroids,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.compactIvfIndex(s, out.toString),
+        "compaction was a no-op — the fixture should have produced 4 epochs")
+      Similarity.ivfTopKFromIndex(streaming.OnlineRefresh.readIvfIndex(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
+  /** RETRACT-THEN-COMPACT composition under the hard oracle — the artifact
+    * lifecycle algebra's last unproven edge: the 4-epoch streamed BM25
+    * build, then [[graft.streaming.OnlineRefresh.retractBm25Artifact]]
+    * (per-epoch exact integer subtraction, doc_id % 7 == 3 — the
+    * q_bm25_topk_retracted deletion slice), then
+    * [[graft.streaming.OnlineRefresh.compactBm25Index]] folds the
+    * retracted partials, and serving reads the result — which must
+    * hash-match a DIRECT build over the survivors:
+    * compact(retract(A, D)) ≡ build(W ∖ D) through the scoring. */
+  private def streamBm25RetractCompact(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_bm25rc:$dir", s), { _ =>
+      import s.implicits._
+      val src = scratchDir("graft_sbm25rc_src")
+      val out = scratchDir("graft_sbm25rc_out")
+      val ck = scratchDir("graft_sbm25rc_ck")
+      val docs = t(s, dir, "documents")
+      docs.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildBm25IndexStream(s, src.toString, schema,
+        out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      streaming.OnlineRefresh.retractBm25Artifact(s, out.toString,
+        docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
+      require(streaming.OnlineRefresh.compactBm25Index(s, out.toString),
+        "compaction was a no-op — the fixture should have produced 4 epochs")
+      TextAnalysis.bm25TopKFromIndex(
+        streaming.OnlineRefresh.readBm25Index(s, out.toString),
+        Bm25Queries.toDF("query_id", "query"), k = 10)
+    })
+
+  /** Stage an INSERT/DELETE op feed as four mtime-ordered files — the
+    * [[stageModShards]] fixture with takedowns interleaved: batch 0
+    * inserts the even-id shard, batch 1 deletes doc_id % 10 == 0 (targets
+    * batch-0 survivors), batch 2 inserts the odd-id shard (cleaned
+    * against the RETRACTED standing), batch 3 deletes doc_id % 10 == 5.
+    * Delete rows carry only (op, doc_id); other columns null. */
+  private def stageOpShards(s: SparkSession, dir: String,
+      src: java.nio.file.Path, tmpPrefix: String): Unit = {
+    val docs = t(s, dir, "documents")
+    def ins(par: Int) = docs.where(pmod(col("doc_id"), lit(2)) === par)
+      .select(lit("ins").as("op"), col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    def del(m: Int) = docs.where(pmod(col("doc_id"), lit(10)) === m)
+      .select(lit("del").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"), lit(null).cast("long").as("n_chars"))
+    for (((df, i)) <- Seq(ins(0), del(0), ins(1), del(5)).zipWithIndex) {
+      val tmp = scratchDir(s"$tmpPrefix$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
+        _.toArray.map(_.toString)
+          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
+      }
+      val dst = src.resolve(s"stage_$i.parquet")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
+  /** STREAMING RETRACTION under the hard oracle: the MinHash ingestion
+    * loop consumes an insert/delete feed
+    * ([[graft.streaming.OnlineRefresh.minhashIngestRetractStream]] —
+    * tombstone partitions + signature-artifact retraction inside
+    * foreachBatch, exactly-once), so a takedown mid-stream both removes
+    * the doc AND changes later dedup decisions (a near-dup of a deleted
+    * doc survives; an exact copy re-enters). The oracle replays the
+    * insert/delete interleaving as a sequential fold in chained CTEs:
+    * batch-0 within-shard collapse, the %10==0 tombstones shrink the
+    * standing side, batch 2 cleans against the RETRACTED standing, and
+    * the final read drops docs named by a LATER tombstone. */
+  private def streamMinhashRetracted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_mh_ret:$dir", s), { _ =>
+      val src = scratchDir("graft_smhret_src")
+      val out = scratchDir("graft_smhret_out")
+      val ck = scratchDir("graft_smhret_ck")
+      stageOpShards(s, dir, src, "graft_smhret_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.minhashIngestRetractStream(s, src.toString,
+        schema, out.toString, ck.toString, threshold = 0.35, portableHash = true,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      streaming.OnlineRefresh.readMinhashCorpus(s, out.toString)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -1215,6 +1329,40 @@ object Queries {
     Dedup.simhashAccuracy(t(s, dir, "documents"),
       jaccardThreshold = 0.5, maxBlockFreq = Some(50))
 
+  /** The SECOND mutation profile for the accuracy gates: every doc gets a
+    * FORMAT-VARIANT twin at doc_id + 10,000,000 whose raw text differs (so
+    * the exact/digest family misses the pair) but whose token stream is
+    * byte-identical after tokenization — doubled/tripled inner spaces or
+    * added leading/trailing spaces, rotating on doc_id % 3. The r11 gates
+    * measured the generator's CHANGED-TOKEN profile (MinHash 1.0/1.0,
+    * simhash r≤3 ≈ 0.32/0.01); the decision table's other half — "simhash
+    * EQUALITY is right for format variants" — was asserted from theory.
+    * This fixture measures it: variant pairs have exact Jaccard 1.0 and
+    * Hamming 0, so the gates quantify how much of the ≥-threshold truth
+    * on a format-variant profile each sketch family catches. */
+  private def formatVariantDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val mut = when(pmod(col("doc_id"), lit(3)) === 0,
+        regexp_replace(col("text"), " ", "  "))
+      .when(pmod(col("doc_id"), lit(3)) === 1,
+        concat(lit(" "), col("text"), lit(" ")))
+      .otherwise(regexp_replace(col("text"), " ", "   "))
+    docs.unionByName(
+      docs.select((col("doc_id") + lit(10000000L)).as("doc_id"), mut.as("text")))
+  }
+
+  /** [[minhashRecallQ]] on the format-variant profile (same shipped knobs). */
+  private def minhashRecallFmtQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashAccuracy(formatVariantDocs(s, dir),
+      thresholds = Seq(0.35, 0.5, 0.7), portableHash = true)
+
+  /** [[simhashRecallQ]] on the format-variant profile: the radius-0 row is
+    * the decision-table cell under test — fingerprint EQUALITY must catch
+    * the token-preserving variants the digest family misses. */
+  private def simhashRecallFmtQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashAccuracy(formatVariantDocs(s, dir),
+      jaccardThreshold = 0.5, maxBlockFreq = Some(50))
+
   /** SimHash groups over the portable long fingerprint (oracle-checked). */
   private def simhashGroupsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups64(t(s, dir, "documents"))
@@ -1726,8 +1874,11 @@ object Queries {
       countDistinct(col("text")).as("n_distinct_text"))
     val kmv = Sketches.kmvDistinct(docs, "source", col("text"), k = 16)
       .select(col("source"), col("est_distinct"))
+    // k = 64 for the shipped monitoring surface: q_quantile_error measured
+    // k=16 at ≈7% p50 error (debugging-grade) vs ≈2% at k=64 — SCALE.md's
+    // recommendation applied to the call site that serves dashboards
     val qs = Sketches.quantileEstimate(
-      Sketches.quantileSketch(docs, "source", col("doc_id"), col("n_chars"), k = 16),
+      Sketches.quantileSketch(docs, "source", col("doc_id"), col("n_chars"), k = 64),
       "source", Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars")).drop("n_seen")
     val quality = TextAnalysis.textStats(docs)
       .select(col("source"), round(col("quality_score") * 1e6, 0).cast("long").as("__qm"))
@@ -1767,7 +1918,8 @@ object Queries {
         .write.mode("overwrite").parquet(base.resolve(s"stats_$i").toString)
       Sketches.kmvSketch(half, "source", col("text"), k = 16)
         .write.mode("overwrite").parquet(base.resolve(s"kmv_$i").toString)
-      Sketches.quantileSketch(half, "source", col("doc_id"), col("n_chars"), k = 16)
+      // k = 64 per q_quantile_error (see corpusReportQ)
+      Sketches.quantileSketch(half, "source", col("doc_id"), col("n_chars"), k = 64)
         .write.mode("overwrite").parquet(base.resolve(s"qsk_$i").toString)
     }
     def both(prefix: String) =
@@ -1783,7 +1935,7 @@ object Queries {
         "source", k = 16)
       .select(col("source"), col("est_distinct"))
     val qs = Sketches.quantileEstimate(
-      Sketches.quantileMerge(both("qsk"), "source", k = 16),
+      Sketches.quantileMerge(both("qsk"), "source", k = 64),
       "source", Seq(0.5 -> "p50_chars", 0.9 -> "p90_chars")).drop("n_seen")
     stats.join(est, Seq("source")).join(qs, Seq("source"))
   }
@@ -2063,7 +2215,8 @@ object Queries {
     Set("q_ingest_roundtrip", "q_lineage_guard", "q_stream_pit", "q_stream_bm25_index",
       "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental",
       "q_stream_quantile", "q_stream_decontaminate", "q_stream_minhash_incremental",
-      "q_bm25_topk_compacted")
+      "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
+      "q_stream_minhash_retracted")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2215,6 +2368,9 @@ object Queries {
     "q_stream_pit" -> (streamPit _),
     "q_stream_bm25_index" -> (streamBm25Index _),
     "q_bm25_topk_compacted" -> (streamBm25Compacted _),
+    "q_bm25_retract_compact" -> (streamBm25RetractCompact _),
+    "q_ivf_topk_compacted" -> (streamIvfCompacted _),
+    "q_stream_minhash_retracted" -> (streamMinhashRetracted _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -2315,6 +2471,8 @@ object Queries {
     "q_minhash_pairs_deduped" -> (minhashPairsDedupedQ _),
     "q_minhash_recall" -> (minhashRecallQ _),
     "q_simhash_recall" -> (simhashRecallQ _),
+    "q_minhash_recall_fmt" -> (minhashRecallFmtQ _),
+    "q_simhash_recall_fmt" -> (simhashRecallFmtQ _),
     "q_simhash_groups" -> (simhashGroupsQ _),
     "q_simhash_neardup" -> (simhashNearDupQ _),
     "q_simhash_neardup_capped" -> (simhashNearDupCapped _),
@@ -2508,6 +2666,9 @@ object Queries {
     // batching cannot leak into the served scores (disjoint-merge algebra)
     "q_stream_bm25_index" -> bm25Oracle,
     "q_stream_ivf_index" -> ivfOracle,
+    // compacted IVF artifact vs the SAME oracle: the identity fold of the
+    // assignment shards cannot move the served top-k
+    "q_ivf_topk_compacted" -> ivfOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
@@ -2816,6 +2977,9 @@ object Queries {
     "q_minhash_pairs_deduped" -> minhashPairsOracle,
     "q_minhash_recall" -> minhashRecallOracle,
     "q_simhash_recall" -> simhashRecallOracle,
+    "q_minhash_recall_fmt" -> minhashRecallFmtOracle,
+    "q_simhash_recall_fmt" -> simhashRecallFmtOracle,
+    "q_stream_minhash_retracted" -> streamMinhashRetractedOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),
@@ -2905,6 +3069,10 @@ object Queries {
     "q_bm25_topk_retracted" -> bm25OracleOver(
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
     "q_bm25_topk_compacted" -> bm25Oracle,
+    // retract-then-compact composition vs a DIRECT build over the
+    // survivors: compact(retract(A, D)) ≡ build(W ∖ D) through the scoring
+    "q_bm25_retract_compact" -> bm25OracleOver(
+      "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
@@ -3394,13 +3562,16 @@ object Queries {
       |) AS t(kind, name, version, detail_1, detail_2)""".stripMargin
 
   /** CTE chain ending in `sg(doc_id, sig)` — the portable 32-hash MinHash
-    * signature as a list of SIGNED BIGINTs (the engine's min is signed). */
-  private def polySigCte(k: Int = 3, numHashes: Int = 32): String = {
+    * signature as a list of SIGNED BIGINTs (the engine's min is signed).
+    * `from` is any doc-shaped relation (doc_id, text) — `documents` for
+    * the direct family, the format-variant CTE for the _fmt gates. */
+  private def polySigCte(k: Int = 3, numHashes: Int = 32,
+      from: String = "documents"): String = {
     val seeds = Poly64.seeds(numHashes)
     val as = seeds.map(s => Poly64.unsignedSql(s._1)).mkString("[", ",", "]")
     val bs = seeds.map(s => Poly64.unsignedSql(s._2)).mkString("[", ",", "]")
     val h = s"(b * ($as::HUGEINT[])[s+1] + ($bs::HUGEINT[])[s+1]) % 18446744073709551616"
-    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+    s"""tk AS (SELECT doc_id, $toks AS t FROM $from),
        |gl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < $k THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - ${k - 2}), i -> array_to_string(t[i:i+${k - 1}], ' ')) END) AS shs FROM tk),
        |bh AS (SELECT doc_id, list_transform(shs, sh -> ${Poly64.baseHashSql("sh")}) AS bs FROM gl),
@@ -3481,6 +3652,45 @@ object Queries {
        |FROM (${(0 until 4).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})""".stripMargin
   }
 
+  /** The streaming RETRACTION loop replayed: batch 0 = within-shard
+    * collapse of the even shard (minhashAgainst vs empty standing);
+    * batch 1's %10==0 tombstones SHRINK the standing side (signature
+    * retraction = dropping the ids' rows, so both the digest anti-join
+    * and the capped band-candidate drop of batch 2 run against the
+    * retracted survivors); batch 3's %10==5 tombstones arrive after the
+    * last insert. The final read keeps docs not named by a LATER
+    * tombstone — s0 minus both deletion sets, s2 minus batch 3's. Del
+    * batches land no survivors of their own. */
+  private def streamMinhashRetractedOracle: String = {
+    def slice(rel: String): String =
+      s"array_to_string($rel.sig[CAST(r.range*4+1 AS INTEGER):CAST(r.range*4+4 AS INTEGER)], ',')"
+    s"""WITH ${polySigCte()},
+       |d0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |s0 AS (SELECT * FROM d0
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |st2 AS (SELECT * FROM s0 WHERE doc_id % 10 <> 0),
+       |d2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |i1 AS (SELECT d2.* FROM d2 WHERE NOT EXISTS (
+       |  SELECT 1 FROM st2 WHERE st2.text IS NOT DISTINCT FROM d2.text)),
+       |i2 AS (SELECT * FROM i1
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |exb AS (SELECT e.doc_id, sg.sig, r.range AS band, ${slice("sg")} AS bv
+       |  FROM st2 e JOIN sg ON sg.doc_id = e.doc_id CROSS JOIN range(0, 8) r),
+       |exc AS (SELECT doc_id, sig, band, bv FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band, bv) AS df FROM exb) WHERE df <= 50),
+       |inb AS (SELECT i.doc_id, sg.sig, r.range AS band, ${slice("sg")} AS bv
+       |  FROM i2 i JOIN sg ON sg.doc_id = i.doc_id CROSS JOIN range(0, 8) r),
+       |cand AS (SELECT DISTINCT i.doc_id FROM inb i JOIN exc x
+       |  ON i.band = x.band AND i.bv = x.bv
+       |  WHERE CAST(len(list_filter(list_zip(i.sig, x.sig), z -> z[1] = z[2])) AS DOUBLE) / 32.0 >= 0.35),
+       |s2 AS (SELECT * FROM i2 WHERE doc_id NOT IN (SELECT doc_id FROM cand))
+       |SELECT doc_id, source, n_chars, CAST(0 AS INTEGER) AS batch
+       |FROM s0 WHERE doc_id % 10 NOT IN (0, 5)
+       |UNION ALL
+       |SELECT doc_id, source, n_chars, CAST(2 AS INTEGER) AS batch
+       |FROM s2 WHERE doc_id % 10 <> 5""".stripMargin
+  }
+
   /** LSH banding re-derived without the (engine-internal) bucket hash:
     * candidates are pairs agreeing exactly on some band SLICE (8 bands × 4
     * rows), verified by signature agreement rate ≥ threshold. */
@@ -3505,8 +3715,26 @@ object Queries {
     * the per-threshold precision/recall aggregate over unnested threshold
     * literals (cast to DOUBLE: a bare DuckDB decimal literal would compare
     * differently from the engine's double thresholds at the boundary). */
-  private def minhashRecallOracle: String =
-    s"""WITH ${polySigCte()},
+  private def minhashRecallOracle: String = minhashRecallOracleOver("documents", "")
+
+  /** The format-variant doc relation shared by the two _fmt gate oracles:
+    * each doc plus a token-preserving whitespace twin (the engine's
+    * formatVariantDocs mutation, replayed with non-regex replace). */
+  private def formatVariantCte: String =
+    """docs2 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000,
+      |    CASE WHEN doc_id % 3 = 0 THEN replace(text, ' ', '  ')
+      |         WHEN doc_id % 3 = 1 THEN ' ' || text || ' '
+      |         ELSE replace(text, ' ', '   ') END
+      |  FROM documents)""".stripMargin
+
+  private def minhashRecallFmtOracle: String =
+    minhashRecallOracleOver("docs2", formatVariantCte + ",\n")
+
+  private def minhashRecallOracleOver(from: String, prefix: String): String =
+    s"""WITH $prefix${polySigCte(from = from)},
        |g AS (SELECT doc_id, unnest(shs) AS gram FROM gl),
        |sz AS (SELECT doc_id, len(shs) AS n_grams FROM gl),
        |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
@@ -3541,9 +3769,14 @@ object Queries {
     * FULL OUTER joined with the capped block-candidate Hamming pairs
     * (`simhashPairsCtes(Some(50))` — the shipped default), swept over
     * radii 0..3 from the one verified popcount column. */
-  private def simhashRecallOracle: String =
-    s"""WITH ${simhashPairsCtes(Some(50))},
-       |tk2 AS (SELECT doc_id, $toks AS t FROM documents),
+  private def simhashRecallOracle: String = simhashRecallOracleOver("documents", "")
+
+  private def simhashRecallFmtOracle: String =
+    simhashRecallOracleOver("docs2", formatVariantCte + ",\n")
+
+  private def simhashRecallOracleOver(from: String, prefix: String): String =
+    s"""WITH $prefix${simhashPairsCtes(Some(50), from)},
+       |tk2 AS (SELECT doc_id, $toks AS t FROM $from),
        |gl2 AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
        |  ELSE list_transform(range(1, CAST(len(t) AS INTEGER) - 1), i -> array_to_string(t[i:i+2], ' ')) END) AS l FROM tk2),
        |g2 AS (SELECT doc_id, unnest(l) AS gram FROM gl2),
@@ -3782,12 +4015,12 @@ object Queries {
        |qhx AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx,
        |    CAST(n_chars AS DOUBLE) AS v
        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
-       |qpri AS (SELECT source, ${hexToLongSql("hx")} AS pri, v FROM qhx),
+       |qpri AS (SELECT DISTINCT source, ${hexToLongSql("hx")} AS pri, v FROM qhx),
        |qr AS (SELECT source, v,
        |    row_number() OVER (PARTITION BY source ORDER BY pri ASC, v ASC) AS rn FROM qpri),
        |qe AS (SELECT source, round(quantile_cont(v, 0.5), 4) AS p50_chars,
        |    round(quantile_cont(v, 0.9), 4) AS p90_chars
-       |  FROM qr WHERE rn <= 16 GROUP BY source)
+       |  FROM qr WHERE rn <= 64 GROUP BY source)
        |SELECT base.source, n_docs, n_chars, n_distinct_text, est_distinct,
        |  p50_chars, p90_chars, avg_quality
        |FROM base JOIN ke ON base.source = ke.source
@@ -3806,7 +4039,7 @@ object Queries {
     s"""WITH hx AS (SELECT source, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS hx,
        |    CAST(n_chars AS DOUBLE) AS v
        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
-       |pri AS (SELECT source, ${hexToLongSql("hx")} AS pri, v FROM hx),
+       |pri AS (SELECT DISTINCT source, ${hexToLongSql("hx")} AS pri, v FROM hx),
        |r AS (SELECT source, v,
        |    row_number() OVER (PARTITION BY source ORDER BY pri ASC, v ASC) AS rn FROM pri),
        |e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_seen,
@@ -3833,7 +4066,7 @@ object Queries {
        |    CAST(n_chars AS DOUBLE) AS v
        |  FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL),
        |r AS (SELECT v, row_number() OVER (ORDER BY pri ASC, v ASC) AS rn
-       |  FROM (SELECT ${hexToLongSql("hx")} AS pri, v FROM hx)),
+       |  FROM (SELECT DISTINCT ${hexToLongSql("hx")} AS pri, v FROM hx)),
        |x AS (SELECT round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS p50_exact,
        |    round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90_exact
        |  FROM documents WHERE n_chars IS NOT NULL),

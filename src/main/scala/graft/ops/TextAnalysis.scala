@@ -452,6 +452,16 @@ object TextAnalysis {
     * are handled exactly: they have no postings rows (nothing to drop,
     * zero dl) but were counted in n — the n subtraction covers them.
     *
+    * NOT idempotent: apply a given deletion batch to a given artifact
+    * EXACTLY ONCE. On a re-applied (or partially-overlapping) batch the
+    * postings anti-join is a harmless no-op, but the stats subtraction is
+    * NOT — n loses |D| again and sdl loses a now-zero rsdl, skewing
+    * avgdl/idf for every subsequent serve. `n` cannot be re-derived from
+    * surviving postings (null/empty-text docs are counted in n but own no
+    * postings rows), so the exactly-once duty is the CALLER's: version the
+    * artifact per deletion batch (the `batch=<id>` overwrite recipe the
+    * streaming loops use) or record applied batch ids next to it.
+    *
     * Scale shape: one anti-join + one semi-join aggregate over postings,
     * both keyed on the id the postings can be bucketed by; D broadcasts
     * (deletion batches are small by nature). Nothing corpus-text-sized. */

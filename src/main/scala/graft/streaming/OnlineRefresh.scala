@@ -282,10 +282,14 @@ object OnlineRefresh {
     * served index: partition discovery unions the per-batch postings, and
     * `bm25IndexMerge`'s exact-integer-sum normalization folds the
     * per-batch stats rows into the single whole-corpus row. */
-  def readBm25Index(spark: SparkSession, outPath: String): graft.ops.TextAnalysis.Bm25Index =
+  def readBm25Index(spark: SparkSession, outPath: String): graft.ops.TextAnalysis.Bm25Index = {
+    recoverSwap(spark, outPath) // root swap: retractBm25Artifact
+    recoverSwap(spark, s"$outPath/postings")
+    recoverSwap(spark, s"$outPath/stats")
     graft.ops.TextAnalysis.bm25IndexMerge(Seq(graft.ops.TextAnalysis.Bm25Index(
       spark.read.parquet(s"$outPath/postings"),
       spark.read.parquet(s"$outPath/stats"))))
+  }
 
   /** Streaming INCREMENTAL IVF index build — the embedding twin of
     * [[buildBm25IndexStream]], completing the index-freshness story for
@@ -333,10 +337,12 @@ object OnlineRefresh {
   /** Read the artifact [[buildIvfIndexStream]] accumulates back as ONE
     * served [[graft.ops.Similarity.IvfIndex]]: partition discovery unions
     * the per-batch assignment shards; centroids read back as-landed. */
-  def readIvfIndex(spark: SparkSession, outPath: String): graft.ops.Similarity.IvfIndex =
+  def readIvfIndex(spark: SparkSession, outPath: String): graft.ops.Similarity.IvfIndex = {
+    recoverSwap(spark, s"$outPath/assignments")
     graft.ops.Similarity.IvfIndex(
       spark.read.parquet(s"$outPath/centroids"),
       spark.read.parquet(s"$outPath/assignments"))
+  }
 
   /** Streaming KMV sketch accumulation — the sketch-family member of the
     * incremental-build trio (BM25 postings, IVF assignments, and now
@@ -414,15 +420,19 @@ object OnlineRefresh {
     * sketch frame per group (still ≤ k pairs each) — feed to
     * [[graft.ops.Sketches.quantileEstimate]]. */
   def readQuantileSketch(spark: SparkSession, outPath: String, groupCol: String,
-      k: Int = 16): DataFrame =
+      k: Int = 16): DataFrame = {
+    recoverSwap(spark, outPath)
     graft.ops.Sketches.quantileMerge(spark.read.parquet(outPath), groupCol, k)
+  }
 
   /** Merge-fold the accumulated per-batch sketches back into one sketch
     * frame per group (still ≤ k hashes each) — feed to
     * [[graft.ops.Sketches.kmvEstimate]]. */
   def readKmvSketch(spark: SparkSession, outPath: String, groupCol: String,
-      k: Int = 16): DataFrame =
+      k: Int = 16): DataFrame = {
+    recoverSwap(spark, outPath)
     graft.ops.Sketches.kmvMerge(spark.read.parquet(outPath), groupCol, k)
+  }
 
   /** Ingest-time benchmark DECONTAMINATION: each micro-batch of arriving
     * documents is scored against the static reference corpus with
@@ -536,10 +546,26 @@ object OnlineRefresh {
   // compaction end-to-end, q_bm25_topk_compacted pins compacted ≡
   // uncompacted serve output under the oracle.
 
+  /** Self-heal a directory whose last swap crashed mid-rename: dst missing
+    * but the set-aside `_old` copy intact ⇒ restore it. PUBLIC entry points
+    * that read or rewrite a swapped artifact dir call this FIRST — the
+    * recovery branch inside [[swapDir]] alone is unreachable when the
+    * caller (e.g. [[compactBatchArtifact]]'s `spark.read.parquet(dir)`, or
+    * any read* helper) touches the missing dst before the swap runs. */
+  private[streaming] def recoverSwap(spark: SparkSession, dirPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = dst.getFileSystem(conf)
+    val oldP = new org.apache.hadoop.fs.Path(dirPath + "_old")
+    if (!fs.exists(dst) && fs.exists(oldP) && !fs.rename(oldP, dst))
+      throw new java.io.IOException(s"recovery rename $oldP -> $dst failed")
+  }
+
   /** Crash-safe directory swap (the [[start]] snapshot recipe): write the
     * replacement via `write(tmpPath)`, move the old dir aside, move tmp
     * in, drop old — a crash between renames leaves dst or dst_old intact,
-    * and the recovery branch restores dst on the next call. */
+    * and [[recoverSwap]] (run here AND by every public entry point that
+    * touches the dir, where the crash actually surfaces) restores dst. */
   private def swapDir(spark: SparkSession, dirPath: String)(write: String => Unit): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(dirPath)
@@ -548,8 +574,7 @@ object OnlineRefresh {
     val tmp = new org.apache.hadoop.fs.Path(dirPath + "_tmp")
     def must(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
-    if (!fs.exists(dst) && fs.exists(oldP))
-      must(fs.rename(oldP, dst), s"recovery rename $oldP -> $dst")
+    recoverSwap(spark, dirPath)
     fs.delete(tmp, true)
     write(tmp.toString)
     fs.delete(oldP, true)
@@ -573,6 +598,7 @@ object OnlineRefresh {
     * proves via its *_merged / sharded oracle query. */
   def compactBatchArtifact(spark: SparkSession, dir: String,
       fold: DataFrame => DataFrame = identity): Boolean = {
+    recoverSwap(spark, dir)
     val df = spark.read.parquet(dir)
     val ids = df.select(col("batch").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
@@ -596,6 +622,7 @@ object OnlineRefresh {
     * (n = Σnᵢ, sdl = Σsdlᵢ, avgdl re-derived — bit-identical to the
     * monolithic build, which is why compacted serve output cannot move). */
   def compactBm25Index(spark: SparkSession, outPath: String): Boolean = {
+    recoverSwap(spark, outPath) // root swap: retractBm25Artifact
     val p = compactBatchArtifact(spark, s"$outPath/postings")
     val st = compactBatchArtifact(spark, s"$outPath/stats", d => d
       .agg(sum(col("n")).as("n"), sum(col("sdl")).as("sdl"))
@@ -609,6 +636,66 @@ object OnlineRefresh {
     * cross-row terms — identity fold; centroids are one fixed table). */
   def compactIvfIndex(spark: SparkSession, outPath: String): Boolean =
     compactBatchArtifact(spark, s"$outPath/assignments")
+
+  /** RETRACT a document set from the `batch=<id>`-partitioned STREAMED
+    * BM25 artifact in place — [[graft.ops.TextAnalysis.bm25IndexRetract]]
+    * applied per epoch, so the artifact keeps its partition layout (the
+    * stream resumes appending on top; [[compactBm25Index]] folds as
+    * usual) and each partition stays exactly `bm25Index(epoch docs ∖ D)`:
+    *
+    *   - postings are per-(doc, token) rows — the global anti-join drops
+    *     exactly the deleted docs' rows from whichever epoch holds them;
+    *   - each epoch's stats row subtracts ITS OWN deleted docs' exact
+    *     integer sums (nᵢ −= |D ∩ docsᵢ|, sdlᵢ −= Σ their tf), grouped
+    *     from the pre-retraction postings — algebraically identical to
+    *     running bm25IndexRetract(epochᵢ, D ∩ docsᵢ) for every i, since
+    *     epochs partition the corpus. The merged read then equals
+    *     build(W ∖ D) by the bm25IndexMerge sum algebra.
+    *
+    * PRECONDITION (stricter than the monolithic retract's): every id in
+    * `docIds` must own at least one postings row — a doc's EPOCH is only
+    * discoverable through its postings, so a null/empty-text doc (counted
+    * in some epoch's n but owning no rows) cannot be attributed and would
+    * silently skew that epoch's stats. Violations throw rather than
+    * half-apply. Exactly-once per deletion batch is the caller's duty
+    * (the bm25IndexRetract contract); postings and stats are rewritten
+    * under ONE crash-safe swap of the artifact ROOT (both tables replaced
+    * atomically — a two-swap version would leave a crash window where
+    * postings are retracted but stats are not, unrecoverable because the
+    * removed tf mass is only derivable from the pre-retraction postings).
+    * Run between stream runs, like compaction. */
+  def retractBm25Artifact(spark: SparkSession, outPath: String,
+      docIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    recoverSwap(spark, outPath)
+    val ids = docIds.select(col(idCol)).distinct()
+    val postings = spark.read.parquet(s"$outPath/postings")
+    val nIds = ids.count()
+    val found = postings.select(col(idCol)).join(broadcast(ids), Seq(idCol), "left_semi")
+      .distinct().count()
+    require(found == nIds,
+      s"retractBm25Artifact: $found of $nIds deletion ids own postings rows — " +
+        "ids without postings (null/empty text or unknown) cannot be attributed to an epoch")
+    // per-epoch removed mass, from the index alone (Σ tf over a doc's rows = its dl)
+    val removed = postings.join(broadcast(ids), Seq(idCol), "left_semi")
+      .groupBy(col("batch"))
+      .agg(countDistinct(col(idCol)).as("__rn"), sum(col("tf")).as("__rsdl"))
+    val newStats = spark.read.parquet(s"$outPath/stats")
+      .join(removed, Seq("batch"), "left")
+      .select(col("batch"),
+        (col("n") - coalesce(col("__rn"), lit(0L))).as("n"),
+        (col("sdl") - coalesce(col("__rsdl"), lit(0L))).as("sdl"))
+      .select(col("batch"), col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("sdl"))
+    val newPostings = postings.join(broadcast(ids), Seq(idCol), "left_anti")
+      .select(col("token"), col(idCol), col("tf"), col("dl"), col("batch"))
+    // both writes execute inside swapDir against the still-intact old dirs
+    // (tmp is fully written before any rename), then ONE atomic swap
+    swapDir(spark, outPath) { tmp =>
+      newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")
+      newStats.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/stats")
+    }
+  }
 
   /** Compact the [[buildKmvSketchStream]] artifact: m partials per group
     * fold to ONE ≤ k-hash sketch ([[graft.ops.Sketches.kmvMerge]] — the
@@ -698,6 +785,108 @@ object OnlineRefresh {
         ()
       }
       .start()
+  }
+
+  /** [[minhashIncrementalStream]] with a DELETION FEED interleaved — the
+    * streaming retraction path: the stream carries BOTH inserts and
+    * takedowns (an `opCol` marks each row `"ins"` or `"del"`; delete rows
+    * need only `idCol`), so a takedown arriving mid-stream no longer waits
+    * for stop → batch retract → resume. Per micro-batch:
+    *
+    *   1. the batch's deletion ids land as `outPath/dels/batch=<id>` —
+    *      an append-only TOMBSTONE partition (the LSM delete-marker
+    *      shape: physical removal is compaction's job, the standing-side
+    *      view applies markers logically);
+    *   2. the standing signature artifact is
+    *      [[graft.ops.Dedup.minhashSignaturesRetract]]-ed by ALL
+    *      tombstones so far (batch ≤ this one — this batch's deletes
+    *      apply BEFORE its inserts are cleaned, the within-batch
+    *      delete-first convention) — so a near-dup of a deleted doc
+    *      arriving later now SURVIVES, and an exact copy re-enters: the
+    *      dedup decisions themselves see the retraction, not just the
+    *      serving read;
+    *   3. the batch's inserts are cleaned against the retracted standing
+    *      ([[graft.ops.Dedup.minhashAgainst]] — unchanged) and land as
+    *      `docs/batch=<id>` + `sigs/batch=<id>` exactly as in the
+    *      insert-only loop.
+    *
+    * Exactly-once: all three writes are `batch=<id>` overwrites and both
+    * standing filters are batch-id-bounded; retraction here is pure
+    * anti-join (signature rows carry no cross-row sums — unlike BM25
+    * stats), so a replayed epoch re-applies every step idempotently.
+    * Deletions target docs from EARLIER batches (a delete and its doc's
+    * insert in the SAME batch is out of contract). Read survivors with
+    * [[readMinhashCorpus]]: a doc is out iff a tombstone with a LATER
+    * batch id names it — delete-then-reinsert keeps the reinsert. */
+  def minhashIngestRetractStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      opCol: String = "op",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      portableHash: Boolean = false,
+      maxBucketFreq: Option[Int] = Some(50),
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    for (sub <- Seq("sigs", "docs", "dels"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/$sub"))
+    val idType = schema(idCol).dataType
+    val sigSchema = new StructType()
+      .add(idCol, idType).add("dg", org.apache.spark.sql.types.LongType)
+      .add("sig", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+      .add("batch", org.apache.spark.sql.types.LongType)
+    val delSchema = new StructType()
+      .add(idCol, idType).add("batch", org.apache.spark.sql.types.LongType)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col(opCol) === lit("del")).select(col(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        val dels = spark.read.schema(delSchema).parquet(s"$outPath/dels")
+          .where(col("batch") <= lit(batchId)).drop("batch")
+        val standing = graft.ops.Dedup.minhashSignaturesRetract(
+          spark.read.schema(sigSchema).parquet(s"$outPath/sigs")
+            .where(col("batch") < lit(batchId)).drop("batch"),
+          dels, idCol)
+        graft.ops.Dedup
+          .minhashAgainst(standing,
+            batch.where(col(opCol) === lit("ins")).drop(opCol),
+            textCol, idCol, shingleK, numHashes, bands, threshold,
+            portableHash, maxBucketFreq)
+          .write.mode("overwrite").parquet(s"$outPath/docs/batch=$batchId")
+        graft.ops.Dedup
+          .minhashSignatures(spark.read.parquet(s"$outPath/docs/batch=$batchId"),
+            textCol, idCol, shingleK, numHashes, portableHash)
+          .write.mode("overwrite").parquet(s"$outPath/sigs/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** The surviving corpus of a [[minhashIngestRetractStream]] run: landed
+    * survivors minus docs a LATER tombstone names (a tombstone applies to
+    * docs that arrived before it; a reinsert after a delete survives).
+    * Output carries the arrival `batch` column. */
+  def readMinhashCorpus(spark: SparkSession, outPath: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val docs = spark.read.parquet(s"$outPath/docs")
+    val dels = spark.read.parquet(s"$outPath/dels")
+      .select(col(idCol).as("__del_id"), col("batch").as("__del_batch"))
+    docs.join(dels,
+        docs(idCol) === col("__del_id") && col("__del_batch") > docs("batch"),
+        "left_anti")
   }
 
   /** A feature observation keyed by entity; `id` is the deterministic

@@ -489,6 +489,163 @@ class StreamingSpec extends SparkSpec {
     assert(batches == 2, "resume from checkpoint must not re-run epochs")
   }
 
+  test("crash recovery: a half-swapped artifact self-heals from any public entry point") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sheal").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    corpus.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1)).awaitTermination()
+    val qs = Seq(("qa", "spark window table")).toDF("query_id", "query")
+    def serve() = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25Index(spark, s"$tmp/ix"), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val before = serve()
+    // crash window: dst renamed aside, replacement never moved in — the
+    // state a kill between swapDir's two renames leaves behind
+    def simulateCrash(dir: String): Unit = {
+      assert(new java.io.File(dir).renameTo(new java.io.File(dir + "_old")))
+      assert(!new java.io.File(dir).exists())
+    }
+    simulateCrash(s"$tmp/ix/postings")
+    assert(serve() == before, "readBm25Index must self-heal a half-swapped postings dir")
+    simulateCrash(s"$tmp/ix/stats")
+    assert(OnlineRefresh.compactBm25Index(spark, s"$tmp/ix"),
+      "compactBm25Index must self-heal, then compact 4 epochs")
+    assert(serve() == before, "healed-then-compacted serve moved")
+    // root-level swap (retractBm25Artifact) crash: same self-heal contract
+    simulateCrash(s"$tmp/ix")
+    assert(serve() == before, "readBm25Index must self-heal a half-swapped artifact root")
+  }
+
+  test("IVF compaction: served top-k unchanged, stream resumes and appends") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sivfc").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val wave1 = emb.where(col("vec_id") % 5 =!= 0)
+    val wave2 = emb.where(col("vec_id") % 5 === 0)
+    wave1.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val cents = graft.ops.Similarity.ivfIndex(emb, nLists = 8).centroids
+    OnlineRefresh.buildIvfIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", cents, maxFilesPerTrigger = Some(1)).awaitTermination()
+    def nParts = new java.io.File(s"$tmp/ix/assignments").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nParts == 4)
+    def serve(corpus: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.ivfTopKFromIndex(
+        OnlineRefresh.readIvfIndex(spark, s"$tmp/ix"), corpus,
+        emb.where(col("vec_id") < 5), k = 3, nProbe = 3)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = serve(wave1)
+    assert(OnlineRefresh.compactIvfIndex(spark, s"$tmp/ix"), "4 epochs must compact")
+    assert(nParts == 2, "3 committed epochs fold; newest kept verbatim")
+    assert(serve(wave1) == before, "compaction must not move the served top-k")
+    assert(!OnlineRefresh.compactIvfIndex(spark, s"$tmp/ix"), "2 partitions -> no-op")
+    // resume on top of the compacted artifact; final == monolithic build
+    wave2.repartition(2).write.mode("append").parquet(s"$tmp/src")
+    OnlineRefresh.buildIvfIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", cents, maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(nParts == 4, "resume must append 2 fresh epochs")
+    val mono = graft.ops.Similarity.ivfTopKFromIndex(
+      graft.ops.Similarity.IvfIndex(cents, graft.ops.Similarity.ivfAssign(emb, cents)),
+      emb, emb.where(col("vec_id") < 5), k = 3, nProbe = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(serve(emb) == mono, "resumed-after-compaction index diverged from monolithic")
+  }
+
+  test("retract-then-compact: artifact equals a build over the survivors; stream resumes") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sbm25rc").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val wave1 = corpus.where(col("doc_id") < 400)
+    val wave2 = corpus.where(col("doc_id") >= 400)
+    wave1.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1)).awaitTermination()
+    val del = wave1.where(col("doc_id") % 7 === 3).select(col("doc_id"))
+    OnlineRefresh.retractBm25Artifact(spark, s"$tmp/ix", del)
+    assert(OnlineRefresh.compactBm25Index(spark, s"$tmp/ix"), "4 epochs must compact")
+    val qs = Seq(("qa", "spark window table"), ("qb", "customer stream fast"))
+      .toDF("query_id", "query")
+    def serve() = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25Index(spark, s"$tmp/ix"), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    def direct(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25TopK(docs, qs, k = 6)
+        .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val surv1 = wave1.where(col("doc_id") % 7 =!= 3)
+    assert(serve() == direct(surv1),
+      "compact(retract(A, D)) must equal a direct build over W \\ D")
+    // an unknown / postings-less id must be rejected, not half-applied
+    intercept[IllegalArgumentException] {
+      OnlineRefresh.retractBm25Artifact(spark, s"$tmp/ix",
+        Seq(999999L).toDF("doc_id"))
+    }
+    // resume after BOTH: fresh epochs append; final == build over survivors + wave2
+    wave2.repartition(2).write.mode("append").parquet(s"$tmp/src")
+    OnlineRefresh.buildBm25IndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1)).awaitTermination()
+    assert(serve() == direct(surv1.unionByName(wave2)),
+      "resumed-after-retract-and-compact index diverged")
+  }
+
+  test("minhashIngestRetractStream: takedowns feed back into dedup decisions; reinsert survives") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-smhret").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    val aText = "the quick brown fox jumps over the lazy dog"
+    // stage 0 inserts 2=aText, 4=base; stage 1 DELETES 4; stage 2 inserts
+    // 5=base+" " (near-dup of the DELETED 4 — must survive: it died in the
+    // insert-only minhashIncrementalStream test), 8=aText (exact copy of
+    // STANDING 2 — still killed), 10=base (exact copy of DELETED 4 — its
+    // digest is retracted, so it re-enters); stage 3 DELETES 2.
+    val stages = Seq(
+      Seq(("ins", 2L, aText), ("ins", 4L, base)),
+      Seq(("del", 4L, null: String)),
+      Seq(("ins", 5L, base + " "), ("ins", 8L, aText), ("ins", 10L, base)),
+      Seq(("del", 2L, null: String)))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for ((rows, i) <- stages.zipWithIndex) {
+      val part = Files.createTempDirectory("graft-smhret-part").toString
+      rows.toDF("op", "doc_id", "text").coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/stage_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.minhashIngestRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // landed survivors per epoch, BEFORE tombstone filtering
+    val landed = spark.read.parquet(s"$tmp/out/docs")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(landed == Seq((2L, 0L), (4L, 0L), (5L, 2L), (10L, 2L)),
+      s"epoch survivors broke (8 must die vs standing 2; 5 and 10 must re-enter): $landed")
+    // the serving read applies only LATER tombstones: 4 (del@1 > ins@0)
+    // and 2 (del@3 > ins@0) are out; 5 and 10 stay
+    val corpus = OnlineRefresh.readMinhashCorpus(spark, s"$tmp/out")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(corpus == Seq((5L, 2L), (10L, 2L)), s"tombstone read broke: $corpus")
+    // resume from checkpoint: no re-delivery, no new partitions
+    val q2 = OnlineRefresh.minhashIngestRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val batches = new java.io.File(s"$tmp/out/sigs").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches == 4, "resume from checkpoint must not re-run epochs")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
