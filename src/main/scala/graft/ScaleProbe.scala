@@ -265,6 +265,41 @@ object ScaleProbe {
       time("q_asof_join_merge", "/tmp/sfskew10")
       if (uncapped) time("q_asof_join", "/tmp/sfskew10")
     }
+    // Round-12: the LSH band-bucket SKEW distribution at ×30 duplication —
+    // the measurement behind minhashLsh's maxBucketFreq knob (a bucket of
+    // frequency f is f(f-1)/2 candidate pairs in ONE join task; the tail
+    // of this distribution is the band join's p99 task size). Raw banding
+    // shows duplication-driven skew (every text duplicated d× multiplies
+    // its bucket rows d×, candidates d²); banding over exact-dedup
+    // representatives (minhashLshDeduped's pre-collapse) shows the
+    // residual natural skew the cap must still bound.
+    if (inSection("r12")) {
+      import org.apache.spark.sql.functions._
+      val d30 = spark.read.parquet("/tmp/sfbig30/documents.parquet")
+      def bucketReport(name: String, docs: org.apache.spark.sql.DataFrame): Unit =
+        timed(s"bucket stats $name @ sfbig30") {
+          val st = graft.ops.Dedup.minhashBucketStats(docs, portableHash = true)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val r = st.agg(
+            count(lit(1)).as("n_buckets"),
+            max(col("freq")).as("max_f"),
+            expr("percentile(freq, 0.99)").as("p99_f"),
+            expr("percentile(freq, 0.999)").as("p999_f"),
+            sum(col("freq") * (col("freq") - 1) / 2).as("cand_pairs"),
+            sum(when(col("freq") <= 50, col("freq") * (col("freq") - 1) / 2)
+              .otherwise(0)).as("cand_pairs_cap50"),
+            sum(when(col("freq") > 50, 1).otherwise(0)).as("buckets_over_cap"))
+            .collect()(0)
+          println(s"BUCKETS $name n=${r.get(0)} max=${r.get(1)} p99=${r.get(2)} " +
+            s"p999=${r.get(3)} candPairs=${r.get(4)} candPairsCap50=${r.get(5)} " +
+            s"overCap=${r.get(6)}")
+          val n = st.count(); st.unpersist(); n
+        }
+      bucketReport("raw", d30)
+      bucketReport("deduped-reps", d30.join(
+        graft.ops.Dedup.exact(d30, "text", "doc_id")
+          .select(col("doc_id")), Seq("doc_id"), "left_semi"))
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them

@@ -30,6 +30,27 @@ import org.apache.spark.sql.functions._
   *
   * Tie-breaking: duplicate feature timestamps are resolved by `tieBreak`
   * columns (descending), so results are deterministic.
+  *
+  * MEASURED depth/skew guidance (SCALE.md r12; local[32], sf0.1 events):
+  *
+  *   - History DEPTH: at ×30 in-TTL history per entity the spec form ran
+  *     44.7 s vs the merge form's 0.43 s — the join+rank intermediate is
+  *     QUADRATIC in per-key in-TTL depth (probes × features before the
+  *     rank), the merge linear. ×10 → ×30 slope: spec 6.86 → 44.7 (6.5×
+  *     for 3× depth, the d² term), merge 0.48 → 0.43 (flat).
+  *   - Key SKEW: with ~50% of all events on ONE entity (hot sensor / bot
+  *     account), spec 6.17 s vs merge 0.23 s at sf0.1; at ×10 the merge
+  *     held 0.23 s while the spec form's hot-key intermediate is ~660M
+  *     rows for one key (gated out of routine probes). The merge form's
+  *     hot-key cost is one sorted window partition of |hot probes| +
+  *     |hot features| rows — AQE cannot split a window partition, so at
+  *     extreme single-key mass the remaining lever is sessionizing the
+  *     key (salt by coarse time bucket, carry the boundary feature
+  *     forward); no fixture here has needed it.
+  *
+  * Default to [[historicalFeaturesMerge]] whenever history depth within
+  * TTL exceeds a few rows per key or key mass is skewed; the spec form
+  * remains the readable reference and the shallow-history fast path.
   */
 object PointInTime {
 

@@ -91,6 +91,18 @@ object Dedup {
     * the corpus is already exact-deduped (same guidance as
     * [[ngramJaccardDeduped]], measured in SCALE.md's cap-trade triangle).
     *
+    * Cap guidance, MEASURED ([[minhashBucketStats]] at documents ×30,
+    * SCALE.md r12): raw banding put 1,680 buckets over the default cap 50
+    * (max frequency 120 = the duplication factor × the hottest text's
+    * natural copies; candidate mass 19.0M pairs), and every over-cap
+    * bucket was duplication-driven — capping there trades RECALL on
+    * exactly the clusters a dedup most wants. After exact-dedup
+    * pre-collapse the same corpus's distribution collapsed to max bucket
+    * frequency 4, zero buckets over cap, 1,710 candidate pairs: the
+    * residual NATURAL skew is tiny, and the cap's real job is guarding
+    * against pathological shared-shingle boilerplate, not duplication.
+    * Order of defenses: dedup first; keep the cap as the backstop.
+    *
     * Output: (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     */
   def minhashLsh(
@@ -205,6 +217,35 @@ object Dedup {
         concat_ws(",", transform(
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")))))
+
+  /** DIAGNOSTIC: the (band, bucket) frequency distribution of a corpus's
+    * MinHash banding — the skew surface of every band-bucket join
+    * ([[minhashPairsFromSignatures]], [[minhashAgainst]]). A bucket of
+    * frequency f contributes f·(f−1)/2 candidate pairs, all landing in
+    * ONE join task's hash group, so the distribution's tail IS the
+    * band-join's p99-task-size story; `maxBucketFreq` prunes buckets
+    * above the cap before the join. One row per (band, bucket) with its
+    * row frequency — aggregate max/percentiles/Σf² caller-side (the
+    * frame is ≤ bands × corpus rows, pre-aggregated by the groupBy).
+    * Run over the RAW corpus to see duplication-driven skew, or over
+    * exact-dedup representatives to see the residual natural skew
+    * ([[minhashLshDeduped]]'s pre-collapse is exactly this defense). */
+  def minhashBucketStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      portableHash: Boolean = false
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    bandedFromSig(
+      minhashSignatures(docs, textCol, idCol, shingleK, numHashes, portableHash)
+        .select(col(idCol), col("sig")),
+      bands, numHashes / bands)
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("freq"))
+  }
 
   /** [[dedupAgainst]]'s Jaccard-estimate sibling: clean a newly-landed
     * shard against the standing corpus using its materialized
