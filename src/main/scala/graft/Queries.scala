@@ -764,8 +764,54 @@ object Queries {
         schema, out.toString, ck.toString, threshold = 0.35, portableHash = true,
         maxFilesPerTrigger = Some(1))
       q.awaitTermination()
-      streaming.OnlineRefresh.readMinhashCorpus(s, out.toString)
+      streaming.OnlineRefresh.readRetractedCorpus(s, out.toString)
         .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
+    })
+
+  /** The Hamming-criterion streaming retraction twin
+    * ([[graft.streaming.OnlineRefresh.dedupIngestRetractStream]] — the
+    * q_stream_dedup_incremental loop consuming the SAME insert/delete
+    * fixture as q_stream_minhash_retracted): tombstones shrink the
+    * standing docs before both the exact digest stage and the simhash
+    * block-candidate stage; the oracle replays the interleaved fold with
+    * the polyFp block machinery. */
+  private def streamDedupRetracted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_dd_ret:$dir", s), { _ =>
+      val src = scratchDir("graft_sddret_src")
+      val out = scratchDir("graft_sddret_out")
+      val ck = scratchDir("graft_sddret_ck")
+      stageOpShards(s, dir, src, "graft_sddret_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.dedupIngestRetractStream(s, src.toString,
+        schema, out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      streaming.OnlineRefresh.readRetractedCorpus(s, out.toString)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
+    })
+
+  /** Streaming retraction for the INDEX-builder family
+    * ([[graft.streaming.OnlineRefresh.buildBm25IndexRetractStream]]): the
+    * same insert/delete fixture streams into the BM25 builder — inserts
+    * build epoch partials, deletes land tombstone partitions — and
+    * serving applies the tombstones logically at read time via the exact
+    * monolithic retract. Must hash-match a DIRECT build over the
+    * never-deleted docs: the tombstone-at-read design has no
+    * double-subtraction hazard by construction (the artifact is never
+    * mutated), which is exactly what the oracle pins. */
+  private def streamBm25Retracted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_bm25ret:$dir", s), { _ =>
+      import s.implicits._
+      val src = scratchDir("graft_sbmret_src")
+      val out = scratchDir("graft_sbmret_out")
+      val ck = scratchDir("graft_sbmret_ck")
+      stageOpShards(s, dir, src, "graft_sbmret_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildBm25IndexRetractStream(s, src.toString,
+        schema, out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      TextAnalysis.bm25TopKFromIndex(
+        streaming.OnlineRefresh.readBm25IndexRetracted(s, out.toString),
+        Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
   /** Stream-static enrichment under the oracle: signup events arrive as a
@@ -2216,7 +2262,8 @@ object Queries {
       "q_stream_ivf_index", "q_stream_kmv", "q_stream_dedup_incremental",
       "q_stream_quantile", "q_stream_decontaminate", "q_stream_minhash_incremental",
       "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
-      "q_stream_minhash_retracted")
+      "q_stream_minhash_retracted", "q_stream_dedup_retracted",
+      "q_stream_bm25_retracted")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2371,6 +2418,8 @@ object Queries {
     "q_bm25_retract_compact" -> (streamBm25RetractCompact _),
     "q_ivf_topk_compacted" -> (streamIvfCompacted _),
     "q_stream_minhash_retracted" -> (streamMinhashRetracted _),
+    "q_stream_dedup_retracted" -> (streamDedupRetracted _),
+    "q_stream_bm25_retracted" -> (streamBm25Retracted _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -2980,6 +3029,7 @@ object Queries {
     "q_minhash_recall_fmt" -> minhashRecallFmtOracle,
     "q_simhash_recall_fmt" -> simhashRecallFmtOracle,
     "q_stream_minhash_retracted" -> streamMinhashRetractedOracle,
+    "q_stream_dedup_retracted" -> streamDedupRetractedOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),
     "q_ngram_jaccard_relcap" -> ngramJaccardRelCapOracle(0.05),
@@ -3073,6 +3123,10 @@ object Queries {
     // survivors: compact(retract(A, D)) ≡ build(W ∖ D) through the scoring
     "q_bm25_retract_compact" -> bm25OracleOver(
       "(SELECT * FROM documents WHERE doc_id % 7 <> 3)"),
+    // streamed insert/delete feed + tombstones-applied-at-read vs a DIRECT
+    // build over the never-deleted docs
+    "q_stream_bm25_retracted" -> bm25OracleOver(
+      "(SELECT * FROM documents WHERE doc_id % 10 NOT IN (0, 5))"),
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,
     "q_ngram_containment" -> ngramContainmentOracle,
@@ -3381,6 +3435,37 @@ object Queries {
        |SELECT doc_id, source, n_chars, CAST(doc_id % 4 AS INTEGER) AS batch
        |FROM (${(0 until 4).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")})""".stripMargin
   }
+
+  /** [[streamMinhashRetractedOracle]]'s Hamming-criterion twin: the same
+    * interleaved insert/delete fold, with the dedupAgainst block machinery
+    * (capped simhash blocks, Hamming ≤ 3 verify) in place of the band
+    * join. The retracted standing (st2 = s0 minus the %10==0 tombstones)
+    * feeds BOTH the exact text stage and the block-candidate stage. */
+  private def streamDedupRetractedOracle: String =
+    s"""WITH ${polyFpCte("documents")},
+       |d0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |s0 AS (SELECT * FROM d0
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |st2 AS (SELECT * FROM s0 WHERE doc_id % 10 <> 0),
+       |d2 AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |i1 AS (SELECT d2.* FROM d2 WHERE NOT EXISTS (
+       |  SELECT 1 FROM st2 WHERE st2.text IS NOT DISTINCT FROM d2.text)),
+       |i2 AS (SELECT * FROM i1
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) = 1),
+       |exb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM (
+       |  SELECT e.doc_id, f.u, unnest(range(0, 4)) AS bi FROM st2 e JOIN fp f USING (doc_id))),
+       |exc AS (SELECT doc_id, u, bi, bv FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY bi, bv) AS df FROM exb) WHERE df <= 50),
+       |inb AS (SELECT doc_id, u, bi, (u >> (48 - 16*CAST(bi AS INTEGER))) & 65535 AS bv FROM (
+       |  SELECT i.doc_id, f.u, unnest(range(0, 4)) AS bi FROM i2 i JOIN fp f USING (doc_id))),
+       |cand AS (SELECT DISTINCT i.doc_id FROM inb i JOIN exc x ON i.bi = x.bi AND i.bv = x.bv
+       |  WHERE bit_count(xor(i.u, x.u)) <= 3),
+       |s2 AS (SELECT * FROM i2 WHERE doc_id NOT IN (SELECT doc_id FROM cand))
+       |SELECT doc_id, source, n_chars, CAST(0 AS INTEGER) AS batch
+       |FROM s0 WHERE doc_id % 10 NOT IN (0, 5)
+       |UNION ALL
+       |SELECT doc_id, source, n_chars, CAST(2 AS INTEGER) AS batch
+       |FROM s2 WHERE doc_id % 10 <> 5""".stripMargin
 
   private def simhashGroupsOracle: String =
     s"""WITH ${polyFpCte()}

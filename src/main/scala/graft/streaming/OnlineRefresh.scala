@@ -875,11 +875,13 @@ object OnlineRefresh {
       .start()
   }
 
-  /** The surviving corpus of a [[minhashIngestRetractStream]] run: landed
-    * survivors minus docs a LATER tombstone names (a tombstone applies to
-    * docs that arrived before it; a reinsert after a delete survives).
-    * Output carries the arrival `batch` column. */
-  def readMinhashCorpus(spark: SparkSession, outPath: String,
+  /** The surviving corpus of a [[minhashIngestRetractStream]] /
+    * [[dedupIngestRetractStream]] run (both land `docs/batch=<id>` +
+    * `dels/batch=<id>`): landed survivors minus docs a LATER tombstone
+    * names (a tombstone applies to docs that arrived before it; a
+    * reinsert after a delete survives). Output carries the arrival
+    * `batch` column. */
+  def readRetractedCorpus(spark: SparkSession, outPath: String,
       idCol: String = "doc_id"): DataFrame = {
     val docs = spark.read.parquet(s"$outPath/docs")
     val dels = spark.read.parquet(s"$outPath/dels")
@@ -888,6 +890,124 @@ object OnlineRefresh {
         docs(idCol) === col("__del_id") && col("__del_batch") > docs("batch"),
         "left_anti")
   }
+
+  /** [[dedupIncrementalStream]] with a DELETION FEED interleaved — the
+    * Hamming-criterion twin of [[minhashIngestRetractStream]], completing
+    * streaming retraction for BOTH ingestion loops: the stream carries
+    * inserts and takedowns (`opCol` ∈ {"ins", "del"}); each micro-batch
+    * lands its deletion ids as an append-only `dels/batch=<id>` tombstone
+    * partition, then cleans its inserts with
+    * [[graft.ops.Dedup.dedupAgainst]] against the standing survivors
+    * MINUS all tombstones so far (batch ≤ this one — delete-first within
+    * a batch). The standing side here is the docs table itself (this
+    * loop's artifact IS the corpus), so retraction is one anti-join
+    * before the dedup — a deleted doc stops blocking both the exact
+    * digest stage and the simhash block-candidate stage, and an exact
+    * copy of it re-enters. Exactly-once by the same argument as the
+    * MinHash twin: every write is a `batch=<id>` overwrite and every
+    * standing filter is batch-id-bounded; all retraction steps are pure
+    * anti-joins. Read survivors with [[readRetractedCorpus]]. */
+  def dedupIngestRetractStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      opCol: String = "op",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nBlocks: Int = 4,
+      maxBlockFreq: Option[Int] = Some(50),
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    for (sub <- Seq("docs", "dels"))
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/$sub"))
+    val docSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(_.name == opCol))
+    val standingSchema = docSchema.add("batch", org.apache.spark.sql.types.LongType)
+    val delSchema = new StructType()
+      .add(idCol, schema(idCol).dataType).add("batch", org.apache.spark.sql.types.LongType)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col(opCol) === lit("del")).select(col(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        val dels = spark.read.schema(delSchema).parquet(s"$outPath/dels")
+          .where(col("batch") <= lit(batchId)).select(col(idCol))
+        val standing = spark.read.schema(standingSchema).parquet(s"$outPath/docs")
+          .where(col("batch") < lit(batchId)).drop("batch")
+          .join(broadcast(dels.distinct()), Seq(idCol), "left_anti")
+        graft.ops.Dedup
+          .dedupAgainst(standing,
+            batch.where(col(opCol) === lit("ins")).drop(opCol),
+            textCol, idCol, nBlocks, maxBlockFreq)
+          .write.mode("overwrite").parquet(s"$outPath/docs/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** [[buildBm25IndexStream]] with a DELETION FEED interleaved — streaming
+    * retraction for the INDEX-builder family: insert rows build their
+    * epoch's partial index exactly as before; delete rows land as
+    * append-only `dels/batch=<id>` tombstone partitions (idempotent
+    * overwrite — nothing in the standing artifact is mutated, so there is
+    * no double-subtraction hazard at all, unlike physical retraction).
+    * Serving applies the tombstones logically at read time
+    * ([[readBm25IndexRetracted]] — the monolithic
+    * [[graft.ops.TextAnalysis.bm25IndexRetract]] over the merged
+    * artifact); physical removal is [[retractBm25Artifact]] +
+    * [[compactBm25Index]]'s job between stream runs, after which the
+    * applied tombstone partitions can be dropped. Tombstones must name
+    * docs already delivered to the index (deletion requests reference
+    * corpus members — a delete racing ahead of its doc's insert is out
+    * of contract, same as the batch retract's precondition). */
+  def buildBm25IndexRetractStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      opCol: String = "op",
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/dels"))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col(opCol) === lit("del")).select(col(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        val ix = graft.ops.TextAnalysis.bm25Index(
+          batch.where(col(opCol) === lit("ins")).drop(opCol), textCol, idCol)
+        ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
+        ix.stats.write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Serve the [[buildBm25IndexRetractStream]] artifact: merge-fold the
+    * partial indexes ([[readBm25Index]]) and apply ALL tombstones via the
+    * exact monolithic retract — duplicates across tombstone partitions
+    * collapse (the retract distincts its ids), so re-deleting is safe. */
+  def readBm25IndexRetracted(spark: SparkSession, outPath: String,
+      idCol: String = "doc_id"): graft.ops.TextAnalysis.Bm25Index =
+    graft.ops.TextAnalysis.bm25IndexRetract(
+      readBm25Index(spark, outPath),
+      spark.read.parquet(s"$outPath/dels").select(col(idCol)),
+      idCol)
 
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's

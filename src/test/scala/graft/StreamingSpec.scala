@@ -633,7 +633,7 @@ class StreamingSpec extends SparkSpec {
       s"epoch survivors broke (8 must die vs standing 2; 5 and 10 must re-enter): $landed")
     // the serving read applies only LATER tombstones: 4 (del@1 > ins@0)
     // and 2 (del@3 > ins@0) are out; 5 and 10 stay
-    val corpus = OnlineRefresh.readMinhashCorpus(spark, s"$tmp/out")
+    val corpus = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
       .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
       .collect().sorted.toSeq
     assert(corpus == Seq((5L, 2L), (10L, 2L)), s"tombstone read broke: $corpus")
@@ -644,6 +644,90 @@ class StreamingSpec extends SparkSpec {
     val batches = new java.io.File(s"$tmp/out/sigs").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(batches == 4, "resume from checkpoint must not re-run epochs")
+  }
+
+  test("dedupIngestRetractStream: the Hamming-criterion loop honors takedowns the same way") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sddret").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliett kilo lima mike november oscar papa quebec romeo"
+    val aText = "the quick brown fox jumps over the lazy dog"
+    // same interleaving as the MinHash twin: 5 = base+" " has the SAME
+    // token set as deleted 4 (fingerprint Hamming 0) — only retraction of
+    // the standing side lets it land; 8 = exact copy of standing 2 still
+    // dies; 10 = exact copy of DELETED 4 re-enters.
+    val stages = Seq(
+      Seq(("ins", 2L, aText), ("ins", 4L, base)),
+      Seq(("del", 4L, null: String)),
+      Seq(("ins", 5L, base + " "), ("ins", 8L, aText), ("ins", 10L, base)),
+      Seq(("del", 2L, null: String)))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for ((rows, i) <- stages.zipWithIndex) {
+      val part = Files.createTempDirectory("graft-sddret-part").toString
+      rows.toDF("op", "doc_id", "text").coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/stage_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.dedupIngestRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val landed = spark.read.parquet(s"$tmp/out/docs")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(landed == Seq((2L, 0L), (4L, 0L), (5L, 2L), (10L, 2L)),
+      s"epoch survivors broke: $landed")
+    val corpus = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
+      .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(corpus == Seq((5L, 2L), (10L, 2L)), s"tombstone read broke: $corpus")
+  }
+
+  test("buildBm25IndexRetractStream: tombstones-at-read equal a build over the survivors") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sbmret").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // inserts arrive as two waves with a deletion epoch between and after
+    val stages = Seq(
+      corpus.where(col("doc_id") % 2 === 0)
+        .select(org.apache.spark.sql.functions.lit("ins").as("op"), col("doc_id"), col("text")),
+      corpus.where(col("doc_id") % 10 === 0)
+        .select(org.apache.spark.sql.functions.lit("del").as("op"), col("doc_id"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as("text")),
+      corpus.where(col("doc_id") % 2 === 1)
+        .select(org.apache.spark.sql.functions.lit("ins").as("op"), col("doc_id"), col("text")),
+      corpus.where(col("doc_id") % 10 === 5)
+        .select(org.apache.spark.sql.functions.lit("del").as("op"), col("doc_id"),
+          org.apache.spark.sql.functions.lit(null).cast("string").as("text")))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for ((df, i) <- stages.zipWithIndex) {
+      val part = Files.createTempDirectory("graft-sbmret-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/stage_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val qs = Seq(("qa", "spark window table"), ("qb", "customer stream fast"))
+      .toDF("query_id", "query")
+    val served = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25IndexRetracted(spark, s"$tmp/ix"), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val direct = TextAnalysis.bm25TopK(
+      corpus.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    assert(served == direct, "tombstoned serve diverged from a direct build over survivors")
   }
 
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
