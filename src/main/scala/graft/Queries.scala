@@ -682,6 +682,34 @@ object Queries {
         emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
     })
 
+  /** The IVF retract-then-compact composition — the per-row-artifact
+    * member of the lifecycle algebra (the BM25 twin below carries the
+    * hard case, cross-row stats sums): streamed 4-epoch build,
+    * [[graft.streaming.OnlineRefresh.retractIvfArtifact]] drops the
+    * vec_id % 7 == 3 assignment rows (idempotent pure anti-join),
+    * [[graft.streaming.OnlineRefresh.compactIvfIndex]] folds, and serving
+    * must hash-match a DIRECT assignment over the survivors (centroids
+    * fixed from the full corpus — the build-time contract). */
+  private def streamIvfRetractCompact(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivfrc:$dir", s), { _ =>
+      val src = scratchDir("graft_sivfrc_src")
+      val out = scratchDir("graft_sivfrc_out")
+      val ck = scratchDir("graft_sivfrc_ck")
+      val emb = t(s, dir, "embeddings")
+      emb.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildIvfIndexStream(s, src.toString, schema,
+        out.toString, ck.toString, Similarity.ivfIndex(emb, nLists = 16).centroids,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      streaming.OnlineRefresh.retractIvfArtifact(s, out.toString,
+        emb.where(pmod(col("vec_id"), lit(7)) === 3).select(col("vec_id")))
+      require(streaming.OnlineRefresh.compactIvfIndex(s, out.toString),
+        "compaction was a no-op — the fixture should have produced 4 epochs")
+      Similarity.ivfTopKFromIndex(streaming.OnlineRefresh.readIvfIndex(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
   /** RETRACT-THEN-COMPACT composition under the hard oracle — the artifact
     * lifecycle algebra's last unproven edge: the 4-epoch streamed BM25
     * build, then [[graft.streaming.OnlineRefresh.retractBm25Artifact]]
@@ -2263,7 +2291,7 @@ object Queries {
       "q_stream_quantile", "q_stream_decontaminate", "q_stream_minhash_incremental",
       "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
-      "q_stream_bm25_retracted")
+      "q_stream_bm25_retracted", "q_ivf_retract_compact")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2417,6 +2445,7 @@ object Queries {
     "q_bm25_topk_compacted" -> (streamBm25Compacted _),
     "q_bm25_retract_compact" -> (streamBm25RetractCompact _),
     "q_ivf_topk_compacted" -> (streamIvfCompacted _),
+    "q_ivf_retract_compact" -> (streamIvfRetractCompact _),
     "q_stream_minhash_retracted" -> (streamMinhashRetracted _),
     "q_stream_dedup_retracted" -> (streamDedupRetracted _),
     "q_stream_bm25_retracted" -> (streamBm25Retracted _),
@@ -2718,6 +2747,10 @@ object Queries {
     // compacted IVF artifact vs the SAME oracle: the identity fold of the
     // assignment shards cannot move the served top-k
     "q_ivf_topk_compacted" -> ivfOracle,
+    // retract-then-compact vs a direct assignment over the survivors
+    // (centroids fixed from the full corpus — the build-time contract)
+    "q_ivf_retract_compact" -> ivfOracleWith(10, 5,
+      "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)"),
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
@@ -4370,18 +4403,22 @@ object Queries {
 
   private def ivfOracle: String = ivfOracleWith(10, 5)
 
-  /** [[ivfOracle]] parameterized on the probe-id cutoff and k, so the
-    * hybrid fusion can embed the same replay with its own candidate
-    * depth (the q_ann_recall precedent of nesting a full WITH-chain as a
-    * parenthesized subquery). */
-  private def ivfOracleWith(probeMax: Int, k: Int): String = {
+  /** [[ivfOracle]] parameterized on the probe-id cutoff, k, and the CORPUS
+    * relation (centroids and probes always bootstrap from the full
+    * `embeddings` — the engine fixes centroids at build time and probes
+    * from the full frame), so the hybrid fusion can embed the same replay
+    * with its own candidate depth and the retraction queries can serve
+    * from a survivor slice (the q_ann_recall precedent of nesting a full
+    * WITH-chain as a parenthesized subquery). */
+  private def ivfOracleWith(probeMax: Int, k: Int,
+      corpus: String = "embeddings"): String = {
     val d = dotSql("e.embedding", "cent.cemb")
     s"""WITH cent AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
        |ccell AS (
        |  SELECT vec_id AS corpus_id, embedding AS c_emb, c AS cell FROM (
-       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM $corpus e CROSS JOIN cent)
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
        |pcell AS (
        |  SELECT vec_id AS probe_id, embedding AS p_emb, c AS cell FROM (

@@ -637,6 +637,33 @@ object OnlineRefresh {
   def compactIvfIndex(spark: SparkSession, outPath: String): Boolean =
     compactBatchArtifact(spark, s"$outPath/assignments")
 
+  /** RETRACT ids from a `batch=<id>`-partitioned PER-ROW artifact — IVF
+    * assignment shards, MinHash signature/docs partitions, anything whose
+    * rows carry no cross-row sums: one anti-join preserving the batch
+    * column, one crash-safe swap. Because nothing is subtracted, the
+    * operation is IDEMPOTENT (re-applying a deletion batch is a no-op) —
+    * the property the BM25 artifact, whose stats row carries exact sums,
+    * fundamentally cannot have ([[retractBm25Artifact]]'s exactly-once
+    * contract). Composes with [[compactBatchArtifact]] in either order. */
+  def retractBatchArtifact(spark: SparkSession, dir: String,
+      ids: DataFrame, idCol: String): Unit = {
+    recoverSwap(spark, dir)
+    val d = ids.select(col(idCol)).distinct()
+    val src = spark.read.parquet(dir)
+    val kept = src.join(broadcast(d), Seq(idCol), "left_anti")
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    swapDir(spark, dir)(tmp =>
+      kept.write.partitionBy("batch").mode("overwrite").parquet(tmp))
+  }
+
+  /** [[retractBatchArtifact]] over the [[buildIvfIndexStream]] assignment
+    * shards — the streamed-artifact form of
+    * [[graft.ops.Similarity.ivfRetract]] (per-epoch `ivfAssign(shard ∖ D)`
+    * exactly, since assignment is per-row; centroids stay fixed). */
+  def retractIvfArtifact(spark: SparkSession, outPath: String,
+      vecIds: DataFrame, idCol: String = "vec_id"): Unit =
+    retractBatchArtifact(spark, s"$outPath/assignments", vecIds, idCol)
+
   /** RETRACT a document set from the `batch=<id>`-partitioned STREAMED
     * BM25 artifact in place — [[graft.ops.TextAnalysis.bm25IndexRetract]]
     * applied per epoch, so the artifact keeps its partition layout (the

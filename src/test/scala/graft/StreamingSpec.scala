@@ -556,6 +556,41 @@ class StreamingSpec extends SparkSpec {
     assert(serve(emb) == mono, "resumed-after-compaction index diverged from monolithic")
   }
 
+  test("retractBatchArtifact: idempotent, composes with compaction in either order") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sivfrt").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val cents = graft.ops.Similarity.ivfIndex(emb, nLists = 8).centroids
+    OnlineRefresh.buildIvfIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", cents, maxFilesPerTrigger = Some(1)).awaitTermination()
+    def serve() = graft.ops.Similarity.ivfTopKFromIndex(
+      OnlineRefresh.readIvfIndex(spark, s"$tmp/ix"), emb,
+      emb.where(col("vec_id") < 5), k = 3, nProbe = 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def direct(corpus: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.ivfTopKFromIndex(
+        graft.ops.Similarity.IvfIndex(cents, graft.ops.Similarity.ivfAssign(corpus, cents)),
+        emb, emb.where(col("vec_id") < 5), k = 3, nProbe = 3)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val d1 = emb.where(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val surv1 = emb.where(col("vec_id") % 7 =!= 3)
+    OnlineRefresh.retractIvfArtifact(spark, s"$tmp/ix", d1)
+    assert(serve() == direct(surv1), "retract before compaction")
+    // idempotent: a replayed deletion batch is a pure-anti-join no-op
+    OnlineRefresh.retractIvfArtifact(spark, s"$tmp/ix", d1)
+    assert(serve() == direct(surv1), "re-applied deletion must be a no-op")
+    assert(OnlineRefresh.compactIvfIndex(spark, s"$tmp/ix"), "4 epochs must compact")
+    assert(serve() == direct(surv1), "compaction after retraction")
+    // retraction AFTER compaction (the other composition order)
+    val d2 = emb.where(col("vec_id") % 7 === 5).select(col("vec_id"))
+    OnlineRefresh.retractIvfArtifact(spark, s"$tmp/ix", d2)
+    assert(serve() == direct(emb.where(
+      col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5)),
+      "retract after compaction")
+  }
+
   test("retract-then-compact: artifact equals a build over the survivors; stream resumes") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sbm25rc").toString
