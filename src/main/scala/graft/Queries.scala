@@ -796,6 +796,31 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
     })
 
+  /** Retract-loop corpus COMPACTION under the hard oracle: the
+    * q_stream_minhash_retracted fixture (own dirs), then
+    * [[graft.streaming.OnlineRefresh.compactRetractedCorpus]] folds the
+    * committed epochs with their tombstones PHYSICALLY applied and the
+    * applied tombstone partitions dropped (the LSM merge step) — and the
+    * served corpus must be UNCHANGED: same oracle as the uncompacted
+    * loop, minus the arrival-batch column compaction legitimately
+    * rewrites (folded docs take the oldest epoch id). */
+  private def streamMinhashRetCompacted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_mh_retc:$dir", s), { _ =>
+      val src = scratchDir("graft_smhrc_src")
+      val out = scratchDir("graft_smhrc_out")
+      val ck = scratchDir("graft_smhrc_ck")
+      stageOpShards(s, dir, src, "graft_smhrc_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.minhashIngestRetractStream(s, src.toString,
+        schema, out.toString, ck.toString, threshold = 0.35, portableHash = true,
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.compactRetractedCorpus(s, out.toString),
+        "compaction was a no-op — the fixture should have produced 4 epochs")
+      streaming.OnlineRefresh.readRetractedCorpus(s, out.toString)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    })
+
   /** The Hamming-criterion streaming retraction twin
     * ([[graft.streaming.OnlineRefresh.dedupIngestRetractStream]] — the
     * q_stream_dedup_incremental loop consuming the SAME insert/delete
@@ -2291,7 +2316,8 @@ object Queries {
       "q_stream_quantile", "q_stream_decontaminate", "q_stream_minhash_incremental",
       "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
-      "q_stream_bm25_retracted", "q_ivf_retract_compact")
+      "q_stream_bm25_retracted", "q_ivf_retract_compact",
+      "q_stream_minhash_ret_compacted")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2447,6 +2473,7 @@ object Queries {
     "q_ivf_topk_compacted" -> (streamIvfCompacted _),
     "q_ivf_retract_compact" -> (streamIvfRetractCompact _),
     "q_stream_minhash_retracted" -> (streamMinhashRetracted _),
+    "q_stream_minhash_ret_compacted" -> (streamMinhashRetCompacted _),
     "q_stream_dedup_retracted" -> (streamDedupRetracted _),
     "q_stream_bm25_retracted" -> (streamBm25Retracted _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
@@ -3062,6 +3089,10 @@ object Queries {
     "q_minhash_recall_fmt" -> minhashRecallFmtOracle,
     "q_simhash_recall_fmt" -> simhashRecallFmtOracle,
     "q_stream_minhash_retracted" -> streamMinhashRetractedOracle,
+    // compaction with tombstones physically applied must not move the
+    // corpus — same replay, minus the batch column the fold rewrites
+    "q_stream_minhash_ret_compacted" ->
+      s"SELECT doc_id, source, n_chars FROM ($streamMinhashRetractedOracle)",
     "q_stream_dedup_retracted" -> streamDedupRetractedOracle,
     "q_source_overlap" -> sourceOverlapOracle,
     "q_ngram_jaccard_capped" -> ngramJaccardCappedOracle(25),

@@ -664,6 +664,82 @@ object OnlineRefresh {
       vecIds: DataFrame, idCol: String = "vec_id"): Unit =
     retractBatchArtifact(spark, s"$outPath/assignments", vecIds, idCol)
 
+  /** Compact a retract-loop corpus artifact
+    * ([[minhashIngestRetractStream]] / [[dedupIngestRetractStream]] —
+    * `docs` + optional `sigs` + `dels` under one root), PHYSICALLY
+    * applying the tombstones it folds: every committed epoch except the
+    * newest merges into the oldest partition with all APPLICABLE
+    * tombstones (del.batch > doc.batch) anti-joined away, and the
+    * applied tombstone partitions are dropped — the LSM merge step that
+    * keeps delete markers from accumulating forever. The newest epoch of
+    * every subtree is kept verbatim (the only foreachBatch-replayable
+    * one — the [[compactBatchArtifact]] argument), and all three
+    * subtrees move under ONE crash-safe swap of the artifact ROOT.
+    *
+    * Correctness: a tombstone at epoch t applies to docs with arrival
+    * batch < t, so every tombstone OLDER than the newest epoch is fully
+    * applied by the fold (nothing it names can arrive later than it in
+    * the folded mass). Folded docs take the oldest batch id; the
+    * newest epoch's tombstones (kept verbatim) still apply to them at
+    * read time because newest > oldest — [[readRetractedCorpus]] output
+    * is INVARIANT under this compaction (oracle-pinned by
+    * q_stream_minhash_ret_compacted). Run between stream runs; the
+    * resumed stream's `batch < batchId` / `batch <= batchId` standing
+    * filters see the folded mass at the oldest id, all of which is
+    * < any fresh epoch. No-op (false) with fewer than 3 doc epochs. */
+  def compactRetractedCorpus(spark: SparkSession, outPath: String,
+      idCol: String = "doc_id"): Boolean = {
+    recoverSwap(spark, outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // epoch ids from DIRECTORY names, not row values: delete-only epochs
+    // land EMPTY docs partitions, which a row-level distinct would miss —
+    // and the newest epoch (the replayable one) may be exactly such an
+    // empty partition
+    def ids(sub: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$outPath/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    }
+    val docEpochs = ids("docs")
+    if (docEpochs.length < 3) return false
+    val newest = docEpochs.last
+    val target = docEpochs.head
+    val hasSigs = fs.exists(new org.apache.hadoop.fs.Path(s"$outPath/sigs"))
+    val dels = spark.read.parquet(s"$outPath/dels")
+      .select(col(idCol).as("__del_id"), col("batch").cast("long").as("__del_batch"))
+    // tombstones OLDER than the newest epoch are fully applied by the fold
+    val oldDels = dels.where(col("__del_batch") < lit(newest))
+    def foldWithDels(sub: String): (DataFrame, DataFrame) = {
+      val df = spark.read.parquet(s"$outPath/$sub")
+      val folded = df.where(col("batch") =!= newest)
+        .join(oldDels,
+          df(idCol) === col("__del_id") && col("__del_batch") > df("batch"),
+          "left_anti")
+        .drop("batch")
+      (folded, df.where(col("batch") === newest).drop("batch"))
+    }
+    val (docsFolded, docsNewest) = foldWithDels("docs")
+    val sigs = if (hasSigs) Some(foldWithDels("sigs")) else None
+    val newestDels = spark.read.parquet(s"$outPath/dels")
+      .where(col("batch").cast("long") === newest).drop("batch")
+    swapDir(spark, outPath) { tmp =>
+      docsFolded.write.mode("overwrite").parquet(s"$tmp/docs/batch=$target")
+      docsNewest.write.mode("overwrite").parquet(s"$tmp/docs/batch=$newest")
+      sigs.foreach { case (f, n) =>
+        f.write.mode("overwrite").parquet(s"$tmp/sigs/batch=$target")
+        n.write.mode("overwrite").parquet(s"$tmp/sigs/batch=$newest")
+      }
+      // applied tombstones drop; the newest epoch's (replayable) survive —
+      // an empty write still creates the dels subtree readers expect
+      newestDels.write.mode("overwrite").parquet(s"$tmp/dels/batch=$newest")
+      ()
+    }
+    true
+  }
+
   /** RETRACT a document set from the `batch=<id>`-partitioned STREAMED
     * BM25 artifact in place — [[graft.ops.TextAnalysis.bm25IndexRetract]]
     * applied per epoch, so the artifact keeps its partition layout (the
@@ -863,6 +939,7 @@ object OnlineRefresh {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    recoverSwap(spark, outPath) // root swap: compactRetractedCorpus
     for (sub <- Seq("sigs", "docs", "dels"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/$sub"))
     val idType = schema(idCol).dataType
@@ -910,6 +987,7 @@ object OnlineRefresh {
     * `batch` column. */
   def readRetractedCorpus(spark: SparkSession, outPath: String,
       idCol: String = "doc_id"): DataFrame = {
+    recoverSwap(spark, outPath) // root swap: compactRetractedCorpus
     val docs = spark.read.parquet(s"$outPath/docs")
     val dels = spark.read.parquet(s"$outPath/dels")
       .select(col(idCol).as("__del_id"), col("batch").as("__del_batch"))
@@ -948,6 +1026,7 @@ object OnlineRefresh {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    recoverSwap(spark, outPath) // root swap: compactRetractedCorpus
     for (sub <- Seq("docs", "dels"))
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/$sub"))
     val docSchema = org.apache.spark.sql.types.StructType(

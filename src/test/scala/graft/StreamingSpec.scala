@@ -679,6 +679,35 @@ class StreamingSpec extends SparkSpec {
     val batches = new java.io.File(s"$tmp/out/sigs").listFiles()
       .count(f => f.isDirectory && f.getName.startsWith("batch="))
     assert(batches == 4, "resume from checkpoint must not re-run epochs")
+    // PHYSICAL compaction: fold epochs with tombstones applied, drop the
+    // applied tombstone partitions — served corpus unchanged
+    assert(OnlineRefresh.compactRetractedCorpus(spark, s"$tmp/out"))
+    val corpusC = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(corpusC == Seq(5L, 10L), s"compaction moved the corpus: $corpusC")
+    val delParts = new java.io.File(s"$tmp/out/dels").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(delParts == 1, "applied tombstone partitions must drop; newest kept")
+    assert(!OnlineRefresh.compactRetractedCorpus(spark, s"$tmp/out"),
+      "2 doc epochs -> nothing non-newest to fold")
+    // resume ON the compacted artifact: a copy of a LIVE doc still dies
+    // against the folded standing; a copy of the DELETED 2 re-enters
+    val extra = Seq(("ins", 12L, base + " "), ("ins", 14L, aText))
+    val part2 = Files.createTempDirectory("graft-smhret-part").toString
+    extra.toDF("op", "doc_id", "text").coalesce(1).write.mode("overwrite").parquet(part2)
+    val src2 = new java.io.File(part2).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get.toPath
+    val dst2 = java.nio.file.Paths.get(s"$tmp/src/stage_4.parquet")
+    Files.copy(src2, dst2)
+    Files.setLastModifiedTime(dst2,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + 4 * 60000L))
+    val q3 = OnlineRefresh.minhashIngestRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
+    q3.awaitTermination()
+    val corpusR = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(corpusR == Seq(5L, 10L, 14L),
+      s"resume on the compacted artifact broke (12 must die vs live 5; 14 re-enters): $corpusR")
   }
 
   test("dedupIngestRetractStream: the Hamming-criterion loop honors takedowns the same way") {
