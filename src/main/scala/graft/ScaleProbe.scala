@@ -300,6 +300,17 @@ object ScaleProbe {
         graft.ops.Dedup.exact(d30, "text", "doc_id")
           .select(col("doc_id")), Seq("doc_id"), "left_semi"))
     }
+    // Round-12b: the retraction/compaction lifecycle surface at ×10 — all
+    // artifact-sized or tombstone-sized work (anti-joins with a broadcast
+    // deletion side, one swap), so the slope must track the artifact, not
+    // the corpus text
+    if (inSection("r12b"))
+      for (q <- Seq("q_bm25_retract_compact", "q_ivf_retract_compact",
+          "q_stream_minhash_retracted", "q_stream_dedup_retracted",
+          "q_stream_bm25_retracted", "q_stream_minhash_ret_compacted")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them

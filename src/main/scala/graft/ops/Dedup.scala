@@ -694,14 +694,29 @@ object Dedup {
     * nBlocks - 1 bits; 64 must divide evenly by nBlocks.
     *
     * ACCURACY (measure before adopting — [[simhashAccuracy]] /
-    * q_simhash_recall): a 64-bit unigram simhash sees token SETS; a
-    * single-token edit in an ~80-token doc flips many near-tied vote
-    * bits, so on a changed-token mutation profile Hamming ≤ 3 caught
-    * only 32% of exact-Jaccard-≥0.5 truth at ~1% precision (SCALE.md
-    * r11 — capped and uncapped alike). Equality (radius 0 via
-    * [[simhashGroups64]]) remains sound for format/whitespace variants
-    * with unchanged token sets; for shingle-overlap similarity default
-    * to [[minhashLshDeduped]], which measured 1.0/1.0 on the same gate. */
+    * q_simhash_recall / q_simhash_recall_fmt): a 64-bit unigram simhash
+    * sees token SETS, and BOTH measured profiles condemn it as a
+    * 3-gram-similarity surrogate on this corpus family:
+    *
+    *   - changed-token profile (r11): Hamming ≤ 3 caught 32% of exact-
+    *     Jaccard-≥0.5 truth at ~1% precision (capped and uncapped alike)
+    *     — one token edit flips many near-tied vote bits;
+    *   - format-variant profile (r12, token-preserving whitespace twins
+    *     at sf0.1): radius 0 UNCAPPED measured recall 0.84 at precision
+    *     0.010 — the corpus carries ~488k equal-FINGERPRINT pairs of
+    *     which only ~5k are 3-gram-true, because bag-of-words-equal but
+    *     sequence-different docs collide on the token-set fingerprint.
+    *     The capped default (maxBlockFreq=50) inverts the failure:
+    *     precision 0.97 but recall 0.50, the cap pruning exactly the
+    *     duplication-hot blocks (the [[minhashBucketStats]] story).
+    *
+    * The r11 theory "fingerprint equality is sound for format variants"
+    * is therefore measured as WRONG whenever the dedup criterion is
+    * shingle overlap: default to [[minhashLshDeduped]], which measured
+    * P/R 1.0/1.0 on BOTH profiles. Fingerprint equality
+    * ([[simhashGroups64]], [[graft.streaming.OnlineRefresh
+    * .dedupStreamBySimhash]]) is a different CRITERION — bag-of-words
+    * equality — safe only where that semantics is the actual target. */
   def simhashNearDup64(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       nBlocks: Int = 4, maxBlockFreq: Option[Int] = None): DataFrame = {
     require(nBlocks > 1 && 64 % nBlocks == 0, "nBlocks must divide 64")

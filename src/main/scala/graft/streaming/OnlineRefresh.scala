@@ -147,7 +147,15 @@ object OnlineRefresh {
     * landed data. State per doc is one long (the digest-path trade made
     * fuzzy); watermark expiry bounds the row count. Batch-differential:
     * the kept set must equal batch `simhashGroups64`'s per-fingerprint
-    * first-arrival representatives (StreamingSpec pins this). */
+    * first-arrival representatives (StreamingSpec pins this).
+    *
+    * CRITERION caveat (measured, q_simhash_recall_fmt / SCALE.md r12):
+    * fingerprint equality is BAG-OF-WORDS equality, not shingle
+    * similarity — on the synthetic corpus ~99% of equal-fingerprint
+    * pairs are sequence-different docs sharing a token set. Use this
+    * stream only where that semantics is the target; the
+    * shingle-overlap criterion needs the MinHash loop
+    * ([[minhashIncrementalStream]]). */
   def dedupStreamBySimhash(stream: DataFrame, textCol: String, tsCol: String,
       watermarkDelay: String = "2 hours"): DataFrame =
     stream

@@ -749,6 +749,11 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("batch").cast("long")).as[(Long, Long)]
       .collect().sorted.toSeq
     assert(corpus == Seq((5L, 2L), (10L, 2L)), s"tombstone read broke: $corpus")
+    // the sig-less loop compacts with the same LSM fold
+    assert(OnlineRefresh.compactRetractedCorpus(spark, s"$tmp/out"))
+    val corpusC = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(corpusC == Seq(5L, 10L), s"compaction moved the corpus: $corpusC")
   }
 
   test("buildBm25IndexRetractStream: tombstones-at-read equal a build over the survivors") {
