@@ -867,6 +867,34 @@ object Queries {
         Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
+  /** The bm25 tombstone lifecycle closed end-to-end under the oracle:
+    * the q_stream_bm25_retracted insert/delete stream (own dirs), then
+    * [[graft.streaming.OnlineRefresh.applyBm25Tombstones]] physically
+    * applies the COMMITTED epochs' tombstones and drops them (newest
+    * epoch's stay logical — the replay-safety split), then
+    * [[graft.streaming.OnlineRefresh.compactBm25Index]] folds, and the
+    * tombstone-aware serve must STILL hash-match the direct build over
+    * the never-deleted docs — logical → physical → compacted, one
+    * oracle. */
+  private def streamBm25RetCompacted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_bm25retc:$dir", s), { _ =>
+      import s.implicits._
+      val src = scratchDir("graft_sbmrc_src")
+      val out = scratchDir("graft_sbmrc_out")
+      val ck = scratchDir("graft_sbmrc_ck")
+      stageOpShards(s, dir, src, "graft_sbmrc_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildBm25IndexRetractStream(s, src.toString,
+        schema, out.toString, ck.toString, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.applyBm25Tombstones(s, out.toString),
+        "the fixture's committed epochs carry tombstones to apply")
+      streaming.OnlineRefresh.compactBm25Index(s, out.toString)
+      TextAnalysis.bm25TopKFromIndex(
+        streaming.OnlineRefresh.readBm25IndexRetracted(s, out.toString),
+        Bm25Queries.toDF("query_id", "query"), k = 10)
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -2317,7 +2345,7 @@ object Queries {
       "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
-      "q_stream_minhash_ret_compacted")
+      "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2476,6 +2504,7 @@ object Queries {
     "q_stream_minhash_ret_compacted" -> (streamMinhashRetCompacted _),
     "q_stream_dedup_retracted" -> (streamDedupRetracted _),
     "q_stream_bm25_retracted" -> (streamBm25Retracted _),
+    "q_stream_bm25_ret_compacted" -> (streamBm25RetCompacted _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -3190,6 +3219,10 @@ object Queries {
     // streamed insert/delete feed + tombstones-applied-at-read vs a DIRECT
     // build over the never-deleted docs
     "q_stream_bm25_retracted" -> bm25OracleOver(
+      "(SELECT * FROM documents WHERE doc_id % 10 NOT IN (0, 5))"),
+    // logical -> physical -> compacted: applying + dropping the committed
+    // tombstones and folding must not move the served scores
+    "q_stream_bm25_ret_compacted" -> bm25OracleOver(
       "(SELECT * FROM documents WHERE doc_id % 10 NOT IN (0, 5))"),
     "q_weighted_sample" -> weightedSampleOracle,
     "q_top_terms" -> topTermsOracle,

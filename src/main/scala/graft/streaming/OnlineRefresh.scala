@@ -1123,6 +1123,74 @@ object OnlineRefresh {
       spark.read.parquet(s"$outPath/dels").select(col(idCol)),
       idCol)
 
+  /** PHYSICALLY apply the [[buildBm25IndexRetractStream]] tombstones from
+    * every COMMITTED epoch (batch < the newest index epoch) and drop
+    * those tombstone partitions — the bm25 twin of
+    * [[compactRetractedCorpus]]'s LSM merge, closing the logical →
+    * physical → dropped lifecycle for the index family. The newest
+    * epoch's tombstones stay LOGICAL (applied by
+    * [[readBm25IndexRetracted]] at serve time): that epoch is the only
+    * foreachBatch-replayable one, and because the stats subtraction is
+    * NOT idempotent, a replay re-landing tombstones whose mass had
+    * already been subtracted would double-count — keeping them logical
+    * keeps the replay harmless (tombstone overwrite + unchanged
+    * artifact). Postings, stats, AND the pruned dels move under ONE
+    * atomic root swap; serve output is invariant
+    * (q_stream_bm25_ret_compacted pins it). Ids without postings rows
+    * (e.g. a tombstone racing its doc — out of contract for the stream)
+    * throw, as in [[retractBm25Artifact]]. PRECONDITION: no id appears
+    * in BOTH a committed and the newest tombstone epoch — once the
+    * committed copy is applied physically, the still-logical duplicate
+    * would subtract the doc's stats a second time at serve (the
+    * bm25IndexRetract non-idempotence; duplicate ids WITHIN the
+    * committed epochs, or within the newest, collapse fine). Run
+    * between stream runs; compose with [[compactBm25Index]] afterwards
+    * to fold partitions. */
+  def applyBm25Tombstones(spark: SparkSession, outPath: String,
+      idCol: String = "doc_id"): Boolean = {
+    recoverSwap(spark, outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def epochDirs(sub: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$outPath/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
+    }
+    val newest = epochDirs("postings").lastOption.getOrElse(return false)
+    val delsAll = spark.read.parquet(s"$outPath/dels")
+    val oldIds = delsAll.where(col("batch").cast("long") < newest).select(col(idCol))
+    if (oldIds.isEmpty) return false
+    val ids = oldIds.distinct()
+    val postings = spark.read.parquet(s"$outPath/postings")
+    val nIds = ids.count()
+    val found = postings.select(col(idCol)).join(broadcast(ids), Seq(idCol), "left_semi")
+      .distinct().count()
+    require(found == nIds,
+      s"applyBm25Tombstones: $found of $nIds tombstone ids own postings rows")
+    val removed = postings.join(broadcast(ids), Seq(idCol), "left_semi")
+      .groupBy(col("batch"))
+      .agg(countDistinct(col(idCol)).as("__rn"), sum(col("tf")).as("__rsdl"))
+    val newStats = spark.read.parquet(s"$outPath/stats")
+      .join(removed, Seq("batch"), "left")
+      .select(col("batch"),
+        (col("n") - coalesce(col("__rn"), lit(0L))).as("n"),
+        (col("sdl") - coalesce(col("__rsdl"), lit(0L))).as("sdl"))
+      .select(col("batch"), col("n"), when(col("n") > 0,
+        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
+        col("sdl"))
+    val newPostings = postings.join(broadcast(ids), Seq(idCol), "left_anti")
+      .select(col("token"), col(idCol), col("tf"), col("dl"), col("batch"))
+    val newestDels = delsAll.where(col("batch").cast("long") === newest).drop("batch")
+    swapDir(spark, outPath) { tmp =>
+      newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")
+      newStats.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/stats")
+      newestDels.write.mode("overwrite").parquet(s"$tmp/dels/batch=$newest")
+    }
+    true
+  }
+
   /** A feature observation keyed by entity; `id` is the deterministic
     * tie-break for equal timestamps (mirrors the batch path's
     * latestSnapshot(ts, tieBreak) argmax so the two maintenance paths

@@ -797,6 +797,16 @@ class StreamingSpec extends SparkSpec {
       corpus.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), qs, k = 6)
       .as[(String, Long, Double, Int)].collect().sorted.toSeq
     assert(served == direct, "tombstoned serve diverged from a direct build over survivors")
+    // logical -> physical -> compacted: committed tombstones applied and
+    // dropped (newest epoch's stay logical), serve invariant
+    assert(OnlineRefresh.applyBm25Tombstones(spark, s"$tmp/ix"))
+    OnlineRefresh.compactBm25Index(spark, s"$tmp/ix")
+    val served2 = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25IndexRetracted(spark, s"$tmp/ix"), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    assert(served2 == direct, "apply+compact moved the served scores")
+    assert(!OnlineRefresh.applyBm25Tombstones(spark, s"$tmp/ix"),
+      "no committed tombstones left to apply")
   }
 
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
