@@ -611,22 +611,30 @@ object Queries {
     * batch i == shard i deterministically — the fixture both order-
     * dependent ingestion-loop streams replay. */
   private def stageModShards(s: SparkSession, dir: String,
-      src: java.nio.file.Path, tmpPrefix: String): Unit = {
-    val docs = t(s, dir, "documents")
-    for (i <- 0 until 4) {
+      src: java.nio.file.Path, tmpPrefix: String): Unit =
+    stageOrderedFiles(
+      (0 until 4).map(i => t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === i)),
+      src, tmpPrefix)
+
+  /** Stage each frame as ONE parquet file under `src` with mtimes spaced
+    * 60 s apart: the file source delivers oldest-first, so batch i ==
+    * frame i deterministically — the mechanism behind every
+    * order-dependent streaming fixture. */
+  private def stageOrderedFiles(frames: Seq[DataFrame],
+      src: java.nio.file.Path, tmpPrefix: String): Unit =
+    for ((df, i) <- frames.zipWithIndex) {
       val tmp = scratchDir(s"$tmpPrefix$i")
-      docs.where(pmod(col("doc_id"), lit(4)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
         _.toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
       }
-      val dst = src.resolve(s"shard_$i.parquet")
+      val dst = src.resolve(s"stage_$i.parquet")
       java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
-  }
 
   /** The MinHash ingestion loop as a stream under the hard oracle — the
     * Jaccard-criterion twin of q_stream_dedup_incremental, now ALSO
@@ -756,18 +764,7 @@ object Queries {
       .select(lit("del").as("op"), col("doc_id"),
         lit(null).cast("string").as("text"), lit(null).cast("string").as("lang"),
         lit(null).cast("string").as("source"), lit(null).cast("long").as("n_chars"))
-    for (((df, i)) <- Seq(ins(0), del(0), ins(1), del(5)).zipWithIndex) {
-      val tmp = scratchDir(s"$tmpPrefix$i")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = scala.util.Using.resource(java.nio.file.Files.list(tmp)) {
-        _.toArray.map(_.toString)
-          .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).head
-      }
-      val dst = src.resolve(s"stage_$i.parquet")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-    }
+    stageOrderedFiles(Seq(ins(0), del(0), ins(1), del(5)), src, tmpPrefix)
   }
 
   /** STREAMING RETRACTION under the hard oracle: the MinHash ingestion

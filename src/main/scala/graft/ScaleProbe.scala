@@ -293,7 +293,8 @@ object ScaleProbe {
           println(s"BUCKETS $name n=${r.get(0)} max=${r.get(1)} p99=${r.get(2)} " +
             s"p999=${r.get(3)} candPairs=${r.get(4)} candPairsCap50=${r.get(5)} " +
             s"overCap=${r.get(6)}")
-          val n = st.count(); st.unpersist(); n
+          st.unpersist()
+          r.getLong(0)
         }
       bucketReport("raw", d30)
       bucketReport("deduped-reps", d30.join(

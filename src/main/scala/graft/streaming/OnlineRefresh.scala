@@ -700,18 +700,7 @@ object OnlineRefresh {
     recoverSwap(spark, outPath)
     val fs = new org.apache.hadoop.fs.Path(outPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // epoch ids from DIRECTORY names, not row values: delete-only epochs
-    // land EMPTY docs partitions, which a row-level distinct would miss —
-    // and the newest epoch (the replayable one) may be exactly such an
-    // empty partition
-    def ids(sub: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(s"$outPath/$sub")
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
-    }
-    val docEpochs = ids("docs")
+    val docEpochs = epochIds(spark, s"$outPath/docs")
     if (docEpochs.length < 3) return false
     val newest = docEpochs.last
     val target = docEpochs.head
@@ -778,13 +767,29 @@ object OnlineRefresh {
   def retractBm25Artifact(spark: SparkSession, outPath: String,
       docIds: DataFrame, idCol: String = "doc_id"): Unit = {
     recoverSwap(spark, outPath)
+    val (newPostings, newStats) = bm25RetractPlans(spark, outPath, docIds, idCol)
+    // both writes execute inside swapDir against the still-intact old dirs
+    // (tmp is fully written before any rename), then ONE atomic swap
+    swapDir(spark, outPath) { tmp =>
+      newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")
+      newStats.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/stats")
+    }
+  }
+
+  /** The per-epoch exact-subtraction plans shared by [[retractBm25Artifact]]
+    * and [[applyBm25Tombstones]]: (retracted postings, retracted stats),
+    * both still `batch`-columned. Throws if any deletion id owns no
+    * postings row (unattributable to an epoch). Callers execute the plans
+    * inside their [[swapDir]] write, against the still-intact old dirs. */
+  private def bm25RetractPlans(spark: SparkSession, outPath: String,
+      docIds: DataFrame, idCol: String): (DataFrame, DataFrame) = {
     val ids = docIds.select(col(idCol)).distinct()
     val postings = spark.read.parquet(s"$outPath/postings")
     val nIds = ids.count()
     val found = postings.select(col(idCol)).join(broadcast(ids), Seq(idCol), "left_semi")
       .distinct().count()
     require(found == nIds,
-      s"retractBm25Artifact: $found of $nIds deletion ids own postings rows — " +
+      s"bm25 artifact retraction: $found of $nIds deletion ids own postings rows — " +
         "ids without postings (null/empty text or unknown) cannot be attributed to an epoch")
     // per-epoch removed mass, from the index alone (Σ tf over a doc's rows = its dl)
     val removed = postings.join(broadcast(ids), Seq(idCol), "left_semi")
@@ -800,12 +805,18 @@ object OnlineRefresh {
         col("sdl"))
     val newPostings = postings.join(broadcast(ids), Seq(idCol), "left_anti")
       .select(col("token"), col(idCol), col("tf"), col("dl"), col("batch"))
-    // both writes execute inside swapDir against the still-intact old dirs
-    // (tmp is fully written before any rename), then ONE atomic swap
-    swapDir(spark, outPath) { tmp =>
-      newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")
-      newStats.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/stats")
-    }
+    (newPostings, newStats)
+  }
+
+  /** Epoch ids of a `batch=<id>`-partitioned dir, from DIRECTORY names —
+    * row-level distincts miss empty partitions (delete-only epochs). */
+  private def epochIds(spark: SparkSession, dirPath: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
   }
 
   /** Compact the [[buildKmvSketchStream]] artifact: m partials per group
@@ -908,14 +919,17 @@ object OnlineRefresh {
     *      an append-only TOMBSTONE partition (the LSM delete-marker
     *      shape: physical removal is compaction's job, the standing-side
     *      view applies markers logically);
-    *   2. the standing signature artifact is
-    *      [[graft.ops.Dedup.minhashSignaturesRetract]]-ed by ALL
-    *      tombstones so far (batch ≤ this one — this batch's deletes
+    *   2. the standing signature artifact is retracted by every
+    *      tombstone so far (batch ≤ this one — this batch's deletes
     *      apply BEFORE its inserts are cleaned, the within-batch
-    *      delete-first convention) — so a near-dup of a deleted doc
-    *      arriving later now SURVIVES, and an exact copy re-enters: the
-    *      dedup decisions themselves see the retraction, not just the
-    *      serving read;
+    *      delete-first convention) under the SAME later-tombstone rule
+    *      the serving read uses (a tombstone kills only signatures that
+    *      arrived before it — an id-only [[graft.ops.Dedup
+    *      .minhashSignaturesRetract]] would also blind the loop to a
+    *      same-id reinsert the read still serves) — so a near-dup of a
+    *      deleted doc arriving later now SURVIVES, and an exact copy
+    *      re-enters: the dedup decisions themselves see the retraction,
+    *      not just the serving read;
     *   3. the batch's inserts are cleaned against the retracted standing
     *      ([[graft.ops.Dedup.minhashAgainst]] — unchanged) and land as
     *      `docs/batch=<id>` + `sigs/batch=<id>` exactly as in the
@@ -927,7 +941,7 @@ object OnlineRefresh {
     * stats), so a replayed epoch re-applies every step idempotently.
     * Deletions target docs from EARLIER batches (a delete and its doc's
     * insert in the SAME batch is out of contract). Read survivors with
-    * [[readMinhashCorpus]]: a doc is out iff a tombstone with a LATER
+    * [[readRetractedCorpus]]: a doc is out iff a tombstone with a LATER
     * batch id names it — delete-then-reinsert keeps the reinsert. */
   def minhashIngestRetractStream(
       spark: SparkSession,
@@ -966,12 +980,23 @@ object OnlineRefresh {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        // ORDERING-AWARE retraction — the same later-tombstone rule the
+        // serving read uses: a tombstone kills only signatures that
+        // arrived BEFORE it, so a same-id delete-then-reinsert keeps the
+        // reinserted doc's signature standing (an id-only anti-join left
+        // the live reinsert invisible to later dedup decisions while
+        // readRetractedCorpus still served it — duplicate texts)
         val dels = spark.read.schema(delSchema).parquet(s"$outPath/dels")
-          .where(col("batch") <= lit(batchId)).drop("batch")
-        val standing = graft.ops.Dedup.minhashSignaturesRetract(
-          spark.read.schema(sigSchema).parquet(s"$outPath/sigs")
-            .where(col("batch") < lit(batchId)).drop("batch"),
-          dels, idCol)
+          .where(col("batch") <= lit(batchId))
+          .select(col(idCol).as("__del_id"), col("batch").as("__del_batch"))
+        val sigsStanding = spark.read.schema(sigSchema).parquet(s"$outPath/sigs")
+          .where(col("batch") < lit(batchId))
+        val standing = sigsStanding
+          .join(broadcast(dels),
+            sigsStanding(idCol) === col("__del_id") &&
+              col("__del_batch") > sigsStanding("batch"),
+            "left_anti")
+          .drop("batch")
         graft.ops.Dedup
           .minhashAgainst(standing,
             batch.where(col(opCol) === lit("ins")).drop(opCol),
@@ -1051,11 +1076,19 @@ object OnlineRefresh {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        // ordering-aware retraction — see minhashIngestRetractStream: an
+        // id-only anti-join would drop a reinserted doc's standing row
         val dels = spark.read.schema(delSchema).parquet(s"$outPath/dels")
-          .where(col("batch") <= lit(batchId)).select(col(idCol))
-        val standing = spark.read.schema(standingSchema).parquet(s"$outPath/docs")
-          .where(col("batch") < lit(batchId)).drop("batch")
-          .join(broadcast(dels.distinct()), Seq(idCol), "left_anti")
+          .where(col("batch") <= lit(batchId))
+          .select(col(idCol).as("__del_id"), col("batch").as("__del_batch"))
+        val docsStanding = spark.read.schema(standingSchema).parquet(s"$outPath/docs")
+          .where(col("batch") < lit(batchId))
+        val standing = docsStanding
+          .join(broadcast(dels),
+            docsStanding(idCol) === col("__del_id") &&
+              col("__del_batch") > docsStanding("batch"),
+            "left_anti")
+          .drop("batch")
         graft.ops.Dedup
           .dedupAgainst(standing,
             batch.where(col(opCol) === lit("ins")).drop(opCol),
@@ -1149,39 +1182,11 @@ object OnlineRefresh {
   def applyBm25Tombstones(spark: SparkSession, outPath: String,
       idCol: String = "doc_id"): Boolean = {
     recoverSwap(spark, outPath)
-    val fs = new org.apache.hadoop.fs.Path(outPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def epochDirs(sub: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(s"$outPath/$sub")
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(_.getPath.getName.stripPrefix("batch=").toLong).sorted
-    }
-    val newest = epochDirs("postings").lastOption.getOrElse(return false)
+    val newest = epochIds(spark, s"$outPath/postings").lastOption.getOrElse(return false)
     val delsAll = spark.read.parquet(s"$outPath/dels")
     val oldIds = delsAll.where(col("batch").cast("long") < newest).select(col(idCol))
     if (oldIds.isEmpty) return false
-    val ids = oldIds.distinct()
-    val postings = spark.read.parquet(s"$outPath/postings")
-    val nIds = ids.count()
-    val found = postings.select(col(idCol)).join(broadcast(ids), Seq(idCol), "left_semi")
-      .distinct().count()
-    require(found == nIds,
-      s"applyBm25Tombstones: $found of $nIds tombstone ids own postings rows")
-    val removed = postings.join(broadcast(ids), Seq(idCol), "left_semi")
-      .groupBy(col("batch"))
-      .agg(countDistinct(col(idCol)).as("__rn"), sum(col("tf")).as("__rsdl"))
-    val newStats = spark.read.parquet(s"$outPath/stats")
-      .join(removed, Seq("batch"), "left")
-      .select(col("batch"),
-        (col("n") - coalesce(col("__rn"), lit(0L))).as("n"),
-        (col("sdl") - coalesce(col("__rsdl"), lit(0L))).as("sdl"))
-      .select(col("batch"), col("n"), when(col("n") > 0,
-        col("sdl").cast("double") / col("n").cast("double")).otherwise(lit(0d)).as("avgdl"),
-        col("sdl"))
-    val newPostings = postings.join(broadcast(ids), Seq(idCol), "left_anti")
-      .select(col("token"), col(idCol), col("tf"), col("dl"), col("batch"))
+    val (newPostings, newStats) = bm25RetractPlans(spark, outPath, oldIds, idCol)
     val newestDels = delsAll.where(col("batch").cast("long") === newest).drop("batch")
     swapDir(spark, outPath) { tmp =>
       newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")

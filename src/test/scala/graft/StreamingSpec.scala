@@ -690,24 +690,35 @@ class StreamingSpec extends SparkSpec {
     assert(delParts == 1, "applied tombstone partitions must drop; newest kept")
     assert(!OnlineRefresh.compactRetractedCorpus(spark, s"$tmp/out"),
       "2 doc epochs -> nothing non-newest to fold")
-    // resume ON the compacted artifact: a copy of a LIVE doc still dies
-    // against the folded standing; a copy of the DELETED 2 re-enters
-    val extra = Seq(("ins", 12L, base + " "), ("ins", 14L, aText))
-    val part2 = Files.createTempDirectory("graft-smhret-part").toString
-    extra.toDF("op", "doc_id", "text").coalesce(1).write.mode("overwrite").parquet(part2)
-    val src2 = new java.io.File(part2).listFiles()
-      .find(f => f.getName.endsWith(".parquet")).get.toPath
-    val dst2 = java.nio.file.Paths.get(s"$tmp/src/stage_4.parquet")
-    Files.copy(src2, dst2)
-    Files.setLastModifiedTime(dst2,
-      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + 4 * 60000L))
+    // resume ON the compacted artifact: batch 4 — a copy of a LIVE doc
+    // still dies against the folded standing, a copy of the DELETED 2
+    // re-enters; batch 5 — id 2 itself REINSERTS with fresh text; batch
+    // 6 — a copy of the reinserted text must DIE: the tombstone for 2
+    // (epoch 3) is OLDER than the reinsert (epoch 5), so the standing
+    // retraction must keep 2's new signature (an id-only retraction
+    // blinded the loop here while the read still served the reinsert)
+    val newText = "entirely novel reinserted content with many distinct words"
+    val extras = Seq(
+      Seq(("ins", 12L, base + " "), ("ins", 14L, aText)),
+      Seq(("ins", 2L, newText)),
+      Seq(("ins", 20L, newText)))
+    for ((rows, j) <- extras.zipWithIndex) {
+      val part2 = Files.createTempDirectory("graft-smhret-part").toString
+      rows.toDF("op", "doc_id", "text").coalesce(1).write.mode("overwrite").parquet(part2)
+      val src2 = new java.io.File(part2).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst2 = java.nio.file.Paths.get(s"$tmp/src/stage_${4 + j}.parquet")
+      Files.copy(src2, dst2)
+      Files.setLastModifiedTime(dst2,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + (4 + j) * 60000L))
+    }
     val q3 = OnlineRefresh.minhashIngestRetractStream(spark, s"$tmp/src", schema,
       s"$tmp/out", s"$tmp/ck", threshold = 0.35, maxFilesPerTrigger = Some(1))
     q3.awaitTermination()
     val corpusR = OnlineRefresh.readRetractedCorpus(spark, s"$tmp/out")
       .select(col("doc_id")).as[Long].collect().sorted.toSeq
-    assert(corpusR == Seq(5L, 10L, 14L),
-      s"resume on the compacted artifact broke (12 must die vs live 5; 14 re-enters): $corpusR")
+    assert(corpusR == Seq(2L, 5L, 10L, 14L),
+      s"resume broke (12 dies vs live 5; 14 re-enters; 2 reinserts; 20 dies vs the reinsert): $corpusR")
   }
 
   test("dedupIngestRetractStream: the Hamming-criterion loop honors takedowns the same way") {
