@@ -1852,6 +1852,24 @@ object Queries {
   private def kmeansIterQ(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansIter(t(s, dir, "embeddings"), nLists = 16)
 
+  /** The IVF DRIFT monitor ([[graft.ops.Similarity.ivfDriftStats]]): the
+    * corpus lands as four deterministic vec_id-mod-4 epochs of assignment
+    * shards against the FIXED bootstrap centroids (the incremental-build
+    * shape, [[graft.ops.Similarity.ivfAssign]] per shard), and the
+    * monitor reports each epoch's cosine-to-assigned-centroid
+    * distribution — the number a deployment watches to decide when the
+    * fixed centroids have drifted from the arriving embeddings and the
+    * index needs re-centering. */
+  private def ivfDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ix = Similarity.ivfIndex(emb, nLists = 16)
+    val assignments = (0 until 4).map(i =>
+      Similarity.ivfAssign(emb.where(pmod(col("vec_id"), lit(4)) === i), ix.centroids)
+        .withColumn("batch", lit(i)))
+      .reduce(_ unionByName _)
+    Similarity.ivfDriftStats(Similarity.IvfIndex(ix.centroids, assignments), emb)
+  }
+
   /** BM25 top-10 retrieval over the documents corpus for three fixed query
     * strings ([[graft.ops.TextAnalysis.bm25TopK]]) — the ranked-search
     * consumer of the inverted-index machinery. Scores are milli-quantized
@@ -2617,6 +2635,7 @@ object Queries {
     "q_ann_recall_lsh" -> (annRecallLshQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
+    "q_ivf_drift" -> (ivfDriftQ _),
     "q_ivf_topk_served" -> (ivfTopKServedQ _),
     "q_proto_prune" -> (protoPruneQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
@@ -2804,6 +2823,7 @@ object Queries {
     // (centroids fixed from the full corpus — the build-time contract)
     "q_ivf_retract_compact" -> ivfOracleWith(10, 5,
       "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)"),
+    "q_ivf_drift" -> ivfDriftOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
@@ -4495,6 +4515,31 @@ object Queries {
        |  SELECT probe_id, corpus_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
        |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  /** The drift monitor replayed: bootstrap centroids, the search's argmax
+    * assignment (s DESC, c DESC), the shared 6-dp cosine to the ASSIGNED
+    * centroid, epoch = vec_id % 4, micro-unit-quantized mean +
+    * quantile_cont p10 per epoch. */
+  private def ivfDriftOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, embedding AS emb, c AS cell FROM (
+       |    SELECT e.vec_id, e.embedding, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |sc AS (SELECT CAST(vec_id % 4 AS INTEGER) AS batch,
+       |    round(CASE WHEN sqrt(${dotSql("emb", "emb")}) * sqrt(${dotSql("cemb", "cemb")}) = 0 THEN NULL
+       |      ELSE ${dotSql("emb", "cemb")} / (sqrt(${dotSql("emb", "emb")}) * sqrt(${dotSql("cemb", "cemb")})) END, 6) AS cos
+       |  FROM asg JOIN cent ON asg.cell = cent.c)
+       |SELECT batch, CAST(count(*) AS BIGINT) AS n, CAST(count(cos) AS BIGINT) AS n_scored,
+       |  CASE WHEN count(cos) > 0 THEN
+       |    round(CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(cos) AS DOUBLE) / 1000000.0, 4) END AS mean_cos,
+       |  round(quantile_cont(cos, 0.1), 6) AS p10_cos
+       |FROM sc GROUP BY batch""".stripMargin
   }
 
   /** Prototypicality-prune replay: bootstrap centroids, the search's

@@ -357,6 +357,52 @@ object Similarity {
       index.assignments.join(broadcast(vecIds.select(col(idCol)).distinct()),
         Seq(idCol), "left_anti"))
 
+  /** DRIFT MONITOR for the incremental IVF artifact — the operational
+    * "when do I rebuild the centroids" number: per arrival epoch
+    * (`batchCol` on the assignment table — the `batch=<id>` partitions
+    * the streamed builder lands), the distribution of each vector's
+    * cosine to its ASSIGNED centroid. Centroids are fixed at build time
+    * ([[ivfAssign]]'s contract), so if newly-landed epochs' vectors sit
+    * systematically farther from their cells (mean_cos declining, p10_cos
+    * sagging vs the bootstrap epochs), the embedding distribution has
+    * drifted and the index needs re-centering (a rebuild decision, not a
+    * delete — the [[ivfRetract]] scaladoc's split); flat curves mean the
+    * incremental adds are safe to keep appending.
+    *
+    * Scale shape: one join of the assignment table with its corpus
+    * embeddings (both keyed on the id the artifact can be bucketed by)
+    * plus a broadcast of the ≤ nLists centroid rows; output is one row
+    * per epoch. Cross-engine determinism: per-row cosine is the shared
+    * 6-dp-rounded expression, the mean is micro-unit integer quantized
+    * (order-free sums — the corpus-report recipe), p10 is `percentile`'s
+    * linear interpolation. Zero-norm vectors carry a null cosine and are
+    * excluded from both stats but counted in `n` (the contamination
+    * absence-is-a-decision convention).
+    * Output: (batchCol, n, n_scored, mean_cos, p10_cos). */
+  def ivfDriftStats(
+      index: IvfIndex,
+      corpus: DataFrame,
+      batchCol: String = "batch",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val scored = index.assignments
+      .join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+      .join(broadcast(index.centroids), Seq("cell"))
+      .select(col(batchCol),
+        cosineFromNorms(dp, col(embCol), col("centroid"),
+          sqrt(dp(col(embCol), col(embCol))),
+          sqrt(dp(col("centroid"), col("centroid")))).as("__cos"))
+    scored.groupBy(col(batchCol))
+      .agg(count(lit(1)).as("n"),
+        count(col("__cos")).as("n_scored"),
+        when(count(col("__cos")) > 0,
+          round(sum(round(col("__cos") * 1e6, 0).cast("long")).cast("double")
+            / count(col("__cos")).cast("double") / 1e6, 4)).as("mean_cos"),
+        round(expr("percentile(__cos, 0.1)"), 6).as("p10_cos"))
+  }
+
   /** Collect a (cell, centroid) table back into the bounded literal array
     * the probe/assignment expressions fold in — ≤ nLists rows by
     * construction, the same driver hop the bootstrap uses. */

@@ -1177,6 +1177,29 @@ class OpsSpec extends SparkSpec {
     assert(pairs(sigsRetracted) == direct)
   }
 
+  test("ivfDriftStats: a drifted epoch reads lower than the build epoch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val ix = Similarity.ivfIndex(emb, nLists = 8)
+    val base = Similarity.ivfAssign(emb, ix.centroids)
+      .withColumn("batch", lit(0))
+    // drifted arrivals: every vector NEGATED (its best cell under the fixed
+    // centroids is the original's worst) with offset ids
+    val drifted = emb.withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", transform(col("embedding"), x => (-x).cast("float")))
+    val driftedAsg = Similarity.ivfAssign(drifted, ix.centroids)
+      .withColumn("batch", lit(1))
+    val stats = Similarity.ivfDriftStats(
+      Similarity.IvfIndex(ix.centroids, base.unionByName(driftedAsg)),
+      emb.unionByName(drifted))
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._4.get, r._5.get))).toMap
+    val (n0, mean0, p10_0) = stats(0)
+    val (n1, mean1, p10_1) = stats(1)
+    assert(n0 == emb.count() && n1 == n0)
+    assert(mean1 < mean0 && p10_1 < p10_0,
+      s"drifted epoch must read lower: base=($mean0, $p10_0) drifted=($mean1, $p10_1)")
+  }
+
   test("minhashAccuracy / simhashAccuracy: a perfect detector scores 1.0; empty sides go NULL") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo"
