@@ -1615,6 +1615,17 @@ object Queries {
   private def embeddingStatsQ(s: SparkSession, dir: String): DataFrame =
     Similarity.embeddingStats(t(s, dir, "embeddings"))
 
+  /** The SemDeDup accuracy gate ([[graft.ops.Similarity
+    * .semanticDedupRecall]]): per nLists ∈ {8, 16, 32}, the fraction of
+    * exact cosine-≥0.35 probe-anchored pairs whose sides share a
+    * bootstrap cell — the cross-cell miss rate the within-cell dedup
+    * design pays for its n²/nLists pair-cost bound, now a measured
+    * number under the oracle instead of a knob on faith (and the
+    * measurement overturned the naive monotone story — see the
+    * operator's scaladoc). */
+  private def semanticDedupRecallQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupRecall(t(s, dir, "embeddings"))
+
   /** Exact ANN baseline: brute-force top-5 for 10 probe vectors. */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2636,6 +2647,7 @@ object Queries {
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
+    "q_semdedup_recall" -> (semanticDedupRecallQ _),
     "q_ivf_topk_served" -> (ivfTopKServedQ _),
     "q_proto_prune" -> (protoPruneQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
@@ -2824,6 +2836,7 @@ object Queries {
     "q_ivf_retract_compact" -> ivfOracleWith(10, 5,
       "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)"),
     "q_ivf_drift" -> ivfDriftOracle,
+    "q_semdedup_recall" -> semanticDedupRecallOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
@@ -4515,6 +4528,38 @@ object Queries {
        |  SELECT probe_id, corpus_id, cosine,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
        |  FROM scored) WHERE rn <= $k""".stripMargin
+  }
+
+  /** The SemDeDup recall gate replayed: ONE brute-force truth CTE
+    * (probe-subset × corpus at the shared 6-dp cosine), then per sweep
+    * point the bootstrap-centroid argmax (s DESC, c DESC — array_max's
+    * struct order) and the same-cell hit count. */
+  private def semanticDedupRecallOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    def sweep(l: Int): String =
+      s"""cent$l AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $l)),
+         |asg$l AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT e.vec_id, cent.c, $d AS s FROM embeddings e CROSS JOIN cent$l cent)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+         |h$l AS (SELECT CAST($l AS INTEGER) AS n_lists,
+         |    CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN pa.cell = ca.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM truth JOIN asg$l pa ON truth.probe_id = pa.vec_id
+         |  JOIN asg$l ca ON truth.corpus_id = ca.vec_id)""".stripMargin
+    s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 50),
+       |truth AS (SELECT probe_id, vec_id AS corpus_id FROM (
+       |  SELECT pr.probe_id, c.vec_id,
+       |    round(CASE WHEN sqrt(${dotSql("pr.p_emb", "pr.p_emb")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |      ELSE ${dotSql("pr.p_emb", "c.embedding")} / (sqrt(${dotSql("pr.p_emb", "pr.p_emb")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |  FROM embeddings c CROSS JOIN pr WHERE pr.probe_id <> c.vec_id)
+       |  WHERE cosine >= 0.35),
+       |${Seq(8, 16, 32).map(sweep).mkString(",\n")}
+       |SELECT n_lists, n_true, n_hit,
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+       |FROM (${Seq(8, 16, 32).map(l => s"SELECT * FROM h$l").mkString(" UNION ALL ")})""".stripMargin
   }
 
   /** The drift monitor replayed: bootstrap centroids, the search's argmax

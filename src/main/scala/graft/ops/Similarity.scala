@@ -745,6 +745,74 @@ object Similarity {
     asg.join(dropped, Seq(idCol), "left_anti").select(col(idCol), col("cell"))
   }
 
+  /** The SemDeDup ACCURACY gate — the embedding-dedup family's member of
+    * the measured-knob family ([[graft.ops.Dedup.minhashAccuracy]] /
+    * q_ann_recall): [[semanticDedup]] only compares vectors WITHIN a
+    * cell, so its miss mode is a near-dup pair split across cells, and
+    * the `nLists` knob trades that recall against within-cell pair cost
+    * (cell size ~ n/nLists ⇒ pair work ~ n²/nLists). This measures it:
+    * of the exact brute-force cosine-≥-threshold pairs anchored at the
+    * probe subset, the fraction whose two sides land in the SAME
+    * bootstrap cell, per nLists in the sweep. n_true is constant across
+    * rows (the truth doesn't move with nLists). The sweep DIRECTION is
+    * corpus-dependent — which is exactly why this is a gate and not a
+    * formula: asymptotically finer partitions must split neighborhoods,
+    * but with unrefined bootstrap centroids COARSE cells assign
+    * near-ties arbitrarily, and on the synthetic corpus recall RISES
+    * 0.39 → 0.51 → 0.61 across 8/16/32 lists as cells align with the
+    * latent label clusters (sf0.01; q_semdedup_recall — 0.36/0.45/0.67
+    * at sf0.1). And the obvious fix is measured NOT to work: two Lloyd
+    * rounds ([[refinedCentroids]]) moved sf0.1 hits 76/96/142 →
+    * 75/94/136 at 8/16/32 lists — refinement balances cell SIZES (the
+    * search-cost story), it does not keep near-dup pairs together. The
+    * recall levers are nLists (bounded by the n²/nLists pair-cost
+    * trade) and, at the margin, the serving threshold. Measure on a
+    * corpus sample at deployment scale exactly like the sketch-dedup
+    * gates.
+    *
+    * Scale shape: ONE brute-force truth pass (probe-subset × corpus —
+    * probe-bounded, the q_ann_recall recipe), then per sweep point a
+    * corpus×nLists argmax projection and two broadcast-joined cell
+    * lookups over the (small) truth pair list. Empty truth ⇒ NULL
+    * recall. Output: (n_lists, n_true, n_hit, recall). */
+  def semanticDedupRecall(
+      corpus: DataFrame,
+      nListsSweep: Seq[Int] = Seq(8, 16, 32),
+      threshold: Double = 0.35,
+      probeMax: Long = 50,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    require(nListsSweep.nonEmpty, "semanticDedupRecall needs a sweep")
+    val dp = dotFn(corpus.sparkSession)
+    val cn = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("__ce"),
+      sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+    val pn = corpus.where(col(idCol) < probeMax)
+      .select(col(idCol).as("probe_id"), col(embCol).as("__pe"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"))
+    val truth = cn.crossJoin(broadcast(pn))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .where(cosineFromNorms(dp, col("__pe"), col("__ce"), col("__np"), col("__nc"))
+        >= threshold)
+      .select(col("probe_id"), col("corpus_id"))
+    nListsSweep.map { l =>
+      val cells = cellScores(centroidBootstrap(corpus, l, idCol, embCol), dp) _
+      val asg = corpus.select(col(idCol),
+        array_max(cells(col(embCol))).getField("c").as("cell"))
+      truth
+        .join(asg.select(col(idCol).as("probe_id"), col("cell").as("__pc")),
+          Seq("probe_id"))
+        .join(asg.select(col(idCol).as("corpus_id"), col("cell").as("__cc")),
+          Seq("corpus_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("__pc") === col("__cc"), 1L).otherwise(0L)).as("n_hit"))
+        .select(lit(l).as("n_lists"), col("n_true"), col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[semanticDedup]] SERVED from a materialized [[IvfIndex]] — the
     * build-once / serve-many split extended to the dedup family: the
     * corpus-sized per-row argmax (the expensive half of a SemDeDup pass)
