@@ -56,11 +56,25 @@ object Bench {
       .filter(q => only.forall(_.contains(q._1)))
     val samples = Array.fill(named.size)(Vector.empty[Double])
     val failures = Array.fill(named.size)(0)
+    // Persist hygiene (r12 verdict): ops legitimately return plans that
+    // depend on internal fan-out persists, so the RELEASE point is here —
+    // after the consuming action — not inside the ops. Without it the
+    // cached plans accumulate across ~500 query executions ("Asked to
+    // cache already cached data" warnings; memoized first-runs swinging
+    // ~10× with JVM/cache state; at cluster scale, executor memory held
+    // with no release point), and a repeat run of a persisting query
+    // silently reuses the previous run's cache, so its qmin measured
+    // cache-hit latency rather than the query's cost. Release happens
+    // OUTSIDE the timed window (the measurement is the query, not the
+    // cleanup). SPARK_GRAFT_BENCH_RELEASE=0 restores the r12-and-earlier
+    // accumulate-forever behavior for A/B against old floors.
+    val release = sys.env.getOrElse("SPARK_GRAFT_BENCH_RELEASE", "1") == "1"
     for (_ <- 1 to runs; i <- named.indices) {
       val t0 = System.nanoTime()
       try { named(i)._2(spark, sfDir).count() }
       catch { case _: Throwable => failures(i) += 1 }
       samples(i) :+= (System.nanoTime() - t0) / 1e9
+      if (release) spark.catalog.clearCache()
     }
     // Heavy composites whose interleaved means run >3× their floors (cache
     // cooling from neighboring queries — BASELINE.md methodology note, the
@@ -87,6 +101,9 @@ object Bench {
         named(i)._2(spark, sfDir).count()
         dedicatedMin(i) = dedicatedMin(i).min((System.nanoTime() - t0) / 1e9)
       } catch { case _: Throwable => dedicatedFails(i) += 1 }
+      // same release discipline as the interleaved loop: a back-to-back
+      // dedicated run must re-pay its own persists, not hit the last run's
+      if (release) spark.catalog.clearCache()
     }
     // memoized fixture queries (Queries.memoizedQueries) only do real work
     // on run 1 — later runs re-read the landed store, so their min/mean

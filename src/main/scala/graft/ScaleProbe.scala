@@ -293,8 +293,9 @@ object ScaleProbe {
           println(s"BUCKETS $name n=${r.get(0)} max=${r.get(1)} p99=${r.get(2)} " +
             s"p999=${r.get(3)} candPairs=${r.get(4)} candPairsCap50=${r.get(5)} " +
             s"overCap=${r.get(6)}")
+          val nBuckets = r.getLong(0)
           st.unpersist()
-          r.getLong(0)
+          nBuckets // timed's forced-work witness (f: => Long), not dead code
         }
       bucketReport("raw", d30)
       bucketReport("deduped-reps", d30.join(

@@ -27,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release query-internal fan-out persists once the write (the
+      // consuming action) is done — without this the 160+-query gate
+      // accumulates every query's cached plans in one JVM (Bench has the
+      // same per-run release; the ops return persist-dependent plans, so
+      // the harness owns the release point)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -763,16 +763,44 @@ object OnlineRefresh {
     * atomically — a two-swap version would leave a crash window where
     * postings are retracted but stats are not, unrecoverable because the
     * removed tf mass is only derivable from the pre-retraction postings).
-    * Run between stream runs, like compaction. */
+    * Run between stream runs, like compaction.
+    *
+    * On a dels-bearing artifact ([[buildBm25IndexRetractStream]]'s) the
+    * tombstone subtree is carried through the swap VERBATIM — an earlier
+    * version silently dropped it, after which [[readBm25IndexRetracted]]
+    * threw on the missing path (or a restarted stream recreated it empty
+    * and served deleted docs resurfaced). `docIds` must then be DISJOINT
+    * from the standing tombstone ids (enforced — throws): a tombstoned id
+    * retracted physically here would be subtracted a second time when the
+    * carried-through logical tombstone is applied at serve; physical
+    * application of existing tombstones is [[applyBm25Tombstones]]'s job. */
   def retractBm25Artifact(spark: SparkSession, outPath: String,
       docIds: DataFrame, idCol: String = "doc_id"): Unit = {
     recoverSwap(spark, outPath)
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delsPath = new org.apache.hadoop.fs.Path(s"$outPath/dels")
+    // a dels dir with no batch= child yet (stream created it, no epoch
+    // landed) has no schema to infer — treat as absent
+    val dels = if (fs.exists(delsPath) &&
+        fs.listStatus(delsPath).exists(_.getPath.getName.startsWith("batch=")))
+      Some(spark.read.parquet(s"$outPath/dels")) else None
+    dels.foreach { d =>
+      val overlap = d.select(col(idCol))
+        .join(broadcast(docIds.select(col(idCol)).distinct()), Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(overlap == 0L,
+        "bm25 artifact retraction: docIds overlap standing tombstones — the " +
+          "carried-through logical tombstone would double-subtract stats at " +
+          "serve; apply existing tombstones with applyBm25Tombstones instead")
+    }
     val (newPostings, newStats) = bm25RetractPlans(spark, outPath, docIds, idCol)
-    // both writes execute inside swapDir against the still-intact old dirs
+    // all writes execute inside swapDir against the still-intact old dirs
     // (tmp is fully written before any rename), then ONE atomic swap
     swapDir(spark, outPath) { tmp =>
       newPostings.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/postings")
       newStats.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/stats")
+      dels.foreach(_.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/dels"))
     }
   }
 
@@ -1108,12 +1136,18 @@ object OnlineRefresh {
     * Serving applies the tombstones logically at read time
     * ([[readBm25IndexRetracted]] — the monolithic
     * [[graft.ops.TextAnalysis.bm25IndexRetract]] over the merged
-    * artifact); physical removal is [[retractBm25Artifact]] +
-    * [[compactBm25Index]]'s job between stream runs, after which the
-    * applied tombstone partitions can be dropped. Tombstones must name
-    * docs already delivered to the index (deletion requests reference
+    * artifact); physical removal is [[applyBm25Tombstones]]'s job between
+    * stream runs (it alone knows to keep the replayable newest epoch's
+    * tombstones logical and to drop the applied ones) — compose with
+    * [[compactBm25Index]] afterwards to fold partitions. Tombstones must
+    * name docs already delivered to the index (deletion requests reference
     * corpus members — a delete racing ahead of its doc's insert is out
-    * of contract, same as the batch retract's precondition). */
+    * of contract, same as the batch retract's precondition). SEMANTICS
+    * NOTE: this family's tombstones are id-based and ORDERING-BLIND — a
+    * delete-then-reinsert of the same id stays deleted at serve
+    * (takedowns on an index are absolute), unlike the corpus loops
+    * ([[minhashIngestRetractStream]]/[[dedupIngestRetractStream]]) whose
+    * later-tombstone rule lets a reinsert survive. */
   def buildBm25IndexRetractStream(
       spark: SparkSession,
       inputPath: String,
@@ -1126,6 +1160,14 @@ object OnlineRefresh {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    // self-heal BEFORE creating subdirectories: retractBm25Artifact /
+    // applyBm25Tombstones root-swap outPath, and a crash between their
+    // renames leaves outPath missing with outPath_old intact — if
+    // createDirectories recreated outPath first, recoverSwap's
+    // !exists(dst) guard could never fire again and the committed
+    // postings/stats in _old would be silently lost (the checkpoint
+    // prevents re-delivery)
+    recoverSwap(spark, outPath)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/dels"))
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -1171,12 +1213,14 @@ object OnlineRefresh {
     * atomic root swap; serve output is invariant
     * (q_stream_bm25_ret_compacted pins it). Ids without postings rows
     * (e.g. a tombstone racing its doc — out of contract for the stream)
-    * throw, as in [[retractBm25Artifact]]. PRECONDITION: no id appears
-    * in BOTH a committed and the newest tombstone epoch — once the
-    * committed copy is applied physically, the still-logical duplicate
-    * would subtract the doc's stats a second time at serve (the
-    * bm25IndexRetract non-idempotence; duplicate ids WITHIN the
-    * committed epochs, or within the newest, collapse fine). Run
+    * throw, as in [[retractBm25Artifact]]. PRECONDITION (enforced — one
+    * broadcast semi-join, throws on violation): no id appears in BOTH a
+    * committed and the newest tombstone epoch — once the committed copy
+    * is applied physically, the still-logical duplicate would subtract
+    * the doc's stats a second time at serve (the bm25IndexRetract
+    * non-idempotence; duplicate ids WITHIN the committed epochs, or
+    * within the newest, collapse fine — a silent failure before r13,
+    * since the postings anti-join no-ops on the second application). Run
     * between stream runs; compose with [[compactBm25Index]] afterwards
     * to fold partitions. */
   def applyBm25Tombstones(spark: SparkSession, outPath: String,
@@ -1186,6 +1230,15 @@ object OnlineRefresh {
     val delsAll = spark.read.parquet(s"$outPath/dels")
     val oldIds = delsAll.where(col("batch").cast("long") < newest).select(col(idCol))
     if (oldIds.isEmpty) return false
+    val crossEpoch = delsAll.where(col("batch").cast("long") === newest)
+      .select(col(idCol))
+      .join(broadcast(oldIds.distinct()), Seq(idCol), "left_semi")
+      .limit(1).count()
+    require(crossEpoch == 0L,
+      "bm25 tombstone apply: an id appears in both a committed and the newest " +
+        "tombstone epoch — its committed copy applied physically here plus the " +
+        "still-logical newest copy at serve would double-subtract stats; wait " +
+        "for the next epoch to commit (or drop the duplicate) before applying")
     val (newPostings, newStats) = bm25RetractPlans(spark, outPath, oldIds, idCol)
     val newestDels = delsAll.where(col("batch").cast("long") === newest).drop("batch")
     swapDir(spark, outPath) { tmp =>

@@ -820,6 +820,113 @@ class StreamingSpec extends SparkSpec {
       "no committed tombstones left to apply")
   }
 
+  // ---- r13: the bm25 retract family's enforced preconditions ----
+
+  /** Stage op-feed files with deterministic mtimes (delivery order). */
+  private def stageOps(dir: String, stages: Seq[org.apache.spark.sql.DataFrame]): StructType = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    for ((df, i) <- stages.zipWithIndex) {
+      val part = Files.createTempDirectory("graft-ops-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/stage_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    spark.read.parquet(dir).schema
+  }
+
+  private def tinyOpCorpus(): Seq[(Long, String)] = Seq(
+    1L -> "spark shuffles the partitioned table",
+    2L -> "window functions rank each customer order",
+    3L -> "the stream lands one epoch per file",
+    4L -> "customer orders arrive as a fast stream",
+    5L -> "broadcast the small dimension table",
+    6L -> "tombstones mark deleted documents logically",
+    7L -> "the index folds partial epochs exactly",
+    8L -> "watermarks close the hourly window")
+
+  private def insDf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text").select(
+      org.apache.spark.sql.functions.lit("ins").as("op"), $"doc_id", $"text")
+  private def delDf(ids: Seq[Long]) =
+    ids.toDF("doc_id").select(org.apache.spark.sql.functions.lit("del").as("op"),
+      $"doc_id", org.apache.spark.sql.functions.lit(null).cast("string").as("text"))
+
+  test("applyBm25Tombstones refuses an id tombstoned in both a committed and the newest epoch") {
+    val docs = tinyOpCorpus()
+    val tmp = Files.createTempDirectory("graft-bmdup").toString
+    // epochs: ins(1-4) / del(2) / ins(5-8) / del(2 again, 5) — id 2 sits in
+    // committed epoch 1 AND newest epoch 3: applying its committed copy
+    // physically while the newest stays logical would double-subtract
+    val schema = stageOps(s"$tmp/src", Seq(
+      insDf(docs.take(4)), delDf(Seq(2L)), insDf(docs.drop(4)), delDf(Seq(2L, 5L))))
+    val q = OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val ex = intercept[IllegalArgumentException] {
+      OnlineRefresh.applyBm25Tombstones(spark, s"$tmp/ix")
+    }
+    assert(ex.getMessage.contains("double-subtract"))
+  }
+
+  test("retractBm25Artifact carries the dels subtree and refuses tombstoned ids") {
+    val docs = tinyOpCorpus()
+    val tmp = Files.createTempDirectory("graft-bmcarry").toString
+    val schema = stageOps(s"$tmp/src", Seq(
+      insDf(docs.take(4)), delDf(Seq(2L)), insDf(docs.drop(4))))
+    val q = OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // physically retract a NON-tombstoned id: the dels subtree must ride
+    // the root swap (pre-r13 it was silently dropped — serve then threw on
+    // the missing path, or a restarted stream resurfaced deleted docs)
+    OnlineRefresh.retractBm25Artifact(spark, s"$tmp/ix", Seq(7L).toDF("doc_id"))
+    val qs = Seq(("qa", "customer stream table")).toDF("query_id", "query")
+    val served = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25IndexRetracted(spark, s"$tmp/ix"), qs, k = 8)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val direct = TextAnalysis.bm25TopK(
+      docs.filterNot(d => d._1 == 2L || d._1 == 7L).toDF("doc_id", "text"), qs, k = 8)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    assert(served == direct,
+      "dels must survive the physical retract's root swap (and still apply at serve)")
+    // a tombstoned id is applyBm25Tombstones' job: retracting it here would
+    // double-subtract when the carried-through logical tombstone re-applies
+    val ex = intercept[IllegalArgumentException] {
+      OnlineRefresh.retractBm25Artifact(spark, s"$tmp/ix", Seq(2L).toDF("doc_id"))
+    }
+    assert(ex.getMessage.contains("applyBm25Tombstones"))
+  }
+
+  test("buildBm25IndexRetractStream self-heals a half-swapped artifact root on restart") {
+    val docs = tinyOpCorpus()
+    val tmp = Files.createTempDirectory("graft-bmheal").toString
+    val schema = stageOps(s"$tmp/src", Seq(insDf(docs.take(4)), delDf(Seq(2L))))
+    val q = OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val qs = Seq(("qa", "customer stream table")).toDF("query_id", "query")
+    def serve() = TextAnalysis.bm25TopKFromIndex(
+      OnlineRefresh.readBm25IndexRetracted(spark, s"$tmp/ix"), qs, k = 8)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val before = serve()
+    // simulate a root swap crashed between renames: ix moved aside, ix_tmp
+    // never renamed in — the restarted stream must restore ix BEFORE
+    // recreating subdirectories (pre-r13 createDirectories ran first, so
+    // recoverSwap's !exists(dst) guard never fired and the committed
+    // epochs in _old were lost; the checkpoint prevents re-delivery)
+    Files.move(java.nio.file.Paths.get(s"$tmp/ix"),
+      java.nio.file.Paths.get(s"$tmp/ix_old"))
+    val q2 = OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    assert(serve() == before,
+      "restarted stream must self-heal the half-swapped root before creating dirs")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
