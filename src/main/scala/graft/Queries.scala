@@ -892,6 +892,81 @@ object Queries {
         Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
+  /** Stage an INSERT/DELETE op feed over the EMBEDDINGS table — the
+    * [[stageOpShards]] shape for the vector-index family: batch 0 inserts
+    * the even-vec_id shard, batch 1 deletes vec_id % 10 == 0, batch 2
+    * inserts the odd shard, batch 3 deletes vec_id % 10 == 5. Delete rows
+    * carry only (op, vec_id); embedding null. */
+  private def stageEmbOpShards(s: SparkSession, dir: String,
+      src: java.nio.file.Path, tmpPrefix: String): Unit = {
+    val emb = t(s, dir, "embeddings")
+    val embType = emb.schema("embedding").dataType
+    def ins(par: Int) = emb.where(pmod(col("vec_id"), lit(2)) === par)
+      .select(lit("ins").as("op"), col("vec_id"), col("embedding"))
+    def del(m: Int) = emb.where(pmod(col("vec_id"), lit(10)) === m)
+      .select(lit("del").as("op"), col("vec_id"), lit(null).cast(embType).as("embedding"))
+    stageOrderedFiles(Seq(ins(0), del(0), ins(1), del(5)), src, tmpPrefix)
+  }
+
+  /** STREAMING RETRACTION for the vector-index family
+    * ([[graft.streaming.OnlineRefresh.buildIvfIndexRetractStream]] — the
+    * last asymmetric cell in the lifecycle matrix): the insert/delete
+    * feed streams into the IVF builder — inserts assign against the fixed
+    * centroids, deletes land tombstone partitions — and serving applies
+    * the tombstones logically at read (one anti-join; per-row artifact,
+    * so there is no double-subtraction hazard at all). Must hash-match a
+    * DIRECT assignment over the never-deleted vectors (centroids fixed
+    * from the full corpus — the build-time contract, as in
+    * q_ivf_retract_compact). */
+  private def streamIvfRetracted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivfret:$dir", s), { _ =>
+      val src = scratchDir("graft_sivfret_src")
+      val out = scratchDir("graft_sivfret_out")
+      val ck = scratchDir("graft_sivfret_ck")
+      val emb = t(s, dir, "embeddings")
+      stageEmbOpShards(s, dir, src, "graft_sivfret_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildIvfIndexRetractStream(s, src.toString,
+        schema, out.toString, ck.toString,
+        Similarity.ivfIndex(emb, nLists = 16).centroids, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      Similarity.ivfTopKFromIndex(
+        streaming.OnlineRefresh.readIvfIndexRetracted(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
+  /** The IVF tombstone lifecycle closed end-to-end under the oracle: the
+    * q_stream_ivf_retracted fixture (own dirs), then
+    * [[graft.streaming.OnlineRefresh.applyIvfTombstones]] physically
+    * drops every tombstoned assignment row and the tombstone partitions
+    * themselves (ALL epochs — per-row retraction is idempotent, so even
+    * the replayable newest epoch applies safely, unlike the BM25 twin's
+    * replay-safety split), then [[graft.streaming.OnlineRefresh
+    * .compactIvfIndex]] folds the shards — and the tombstone-aware serve
+    * must STILL hash-match the direct assignment over the survivors:
+    * logical → physical → dropped → compacted, one oracle. */
+  private def streamIvfRetApplied(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivfra:$dir", s), { _ =>
+      val src = scratchDir("graft_sivfra_src")
+      val out = scratchDir("graft_sivfra_out")
+      val ck = scratchDir("graft_sivfra_ck")
+      val emb = t(s, dir, "embeddings")
+      stageEmbOpShards(s, dir, src, "graft_sivfra_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildIvfIndexRetractStream(s, src.toString,
+        schema, out.toString, ck.toString,
+        Similarity.ivfIndex(emb, nLists = 16).centroids, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.applyIvfTombstones(s, out.toString),
+        "the fixture's stream landed tombstones to apply")
+      require(!streaming.OnlineRefresh.applyIvfTombstones(s, out.toString),
+        "second application must be a no-op — tombstones were dropped")
+      streaming.OnlineRefresh.compactIvfIndex(s, out.toString)
+      Similarity.ivfTopKFromIndex(
+        streaming.OnlineRefresh.readIvfIndexRetracted(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
   /** Stream-static enrichment under the oracle: signup events arrive as a
     * STREAM and are left-joined (stateless, append mode — no watermark
     * needed) against the static latest-click snapshot, the streaming twin
@@ -2371,7 +2446,8 @@ object Queries {
       "q_bm25_topk_compacted", "q_bm25_retract_compact", "q_ivf_topk_compacted",
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
-      "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted")
+      "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
+      "q_stream_ivf_retracted", "q_stream_ivf_ret_applied")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2531,6 +2607,8 @@ object Queries {
     "q_stream_dedup_retracted" -> (streamDedupRetracted _),
     "q_stream_bm25_retracted" -> (streamBm25Retracted _),
     "q_stream_bm25_ret_compacted" -> (streamBm25RetCompacted _),
+    "q_stream_ivf_retracted" -> (streamIvfRetracted _),
+    "q_stream_ivf_ret_applied" -> (streamIvfRetApplied _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -2835,6 +2913,14 @@ object Queries {
     // (centroids fixed from the full corpus — the build-time contract)
     "q_ivf_retract_compact" -> ivfOracleWith(10, 5,
       "(SELECT * FROM embeddings WHERE vec_id % 7 <> 3)"),
+    // live deletion feed on the vector index: logical tombstones at serve
+    // (q_stream_ivf_retracted), then physically applied + GC'd + compacted
+    // (q_stream_ivf_ret_applied) — both ≡ a direct assignment over the
+    // never-deleted vectors, centroids fixed from the full corpus
+    "q_stream_ivf_retracted" -> ivfOracleWith(10, 5,
+      "(SELECT * FROM embeddings WHERE vec_id % 10 NOT IN (0, 5))"),
+    "q_stream_ivf_ret_applied" -> ivfOracleWith(10, 5,
+      "(SELECT * FROM embeddings WHERE vec_id % 10 NOT IN (0, 5))"),
     "q_ivf_drift" -> ivfDriftOracle,
     "q_semdedup_recall" -> semanticDedupRecallOracle,
     "q_stream_kmv" -> distinctKmvOracle,

@@ -346,10 +346,115 @@ object OnlineRefresh {
     * served [[graft.ops.Similarity.IvfIndex]]: partition discovery unions
     * the per-batch assignment shards; centroids read back as-landed. */
   def readIvfIndex(spark: SparkSession, outPath: String): graft.ops.Similarity.IvfIndex = {
+    recoverSwap(spark, outPath) // root swap: applyIvfTombstones
     recoverSwap(spark, s"$outPath/assignments")
     graft.ops.Similarity.IvfIndex(
       spark.read.parquet(s"$outPath/centroids"),
       spark.read.parquet(s"$outPath/assignments"))
+  }
+
+  /** [[buildIvfIndexStream]] with a DELETION FEED interleaved — the
+    * embedding twin of [[buildBm25IndexRetractStream]], closing the last
+    * asymmetric cell in the lifecycle matrix: a takedown arriving
+    * mid-stream on the vector index no longer waits for stream stop →
+    * [[retractIvfArtifact]] → resume. Insert rows assign against the
+    * fixed stored centroids exactly as before; delete rows (carrying only
+    * `idCol` — `embCol` null) land as append-only `dels/batch=<id>`
+    * tombstone partitions. Serving applies them logically
+    * ([[readIvfIndexRetracted]] — one anti-join, since assignment rows
+    * carry no cross-row terms); physical removal is
+    * [[applyIvfTombstones]]' job between stream runs. Same SEMANTICS as
+    * the BM25 family: tombstones are id-based and ORDERING-BLIND — a
+    * delete-then-reinsert of the same id stays deleted at serve
+    * (takedowns on an index are absolute), unlike the corpus loops'
+    * later-tombstone rule. Exactly-once: both writes are `batch=<id>`
+    * overwrites and nothing in the standing artifact is mutated, so a
+    * replayed epoch re-lands identical partitions. */
+  def buildIvfIndexRetractStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      centroids: org.apache.spark.sql.DataFrame,
+      opCol: String = "op",
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    // self-heal BEFORE landing centroids/creating subdirs — applyIvfTombstones
+    // root-swaps outPath (the buildBm25IndexRetractStream lesson: writing
+    // into a recreated dst makes recoverSwap's guard unreachable forever)
+    recoverSwap(spark, outPath)
+    centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/dels"))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col(opCol) === lit("del")).select(col(idCol))
+          .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
+        graft.ops.Similarity
+          .ivfAssign(batch.where(col(opCol) === lit("ins")).drop(opCol),
+            spark.read.parquet(s"$outPath/centroids"), idCol, embCol)
+          .write.mode("overwrite").parquet(s"$outPath/assignments/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Serve the [[buildIvfIndexRetractStream]] artifact: union the
+    * assignment shards and anti-join ALL tombstone ids away — the
+    * streamed-artifact form of [[graft.ops.Similarity.ivfRetract]].
+    * Duplicate tombstones collapse (anti-join semantics), so re-deleting
+    * is safe. */
+  def readIvfIndexRetracted(spark: SparkSession, outPath: String,
+      idCol: String = "vec_id"): graft.ops.Similarity.IvfIndex = {
+    val ix = readIvfIndex(spark, outPath)
+    // after applyIvfTombstones the dels subtree is empty (no batch= child
+    // to infer a schema from) — nothing to subtract
+    if (epochIds(spark, s"$outPath/dels").isEmpty) ix
+    else graft.ops.Similarity.IvfIndex(ix.centroids,
+      ix.assignments.join(
+        broadcast(spark.read.parquet(s"$outPath/dels").select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti"))
+  }
+
+  /** PHYSICALLY apply [[buildIvfIndexRetractStream]]'s tombstones and drop
+    * them — the IVF twin of [[applyBm25Tombstones]], but SIMPLER because
+    * per-row retraction is IDEMPOTENT: assignment rows carry no cross-row
+    * sums, so ALL tombstone epochs (including the newest, replayable one)
+    * can be applied and dropped in one pass — a replayed newest epoch
+    * re-lands its tombstone partition and its identical assignment shard,
+    * and re-applying those tombstones at read is an anti-join no-op. (The
+    * BM25 twin must keep its newest epoch logical precisely because its
+    * stats subtraction is NOT idempotent.) Assignments, the emptied dels
+    * subtree, and the carried-through centroids move under ONE crash-safe
+    * root swap; serve output is invariant (q_stream_ivf_retracted's
+    * oracle family pins it). No-op (false) when no tombstones exist. Run
+    * between stream runs, like compaction. */
+  def applyIvfTombstones(spark: SparkSession, outPath: String,
+      idCol: String = "vec_id"): Boolean = {
+    recoverSwap(spark, outPath)
+    if (epochIds(spark, s"$outPath/dels").isEmpty) return false
+    val delIds = spark.read.parquet(s"$outPath/dels").select(col(idCol)).distinct()
+    if (delIds.isEmpty) return false
+    val asg = spark.read.parquet(s"$outPath/assignments")
+    val kept = asg.join(broadcast(delIds), Seq(idCol), "left_anti")
+      .select(asg.columns.map(col).toIndexedSeq: _*)
+    val centroids = spark.read.parquet(s"$outPath/centroids")
+    swapDir(spark, outPath) { tmp =>
+      kept.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/assignments")
+      centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+      // dels subtree recreated empty — the shape readers/the resumed
+      // stream expect; a replayed newest epoch re-lands its partition here
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dels"))
+    }
+    true
   }
 
   /** Streaming KMV sketch accumulation — the sketch-family member of the
@@ -642,8 +747,10 @@ object OnlineRefresh {
 
   /** Compact the [[buildIvfIndexStream]] assignment shards (per-row, no
     * cross-row terms — identity fold; centroids are one fixed table). */
-  def compactIvfIndex(spark: SparkSession, outPath: String): Boolean =
+  def compactIvfIndex(spark: SparkSession, outPath: String): Boolean = {
+    recoverSwap(spark, outPath) // root swap: applyIvfTombstones
     compactBatchArtifact(spark, s"$outPath/assignments")
+  }
 
   /** RETRACT ids from a `batch=<id>`-partitioned PER-ROW artifact — IVF
     * assignment shards, MinHash signature/docs partitions, anything whose
@@ -669,8 +776,10 @@ object OnlineRefresh {
     * [[graft.ops.Similarity.ivfRetract]] (per-epoch `ivfAssign(shard ∖ D)`
     * exactly, since assignment is per-row; centroids stay fixed). */
   def retractIvfArtifact(spark: SparkSession, outPath: String,
-      vecIds: DataFrame, idCol: String = "vec_id"): Unit =
+      vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    recoverSwap(spark, outPath) // root swap: applyIvfTombstones
     retractBatchArtifact(spark, s"$outPath/assignments", vecIds, idCol)
+  }
 
   /** Compact a retract-loop corpus artifact
     * ([[minhashIngestRetractStream]] / [[dedupIngestRetractStream]] —

@@ -927,6 +927,53 @@ class StreamingSpec extends SparkSpec {
       "restarted stream must self-heal the half-swapped root before creating dirs")
   }
 
+  test("buildIvfIndexRetractStream: apply+GC is idempotent and the stream resumes on top") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("graft-ivfret").toString
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(4)(rnd.nextDouble().toFloat)
+    val all = (1L to 24L).map(i => (i, vec()))
+    val emb = all.toDF("vec_id", "embedding")
+    val centroids = graft.ops.Similarity.ivfIndex(emb, nLists = 4).centroids
+    def ins(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(lit("ins").as("op"), col("vec_id"), col("embedding"))
+    def del(ids: Seq[Long]) = ids.toDF("vec_id").select(lit("del").as("op"),
+      col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    val schema = stageOps(s"$tmp/src", Seq(
+      ins(all.take(12)), del(Seq(3L, 7L)), ins(all.slice(12, 20))))
+    val q = OnlineRefresh.buildIvfIndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", centroids, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    def servedIds() = OnlineRefresh.readIvfIndexRetracted(spark, s"$tmp/ix")
+      .assignments.select("vec_id").as[Long].collect().toSet
+    val logical = servedIds()
+    assert(logical == (1L to 20L).toSet -- Set(3L, 7L),
+      "tombstones must apply at serve")
+    // physical application drops the tombstoned rows AND all tombstone
+    // partitions (idempotent per-row retraction — even the newest epoch's
+    // apply safely, unlike the BM25 twin's replay-safety split)
+    assert(OnlineRefresh.applyIvfTombstones(spark, s"$tmp/ix"))
+    assert(servedIds() == logical, "apply+GC moved the served set")
+    assert(!OnlineRefresh.applyIvfTombstones(spark, s"$tmp/ix"),
+      "no tombstones left — second application must be a no-op")
+    // the stream resumes onto the physically-cleaned artifact: a late
+    // epoch inserts more vectors and deletes an old one
+    val late = Files.createTempDirectory("graft-ivfret-late").toString
+    ins(all.drop(20)).unionByName(del(Seq(5L)))
+      .coalesce(1).write.mode("overwrite").parquet(late)
+    val lateFile = new java.io.File(late).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val dst = java.nio.file.Paths.get(s"$tmp/src/stage_late.parquet")
+    Files.copy(lateFile, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000300000L))
+    val q2 = OnlineRefresh.buildIvfIndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", centroids, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    assert(servedIds() == (1L to 24L).toSet -- Set(3L, 5L, 7L),
+      "resumed stream must append inserts and honor the late takedown")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
