@@ -1653,9 +1653,20 @@ object Dedup {
     * embarrassingly parallel, and what production pipelines run.
     *
     * Built on the exact-dedup-first composition ([[dedupedPairCore]]), so
-    * a duplicated corpus pays distinct-text pairwise cost; the drop set
-    * is pair-output-sized and the final anti-join is key-only. Output:
-    * the surviving rows of `docs`, all columns intact. */
+    * a duplicated corpus pays distinct-text pairwise cost — and unlike
+    * the pair-LISTING ops, the kill never expands rep pairs to member
+    * pairs at all: the drop SET is derived member-LINEARLY (r13, closing
+    * SCALE.md r12's ×30 super-linearity — the old member-pair expansion
+    * cost d² per rep pair and g² per exact group at duplication d). The
+    * linear form leans on one invariant: a group's representative IS its
+    * minimum member id ([[exactGroupMapping]]), so the member-level
+    * equal-size tie-break "∃ container member with lower id than m"
+    * collapses to `container rep < m`, and the within-group drop set is
+    * exactly "every non-representative member" (gated by the group's
+    * surviving-gram containment s/g ≥ threshold, as before). Survivor
+    * set PROVABLY unchanged — q_drop_contained / q_pipeline_full pin it
+    * against the member-pair oracle. Output: the surviving rows of
+    * `docs`, all columns intact. */
   def dropContained(
       docs: DataFrame,
       textCol: String = "text",
@@ -1686,20 +1697,38 @@ object Dedup {
     val memb = memb0.persist(lvl)
     val sizes = sizes0.persist(lvl)
     val interSized = interSized0.persist(lvl)
-    val pairs =
-      containedDirectedPairs(memb, sizes, surviving, interSized, idCol, threshold)
-    // member-level gram counts: every member shares its representative's
-    // distinct-gram set, so sizes transfer through the group mapping
-    val msz = memb
-      .join(sizes.withColumnRenamed("id", "__rep"), Seq("__rep"))
-      .select(col("__m_id"), col("n_grams"))
-    val dropped = pairs
-      .join(msz.select(col("__m_id").as(idCol), col("n_grams").as("__nd")), Seq(idCol))
-      .join(msz.select(col("__m_id").as("container_id"), col("n_grams").as("__nc")),
-        Seq("container_id"))
+    // rep-level directed pairs clearing the threshold, sizes carried —
+    // the same arithmetic containedDirectedPairs runs, minus the member
+    // expansion (round BEFORE the threshold, as the pair ops and their
+    // oracles do)
+    val dirRep = interSized.select(col("ra").as("__dr"), col("rb").as("__cr"),
+        col("na").as("__nd"), col("nb").as("__nc"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6).as("containment"))
+      .unionByName(interSized.select(col("rb").as("__dr"), col("ra").as("__cr"),
+        col("nb").as("__nd"), col("na").as("__nc"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6).as("containment")))
+      .where(col("containment") >= threshold)
+    // cross-group drops, member-linearly: member m of the contained rep's
+    // group drops when the container's gram set is strictly larger, or on
+    // the equal-size tie when SOME container member has a lower id — and
+    // the container group's minimum id is its rep, so that is `__cr < m`
+    val crossDropped = memb
+      .join(dirRep.select(col("__dr").as("__rep"), col("__cr"), col("__nd"), col("__nc")),
+        Seq("__rep"))
       .where(col("__nc") > col("__nd") ||
-        (col("__nc") === col("__nd") && col("container_id") < col(idCol)))
-      .select(col(idCol)).distinct()
+        (col("__nc") === col("__nd") && col("__cr") < col("__m_id")))
+      .select(col("__m_id").as(idCol))
+    // within-group drops: equal sizes by construction, so the tie-break
+    // keeps exactly the minimum member id — the rep; every other member
+    // drops, provided the group's surviving-gram containment clears the
+    // threshold (s ≥ 1 via the `surviving` join, as the pair form gates)
+    val withinDropped = memb.where(col("__m_id") =!= col("__rep"))
+      .join(sizes.withColumnRenamed("id", "__rep"), Seq("__rep"))
+      .join(surviving.withColumnRenamed("id", "__rep"), Seq("__rep"))
+      .where(round(col("__s").cast("double") / col("n_grams").cast("double"), 6)
+        >= threshold)
+      .select(col("__m_id").as(idCol))
+    val dropped = crossDropped.unionByName(withinDropped).distinct()
     cached.join(dropped, Seq(idCol), "left_anti")
   }
 
