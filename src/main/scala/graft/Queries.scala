@@ -1701,6 +1701,15 @@ object Queries {
   private def semanticDedupRecallQ(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedupRecall(t(s, dir, "embeddings"))
 
+  /** The MULTI-PROBE SemDeDup recall gate ([[graft.ops.Similarity
+    * .semanticDedupRecallProbed]]) — the r12 finding's measured lever:
+    * per (nLists, nProbe) a truth pair counts as caught when the sides'
+    * TOP-nProbe cell sets overlap (the probed within-cell candidate
+    * criterion). nProbe = 1 rows must reproduce q_semdedup_recall
+    * exactly; the nProbe = 2 rows are the adopt-or-reject number. */
+  private def semanticDedupRecallProbedQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupRecallProbed(t(s, dir, "embeddings"))
+
   /** Exact ANN baseline: brute-force top-5 for 10 probe vectors. */
   private def annTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2306,6 +2315,16 @@ object Queries {
   private def semanticDedupQ(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedup(t(s, dir, "embeddings"), threshold = 0.35, nLists = 16)
 
+  /** Multi-probe SemDeDup ([[graft.ops.Similarity.semanticDedupProbed]],
+    * top-2 cells) — the adopted recall lever: candidate pairs are vectors
+    * sharing ANY of their two highest-scoring cells, survivors keep the
+    * resident cell. The oracle re-derives the ranked claims (QUALIFY
+    * rn ≤ 2 on the same s DESC, c DESC order), the shared-cell drop, and
+    * the resident-row projection end-to-end. */
+  private def semanticDedupProbedQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupProbed(t(s, dir, "embeddings"), threshold = 0.35,
+      nLists = 16, nProbe = 2)
+
   /** CORPUS CARTOGRAPHY: label each embedding cluster with its PMI-
     * distinctive terms — the IVF assignment (embedding family) feeding
     * [[graft.ops.TextAnalysis.topTermsPerGroup]] (text family) through
@@ -2682,6 +2701,7 @@ object Queries {
     "q_source_mix" -> (sourceMixQ _),
     "q_budget_mix" -> (budgetMixQ _),
     "q_semantic_dedup" -> (semanticDedupQ _),
+    "q_semantic_dedup_probed" -> (semanticDedupProbedQ _),
     "q_semantic_dedup_served" -> (semanticDedupServedQ _),
     "q_cluster_topics" -> (clusterTopicsQ _),
     "q_importance_weights" -> (importanceWeightsQ _),
@@ -2726,6 +2746,7 @@ object Queries {
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
     "q_semdedup_recall" -> (semanticDedupRecallQ _),
+    "q_semdedup_recall_probed" -> (semanticDedupRecallProbedQ _),
     "q_ivf_topk_served" -> (ivfTopKServedQ _),
     "q_proto_prune" -> (protoPruneQ _),
     "q_ivf_refined_topk" -> (ivfRefinedTopKQ _),
@@ -2923,6 +2944,7 @@ object Queries {
       "(SELECT * FROM embeddings WHERE vec_id % 10 NOT IN (0, 5))"),
     "q_ivf_drift" -> ivfDriftOracle,
     "q_semdedup_recall" -> semanticDedupRecallOracle,
+    "q_semdedup_recall_probed" -> semanticDedupRecallProbedOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
@@ -3303,6 +3325,7 @@ object Queries {
     "q_source_mix" -> sourceMixOracle,
     "q_budget_mix" -> budgetMixOracle,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_semantic_dedup_probed" -> semanticDedupProbedOracle,
     "q_semantic_dedup_served" -> semanticDedupOracle,
     "q_cluster_topics" -> clusterTopicsOracle,
     "q_importance_weights" -> importanceWeightsOracle,
@@ -4428,6 +4451,27 @@ object Queries {
        |WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = a.vec_id)""".stripMargin
   }
 
+  /** [[semanticDedupProbedQ]] replayed: rn ≤ 2 claimed cells on the same
+    * (s DESC, c DESC) order, dups = distinct higher ids of shared-cell
+    * pairs at the 6-dp cosine, survivors = the rn = 1 (resident) rows. */
+  private def semanticDedupProbedOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT vec_id, emb, cell, rn FROM (
+       |    SELECT e.vec_id, e.embedding AS emb, cent.c AS cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY $d DESC, cent.c DESC) AS rn
+       |    FROM embeddings e CROSS JOIN cent) WHERE rn <= 2),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(CASE WHEN sqrt(${dotSql("a.emb", "a.emb")}) * sqrt(${dotSql("b.emb", "b.emb")}) = 0 THEN NULL
+       |    ELSE ${dotSql("a.emb", "b.emb")} / (sqrt(${dotSql("a.emb", "a.emb")}) * sqrt(${dotSql("b.emb", "b.emb")})) END, 6) >= 0.35)
+       |SELECT a.vec_id, a.cell FROM asg a
+       |WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = a.vec_id)""".stripMargin
+  }
+
   private def kmeansOracle: String = {
     val d = dotSql("e.embedding", "cent.cemb")
     s"""WITH cent AS (
@@ -4646,6 +4690,46 @@ object Queries {
        |SELECT n_lists, n_true, n_hit,
        |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
        |FROM (${Seq(8, 16, 32).map(l => s"SELECT * FROM h$l").mkString(" UNION ALL ")})""".stripMargin
+  }
+
+  /** The multi-probe recall gate replayed: same truth CTE, then per
+    * (nLists, nProbe) the TOP-nProbe cells per vector (QUALIFY rn <= p on
+    * the same s DESC, c DESC order) and a pair hits when the sides share
+    * ANY claimed cell (probe-side-bounded distinct-pair join — the
+    * engine's arrays_overlap). */
+  private def semanticDedupRecallProbedOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    val combos = for (l <- Seq(8, 16, 32); p <- Seq(1, 2)) yield (l, p)
+    def cent(l: Int): String =
+      s"""cent$l AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+         |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $l))""".stripMargin
+    def sweep(l: Int, p: Int): String =
+      s"""asg${l}_$p AS (
+         |  SELECT vec_id, c AS cell FROM (
+         |    SELECT e.vec_id, cent.c, $d AS s FROM embeddings e CROSS JOIN cent$l cent)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= $p),
+         |hit${l}_$p AS (
+         |  SELECT DISTINCT pa.vec_id AS probe_id, ca.vec_id AS corpus_id
+         |  FROM asg${l}_$p pa JOIN asg${l}_$p ca ON pa.cell = ca.cell
+         |  WHERE pa.vec_id < 50),
+         |h${l}_$p AS (SELECT CAST($l AS INTEGER) AS n_lists, CAST($p AS INTEGER) AS n_probe,
+         |    CAST(count(*) AS BIGINT) AS n_true,
+         |    CAST(sum(CASE WHEN h.probe_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM truth LEFT JOIN hit${l}_$p h
+         |    ON truth.probe_id = h.probe_id AND truth.corpus_id = h.corpus_id)""".stripMargin
+    s"""WITH pr AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 50),
+       |truth AS (SELECT probe_id, vec_id AS corpus_id FROM (
+       |  SELECT pr.probe_id, c.vec_id,
+       |    round(CASE WHEN sqrt(${dotSql("pr.p_emb", "pr.p_emb")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |      ELSE ${dotSql("pr.p_emb", "c.embedding")} / (sqrt(${dotSql("pr.p_emb", "pr.p_emb")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |  FROM embeddings c CROSS JOIN pr WHERE pr.probe_id <> c.vec_id)
+       |  WHERE cosine >= 0.35),
+       |${Seq(8, 16, 32).map(cent).mkString(",\n")},
+       |${combos.map { case (l, p) => sweep(l, p) }.mkString(",\n")}
+       |SELECT n_lists, n_probe, n_true, n_hit,
+       |  CASE WHEN n_true > 0 THEN round(CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+       |FROM (${combos.map { case (l, p) => s"SELECT * FROM h${l}_$p" }.mkString(" UNION ALL ")})""".stripMargin
   }
 
   /** The drift monitor replayed: bootstrap centroids, the search's argmax

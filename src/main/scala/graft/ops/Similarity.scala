@@ -813,6 +813,125 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** MULTI-PROBE SemDeDup — the ADOPTED answer to the r12 recall finding
+    * (the argmax-cell pass at nLists=16 sees only ~45% of exact pair
+    * mass on this corpus and Lloyd refinement does not lift it;
+    * [[semanticDedupRecallProbed]] measured top-2 cells lifting recall
+    * 0.45 → 0.66 at nLists=16, 0.36 → 0.75 at 8): every non-degenerate
+    * vector claims its TOP-nProbe cells (the search's `nProbe` idea
+    * applied to dedup), candidate pairs are vectors sharing ANY claimed
+    * cell, and the drop rule is unchanged (higher id of any pair at
+    * cosine ≥ threshold drops; a pair met in two shared cells collapses
+    * in the distinct). Survivors carry their RESIDENT (argmax) cell, so
+    * the output shape matches [[semanticDedup]]. Pair cost grows up to
+    * ~nProbe² per cell (each vector resides in nProbe buckets) — the
+    * measured recall/cost trade the gate quantifies per corpus; at
+    * nProbe = 1 this IS [[semanticDedup]] (the exact-duplicate collapse
+    * runs the same, pairs identical). Claimed cells rank by the exact
+    * (s DESC, c DESC) argmax order via one window over the broadcast
+    * centroid join; degenerate vectors (null cosine — never pair,
+    * always survive) keep the literal-array resident assignment. */
+  def semanticDedupProbed(corpus: DataFrame, threshold: Double, nLists: Int = 16,
+      nProbe: Int = 2, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val dp = dotFn(corpus.sparkSession)
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val degenerate = col(embCol).isNull || size(col(embCol)) === 0 ||
+      !exists(col(embCol), x => x =!= 0.0f)
+    val reps = corpus.where(!degenerate)
+      .groupBy(col(embCol)).agg(min(col(idCol)).as(idCol))
+    val centDf = corpus.sparkSession
+      .createDataFrame(centroids.toIndexedSeq).toDF("cell", "__cemb")
+    // top-nProbe claimed cells: the broadcast-join form (the semanticDedup
+    // argmax rationale — no nLists×dim literal re-materialization per row),
+    // ranked by the same (s, c) struct order the argmax uses
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__s").desc, col("cell").desc)
+    val claimed = reps.crossJoin(broadcast(centDf))
+      .select(col(idCol), col(embCol), col("cell"),
+        dp(col(embCol), col("__cemb")).as("__s"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= nProbe)
+      .select(col(idCol), col(embCol), col("cell"), col("__rn"))
+    val cells = cellScores(centroids, dp) _
+    val degen = corpus.where(degenerate).select(col(idCol), col(embCol),
+      array_max(cells(col(embCol))).getField("c").as("cell"), lit(1).as("__rn"))
+    val asg = claimed.unionByName(degen)
+      .withColumn("__n", sqrt(dp(col(embCol), col(embCol))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = asg.select(col("cell"), col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      col("__n").as("__na"))
+    val b = asg.select(col("cell"), col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      col("__n").as("__nb"))
+    val dropped = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(cosineFromNorms(dp, col("emb_a"), col("emb_b"), col("__na"), col("__nb"))
+        >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    asg.where(col("__rn") === 1).join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
+  /** The MULTI-PROBE extension of [[semanticDedupRecall]] — the measured
+    * lever for the gate's r12 finding (nLists=16 sees only ~45% of exact
+    * pair mass on this corpus, and Lloyd refinement does not lift it):
+    * instead of the argmax cell alone, each vector claims its TOP-nProbe
+    * cells (the search-side `nProbe` idea applied to dedup), and a truth
+    * pair counts as CAUGHT when the two vectors' claimed cell sets
+    * overlap — exactly the candidate criterion a probed within-cell pass
+    * would enumerate. Candidate-pair cost grows ~nProbe² per cell in the
+    * worst case (each vector resides in nProbe buckets), so run this gate
+    * on a corpus sample and adopt the smallest nProbe whose recall is
+    * acceptable. nProbe = 1 reproduces [[semanticDedupRecall]]'s numbers
+    * row-for-row (internal consistency check the oracle also pins).
+    * Cell ranking uses the search's exact (s DESC, c DESC) struct order.
+    * Output: (n_lists, n_probe, n_true, n_hit, recall). */
+  def semanticDedupRecallProbed(
+      corpus: DataFrame,
+      nListsSweep: Seq[Int] = Seq(8, 16, 32),
+      nProbes: Seq[Int] = Seq(1, 2),
+      threshold: Double = 0.35,
+      probeMax: Long = 50,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    require(nListsSweep.nonEmpty && nProbes.nonEmpty,
+      "semanticDedupRecallProbed needs both sweeps")
+    val dp = dotFn(corpus.sparkSession)
+    val cn = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("__ce"),
+      sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+    val pn = corpus.where(col(idCol) < probeMax)
+      .select(col(idCol).as("probe_id"), col(embCol).as("__pe"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"))
+    val truth = cn.crossJoin(broadcast(pn))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .where(cosineFromNorms(dp, col("__pe"), col("__ce"), col("__np"), col("__nc"))
+        >= threshold)
+      .select(col("probe_id"), col("corpus_id"))
+    val rows = for (l <- nListsSweep; p <- nProbes) yield {
+      val cells = cellScores(centroidBootstrap(corpus, l, idCol, embCol), dp) _
+      // sort_array desc on the (s, c) struct = the argmax tie-break
+      // (s DESC, c DESC); the first nProbe entries are the claimed cells
+      val asg = corpus.select(col(idCol),
+        slice(sort_array(cells(col(embCol)), asc = false), 1, p)
+          .getField("c").as("cells"))
+      truth
+        .join(asg.select(col(idCol).as("probe_id"), col("cells").as("__pc")),
+          Seq("probe_id"))
+        .join(asg.select(col(idCol).as("corpus_id"), col("cells").as("__cc")),
+          Seq("corpus_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(arrays_overlap(col("__pc"), col("__cc")), 1L).otherwise(0L))
+            .as("n_hit"))
+        .select(lit(l).as("n_lists"), lit(p).as("n_probe"), col("n_true"),
+          col("n_hit"),
+          when(col("n_true") > 0,
+            round(col("n_hit").cast("double") / col("n_true").cast("double"), 6))
+            .as("recall"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   /** [[semanticDedup]] SERVED from a materialized [[IvfIndex]] — the
     * build-once / serve-many split extended to the dedup family: the
     * corpus-sized per-row argmax (the expensive half of a SemDeDup pass)
