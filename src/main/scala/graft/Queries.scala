@@ -892,6 +892,39 @@ object Queries {
         Bm25Queries.toDF("query_id", "query"), k = 10)
     })
 
+  /** The drift→rebuild loop CLOSED under the hard oracle: a 4-epoch
+    * streamed IVF build whose centroids were bootstrapped from ONLY the
+    * first epoch's shard (the realistic drift setup — early data seeded
+    * the cells, later arrivals land poorly), then
+    * [[graft.streaming.OnlineRefresh.recenterIvfIndex]] — the act
+    * [[graft.ops.Similarity.ivfDriftStats]] decides — recomputes
+    * centroids over the accumulated corpus, reassigns every indexed
+    * vector, and swaps atomically. Serving the re-centered artifact must
+    * hash-match q_ivf_topk's OWN oracle: recenter-after-drift ≡ a fresh
+    * `ivfIndex` over the same corpus, through the served scores. The
+    * resume half (the stream appending onto the re-centered artifact
+    * with the NEW centroids) is StreamingSpec's. */
+  private def streamIvfRecentered(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_ivfrec:$dir", s), { _ =>
+      val src = scratchDir("graft_sivfrec_src")
+      val out = scratchDir("graft_sivfrec_out")
+      val ck = scratchDir("graft_sivfrec_ck")
+      val emb = t(s, dir, "embeddings")
+      emb.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      // drifted bootstrap: centroids seeded from a biased early slice
+      // (the low-id quarter), not the corpus the stream will accumulate
+      val drifted = Similarity.ivfIndex(
+        emb.where(col("vec_id") % 4 === 0), nLists = 16).centroids
+      val q = streaming.OnlineRefresh.buildIvfIndexStream(s, src.toString, schema,
+        out.toString, ck.toString, drifted, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.recenterIvfIndex(s, out.toString, emb,
+        nLists = 16), "the 4-epoch artifact must re-center")
+      Similarity.ivfTopKFromIndex(streaming.OnlineRefresh.readIvfIndex(s, out.toString),
+        emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
+    })
+
   /** Stage an INSERT/DELETE op feed over the EMBEDDINGS table — the
     * [[stageOpShards]] shape for the vector-index family: batch 0 inserts
     * the even-vec_id shard, batch 1 deletes vec_id % 10 == 0, batch 2
@@ -2466,7 +2499,7 @@ object Queries {
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
-      "q_stream_ivf_retracted", "q_stream_ivf_ret_applied")
+      "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2628,6 +2661,7 @@ object Queries {
     "q_stream_bm25_ret_compacted" -> (streamBm25RetCompacted _),
     "q_stream_ivf_retracted" -> (streamIvfRetracted _),
     "q_stream_ivf_ret_applied" -> (streamIvfRetApplied _),
+    "q_ivf_recentered" -> (streamIvfRecentered _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
@@ -2942,6 +2976,9 @@ object Queries {
       "(SELECT * FROM embeddings WHERE vec_id % 10 NOT IN (0, 5))"),
     "q_stream_ivf_ret_applied" -> ivfOracleWith(10, 5,
       "(SELECT * FROM embeddings WHERE vec_id % 10 NOT IN (0, 5))"),
+    // recenter-after-drift ≡ a fresh build over the accumulated corpus:
+    // the drifted bootstrap leaves no trace in the served scores
+    "q_ivf_recentered" -> ivfOracle,
     "q_ivf_drift" -> ivfDriftOracle,
     "q_semdedup_recall" -> semanticDedupRecallOracle,
     "q_semdedup_recall_probed" -> semanticDedupRecallProbedOracle,

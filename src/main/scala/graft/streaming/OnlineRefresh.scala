@@ -313,7 +313,11 @@ object OnlineRefresh {
     * batched — q_stream_ivf_index pins that against q_ivf_topk's own
     * oracle. Exactly-once via the `batch=<id>` overwrite recipe; each
     * batch re-reads the ≤ nLists centroid rows from the artifact
-    * (restart-safe — no driver state survives a resume anyway). */
+    * (restart-safe — no driver state survives a resume anyway). The
+    * `centroids` argument lands ONLY on first run: on restart the
+    * artifact's STORED centroids are authoritative — [[recenterIvfIndex]]
+    * may have replaced them, and a resume passing the original (stale)
+    * frame must not clobber the re-centered table. */
   def buildIvfIndexStream(
       spark: SparkSession,
       inputPath: String,
@@ -326,7 +330,8 @@ object OnlineRefresh {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
-    centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
+    recoverSwap(spark, outPath) // root swap: recenterIvfIndex
+    landCentroidsIfAbsent(spark, outPath, centroids)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputPath)
@@ -340,6 +345,16 @@ object OnlineRefresh {
         ()
       }
       .start()
+  }
+
+  /** Land the IVF centroid table only when the artifact doesn't have one
+    * yet — the stored table is authoritative across stream restarts (the
+    * [[buildIvfIndexStream]] / [[recenterIvfIndex]] contract). */
+  private def landCentroidsIfAbsent(spark: SparkSession, outPath: String,
+      centroids: org.apache.spark.sql.DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$outPath/centroids")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
   }
 
   /** Read the artifact [[buildIvfIndexStream]] accumulates back as ONE
@@ -387,7 +402,7 @@ object OnlineRefresh {
     // root-swaps outPath (the buildBm25IndexRetractStream lesson: writing
     // into a recreated dst makes recoverSwap's guard unreachable forever)
     recoverSwap(spark, outPath)
-    centroids.write.mode("overwrite").parquet(s"$outPath/centroids")
+    landCentroidsIfAbsent(spark, outPath, centroids)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/dels"))
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -405,6 +420,78 @@ object OnlineRefresh {
         ()
       }
       .start()
+  }
+
+  /** RE-CENTER the streamed IVF artifact — the ACT the drift monitor
+    * ([[graft.ops.Similarity.ivfDriftStats]]) decides: when per-epoch
+    * cosine-to-assigned-centroid degrades, recompute centroids over the
+    * ACCUMULATED corpus, reassign every indexed vector, and swap the
+    * artifact atomically — after which the resumed stream's epochs assign
+    * against the new centroids (foreachBatch re-reads `centroids` from
+    * the artifact every batch, so a REPLAYED newest epoch also lands
+    * new-centroid assignments — identical to the rows written here).
+    *
+    * The artifact stores only (id, cell), so the caller supplies the
+    * embeddings (`corpus`); every indexed id must appear in it exactly
+    * once (enforced — an unmatched id cannot be reassigned and would
+    * silently vanish from the index). New centroids come from the
+    * INDEXED vectors (`corpus` ∩ artifact ids) via the same
+    * [[graft.ops.Similarity.ivfIndex]] bootstrap/Lloyd path as a fresh
+    * build — so recenter-after-drift ≡ `ivfIndex` over the accumulated
+    * corpus THROUGH THE SERVED SCORES (q_ivf_recentered pins it).
+    * Committed epochs fold into the oldest partition (their epoch
+    * boundaries carry no information the new assignment preserves); the
+    * newest epoch keeps its own partition so an at-least-once replay
+    * overwrites rather than double-lands (the [[compactBatchArtifact]]
+    * argument). A `dels` subtree ([[buildIvfIndexRetractStream]]) rides
+    * the swap verbatim — tombstones name ids, which re-centering does
+    * not change. Run between stream runs. */
+  def recenterIvfIndex(
+      spark: SparkSession,
+      outPath: String,
+      corpus: DataFrame,
+      nLists: Int = 16,
+      iters: Int = 0,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): Boolean = {
+    recoverSwap(spark, outPath)
+    recoverSwap(spark, s"$outPath/assignments")
+    val epochs = epochIds(spark, s"$outPath/assignments")
+    if (epochs.isEmpty) return false
+    val newest = epochs.last
+    val target = epochs.head
+    val member = spark.read.parquet(s"$outPath/assignments")
+      .select(col(idCol), col("batch").cast("long").as("__b"))
+    val emb = corpus.select(col(idCol), col(embCol))
+    val joined = member.join(emb, Seq(idCol))
+    val nIdx = member.count()
+    require(joined.count() == nIdx,
+      "ivf recenter: some indexed ids have no embedding in the supplied " +
+        "corpus (or appear more than once) — reassignment would silently " +
+        "drop or duplicate them")
+    val fresh = graft.ops.Similarity.ivfIndex(
+      joined.select(col(idCol), col(embCol)), nLists, iters, idCol, embCol)
+    val withBatch = fresh.assignments.join(member, Seq(idCol))
+    val folded = withBatch.where(col("__b") =!= newest).select(col(idCol), col("cell"))
+    val newestPart = withBatch.where(col("__b") === newest).select(col(idCol), col("cell"))
+    val fs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delsPath = new org.apache.hadoop.fs.Path(s"$outPath/dels")
+    val dels = if (fs.exists(delsPath) &&
+        fs.listStatus(delsPath).exists(_.getPath.getName.startsWith("batch=")))
+      Some(spark.read.parquet(s"$outPath/dels")) else None
+    val keepDelsDir = fs.exists(delsPath)
+    swapDir(spark, outPath) { tmp =>
+      fresh.centroids.write.mode("overwrite").parquet(s"$tmp/centroids")
+      if (epochs.length > 1)
+        folded.write.mode("overwrite").parquet(s"$tmp/assignments/batch=$target")
+      newestPart.write.mode("overwrite").parquet(s"$tmp/assignments/batch=$newest")
+      dels.foreach(_.write.partitionBy("batch").mode("overwrite").parquet(s"$tmp/dels"))
+      if (dels.isEmpty && keepDelsDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/dels"))
+      ()
+    }
+    true
   }
 
   /** Serve the [[buildIvfIndexRetractStream]] artifact: union the

@@ -974,6 +974,51 @@ class StreamingSpec extends SparkSpec {
       "resumed stream must append inserts and honor the late takedown")
   }
 
+  test("recenterIvfIndex: stream resumes onto the re-centered artifact with new centroids") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-ivfrec").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(4)(rnd.nextDouble().toFloat)
+    val all = (1L to 24L).map(i => (i, vec()))
+    val emb = all.toDF("vec_id", "embedding")
+    // drifted bootstrap: centroids from the first 8 ids only
+    val drifted = graft.ops.Similarity.ivfIndex(
+      emb.where(col("vec_id") <= 8), nLists = 4).centroids
+    val stages = Seq(all.take(10), all.slice(10, 20))
+      .map(_.toDF("vec_id", "embedding"))
+    val schema = stageOps(s"$tmp/src", stages)
+    val q = OnlineRefresh.buildIvfIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", drifted, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val first20 = all.take(20).toDF("vec_id", "embedding")
+    assert(OnlineRefresh.recenterIvfIndex(spark, s"$tmp/ix", first20, nLists = 4))
+    val fresh = graft.ops.Similarity.ivfIndex(first20, nLists = 4)
+    def asgMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(asgMap(OnlineRefresh.readIvfIndex(spark, s"$tmp/ix").assignments) ==
+      asgMap(fresh.assignments),
+      "re-centered artifact must equal a fresh build over the accumulated corpus")
+    // resume: a late epoch must assign against the NEW centroids
+    val late = Files.createTempDirectory("graft-ivfrec-late").toString
+    all.drop(20).toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(late)
+    val lateFile = new java.io.File(late).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.toPath
+    val dst = java.nio.file.Paths.get(s"$tmp/src/stage_late.parquet")
+    Files.copy(lateFile, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000300000L))
+    // restart passes the ORIGINAL (stale) centroids — the stored
+    // re-centered table must stay authoritative, not be clobbered
+    val q2 = OnlineRefresh.buildIvfIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", drifted, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val expect = asgMap(fresh.assignments) ++ asgMap(graft.ops.Similarity.ivfAssign(
+      all.drop(20).toDF("vec_id", "embedding"), fresh.centroids))
+    assert(asgMap(OnlineRefresh.readIvfIndex(spark, s"$tmp/ix").assignments) == expect,
+      "resumed epochs must assign against the re-centered centroids")
+  }
+
   test("hourly watermarked aggregate compiles to a streaming-safe plan") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     Seq((1L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
