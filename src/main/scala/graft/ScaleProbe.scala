@@ -31,8 +31,9 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, uncapped (additionally needs SPARK_GRAFT_PROBE_UNCAPPED=1),
-    // streaming — lets a dev loop re-measure ONE probe without the suite.
+    // r10c, r11, r12, r12b, r13, uncapped (additionally needs
+    // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
+    // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
     def inSection(name: String): Boolean = sections.forall(_.contains(name))
@@ -313,6 +314,29 @@ object ScaleProbe {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
+    // Round-13: the multi-probe SemDeDup cost/recall trade at ×10
+    // embeddings (recall half = q_semdedup_recall_probed's oracle rows;
+    // this is the COST half: the probed within-cell pass vs the argmax
+    // pass, plus the survivor delta the extra recall buys), and the
+    // member-linear dropContained at ×30 duplication (the r12 named
+    // follow-up — the drop set no longer expands rep pairs to member
+    // pairs, so the ×30 point must sit well under the old 16.0 s).
+    if (inSection("r13")) {
+      for (q <- Seq("q_semantic_dedup", "q_semantic_dedup_probed")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sfbig")) {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val plain = graft.ops.Similarity.semanticDedup(e, 0.35).count()
+        val probed = graft.ops.Similarity.semanticDedupProbed(e, 0.35).count()
+        println(s"SEMDEDUP $dir survivors plain=$plain probed=$probed " +
+          s"(extra drops = recall the argmax pass missed)")
+      }
+      time("q_pipeline_full", "/tmp/sfbig30")
+      time("q_drop_contained", "/tmp/sfbig30")
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them
