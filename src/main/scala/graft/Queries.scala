@@ -1810,6 +1810,36 @@ object Queries {
     Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), k = 5, numPlanes = 8, dim = 64)
   }
 
+  /** Quantized ANN serve ([[graft.ops.Similarity.quantizedTopK]]): top-5
+    * per probe scored purely over the int8 codes — the SERVE half of the
+    * q_quantize_int8 storage path. Symmetric absmax cancels the scales, so
+    * ranking needs only codes + integer norms: a 4×-smaller scan with an
+    * integer-dot hot loop, and the oracle replays the quantization and the
+    * integer ranking exactly. */
+  private def annTopKQuantQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.quantizedTopK(emb, emb.where(col("vec_id") < 10), 5)
+  }
+
+  /** Accuracy gate for the quantized serve: per-probe recall@5 of the
+    * pure-int8 ranking AND of quantized-shortlist(20) + exact-float-rerank
+    * against the brute-force truth — the two numbers that price the
+    * "serve codes only" vs "touch floats for the shortlist" decision. */
+  private def annRecallQuantQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    def recallOf(approx: DataFrame, out: String): DataFrame =
+      exact.join(approx.select(col("probe_id"), col("corpus_id"),
+          lit(1).as("hit")), Seq("probe_id", "corpus_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as(out))
+    recallOf(Similarity.quantizedTopK(emb, probes, 5), "recall_quant")
+      .join(recallOf(Similarity.quantizedTopK(emb, probes, 5, rerankDepth = 20),
+        "recall_rerank"), Seq("probe_id"))
+  }
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2034,6 +2064,19 @@ object Queries {
   private def dropContainedQ(s: SparkSession, dir: String): DataFrame =
     Dedup.dropContained(t(s, dir, "documents"), n = 3, threshold = 0.1)
       .select("doc_id", "source", "n_chars")
+
+  /** Duplicate-SPAN coverage ([[graft.ops.Dedup.duplicateSpans]]): per-doc
+    * share of 8-token windows whose Poly64 fingerprint repeats across ≥2
+    * distinct docs — the strip-spans-not-docs signal of exact-substring
+    * dedup, hash-only on the shuffle. */
+  private def dupSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(s, dir, "documents"), width = 8, minDocs = 2)
+
+  /** The boilerplate itself ([[graft.ops.Dedup.topDuplicateSpans]]): top-20
+    * cross-doc window fingerprints by distinct-doc reach, example text
+    * re-sliced for just the survivors. */
+  private def dupSpanTopQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.topDuplicateSpans(t(s, dir, "documents"), width = 8, topN = 20)
 
   /** CCNet-style LM perplexity scoring
     * ([[graft.ops.TextAnalysis.lmPerplexity]]): a bigram LM with add-1
@@ -2750,6 +2793,8 @@ object Queries {
     "q_ngram_containment" -> (ngramContainmentQ _),
     "q_ngram_containment_deduped" -> (ngramContainmentDedupedQ _),
     "q_drop_contained" -> (dropContainedQ _),
+    "q_dup_spans" -> (dupSpansQ _),
+    "q_dup_span_top" -> (dupSpanTopQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
@@ -2776,6 +2821,8 @@ object Queries {
     "q_ann_recall" -> (annRecallQ _),
     "q_ann_recall_refined" -> (annRecallRefinedQ _),
     "q_ann_recall_lsh" -> (annRecallLshQ _),
+    "q_ann_topk_quant" -> (annTopKQuantQ _),
+    "q_ann_recall_quant" -> (annRecallQuantQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3192,6 +3239,8 @@ object Queries {
     "q_ann_recall" -> annRecallOracle,
     "q_ann_recall_refined" -> annRecallRefinedOracle,
     "q_ann_recall_lsh" -> annRecallLshOracle,
+    "q_ann_topk_quant" -> annTopKQuantOracle,
+    "q_ann_recall_quant" -> annRecallQuantOracle,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
@@ -3405,6 +3454,8 @@ object Queries {
     "q_ngram_containment" -> ngramContainmentOracle,
     "q_ngram_containment_deduped" -> ngramContainmentOracle,
     "q_drop_contained" -> dropContainedOracle,
+    "q_dup_spans" -> dupSpansOracle,
+    "q_dup_span_top" -> dupSpanTopOracle,
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
@@ -4618,6 +4669,125 @@ object Queries {
        |  FROM exact e LEFT JOIN a2 a
        |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)
        |SELECT probe_id, recall_mp0, recall_mp2 FROM r0 JOIN r2 USING (probe_id)""".stripMargin
+
+  /** Shared replay of quantizeInt8's codes (minus the reporting columns) —
+    * the front half of the quantized-serve oracles. */
+  private def quantCodesSql: String =
+    """SELECT vec_id,
+      |    list_transform(embedding, x -> CASE WHEN s = 0.0 THEN 0
+      |      ELSE CAST(round(CAST(x AS DOUBLE) / s) AS INTEGER) END) AS codes
+      |  FROM (SELECT vec_id, embedding,
+      |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))),
+      |      (a, v) -> greatest(a, v)) / 127.0 AS s
+      |    FROM embeddings)""".stripMargin
+
+  /** CTE pair (qc, qpairs): int8 codes + integer norms, then every
+    * (probe < 10) × corpus pair scored by the scale-cancelled quantized
+    * cosine — integer dot over integer norms, exactly the engine's
+    * arithmetic (int dot is exact; one double division + round at the
+    * end). */
+  private def quantScoredSql: String =
+    s"""qc AS (SELECT vec_id, codes,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(codes, q -> CAST(q AS BIGINT) * CAST(q AS BIGINT))), (a, v) -> a + v) AS BIGINT) AS q_norm2
+       |  FROM ($quantCodesSql)),
+       |qpairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+       |    round(CASE WHEN sqrt(CAST(c.q_norm2 AS DOUBLE)) * sqrt(CAST(p.q_norm2 AS DOUBLE)) = 0.0 THEN NULL
+       |      ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip(c.codes, p.codes), z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))), (a, v) -> a + v) AS DOUBLE)
+       |        / (sqrt(CAST(c.q_norm2 AS DOUBLE)) * sqrt(CAST(p.q_norm2 AS DOUBLE))) END, 6) AS qcosine
+       |  FROM qc c CROSS JOIN (SELECT * FROM qc WHERE vec_id < 10) p
+       |  WHERE p.vec_id <> c.vec_id)""".stripMargin
+
+  /** Quantized top-5 per probe — the int8 ranking replayed end-to-end. */
+  private def annTopKQuantOracle: String =
+    s"""WITH $quantScoredSql
+       |SELECT probe_id, corpus_id, qcosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, qcosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qcosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM qpairs) WHERE rn <= 5""".stripMargin
+
+  /** Per-probe recall@5 of the pure-int8 ranking and of the
+    * shortlist(20)+exact-rerank path vs the float brute-force truth —
+    * the quantized ranking replayed once, cut at both depths. */
+  private def annRecallQuantOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |$quantScoredSql,
+       |qr AS (SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qcosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM qpairs),
+       |quant AS (SELECT probe_id, corpus_id FROM qr WHERE rn <= 5),
+       |cand AS (SELECT probe_id, corpus_id FROM qr WHERE rn <= 20),
+       |rer AS (SELECT probe_id, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM (SELECT cand.probe_id, cand.corpus_id,
+       |      round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |        ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |    FROM cand JOIN embeddings c ON cand.corpus_id = c.vec_id
+       |      JOIN embeddings p ON cand.probe_id = p.vec_id)) WHERE rn <= 5),
+       |r1 AS (SELECT e.probe_id,
+       |    round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_quant
+       |  FROM exact e LEFT JOIN quant a
+       |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1),
+       |r2 AS (SELECT e.probe_id,
+       |    round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_rerank
+       |  FROM exact e LEFT JOIN rer a
+       |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)
+       |SELECT probe_id, recall_quant, recall_rerank FROM r1 JOIN r2 USING (probe_id)""".stripMargin
+
+  /** CTE chain ending in w(doc_id, fps): per-token Poly64 base hashes,
+    * then each width-`width` window folded h·MUL + tokenHash (mod 2^64)
+    * from the full-width seed — signed-BIGINT fingerprints matching the
+    * engine's [[graft.ops.Dedup.duplicateSpans]] fold exactly. */
+  private def spanFpCte(width: Int): String = {
+    val fold =
+      s"""list_reduce(list_prepend(CAST(${Poly64.unsignedSql(Poly64.Seed)} AS HUGEINT), h[i:i+${width - 1}]),
+         |      (acc, th) -> (acc * ${Poly64.Mul} + th) % 18446744073709551616)""".stripMargin
+    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |hl AS (SELECT doc_id, list_transform(t, tok -> ${Poly64.baseHashSql("tok")}) AS h, len(t) AS n FROM tk),
+       |w AS (SELECT doc_id, CASE WHEN n >= $width THEN
+       |    list_transform(range(1, CAST(n - $width + 2 AS INTEGER)),
+       |      i -> ${Poly64.signedSql(s"($fold)")})
+       |    ELSE CAST([] AS BIGINT[]) END AS fps FROM hl)""".stripMargin
+  }
+
+  /** Per-doc duplicated-span coverage: fingerprints in ≥2 distinct docs
+    * counted back per doc. */
+  private def dupSpansOracle: String =
+    s"""WITH ${spanFpCte(8)},
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |dup AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1) WHERE nd >= 2),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dw FROM ex JOIN dup USING (fp) GROUP BY 1)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_windows,
+       |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
+       |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
+       |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** Top-20 cross-doc span fingerprints with the (min doc, min pos)
+    * example's text re-sliced from the token list. The engine's
+    * min(struct(doc, pos)) example is replayed as the min of the
+    * composite key doc·2^32 + pos (equivalent: both components are
+    * non-negative and pos < 2^32), split back after the top-N cut. */
+  private def dupSpanTopOracle: String =
+    s"""WITH ${spanFpCte(8)},
+       |ex AS (SELECT doc_id, u['p'] AS pos, u['f'] AS fp FROM (
+       |  SELECT doc_id, unnest(list_transform(range(0, CAST(len(fps) AS INTEGER)),
+       |    j -> struct_pack(p := j, f := fps[j + 1]))) AS u FROM w)),
+       |top AS (SELECT fp AS span_fp, count(DISTINCT doc_id) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    min(doc_id * 4294967296 + pos) AS k
+       |  FROM ex GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+       |  ORDER BY n_docs DESC, n_occurrences DESC, span_fp ASC LIMIT 20),
+       |t2 AS (SELECT span_fp, n_docs, n_occurrences,
+       |    CAST(k // 4294967296 AS BIGINT) AS example_doc,
+       |    CAST(k % 4294967296 AS INTEGER) AS example_pos
+       |  FROM top)
+       |SELECT span_fp, n_docs, n_occurrences, example_doc, example_pos,
+       |  array_to_string(t[example_pos + 1 : example_pos + 8], ' ') AS span_text
+       |FROM t2 JOIN tk ON tk.doc_id = t2.example_doc""".stripMargin
 
   /** IVF is deterministic end-to-end (centroids = the nLists lowest-id
     * vectors, dot products accumulated in index order on both engines), so

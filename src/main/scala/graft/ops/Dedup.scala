@@ -1937,6 +1937,107 @@ object Dedup {
       col("hamming") <= col("radius"))
   }
 
+  /** Per-doc token-hash array + width-w window fingerprints, the shared
+    * front half of the duplicate-span family: tokenize once, Poly64-hash
+    * each token once, then every window fingerprint is a w-step wrapping
+    * fold over the hash ARRAY (h = h·MUL + tokenHash mod 2^64 from the
+    * full-width seed) — slices of one materialized array, not re-hashed
+    * text. Docs shorter than `width` tokens get an empty fingerprint list
+    * (null text included: a null size fails the `when` guard). */
+  private def spanFingerprints(docs: DataFrame, width: Int,
+      textCol: String, idCol: String): DataFrame = {
+    require(width >= 1, s"width must be >= 1, got $width")
+    val toks = TextAnalysis.tokensIn(docs.sparkSession)(col(textCol))
+    docs
+      .withColumn("__th", transform(toks, t => poly64Base(t)))
+      .select(col(idCol),
+        when(size(col("__th")) >= width,
+          transform(sequence(lit(0), size(col("__th")) - width),
+            i => aggregate(slice(col("__th"), i + 1, lit(width)), lit(Poly64.Seed),
+              (acc, h) => mulAdd64(acc, lit(Poly64.Mul), h))))
+          .otherwise(array().cast("array<bigint>")).as("__fps"))
+  }
+
+  /** Exact duplicate-SPAN detection — the distributed form of
+    * exact-substring training-data dedup: the near-dup operators above
+    * score whole documents, but repeated BOILERPLATE (licenses, templated
+    * headers, navigation chrome) hides inside otherwise-unique docs, and
+    * the published result is that stripping repeated spans beats dropping
+    * docs. A width-w token window whose [[spanFingerprints]] fingerprint
+    * appears in ≥ `minDocs` DISTINCT docs is "duplicated"; the output is
+    * each doc's span-duplication coverage — the per-doc strip/keep signal.
+    *
+    * Scale shape: the shuffle carries one (doc_id, long) per window —
+    * never text; windows per doc = tokens − w + 1 (linear); the dup-set
+    * groupBy and the coverage rejoin share the span_fp key, so the
+    * exchange is reused, and the minDocs filter shrinks the rejoin side
+    * to genuinely-repeated fingerprints BEFORE it travels. Fingerprint
+    * collisions (~n²/2^64) can only over-count duplication — acceptable
+    * for a strip-signal, and the oracle re-derives identical fingerprints.
+    *
+    * Output: (doc_id, n_windows, dup_windows, dup_ratio); docs shorter
+    * than `width` tokens surface with n_windows = 0. */
+  def duplicateSpans(
+      docs: DataFrame,
+      width: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = spanFingerprints(docs, width, textCol, idCol)
+    val ex = fps.select(col(idCol), explode(col("__fps")).as("span_fp"))
+    val dup = ex.groupBy("span_fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("span_fp")
+    val perDoc = ex.join(dup, Seq("span_fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__dw"))
+    fps.select(col(idCol), size(col("__fps")).as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("__dw"), lit(0L)).as("dup_windows"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("__dw"), lit(0L)).cast("double") /
+            col("n_windows").cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_ratio"))
+  }
+
+  /** The duplicated spans THEMSELVES, ranked — the "what is this
+    * boilerplate" companion to [[duplicateSpans]]: top-N cross-doc window
+    * fingerprints by distinct-doc reach, with one example occurrence's
+    * text. The ranking pass is hash-only (the wide text never rides the
+    * ranking shuffle); the example text is re-sliced from the ORIGINAL
+    * docs for just the N survivors via a broadcast key-join — at 100 TB
+    * that is N point lookups, not a corpus rescan. Fully deterministic:
+    * ties break on span_fp, the example is the (min doc, min pos)
+    * occurrence. Output: (span_fp, n_docs, n_occurrences, example_doc,
+    * example_pos, span_text). */
+  def topDuplicateSpans(
+      docs: DataFrame,
+      width: Int = 8,
+      topN: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val s = docs.sparkSession
+    val ex = spanFingerprints(docs, width, textCol, idCol)
+      .select(col(idCol), posexplode(col("__fps")).as(Seq("pos", "span_fp")))
+    val top = ex.groupBy("span_fp")
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(struct(col(idCol).as("d"), col("pos").as("p"))).as("__ex"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_fp").asc)
+      .limit(topN)
+      .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
+        col("__ex.d").as("example_doc"), col("__ex.p").as("example_pos"))
+    docs.select(col(idCol).as("example_doc"), col(textCol).as("__t"))
+      .join(broadcast(top), "example_doc")
+      .select(col("span_fp"), col("n_docs"), col("n_occurrences"),
+        col("example_doc"), col("example_pos"),
+        concat_ws(" ", slice(TextAnalysis.tokensIn(s)(col("__t")),
+          col("example_pos") + 1, lit(width))).as("span_text"))
+  }
+
   /** Shared precision/recall aggregate over a (pair × sweep-point) frame:
     * count truth/predicted/hit per sweep value, NULL-denominator-safe.
     * `isTrue`/`isPred` must be null-rejecting on the respective side's

@@ -996,6 +996,78 @@ object Similarity {
       col("codes"), col("q_sum"), col("q_norm2"), col("recon_mse"))
   }
 
+  /** The SERVE half of the int8 story ([[quantizeInt8]] is the storage
+    * half): top-k cosine over the codes alone. Symmetric absmax makes the
+    * per-vector scales cancel — cos(a,b) ≈ Σqa·qb / (√Σqa²·√Σqb²) — so the
+    * hot loop is an INTEGER dot over 4×-smaller rows (|q|≤127 ⇒ products
+    * ≤16129, no overflow at any realistic dim), with one double division +
+    * sqrt per candidate at the end. At 100 TB this is the difference
+    * between scanning 4 bytes/component and 1: the quantized store IS the
+    * scan, floats are only touched for `rerankDepth` candidates per probe.
+    *
+    * rerankDepth = 0 serves pure-quantized (score = qcosine, rounded 6).
+    * rerankDepth > k widens the quantized pass to that depth, then
+    * re-scores JUST those candidates with exact float cosine (a key-join
+    * back to the float store — candidate-sized, not corpus-sized) and cuts
+    * to k. The [[quantizedRecall]] gate measures what each mode loses.
+    * Deterministic end-to-end: integer dots are exact, ties break on
+    * corpus_id; the q_ann_recall_quant oracle replays both modes in SQL. */
+  def quantizedTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      rerankDepth: Int = 0,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth == 0 || rerankDepth >= k,
+      s"rerankDepth must be 0 (off) or >= k, got $rerankDepth < $k")
+    val qc = quantizeInt8(corpus, idCol, embCol)
+      .select(col(idCol).as("corpus_id"), col("codes").as("c_codes"),
+        col("q_norm2").as("c_n2"))
+    val qp = quantizeInt8(probes, idCol, embCol)
+      .select(col(idCol).as("probe_id"), col("codes").as("p_codes"),
+        col("q_norm2").as("p_n2"))
+    val intDot = aggregate(
+      zip_with(col("c_codes"), col("p_codes"),
+        (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val denom = sqrt(col("c_n2").cast("double")) * sqrt(col("p_n2").cast("double"))
+    val scored = qc.crossJoin(broadcast(qp))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("qcosine", round(
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise(intDot.cast("double") / denom), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcosine").desc_nulls_last, col("corpus_id").asc)
+    val quant = scored.withColumn("rn", row_number().over(w))
+    if (rerankDepth == 0) {
+      quant.where(col("rn") <= k)
+        .select(col("probe_id"), col("corpus_id"), col("qcosine"), col("rn"))
+    } else {
+      // candidate-sized exact pass: join the survivors back to the float
+      // store by key (at scale: a point-lookup join, not a corpus rescan)
+      val dp = dotFn(corpus.sparkSession)
+      val cand = quant.where(col("rn") <= rerankDepth)
+        .select(col("probe_id"), col("corpus_id"))
+      val cf = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
+        sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+      val pf = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"))
+      val exact = cand
+        .join(cf, "corpus_id")
+        .join(broadcast(pf), "probe_id")
+        .withColumn("cosine", cosineFromNorms(dp,
+          col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
+      val w2 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
+      exact.withColumn("rn", row_number().over(w2))
+        .where(col("rn") <= k)
+        .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
+    }
+  }
+
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */
   def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dp = dotFn(df.sparkSession)

@@ -1103,6 +1103,72 @@ class OpsSpec extends SparkSpec {
       "symmetric absmax must hit both int8 extremes")
   }
 
+  test("quantizedTopK: scales cancel, rerank recovers exact, zero vector ranks last") {
+    // v0 is v1 scaled 3× → identical codes → identical qcosine to any probe
+    val corpus = Seq(
+      (0L, Array(3.0f, 6.0f, -3.0f)),
+      (1L, Array(1.0f, 2.0f, -1.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)), // zero vector: qcosine null
+      (4L, Array(-1.0f, -2.0f, 1.0f)) // antipode: qcosine -1
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 1L)
+    val quant = graft.ops.Similarity.quantizedTopK(corpus, probes, k = 4)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Double]("rn".replace("rn", "qcosine")), r.getAs[Int]("rn")))
+    assert(quant.map(_._1).toSeq == Seq(0L, 2L, 4L, 3L),
+      s"expected scaled-twin, then positive, antipode, null-last zero vector: ${quant.toSeq}")
+    assert(quant(0)._2 == 1.0, "the 3×-scaled twin must score qcosine exactly 1.0 — scales cancel")
+    // nulls rank LAST: zero vector must be rn 4, antipode rn 3
+    val byId = quant.map(t => t._1 -> t._3).toMap
+    assert(byId(3L) == 4 && byId(4L) == 3, s"null qcosine must sort after -1: ${quant.toSeq}")
+    // rerank over the full corpus reproduces exact brute force
+    val exact = graft.ops.Similarity.bruteForceTopKJoin(corpus, probes, 3)
+      .select("corpus_id", "cosine", "rn").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val rer = graft.ops.Similarity.quantizedTopK(corpus, probes, k = 3, rerankDepth = 4)
+      .select("corpus_id", "cosine", "rn").collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(rer == exact, s"rerank depth = corpus size must equal exact: $rer vs $exact")
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.quantizedTopK(corpus, probes, k = 5, rerankDepth = 3)
+    }
+  }
+
+  test("duplicateSpans: cross-doc window fps counted per doc; short/null docs surface with 0") {
+    val docs = Seq(
+      (0L, "w2 w3 w4 z w2 w3 w4"),  // "w2 w3 w4" at pos 0 and 4
+      (1L, "x w2 w3 w4"),           // shares the span once
+      (2L, "all tokens unique here"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "too short")             // 2 tokens < width 3
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.duplicateSpans(docs, width = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_windows"), r.getAs[Long]("dup_windows"), r.getAs[Double]("dup_ratio"))).toMap
+    assert(got(0L) == ((5, 2L, 0.4)), s"doc 0: 5 windows, 2 dup occurrences: $got")
+    assert(got(1L) == ((2, 1L, 0.5)), s"doc 1: $got")
+    assert(got(2L) == ((2, 0L, 0.0)), s"unique doc must be clean: $got")
+    assert(got(3L) == ((0, 0L, 0.0)) && got(4L) == ((0, 0L, 0.0)),
+      s"null/short docs must surface with zero windows: $got")
+  }
+
+  test("topDuplicateSpans: reach-ranked fps with (min doc, min pos) example text") {
+    val docs = Seq(
+      (0L, "w2 w3 w4 z w2 w3 w4"),
+      (1L, "x w2 w3 w4"),
+      (2L, "w3 w4 z end"),          // shares "w3 w4 z" with doc 0 (pos 1)
+      (3L, "all tokens unique here")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.topDuplicateSpans(docs, width = 3, topN = 5)
+      .collect().map(r => r.getAs[String]("span_text") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"),
+          r.getAs[Long]("example_doc"), r.getAs[Int]("example_pos"))).toMap
+    assert(got.size == 2, s"exactly two cross-doc spans: $got")
+    assert(got("w2 w3 w4") == ((2L, 3L, 0L, 0)),
+      s"3 occurrences across 2 docs, example = (doc 0, pos 0): $got")
+    assert(got("w3 w4 z") == ((2L, 2L, 0L, 1)),
+      s"example must be doc 0 pos 1 (min doc then min pos): $got")
+  }
+
   test("invertedIndex: df counts all docs, postings cap at k lowest ids, minDf prunes") {
     val d = Seq(
       (10L, "apple banana"), (11L, "apple cherry"), (12L, "apple banana"),
