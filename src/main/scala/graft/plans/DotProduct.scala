@@ -140,6 +140,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(1).eval().asInstanceOf[Number].intValue(),
         children(2).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      new FunctionIdentifier("graft_span_fps"),
+      new ExpressionInfo(classOf[Poly64SpanFps].getName, "graft_span_fps"),
+      (children: Seq[Expression]) => Poly64SpanFps(
+        children(0),
+        children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("graft_vec_sum"),
       new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
       (children: Seq[Expression]) =>

@@ -184,3 +184,54 @@ case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): Poly64MinHash =
     copy(child = newChild)
 }
+
+/** `graft_span_fps(tokens array<string>, width) → array<long>` — every
+  * width-w token window's Poly64 fingerprint in one tight loop: each token
+  * base-hashed ONCE into a local array, then each window folds
+  * h = h·MUL + tokenHash (mod 2^64, wrapping long arithmetic) from the
+  * full-width seed. Fewer than `width` tokens → empty array (null tokens
+  * input → null, which callers coalesce). Bit-identical to the HOF twin
+  * in [[graft.ops.Dedup.duplicateSpans]]'s portable path (spec-enforced)
+  * and to the DuckDB HUGEINT replay; unlike the HOF it stays inside
+  * whole-stage codegen via [[ComputeRefCodegen]] and never materializes
+  * per-window slice arrays. */
+case class Poly64SpanFps(child: Expression, width: Int)
+  extends UnaryExpression with ComputeRefCodegen {
+
+  override protected def refName: String = "spanFps"
+
+  require(width >= 1, "width must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_span_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_span_fps requires array<string> tokens, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = compute(input.asInstanceOf[ArrayData])
+
+  def compute(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = Poly64.baseHash(toks.getUTF8String(i).toString); i += 1 }
+    val out = new Array[Long](n - width + 1)
+    i = 0
+    while (i <= n - width) {
+      var h = Poly64.Seed
+      var j = 0
+      while (j < width) { h = h * Poly64.Mul + th(i + j); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Poly64SpanFps =
+    copy(child = newChild)
+}

@@ -130,4 +130,34 @@ class FallbackSpec extends SparkSpec {
     val nat = native.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n_members")).toMap
     assert(fb == nat)
   }
+
+  test("native graft_span_fps equals the HOF window fold exactly (incl. edges)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900001L, ""),                       // no tokens
+        (900002L, "only three tokens here"), // fewer than width
+        (900003L, null.asInstanceOf[String]),
+        (900004L, "a b c d e f g h i j")     // exactly spanning windows
+      ).toDF("doc_id", "text"))
+    val toks = TextAnalysis.tokens(col("text"))
+    val width = 5
+    val hof = when(size(transform(toks, t => Dedup.poly64Base(t))) >= width,
+      transform(sequence(lit(0),
+          size(transform(toks, t => Dedup.poly64Base(t))) - width),
+        i => aggregate(
+          slice(transform(toks, t => Dedup.poly64Base(t)), i + 1, lit(width)),
+          lit(graft.plans.Poly64.Seed),
+          (acc, h) => Dedup.mulAdd64(acc, lit(graft.plans.Poly64.Mul), h))))
+      .otherwise(array().cast("array<bigint>"))
+    val nat = coalesce(call_function("graft_span_fps", toks, lit(width)),
+      array().cast("array<bigint>"))
+    val diff = d.select(hof.as("h"), nat.as("n")).where(col("h") =!= col("n"))
+    assert(diff.isEmpty, s"paths diverge: ${diff.take(3).mkString}")
+    // short/empty/null docs must be EMPTY (not null) on the caller contract
+    val edges = d.where(col("doc_id") >= 900001L)
+      .select(col("doc_id"), nat.as("n")).as[(Long, Seq[Long])].collect().toMap
+    assert(edges(900001L).isEmpty && edges(900002L).isEmpty && edges(900003L).isEmpty)
+    assert(edges(900004L).length == 6, "10 tokens, width 5 → 6 windows")
+  }
 }
