@@ -2078,6 +2078,12 @@ object Queries {
   private def dupSpanTopQ(s: SparkSession, dir: String): DataFrame =
     Dedup.topDuplicateSpans(t(s, dir, "documents"), width = 8, topN = 20)
 
+  /** Maximal duplicated regions ([[graft.ops.Dedup.duplicateSpanIntervals]]):
+    * dup windows merged into contiguous islands per doc — where the strip
+    * cut would fall, and how many tokens it saves. */
+  private def dupSpanIntervalsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpanIntervals(t(s, dir, "documents"), width = 8, minDocs = 2)
+
   /** CCNet-style LM perplexity scoring
     * ([[graft.ops.TextAnalysis.lmPerplexity]]): a bigram LM with add-1
     * smoothing trained on the src0-src4 "target" slice ranks EVERY doc by
@@ -2795,6 +2801,7 @@ object Queries {
     "q_drop_contained" -> (dropContainedQ _),
     "q_dup_spans" -> (dupSpansQ _),
     "q_dup_span_top" -> (dupSpanTopQ _),
+    "q_dup_span_intervals" -> (dupSpanIntervalsQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
@@ -3456,6 +3463,7 @@ object Queries {
     "q_drop_contained" -> dropContainedOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_top" -> dupSpanTopOracle,
+    "q_dup_span_intervals" -> dupSpanIntervalsOracle,
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
@@ -4766,16 +4774,19 @@ object Queries {
        |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
        |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
 
+  /** Positional explode of the w CTE's fps — ex(doc_id, pos, fp). */
+  private def spanPosExSql: String =
+    """ex AS (SELECT doc_id, u['p'] AS pos, u['f'] AS fp FROM (
+      |  SELECT doc_id, unnest(list_transform(range(0, CAST(len(fps) AS INTEGER)),
+      |    j -> struct_pack(p := j, f := fps[j + 1]))) AS u FROM w))""".stripMargin
+
   /** Top-20 cross-doc span fingerprints with the (min doc, min pos)
-    * example's text re-sliced from the token list. The engine's
-    * min(struct(doc, pos)) example is replayed as the min of the
-    * composite key doc·2^32 + pos (equivalent: both components are
-    * non-negative and pos < 2^32), split back after the top-N cut. */
+    * example's text re-sliced from the token list. The engine's example
+    * key doc·2^32 + pos is replayed verbatim and split back after the
+    * top-N cut. */
   private def dupSpanTopOracle: String =
     s"""WITH ${spanFpCte(8)},
-       |ex AS (SELECT doc_id, u['p'] AS pos, u['f'] AS fp FROM (
-       |  SELECT doc_id, unnest(list_transform(range(0, CAST(len(fps) AS INTEGER)),
-       |    j -> struct_pack(p := j, f := fps[j + 1]))) AS u FROM w)),
+       |$spanPosExSql,
        |top AS (SELECT fp AS span_fp, count(DISTINCT doc_id) AS n_docs,
        |    CAST(count(*) AS BIGINT) AS n_occurrences,
        |    min(doc_id * 4294967296 + pos) AS k
@@ -4788,6 +4799,32 @@ object Queries {
        |SELECT span_fp, n_docs, n_occurrences, example_doc, example_pos,
        |  array_to_string(t[example_pos + 1 : example_pos + 8], ' ') AS span_text
        |FROM t2 JOIN tk ON tk.doc_id = t2.example_doc""".stripMargin
+
+  /** Island merge replayed with the same window functions: dup window
+    * starts per doc, new island when the gap to the previous start
+    * exceeds the width (extents no longer overlap or touch), coverage =
+    * last − first + width per island. */
+  private def dupSpanIntervalsOracle: String =
+    s"""WITH ${spanFpCte(8)},
+       |$spanPosExSql,
+       |dup AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ex GROUP BY 1) WHERE nd >= 2),
+       |dp AS (SELECT doc_id, pos FROM ex JOIN dup USING (fp)),
+       |fl AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8 THEN 0 ELSE 1 END AS nw
+       |  FROM dp),
+       |il AS (SELECT doc_id, pos,
+       |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM fl),
+       |sp AS (SELECT doc_id, isl, max(pos) - min(pos) + 8 AS cov FROM il GROUP BY 1, 2),
+       |pd AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+       |    CAST(sum(cov) AS BIGINT) AS covered_tokens FROM sp GROUP BY 1)
+       |SELECT tk.doc_id, CAST(coalesce(len(t), 0) AS INTEGER) AS n_tokens,
+       |  coalesce(pd.n_spans, 0) AS n_spans,
+       |  CAST(coalesce(pd.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  round(CASE WHEN coalesce(len(t), 0) > 0
+       |    THEN CAST(coalesce(pd.covered_tokens, 0) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+       |    ELSE 0.0 END, 6) AS covered_ratio
+       |FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id""".stripMargin
 
   /** IVF is deterministic end-to-end (centroids = the nLists lowest-id
     * vectors, dot products accumulated in index order on both engines), so

@@ -2020,6 +2020,58 @@ object Dedup {
           .otherwise(lit(0.0)), 6).as("dup_ratio"))
   }
 
+  /** Maximal duplicated REGIONS per doc — the strip planner's actual
+    * output: [[duplicateSpans]] says how much of a doc repeats,
+    * this says WHERE. Duplicated width-w windows (cross-doc reach ≥
+    * minDocs) are merged into islands wherever consecutive window starts
+    * are ≤ w apart (their [pos, pos+w) extents overlap or touch), so each
+    * island is one contiguous region a pipeline would cut. Coverage per
+    * island = last_start − first_start + w tokens.
+    *
+    * Scale shape: the island merge is a per-doc window function over the
+    * doc's DUPLICATED window positions only (already minDocs-filtered —
+    * on a mostly-clean corpus that frame is tiny), partitioned by doc:
+    * no pairwise work, one extra shuffle on doc_id.
+    *
+    * Output: (doc_id, n_tokens, n_spans, covered_tokens, covered_ratio);
+    * clean/short/null docs surface with zeros. */
+  def duplicateSpanIntervals(
+      docs: DataFrame,
+      width: Int = 8,
+      minDocs: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = spanFingerprints(docs, width, textCol, idCol)
+      .select(col(idCol), posexplode(col("__fps")).as(Seq("pos", "span_fp")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = ex.groupBy("span_fp")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select("span_fp")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = ex.join(dup, Seq("span_fp"), "left_semi")
+      .select(col(idCol), col("pos"))
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= width, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = islands.groupBy(col(idCol), col("__isl"))
+      .agg((max(col("pos")) - min(col("pos")) + width).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("__ns"), sum(col("__cov")).as("__ct"))
+    val s = docs.sparkSession
+    docs.select(col(idCol),
+        coalesce(size(TextAnalysis.tokensIn(s)(col(textCol))), lit(0)).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__ns"), lit(0)).as("n_spans"),
+        coalesce(col("__ct"), lit(0L)).as("covered_tokens"),
+        round(when(col("n_tokens") > 0,
+          coalesce(col("__ct"), lit(0L)).cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)), 6).as("covered_ratio"))
+  }
+
   /** The duplicated spans THEMSELVES, ranked — the "what is this
     * boilerplate" companion to [[duplicateSpans]]: top-N cross-doc window
     * fingerprints by distinct-doc reach, with one example occurrence's

@@ -1151,6 +1151,26 @@ class OpsSpec extends SparkSpec {
       s"null/short docs must surface with zero windows: $got")
   }
 
+  test("duplicateSpanIntervals: overlapping and touching windows merge, disjoint split") {
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 q r s w1 w2 w3 w4"), // dup at pos 0,1 and 7,8 → 2 islands of 4
+      (1L, "w1 w2 w3 w4"),                   // both windows dup → 1 island, full coverage
+      (2L, "all tokens unique here now"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "s1 s2 s3 s1 s2 s3"),             // dup at pos 0 and 3: gap == width TOUCHES → merge
+      (5L, "s1 s2 s3")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.duplicateSpanIntervals(docs, width = 3, minDocs = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_spans"),
+          r.getAs[Long]("covered_tokens"), r.getAs[Double]("covered_ratio")))).toMap
+    assert(got(0L) == ((11, 2, 8L, math.rint(8.0 / 11.0 * 1e6) / 1e6)), s"two islands of 4: $got")
+    assert(got(1L) == ((4, 1, 4L, 1.0)), s"full-coverage island: $got")
+    assert(got(2L) == ((5, 0, 0L, 0.0)) && got(3L) == ((0, 0, 0L, 0.0)), s"clean/null: $got")
+    assert(got(4L) == ((6, 1, 6L, 1.0)),
+      s"touching extents (gap == width) must merge into ONE island: $got")
+  }
+
   test("topDuplicateSpans: reach-ranked fps with (min doc, min pos) example text") {
     val docs = Seq(
       (0L, "w2 w3 w4 z w2 w3 w4"),
