@@ -1840,6 +1840,31 @@ object Queries {
         "recall_rerank"), Seq("probe_id"))
   }
 
+  /** IVF routing × int8 scoring composed
+    * ([[graft.ops.Similarity.ivfQuantizedTopK]]) — the production serve
+    * shape: nProbe/nLists of the corpus scanned, 4× fewer bytes per
+    * candidate. */
+  private def ivfTopKQuantQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfQuantizedTopK(emb, emb.where(col("vec_id") < 10),
+      k = 5, nLists = 16, nProbe = 4)
+  }
+
+  /** The COMPOSED accuracy gate: recall@5 of IVF×int8 against the float
+    * brute-force truth — cell miss and quantization error interact, so
+    * the deployment number is this one, not the parents' gates. */
+  private def annRecallIvfqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    val approx = Similarity.ivfQuantizedTopK(emb, probes, k = 5, nLists = 16, nProbe = 4)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
+  }
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2830,6 +2855,8 @@ object Queries {
     "q_ann_recall_lsh" -> (annRecallLshQ _),
     "q_ann_topk_quant" -> (annTopKQuantQ _),
     "q_ann_recall_quant" -> (annRecallQuantQ _),
+    "q_ivf_topk_quant" -> (ivfTopKQuantQ _),
+    "q_ann_recall_ivfq" -> (annRecallIvfqQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3248,6 +3275,8 @@ object Queries {
     "q_ann_recall_lsh" -> annRecallLshOracle,
     "q_ann_topk_quant" -> annTopKQuantOracle,
     "q_ann_recall_quant" -> annRecallQuantOracle,
+    "q_ivf_topk_quant" -> ivfTopKQuantOracle,
+    "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS asset_id,
@@ -4690,22 +4719,29 @@ object Queries {
       |      (a, v) -> greatest(a, v)) / 127.0 AS s
       |    FROM embeddings)""".stripMargin
 
-  /** CTE pair (qc, qpairs): int8 codes + integer norms, then every
-    * (probe < 10) × corpus pair scored by the scale-cancelled quantized
-    * cosine — integer dot over integer norms, exactly the engine's
-    * arithmetic (int dot is exact; one double division + round at the
-    * end). */
-  private def quantScoredSql: String =
+  /** qc CTE: int8 codes + integer norm per vector. */
+  private def quantQcCte: String =
     s"""qc AS (SELECT vec_id, codes,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(codes, q -> CAST(q AS BIGINT) * CAST(q AS BIGINT))), (a, v) -> a + v) AS BIGINT) AS q_norm2
-       |  FROM ($quantCodesSql)),
+       |  FROM ($quantCodesSql))""".stripMargin
+
+  /** The scale-cancelled quantized cosine over code/norm expressions —
+    * integer dot is exact, one double division + round at the end,
+    * exactly the engine's qcosineOf. */
+  private def qcosSql(cc: String, pc: String, cn: String, pn: String): String =
+    s"""round(CASE WHEN sqrt(CAST($cn AS DOUBLE)) * sqrt(CAST($pn AS DOUBLE)) = 0.0 THEN NULL
+       |      ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(list_zip($cc, $pc), z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))), (a, v) -> a + v) AS DOUBLE)
+       |        / (sqrt(CAST($cn AS DOUBLE)) * sqrt(CAST($pn AS DOUBLE))) END, 6)""".stripMargin
+
+  /** CTE pair (qc, qpairs): every (probe < 10) × corpus pair scored by
+    * the quantized cosine. */
+  private def quantScoredSql: String =
+    s"""$quantQcCte,
        |qpairs AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
-       |    round(CASE WHEN sqrt(CAST(c.q_norm2 AS DOUBLE)) * sqrt(CAST(p.q_norm2 AS DOUBLE)) = 0.0 THEN NULL
-       |      ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(list_zip(c.codes, p.codes), z -> CAST(z[1] AS BIGINT) * CAST(z[2] AS BIGINT))), (a, v) -> a + v) AS DOUBLE)
-       |        / (sqrt(CAST(c.q_norm2 AS DOUBLE)) * sqrt(CAST(p.q_norm2 AS DOUBLE))) END, 6) AS qcosine
+       |    ${qcosSql("c.codes", "p.codes", "c.q_norm2", "p.q_norm2")} AS qcosine
        |  FROM qc c CROSS JOIN (SELECT * FROM qc WHERE vec_id < 10) p
        |  WHERE p.vec_id <> c.vec_id)""".stripMargin
 
@@ -4745,6 +4781,47 @@ object Queries {
        |  FROM exact e LEFT JOIN rer a
        |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)
        |SELECT probe_id, recall_quant, recall_rerank FROM r1 JOIN r2 USING (probe_id)""".stripMargin
+
+  /** IVF routing (bootstrap cells, s DESC / c DESC tie-break — the
+    * ivfOracle machinery) composed with int8 within-cell scoring: cells
+    * joined to the qc codes by id on both sides. */
+  private def ivfTopKQuantOracle: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""WITH cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |$quantQcCte,
+       |ccell AS (
+       |  SELECT vec_id AS corpus_id, c AS cell FROM (
+       |    SELECT e.vec_id, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, c AS cell FROM (
+       |    SELECT e.vec_id, cent.c, $d AS s
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
+       |scored AS (
+       |  SELECT probe_id, corpus_id,
+       |    ${qcosSql("cq.codes", "pq.codes", "cq.q_norm2", "pq.q_norm2")} AS qcosine
+       |  FROM pcell JOIN ccell USING (cell)
+       |    JOIN qc cq ON ccell.corpus_id = cq.vec_id
+       |    JOIN qc pq ON pcell.probe_id = pq.vec_id
+       |  WHERE probe_id <> corpus_id)
+       |SELECT probe_id, corpus_id, qcosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, qcosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY qcosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM scored) WHERE rn <= 5""".stripMargin
+  }
+
+  /** Recall@5 of the composed IVF×int8 serve vs the float truth. */
+  private def annRecallIvfqOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |approx AS (SELECT probe_id, corpus_id FROM ($ivfTopKQuantOracle))
+       |SELECT e.probe_id,
+       |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
+       |GROUP BY e.probe_id""".stripMargin
 
   /** CTE chain ending in w(doc_id, fps): per-token Poly64 base hashes,
     * then each width-`width` window folded h·MUL + tokenHash (mod 2^64)

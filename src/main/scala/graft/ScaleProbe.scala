@@ -337,6 +337,22 @@ object ScaleProbe {
       time("q_pipeline_full", "/tmp/sfbig30")
       time("q_drop_contained", "/tmp/sfbig30")
     }
+    // Round-13b: the span family (hash-only shuffle — must stay linear at
+    // ×10, and the ×30-duplication point is the stress case: duplication
+    // multiplies DUP WINDOWS, the one thing this family shuffles), and the
+    // quantized ANN serve (corpus-linear like the brute-force baseline —
+    // the win is bytes-per-row, visible in the probe only as constant
+    // factor).
+    if (inSection("r13b")) {
+      for (q <- Seq("q_dup_spans", "q_dup_span_top", "q_dup_span_intervals",
+          "q_ann_topk_quant", "q_ann_recall_quant")) {
+        time(q, "/root/testdata/sf0.1")
+        time(q, "/tmp/sfbig")
+      }
+      for (q <- Seq("q_dup_spans", "q_dup_span_intervals")) {
+        time(q, "/tmp/sfbig30")
+      }
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them

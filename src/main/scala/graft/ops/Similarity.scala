@@ -974,19 +974,41 @@ object Similarity {
     * recon_mse). Zero shuffle — this is a projection; the int summaries
     * (Σq, Σq² — exact integers) are the dedup/validation fingerprints a
     * quantized store keeps, recon_mse the quality gate. */
-  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+  /** Adds `__scale`, `codes`, `q_norm2` to `df` (all input columns kept) —
+    * the shared quantization core of [[quantizeInt8]] and the quantized
+    * serve paths. `__scale` is materialized first so the absmax fold runs
+    * once per row, not once per code element. */
+  private def withInt8Codes(df: DataFrame, embCol: String): DataFrame = {
     val emb = col(embCol)
     val absMax = aggregate(emb, lit(0.0), (a, v) => greatest(a, abs(v.cast("double"))))
-    val out = df
-      .withColumn("__scale", absMax / 127.0)
+    df.withColumn("__scale", absMax / 127.0)
       .withColumn("codes", transform(emb, x =>
         when(col("__scale") === 0.0, lit(0))
           .otherwise(round(x.cast("double") / col("__scale"), 0).cast("int"))))
-      .withColumn("q_sum",
-        aggregate(col("codes"), lit(0L), (a, q) => a + q.cast("long")))
       .withColumn("q_norm2",
         aggregate(col("codes"), lit(0L), (a, q) => a + q.cast("long") * q.cast("long")))
+  }
+
+  /** The scale-cancelled quantized cosine: integer dot over the codes,
+    * one double division by the integer-norm product at the end, zero
+    * norm → null (ANSI-safe), rounded 6 — ONE definition so the flat and
+    * IVF-routed quantized serves can't drift. */
+  private def qcosineOf(cCodes: Column, pCodes: Column,
+      cN2: Column, pN2: Column): Column = {
+    val intDot = aggregate(
+      zip_with(cCodes, pCodes, (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val denom = sqrt(cN2.cast("double")) * sqrt(pN2.cast("double"))
+    round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(intDot.cast("double") / denom), 6)
+  }
+
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val emb = col(embCol)
+    val out = withInt8Codes(df, embCol)
+      .withColumn("q_sum",
+        aggregate(col("codes"), lit(0L), (a, q) => a + q.cast("long")))
       .withColumn("recon_mse", round(
         aggregate(zip_with(emb, col("codes"), (x, q) => {
           val d = x.cast("double") - q.cast("double") * col("__scale")
@@ -1029,16 +1051,10 @@ object Similarity {
     val qp = quantizeInt8(probes, idCol, embCol)
       .select(col(idCol).as("probe_id"), col("codes").as("p_codes"),
         col("q_norm2").as("p_n2"))
-    val intDot = aggregate(
-      zip_with(col("c_codes"), col("p_codes"),
-        (a, b) => a.cast("long") * b.cast("long")),
-      lit(0L), (acc, v) => acc + v)
-    val denom = sqrt(col("c_n2").cast("double")) * sqrt(col("p_n2").cast("double"))
     val scored = qc.crossJoin(broadcast(qp))
       .where(col("probe_id") =!= col("corpus_id"))
-      .withColumn("qcosine", round(
-        when(denom === 0.0, lit(null).cast("double"))
-          .otherwise(intDot.cast("double") / denom), 6))
+      .withColumn("qcosine", qcosineOf(col("c_codes"), col("p_codes"),
+        col("c_n2"), col("p_n2")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("qcosine").desc_nulls_last, col("corpus_id").asc)
     val quant = scored.withColumn("rn", row_number().over(w))
@@ -1066,6 +1082,53 @@ object Similarity {
         .where(col("rn") <= k)
         .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
     }
+  }
+
+  /** IVF routing × int8 scoring — the two scale levers COMPOSED, which is
+    * the production ANN shape at 100 TB: IVF cuts the candidates to
+    * nProbe/nLists of the corpus ([[ivfTopK]]'s lever), int8 cuts the
+    * bytes per scored candidate 4× ([[quantizedTopK]]'s lever). Cell
+    * routing stays float (the centroid argmax runs at BUILD time on the
+    * corpus side and only per-probe at serve; production stores cell +
+    * codes, floats never reach the serve scan), within-cell scoring is
+    * the scale-cancelled integer dot. Same deterministic contract as both
+    * parents: bootstrap centroids, (s DESC, c DESC) cell tie-break,
+    * qcosine ties on corpus_id; the q_ivf_topk_quant oracle replays
+    * routing AND quantization end-to-end. The combined accuracy loss
+    * (cell miss × quantization error) is measured by q_ann_recall_ivfq —
+    * deploy on that number, not on the parents'. */
+  def ivfQuantizedTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(corpus.sparkSession)
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val cs = cellScores(centroids, dp) _
+    val cb = withInt8Codes(corpus, embCol)
+      .select(col(idCol).as("corpus_id"),
+        array_max(cs(col(embCol))).getField("c").as("cell"),
+        col("codes").as("c_codes"), col("q_norm2").as("c_n2"))
+    val pb = withInt8Codes(probes, embCol)
+      .select(col(idCol).as("probe_id"),
+        slice(reverse(array_sort(cs(col(embCol)))), 1, nProbe).as("__cells"),
+        col("codes").as("p_codes"), col("q_norm2").as("p_n2"))
+      .withColumn("cell", explode(expr("transform(__cells, x -> x.c)")))
+      .drop("__cells")
+    val scored = pb.join(cb, Seq("cell"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("qcosine", qcosineOf(col("c_codes"), col("p_codes"),
+        col("c_n2"), col("p_n2")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("qcosine").desc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("qcosine"), col("rn"))
   }
 
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */

@@ -1133,6 +1133,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfQuantizedTopK: probing every cell reproduces the flat quantized ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("qcosine"), r.getAs[Int]("rn"))).toSet
+    val flat = asSet(graft.ops.Similarity.quantizedTopK(emb, probes, 5))
+    val routed = asSet(graft.ops.Similarity.ivfQuantizedTopK(emb, probes, 5,
+      nLists = 8, nProbe = 8))
+    assert(routed == flat,
+      s"nProbe == nLists must make routing a no-op: ${routed.diff(flat)} / ${flat.diff(routed)}")
+    // a REAL routing (nProbe 2 of 8) returns k rows per probe from fewer candidates
+    val narrow = graft.ops.Similarity.ivfQuantizedTopK(emb, probes, 5, nLists = 8, nProbe = 2)
+    assert(narrow.groupBy("probe_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
   test("duplicateSpans: cross-doc window fps counted per doc; short/null docs surface with 0") {
     val docs = Seq(
       (0L, "w2 w3 w4 z w2 w3 w4"),  // "w2 w3 w4" at pos 0 and 4
