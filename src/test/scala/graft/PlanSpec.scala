@@ -399,4 +399,26 @@ class PlanSpec extends SparkSpec {
     // persist the first assertion pins
     assert(nodes(p, "CartesianProduct") == 0, "the 1-row corpus total must broadcast")
   }
+
+  test("q_dup_span_top: reach ranking stays a HASH aggregate (no SortAggregate)") {
+    // the r13 lesson: a min(struct) example key forced SortAggregate over
+    // every window row (225.9 s at sf0.1 vs 3.1 s) — the composite-long key
+    // must keep the aggregation hashable, and the top-N must be a
+    // TakeOrderedAndProject, not a global sort
+    val p = plan("q_dup_span_top")
+    assert(nodes(p, "SortAggregate") == 0,
+      "span ranking regressed to SortAggregate — check the example-key type")
+    assert(nodes(p, "HashAggregate") >= 2, "expect partial+final hash aggregate")
+    assert(p.contains("TakeOrderedAndProject"), "top-N must not global-sort")
+  }
+
+  test("q_ivf_topk_quant: both sides route through ONE exchange pair on cell") {
+    val p = plan("q_ivf_topk_quant")
+    // cell join: corpus side shuffles on cell once; probe side explodes
+    // nProbe cells and shuffles once; no cartesian, no broadcast of the
+    // corpus
+    assert(nodes(p, "CartesianProduct") == 0)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"cell join missing: $p")
+  }
 }
