@@ -2109,6 +2109,16 @@ object Queries {
   private def dupSpanIntervalsQ(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateSpanIntervals(t(s, dir, "documents"), width = 8, minDocs = 2)
 
+  /** Ingestion-time span coverage
+    * ([[graft.ops.Dedup.duplicateSpansAgainst]]): the even half's
+    * fingerprint bank ([[graft.ops.Dedup.spanFingerprintBank]], 8 B/row)
+    * scores the odd half's docs — standing text never re-read. */
+  private def dupSpansIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bank = Dedup.spanFingerprintBank(d.where(col("doc_id") % 2 === 0), width = 8)
+    Dedup.duplicateSpansAgainst(d.where(col("doc_id") % 2 === 1), bank, width = 8)
+  }
+
   /** CCNet-style LM perplexity scoring
     * ([[graft.ops.TextAnalysis.lmPerplexity]]): a bigram LM with add-1
     * smoothing trained on the src0-src4 "target" slice ranks EVERY doc by
@@ -2827,6 +2837,7 @@ object Queries {
     "q_dup_spans" -> (dupSpansQ _),
     "q_dup_span_top" -> (dupSpanTopQ _),
     "q_dup_span_intervals" -> (dupSpanIntervalsQ _),
+    "q_dup_spans_incremental" -> (dupSpansIncrementalQ _),
     "q_lm_perplexity" -> (lmPerplexityQ _),
     "q_chunk_text" -> (chunkTextQ _),
     "q_date_in_text" -> (dateInTextQ _),
@@ -3493,6 +3504,7 @@ object Queries {
     "q_dup_spans" -> dupSpansOracle,
     "q_dup_span_top" -> dupSpanTopOracle,
     "q_dup_span_intervals" -> dupSpanIntervalsOracle,
+    "q_dup_spans_incremental" -> dupSpansIncrementalOracle,
     "q_lm_perplexity" -> lmPerplexityOracle,
     "q_chunk_text" -> chunkTextOracle,
     "q_lsh_topk" -> lshOracle
@@ -4827,17 +4839,32 @@ object Queries {
     * then each width-`width` window folded h·MUL + tokenHash (mod 2^64)
     * from the full-width seed — signed-BIGINT fingerprints matching the
     * engine's [[graft.ops.Dedup.duplicateSpans]] fold exactly. */
-  private def spanFpCte(width: Int): String = {
+  private def spanFpCte(width: Int, from: String = "documents",
+      sfx: String = ""): String = {
     val fold =
       s"""list_reduce(list_prepend(CAST(${Poly64.unsignedSql(Poly64.Seed)} AS HUGEINT), h[i:i+${width - 1}]),
          |      (acc, th) -> (acc * ${Poly64.Mul} + th) % 18446744073709551616)""".stripMargin
-    s"""tk AS (SELECT doc_id, $toks AS t FROM documents),
-       |hl AS (SELECT doc_id, list_transform(t, tok -> ${Poly64.baseHashSql("tok")}) AS h, len(t) AS n FROM tk),
-       |w AS (SELECT doc_id, CASE WHEN n >= $width THEN
+    s"""tk$sfx AS (SELECT doc_id, $toks AS t FROM $from),
+       |hl$sfx AS (SELECT doc_id, list_transform(t, tok -> ${Poly64.baseHashSql("tok")}) AS h, len(t) AS n FROM tk$sfx),
+       |w$sfx AS (SELECT doc_id, CASE WHEN n >= $width THEN
        |    list_transform(range(1, CAST(n - $width + 2 AS INTEGER)),
        |      i -> ${Poly64.signedSql(s"($fold)")})
-       |    ELSE CAST([] AS BIGINT[]) END AS fps FROM hl)""".stripMargin
+       |    ELSE CAST([] AS BIGINT[]) END AS fps FROM hl$sfx)""".stripMargin
   }
+
+  /** Incremental coverage: the standing bank from the even half, incoming
+    * odd docs scored window-by-window against it — no minDocs, no
+    * incoming×incoming terms. */
+  private def dupSpansIncrementalOracle: String =
+    s"""WITH ${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 2 = 0)", "s")},
+       |${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 2 = 1)")},
+       |bank AS (SELECT DISTINCT unnest(fps) AS fp FROM ws),
+       |ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dw FROM ex JOIN bank USING (fp) GROUP BY 1)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_windows,
+       |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
+       |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
+       |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
 
   /** Per-doc duplicated-span coverage: fingerprints in ≥2 distinct docs
     * counted back per doc. */

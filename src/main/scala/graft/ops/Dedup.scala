@@ -2008,6 +2008,14 @@ object Dedup {
     val nw = ex.groupBy(col(idCol)).agg(count(lit(1)).as("__nw"))
     val dw = ex.join(dup, Seq("span_fp"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__dw"))
+    spanCoverageTail(docs, nw, dw, idCol)
+  }
+
+  /** Shared assembly of the per-doc coverage report: every input doc row
+    * left-joined against its window count and dup-window count, zeros for
+    * absent docs, ratio rounded 6. */
+  private def spanCoverageTail(docs: DataFrame, nw: DataFrame, dw: DataFrame,
+      idCol: String): DataFrame =
     docs.select(col(idCol))
       .join(nw, Seq(idCol), "left")
       .join(dw, Seq(idCol), "left")
@@ -2018,6 +2026,43 @@ object Dedup {
           coalesce(col("__dw"), lit(0L)).cast("double") /
             col("__nw").cast("double"))
           .otherwise(lit(0.0)), 6).as("dup_ratio"))
+
+  /** The standing span-fingerprint BANK: distinct window fingerprints of a
+    * corpus — the 8-byte-per-row artifact the incremental form
+    * ([[duplicateSpansAgainst]]) scores against. Build once per corpus
+    * snapshot (or append per ingestion epoch and distinct at read); the
+    * corpus text never needs re-reading afterwards. */
+  def spanFingerprintBank(
+      docs: DataFrame,
+      width: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    spanFingerprints(docs, width, textCol, idCol)
+      .select(explode(col("__fps")).as("span_fp"))
+      .distinct()
+
+  /** Ingestion-time span coverage vs a STANDING bank — the incremental
+    * form of [[duplicateSpans]] (the [[dedupAgainst]] shape applied to
+    * spans): the standing corpus contributes only [[spanFingerprintBank]]
+    * (8 B/row, text never re-read), each incoming doc is scored by how
+    * much of it is standing boilerplate. Deliberately NO minDocs (one
+    * standing occurrence makes a window boilerplate) and NO
+    * incoming×incoming work — a batch that only repeats ITSELF scores
+    * clean here; run [[duplicateSpans]] within the batch for that half.
+    * Output: (doc_id, n_windows, dup_windows, dup_ratio). */
+  def duplicateSpansAgainst(
+      incoming: DataFrame,
+      standingFps: DataFrame,
+      width: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val ex = spanFingerprints(incoming, width, textCol, idCol)
+      .select(col(idCol), explode(col("__fps")).as("span_fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nw = ex.groupBy(col(idCol)).agg(count(lit(1)).as("__nw"))
+    val dw = ex.join(standingFps.select(col("span_fp")), Seq("span_fp"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__dw"))
+    spanCoverageTail(incoming, nw, dw, idCol)
   }
 
   /** Maximal duplicated REGIONS per doc — the strip planner's actual

@@ -1168,6 +1168,25 @@ class OpsSpec extends SparkSpec {
       s"null/short docs must surface with zero windows: $got")
   }
 
+  test("duplicateSpansAgainst: standing bank scores incoming; self-repeats stay clean") {
+    val standing = Seq((0L, "b1 b2 b3 b4 tail x")).toDF("doc_id", "text")
+    val bank = graft.ops.Dedup.spanFingerprintBank(standing, width = 3)
+    val incoming = Seq(
+      (10L, "b1 b2 b3 b4"),         // both windows in the bank
+      (11L, "z b2 b3 b4 q"),        // 1 of 3 windows in the bank
+      (12L, "c c c c c c"),         // repeats ITSELF only — the contract: clean vs the bank
+      (13L, "clean tokens only here"),
+      (14L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Dedup.duplicateSpansAgainst(incoming, bank, width = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_windows"), r.getAs[Long]("dup_windows"), r.getAs[Double]("dup_ratio")))).toMap
+    assert(got(10L) == ((2, 2L, 1.0)), s"fully-banked doc: $got")
+    assert(got(11L) == ((3, 1L, 0.333333)), s"partially-banked doc: $got")
+    assert(got(12L) == ((4, 0L, 0.0)), s"self-repeating batch must score clean vs the bank: $got")
+    assert(got(13L) == ((2, 0L, 0.0)) && got(14L) == ((0, 0L, 0.0)), s"clean/null: $got")
+  }
+
   test("duplicateSpanIntervals: overlapping and touching windows merge, disjoint split") {
     val docs = Seq(
       (0L, "w1 w2 w3 w4 q r s w1 w2 w3 w4"), // dup at pos 0,1 and 7,8 → 2 islands of 4
