@@ -349,9 +349,12 @@ object ScaleProbe {
         time(q, "/root/testdata/sf0.1")
         time(q, "/tmp/sfbig")
       }
-      for (q <- Seq("q_dup_spans", "q_dup_span_intervals")) {
+      for (q <- Seq("q_dup_spans", "q_dup_span_intervals",
+          "q_dup_spans_incremental")) {
         time(q, "/tmp/sfbig30")
       }
+      time("q_dup_spans_incremental", "/root/testdata/sf0.1")
+      time("q_dup_spans_incremental", "/tmp/sfbig")
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
