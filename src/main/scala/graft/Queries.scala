@@ -1865,6 +1865,39 @@ object Queries {
       .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
   }
 
+  /** PQ-ADC serve ([[graft.ops.Similarity.pqTopK]]): dim 64 → 8 subspaces
+    * × 16 bootstrap codes — candidates scored from 8 one-byte codes via
+    * per-probe lookup tables, 32× fewer bytes than the float scan. */
+  private def annTopKPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), 5)
+  }
+
+  /** Accuracy gate for the PQ serve: per-probe recall@5 of the pure-ADC
+    * ranking at nCodes ∈ {16, 64, 256} (the codebook-size knob — the
+    * measured lever on this corpus, the q_quantile_error sweep pattern)
+    * plus ADC-shortlist(20) + exact-float-rerank at the 16-code default —
+    * prices the 32×-compression serve the way q_ann_recall_quant prices
+    * the 4× one. */
+  private def annRecallPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    def recallOf(approx: DataFrame, out: String): DataFrame =
+      exact.join(approx.select(col("probe_id"), col("corpus_id"),
+          lit(1).as("hit")), Seq("probe_id", "corpus_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as(out))
+    recallOf(Similarity.pqTopK(emb, probes, 5, nCodes = 16), "recall_pq16")
+      .join(recallOf(Similarity.pqTopK(emb, probes, 5, nCodes = 64), "recall_pq64"),
+        Seq("probe_id"))
+      .join(recallOf(Similarity.pqTopK(emb, probes, 5, nCodes = 256), "recall_pq256"),
+        Seq("probe_id"))
+      .join(recallOf(Similarity.pqTopK(emb, probes, 5, rerankDepth = 20),
+        "recall_rerank"), Seq("probe_id"))
+  }
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2868,6 +2901,8 @@ object Queries {
     "q_ann_recall_quant" -> (annRecallQuantQ _),
     "q_ivf_topk_quant" -> (ivfTopKQuantQ _),
     "q_ann_recall_ivfq" -> (annRecallIvfqQ _),
+    "q_ann_topk_pq" -> (annTopKPqQ _),
+    "q_ann_recall_pq" -> (annRecallPqQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3287,6 +3322,8 @@ object Queries {
     "q_ann_topk_quant" -> annTopKQuantOracle,
     "q_ann_recall_quant" -> annRecallQuantOracle,
     "q_ivf_topk_quant" -> ivfTopKQuantOracle,
+    "q_ann_topk_pq" -> annTopKPqOracle,
+    "q_ann_recall_pq" -> annRecallPqOracle,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (
@@ -4793,6 +4830,102 @@ object Queries {
        |  FROM exact e LEFT JOIN rer a
        |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)
        |SELECT probe_id, recall_quant, recall_rerank FROM r1 JOIN r2 USING (probe_id)""".stripMargin
+
+  /** The PQ pipeline replayed in SQL, shared by the serve and recall
+    * oracles: bootstrap codebooks (16 lowest-id vectors cut into 8
+    * 8-wide sub-slices), per-(vector, subspace) min-L2 assignment via the
+    * engine's exact argmax form (x·c − ‖c‖²/2, ties → higher code id),
+    * reconstruction norm² and ADC dot as m-ORDERED folds (list_reduce
+    * over list(… ORDER BY m) — the engine's left-associated chain), then
+    * the cosine approximation adc_dot / (‖p‖·√recon_n2). Ends with CTE
+    * `<p>pairs` (probe_id, corpus_id, adc_cosine); all CTE names carry the
+    * `p` prefix so the gate can instantiate several nCodes sweep points
+    * in one statement. */
+  private def pqScoredSql(p: String = "pq", nCodes: Int = 16): String = {
+    val w = 8
+    s"""${p}base AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS kk, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $nCodes)),
+       |${p}m AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
+       |${p}bn AS (
+       |  SELECT m, kk, csub, ${dotSql("csub", "csub")} AS n2
+       |  FROM (SELECT m, kk, embedding[m*$w+1 : m*$w+$w] AS csub FROM ${p}base CROSS JOIN ${p}m)),
+       |${p}asg AS (
+       |  SELECT vec_id, m, kk, n2 FROM (
+       |    SELECT e.vec_id, b.m, b.kk, b.n2,
+       |      ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} - b.n2/2 AS s
+       |    FROM embeddings e CROSS JOIN ${p}bn b)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, kk DESC) = 1),
+       |${p}rn2 AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(n2 ORDER BY m)), (a, b) -> a + b) AS recon_n2
+       |  FROM ${p}asg GROUP BY 1),
+       |${p}lut AS (
+       |  SELECT e.vec_id AS probe_id, b.m, b.kk,
+       |    ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} AS d
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN ${p}bn b),
+       |${p}dot AS (
+       |  SELECT l.probe_id, a.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)), (x, y) -> x + y) AS adc_dot
+       |  FROM ${p}asg a JOIN ${p}lut l ON l.m = a.m AND l.kk = a.kk
+       |  WHERE l.probe_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |${p}n AS (SELECT vec_id AS probe_id, sqrt(${dotSql("embedding", "embedding")}) AS np
+       |  FROM embeddings WHERE vec_id < 10),
+       |${p}pairs AS (
+       |  SELECT d.probe_id, d.corpus_id,
+       |    round(CASE WHEN n.np * sqrt(r.recon_n2) = 0 THEN NULL
+       |      ELSE d.adc_dot / (n.np * sqrt(r.recon_n2)) END, 6) AS adc_cosine
+       |  FROM ${p}dot d JOIN ${p}rn2 r ON d.corpus_id = r.vec_id
+       |  JOIN ${p}n n ON d.probe_id = n.probe_id)""".stripMargin
+  }
+
+  /** PQ-ADC top-5 per probe — codebooks, codes, LUTs, fold, rank. */
+  private def annTopKPqOracle: String =
+    s"""WITH ${pqScoredSql()}
+       |SELECT probe_id, corpus_id, adc_cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, adc_cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM pqpairs) WHERE rn <= 5""".stripMargin
+
+  /** Per-probe recall@5 of the pure-ADC ranking at each nCodes sweep
+    * point (16/64/256 — the PQ pipeline instantiated once per point
+    * under a CTE prefix) and of the 16-code shortlist(20)+exact-rerank
+    * path, all vs the float brute-force truth. */
+  private def annRecallPqOracle: String = {
+    def rankCut(p: String, name: String, depth: Int): String =
+      s"""$name AS (SELECT probe_id, corpus_id FROM (
+         |  SELECT probe_id, corpus_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+         |  FROM ${p}pairs) WHERE rn <= $depth)""".stripMargin
+    def recallCte(name: String, apx: String, out: String): String =
+      s"""$name AS (SELECT e.probe_id,
+         |    round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS $out
+         |  FROM exact e LEFT JOIN $apx a
+         |    ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id GROUP BY 1)""".stripMargin
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |${pqScoredSql("pq", 16)},
+       |${pqScoredSql("pb", 64)},
+       |${pqScoredSql("pc", 256)},
+       |${rankCut("pq", "apx16", 5)},
+       |${rankCut("pb", "apx64", 5)},
+       |${rankCut("pc", "apx256", 5)},
+       |${rankCut("pq", "cand", 20)},
+       |rer AS (SELECT probe_id, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM (SELECT cand.probe_id, cand.corpus_id,
+       |      round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |        ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |    FROM cand JOIN embeddings c ON cand.corpus_id = c.vec_id
+       |      JOIN embeddings p ON cand.probe_id = p.vec_id)) WHERE rn <= 5),
+       |${recallCte("r1", "apx16", "recall_pq16")},
+       |${recallCte("r2", "apx64", "recall_pq64")},
+       |${recallCte("r3", "apx256", "recall_pq256")},
+       |${recallCte("r4", "rer", "recall_rerank")}
+       |SELECT probe_id, recall_pq16, recall_pq64, recall_pq256, recall_rerank
+       |FROM r1 JOIN r2 USING (probe_id) JOIN r3 USING (probe_id) JOIN r4 USING (probe_id)""".stripMargin
+  }
 
   /** IVF routing (bootstrap cells, s DESC / c DESC tie-break — the
     * ivfOracle machinery) composed with int8 within-cell scoring: cells

@@ -1061,27 +1061,33 @@ object Similarity {
     if (rerankDepth == 0) {
       quant.where(col("rn") <= k)
         .select(col("probe_id"), col("corpus_id"), col("qcosine"), col("rn"))
-    } else {
-      // candidate-sized exact pass: join the survivors back to the float
-      // store by key (at scale: a point-lookup join, not a corpus rescan)
-      val dp = dotFn(corpus.sparkSession)
-      val cand = quant.where(col("rn") <= rerankDepth)
-        .select(col("probe_id"), col("corpus_id"))
-      val cf = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
-        sqrt(dp(col(embCol), col(embCol))).as("__nc"))
-      val pf = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
-        sqrt(dp(col(embCol), col(embCol))).as("__np"))
-      val exact = cand
-        .join(cf, "corpus_id")
-        .join(broadcast(pf), "probe_id")
-        .withColumn("cosine", cosineFromNorms(dp,
-          col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
-      val w2 = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
-      exact.withColumn("rn", row_number().over(w2))
-        .where(col("rn") <= k)
-        .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
-    }
+    } else exactRerank(corpus, probes,
+      quant.where(col("rn") <= rerankDepth), k, idCol, embCol)
+  }
+
+  /** Candidate-sized exact re-rank shared by the quantized serves
+    * ([[quantizedTopK]], [[pqTopK]]): join the approximate shortlist back
+    * to the float store BY KEY (at scale: a point-lookup join, not a
+    * corpus rescan), score exact float cosine, cut to k. */
+  private def exactRerank(corpus: DataFrame, probes: DataFrame,
+      shortlist: DataFrame, k: Int, idCol: String, embCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(corpus.sparkSession)
+    val cand = shortlist.select(col("probe_id"), col("corpus_id"))
+    val cf = corpus.select(col(idCol).as("corpus_id"), col(embCol).as("c_emb"),
+      sqrt(dp(col(embCol), col(embCol))).as("__nc"))
+    val pf = probes.select(col(idCol).as("probe_id"), col(embCol).as("p_emb"),
+      sqrt(dp(col(embCol), col(embCol))).as("__np"))
+    val exact = cand
+      .join(cf, "corpus_id")
+      .join(broadcast(pf), "probe_id")
+      .withColumn("cosine", cosineFromNorms(dp,
+        col("p_emb"), col("c_emb"), col("__np"), col("__nc")))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("corpus_id").asc)
+    exact.withColumn("rn", row_number().over(w2))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rn"))
   }
 
   /** IVF routing × int8 scoring — the two scale levers COMPOSED, which is
@@ -1129,6 +1135,198 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)
       .select(col("probe_id"), col("corpus_id"), col("qcosine"), col("rn"))
+  }
+
+  // ──────────────────────── product quantization ────────────────────────
+
+  /** Deterministic PQ codebook bootstrap: the `nCodes` lowest-id complete
+    * vectors, each cut into `nSub` equal-width sub-slices — codebook m is
+    * their m-th slices (the [[centroidBootstrap]] convention applied per
+    * subspace; a production build would Lloyd-refine each codebook on a
+    * sample — the query shape and serve plan are identical, only the
+    * literal values change). Returned as `[m][k] -> sub-centroid`. */
+  private[graft] def pqCodebooks(
+      corpus: DataFrame, nSub: Int, nCodes: Int,
+      idCol: String, embCol: String): Array[Array[Array[Double]]] = {
+    val base = corpus
+      .where(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nCodes)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(base.nonEmpty, "corpus must be non-empty")
+    val dim = base(0).length
+    require(base.forall(_.length == dim),
+      s"PQ bootstrap vectors must share one dim, got ${base.map(_.length).distinct.mkString(",")}")
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val w = dim / nSub
+    Array.tabulate(nSub)(m => base.map(v => v.slice(m * w, (m + 1) * w)))
+  }
+
+  /** Adds `codes` (array<int>: one codebook id per subspace) and
+    * `recon_n2` (‖reconstruction‖² = Σ_m ‖book_m[code_m]‖², m-ordered sum)
+    * against driver-literal codebooks. Per-subspace assignment is min-L2
+    * via the monotone identity argmin_k ‖x_m − c‖² = argmax_k (x_m·c −
+    * ‖c‖²/2), computed as EXACTLY that expression on both engines so fp
+    * rounding can't split them; ties → higher code id (array_max struct
+    * order — the IVF cell convention). Null / off-dim vectors get null
+    * codes and null recon_n2, which rank last at serve. */
+  private def withPqCodes(df: DataFrame, embCol: String,
+      books: Array[Array[Array[Double]]],
+      dp: (Column, Column) => Column): DataFrame = {
+    val nSub = books.length
+    val w = books(0)(0).length
+    val dim = nSub * w
+    val emb = col(embCol)
+    val ok = emb.isNotNull && size(emb) === dim
+    // native argmin loop when registered (K=256 as one tight scan inside
+    // WSCG); else the portable array_max-over-structs form — identical
+    // outputs (FallbackSpec), but the HOF form's generated projection
+    // outgrows Janino's method limit past a few dozen codes
+    val native = df.sparkSession.catalog.functionExists("graft_pq_assign")
+    def subCol(m: Int): Column = slice(emb, m * w + 1, w)
+    def codeCol(m: Int): Column =
+      if (native)
+        call_function("graft_pq_assign", emb,
+          typedLit(books(m).map(_.toSeq).toSeq), lit(m * w), lit(w))
+      else array_max(array(books(m).zipWithIndex.map { case (c, k) =>
+        val n2 = c.map(x => x * x).sum
+        struct((dp(subCol(m), lit(c)) - lit(n2 / 2.0)).as("s"), lit(k).as("c"))
+      }.toIndexedSeq: _*)).getField("c")
+    // Each __pqc<m> lands as its OWN column and is referenced ≥2× below
+    // (codes + recon_n2, and the serve's ADC lookups) — multiple references
+    // to a non-cheap expression stop CollapseProject from re-inlining the
+    // 16-struct argmax into every consumer (the lshTopK/textStats lesson:
+    // inlining both recomputes it per reference and bloats the fused
+    // window-sort codegen past Janino's method limit).
+    val withRaw = (0 until nSub).foldLeft(df) { (d, m) =>
+      d.withColumn(s"__pqc$m", when(ok, codeCol(m)))
+    }
+    // m-ordered left-associated sum — matches the oracle's ordered fold
+    val n2Sum = (0 until nSub).map { m =>
+      element_at(lit(books(m).map(c => c.map(x => x * x).sum)),
+        col(s"__pqc$m") + 1)
+    }.reduce(_ + _)
+    withRaw
+      .withColumn("codes", when(ok, array((0 until nSub).map(m => col(s"__pqc$m")): _*)))
+      .withColumn("recon_n2", when(ok, n2Sum))
+  }
+
+  /** ADC lookup tables for one vector — `lut[m][k] = x_m · book_m[k]` as a
+    * nested-array column. Native single-scan expression when registered;
+    * portable nested slice-dot arrays otherwise (identical outputs —
+    * FallbackSpec; the HOF form outgrows Janino codegen past a few dozen
+    * codes, same story as the assignment). */
+  private def pqLutCol(emb: Column, books: Array[Array[Array[Double]]],
+      dp: (Column, Column) => Column, native: Boolean): Column = {
+    val w = books(0)(0).length
+    if (native)
+      call_function("graft_pq_lut", emb,
+        typedLit(books.map(_.map(_.toSeq).toSeq).toSeq), lit(w))
+    else array(books.indices.map { m =>
+      array(books(m).map(c =>
+        dp(slice(emb, m * w + 1, w), lit(c))).toIndexedSeq: _*)
+    }: _*)
+  }
+
+  /** STORAGE half of product quantization: each vector becomes `nSub`
+    * small-int codes (one byte each at nCodes ≤ 256) + one double — at
+    * dim 64 / nSub 8 that is 32× fewer bytes than float32, the compression
+    * that makes a 100 TB embedding store scannable. Output: (idCol, dim,
+    * codes, recon_n2, recon_mse) — recon_mse is the per-vector quality
+    * gate (mean squared reconstruction error, 12-dp, index-ordered). */
+  def pqEncode(
+      corpus: DataFrame,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    val emb = col(embCol)
+    val native = corpus.sparkSession.catalog.functionExists("graft_pq_lut")
+    // recon error via ‖x‖² − 2·Σ_m x_m·c_m + ‖recon‖² (all three already
+    // index-ordered folds; avoids materializing the reconstruction).
+    // x_m·c_m looks up the row's OWN lut — hoisted into a column so the
+    // table is computed once, not once per subspace reference — at its
+    // chosen code; the same table shape the serve builds per probe.
+    val xDot = (0 until nSub).map { m =>
+      element_at(element_at(col("__xlut"), m + 1), col(s"__pqc$m") + 1)
+    }.reduce(_ + _)
+    withPqCodes(corpus, embCol, books, dp)
+      .withColumn("__xlut", pqLutCol(emb, books, dp, native))
+      .withColumn("recon_mse",
+        when(col("codes").isNotNull, round(
+          (dp(emb, emb) - lit(2.0) * xDot + col("recon_n2"))
+            / greatest(size(emb), lit(1)).cast("double"), 12)))
+      .select(col(idCol), size(emb).as("dim"), col("codes"),
+        round(col("recon_n2"), 9).as("recon_n2"), col("recon_mse"))
+  }
+
+  /** SERVE half: PQ-ADC (asymmetric distance computation) top-k. The probe
+    * stays float and precomputes one lookup table per subspace —
+    * lut[m][k] = probe_m · book_m[k], nSub·nCodes dots per PROBE — then
+    * every corpus candidate is scored from its codes alone:
+    * adc_dot = Σ_m lut[m][code_m], i.e. nSub array lookups + adds per
+    * candidate, NO per-candidate float dot. Cosine approximation:
+    * adc_dot / (‖p‖ · √recon_n2). At 100 TB the serve scan touches only
+    * the code store (nSub bytes + one double per vector); floats are
+    * touched per probe (the LUT build) and — with `rerankDepth` > 0 — for
+    * the shortlist's exact re-rank, a key-join not a rescan.
+    *
+    * Deterministic end-to-end: codebooks are lowest-id bootstrap slices,
+    * assignment/LUT arithmetic is index-ordered, ties break on corpus_id;
+    * the q_ann_topk_pq oracle replays codebooks, codes, LUTs, and the
+    * fold in SQL. Accuracy is measured, not assumed — q_ann_recall_pq
+    * sweeps the codebook-size knob: mean recall@5 at sf0.01 is
+    * 0.22 / 0.30 / 0.64 at nCodes 16 / 64 / 256, and shortlist(20) +
+    * exact rerank lifts the 16-code serve to 0.52. nCodes is the lever on
+    * this corpus: a design-time probe measured per-subspace Lloyd
+    * refinement NOT to close the gap (16 codes: 0.22 → 0.30 after 2
+    * rounds; 64 codes: 0.30 → 0.34) — the same no-cluster-structure
+    * finding as the SemDeDup gate. Deploy PQ on the swept number at YOUR
+    * nCodes, and expect the rerank stage to carry exactness. */
+  def pqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      rerankDepth: Int = 0,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerankDepth == 0 || rerankDepth >= k,
+      s"rerankDepth must be 0 (off) or >= k, got $rerankDepth < $k")
+    val dp = dotFn(corpus.sparkSession)
+    val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    val cb = withPqCodes(corpus, embCol, books, dp)
+      .select(col(idCol).as("corpus_id") +: col("recon_n2") +:
+        (0 until nSub).map(m => col(s"__pqc$m")): _*)
+    val native = corpus.sparkSession.catalog.functionExists("graft_pq_lut")
+    val pb = probes.select(col(idCol).as("probe_id"),
+      sqrt(dp(col(embCol), col(embCol))).as("__np"),
+      pqLutCol(col(embCol), books, dp, native).as("__lut"))
+    // m-ordered left-associated adds — matches the oracle's ordered fold;
+    // per-candidate work is nSub array lookups, no float dot
+    val adcDot = (0 until nSub).map { m =>
+      element_at(element_at(col("__lut"), m + 1), col(s"__pqc$m") + 1)
+    }.reduce(_ + _)
+    val denom = col("__np") * sqrt(col("recon_n2"))
+    val scored = cb.crossJoin(broadcast(pb))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("adc_cosine",
+        round(when(col("recon_n2").isNull || denom === 0.0,
+          lit(null).cast("double")).otherwise(adcDot / denom), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_cosine").desc_nulls_last, col("corpus_id").asc)
+    val approx = scored.withColumn("rn", row_number().over(w))
+    if (rerankDepth == 0) {
+      approx.where(col("rn") <= k)
+        .select(col("probe_id"), col("corpus_id"), col("adc_cosine"), col("rn"))
+    } else exactRerank(corpus, probes,
+      approx.where(col("rn") <= rerankDepth), k, idCol, embCol)
   }
 
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */

@@ -150,5 +150,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vec_sum"),
       (children: Seq[Expression]) =>
         VectorSumAgg(children.head).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_assign"),
+      new ExpressionInfo(classOf[PqAssignExpr].getName, "graft_pq_assign"),
+      (children: Seq[Expression]) => {
+        val ad = children(1).eval().asInstanceOf[ArrayData]
+        val books = Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray)
+        PqAssignExpr(children(0), books,
+          children(2).eval().asInstanceOf[Number].intValue(),
+          children(3).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLutExpr].getName, "graft_pq_lut"),
+      (children: Seq[Expression]) => {
+        val ad = children(1).eval().asInstanceOf[ArrayData]
+        val books = Array.tabulate(ad.numElements()) { m =>
+          val bm = ad.getArray(m)
+          Array.tabulate(bm.numElements())(k => bm.getArray(k).toDoubleArray)
+        }
+        PqLutExpr(children(0), books,
+          children(2).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

@@ -160,4 +160,55 @@ class FallbackSpec extends SparkSpec {
     assert(edges(900001L).isEmpty && edges(900002L).isEmpty && edges(900003L).isEmpty)
     assert(edges(900004L).length == 6, "10 tokens, width 5 → 6 windows")
   }
+
+  test("native graft_pq_assign / graft_pq_lut equal the HOF forms (incl. short/zero vectors)") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(40)
+    val edges = Seq(
+      (900001L, Array(0.25f, -0.5f, 1.0f, 2.0f)), // short: dim 4 < 64
+      (900002L, Array.fill(64)(0.0f))             // zero vector, full dim
+    ).toDF("vec_id", "embedding")
+    val d = base.unionByName(edges)
+    val books = Similarity.pqCodebooks(d, nSub = 8, nCodes = 8, "vec_id", "embedding")
+    val w = books(0)(0).length
+    val emb = col("embedding")
+    (0 until 8).foreach { m =>
+      val hof = array_max(array(books(m).zipWithIndex.map { case (c, k) =>
+        val n2 = c.map(x => x * x).sum
+        struct((Similarity.dot(slice(emb, m * w + 1, w), lit(c)) - lit(n2 / 2.0)).as("s"),
+          lit(k).as("c"))
+      }.toIndexedSeq: _*)).getField("c")
+      val nat = call_function("graft_pq_assign", emb,
+        typedLit(books(m).map(_.toSeq).toSeq), lit(m * w), lit(w))
+      val diff = d.select(col("vec_id"), hof.as("h"), nat.as("n"))
+        .where(not(col("h") <=> col("n")))
+      assert(diff.isEmpty, s"assign paths diverge at m=$m: ${diff.take(3).mkString}")
+    }
+    // short vector: every score is null → HOF array_max yields the HIGHEST
+    // code id; the native loop mirrors that rule exactly
+    val shortCode = d.where(col("vec_id") === 900001L)
+      .select(call_function("graft_pq_assign", emb,
+        typedLit(books(0).map(_.toSeq).toSeq), lit(0), lit(w)))
+      .collect()(0).getInt(0)
+    assert(shortCode == 7, s"short vector must take the highest code id, got $shortCode")
+    // LUT parity: nested slice-dots vs the native single scan
+    val hofLut = array(books.indices.map { m =>
+      array(books(m).map(c =>
+        Similarity.dot(slice(emb, m * w + 1, w), lit(c))).toIndexedSeq: _*)
+    }: _*)
+    val natLut = call_function("graft_pq_lut", emb,
+      typedLit(books.map(_.map(_.toSeq).toSeq).toSeq), lit(w))
+    val lutDiff = d.select(col("vec_id"), hofLut.as("h"), natLut.as("n"))
+      .where(not(col("h") <=> col("n")))
+    assert(lutDiff.isEmpty, s"lut paths diverge: ${lutDiff.take(3).mkString}")
+    // null embedding → null on BOTH native expressions (child-null rule)
+    val nulls = Seq((900003L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding")
+      .select(
+        call_function("graft_pq_assign", emb, typedLit(books(0).map(_.toSeq).toSeq),
+          lit(0), lit(w)).as("a"),
+        call_function("graft_pq_lut", emb, typedLit(books.map(_.map(_.toSeq).toSeq).toSeq),
+          lit(w)).as("l"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
 }

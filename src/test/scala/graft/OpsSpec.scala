@@ -1150,6 +1150,65 @@ class OpsSpec extends SparkSpec {
     assert(narrow.groupBy("probe_id").count().collect().forall(_.getLong(1) == 5L))
   }
 
+  test("pqEncode: bootstrap vectors self-assign with ~zero recon error; codes in range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val enc = graft.ops.Similarity.pqEncode(emb, nSub = 8, nCodes = 8)
+      .select("vec_id", "codes", "recon_mse")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toList
+    assert(enc.nonEmpty)
+    enc.foreach { case (id, codes, mse) =>
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 8),
+        s"vec $id codes out of range: $codes")
+      assert(mse > -1e-9, s"vec $id negative mse: $mse")
+    }
+    // the 8 lowest-id vectors ARE the codebooks: they reconstruct exactly
+    enc.filter(_._1 < 8).foreach { case (id, codes, mse) =>
+      assert(codes.forall(_ == id.toInt), s"bootstrap vec $id must self-assign: $codes")
+      assert(math.abs(mse) < 1e-9, s"bootstrap vec $id must reconstruct exactly: $mse")
+    }
+  }
+
+  test("pqTopK: ADC exact on a codebook-only corpus; rerank = brute force; null/ragged rank last") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 2.0f, -1.0f, 0.5f)),
+      (1L, Array(2.0f, 1.0f, 0.0f, -0.5f)),
+      (2L, Array(-1.0f, -2.0f, 1.0f, -0.5f)), // antipode of 0
+      (3L, Array(0.5f, 0.5f, 0.5f, 0.5f)),
+      (4L, null.asInstanceOf[Array[Float]]),  // null embedding
+      (5L, Array(1.0f, 2.0f))                 // ragged width
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0L)
+    // corpus ids 0-3 ARE the codebook (nCodes = 4) → reconstruction is
+    // exact → ADC cosine must equal the float cosine (both rounded 6)
+    val adc = graft.ops.Similarity.pqTopK(corpus, probes, k = 5, nSub = 2, nCodes = 4)
+      .select("corpus_id", "adc_cosine", "rn")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]), r.getInt(2))).toList
+    val exact3 = graft.ops.Similarity.bruteForceTopKJoin(corpus, probes, 3)
+      .select("corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    adc.filter(t => t._1 <= 3L).foreach { case (id, c, _) =>
+      assert(c.contains(exact3(id)), s"ADC must be exact for codebook member $id: $c vs ${exact3(id)}")
+    }
+    // null + ragged vectors carry null ADC scores and take the LAST ranks
+    val byId = adc.map(t => t._1 -> t._3).toMap
+    assert(Set(byId(4L), byId(5L)) == Set(4, 5), s"null/ragged must rank last: $adc")
+    assert(adc.filter(t => t._1 >= 4L).forall(_._2.isEmpty))
+    // full-depth rerank reproduces brute force exactly
+    val exact = graft.ops.Similarity.bruteForceTopKJoin(corpus, probes, 5)
+      .select("corpus_id", "cosine", "rn").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    val rer = graft.ops.Similarity.pqTopK(corpus, probes, k = 5, nSub = 2, nCodes = 4,
+        rerankDepth = 5)
+      .select("corpus_id", "cosine", "rn").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), r.getInt(2))).toSet
+    assert(rer == exact, s"rerank depth = corpus size must equal exact: $rer vs $exact")
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.pqTopK(corpus, probes, k = 5, rerankDepth = 3)
+    }
+  }
+
   test("duplicateSpans: cross-doc window fps counted per doc; short/null docs surface with 0") {
     val docs = Seq(
       (0L, "w2 w3 w4 z w2 w3 w4"),  // "w2 w3 w4" at pos 0 and 4
