@@ -606,6 +606,32 @@ object Queries {
         .select(col("doc_id"), col("source"), col("n_chars"), col("batch").cast("int"))
     })
 
+  /** Ingestion-time span coverage AS A STREAM, under the hard oracle:
+    * four mtime-ordered doc_id-mod-4 shards arrive as four micro-batches,
+    * each scored window-by-window against the accumulated fingerprint
+    * bank of earlier batches
+    * ([[graft.streaming.OnlineRefresh.spanBankIngestStream]]), which the
+    * batch then extends with its own distinct fps. Order matters (a
+    * window is boilerplate only if an EARLIER batch landed its fp; batch
+    * 0 scores clean by construction), so the oracle replays the fold via
+    * each fingerprint's FIRST-arrival batch: a window counts as dup iff
+    * min-batch(fp) < its own batch. Arrival provenance re-derived as
+    * doc_id % 4. */
+  private def streamSpanCoverage(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_span_cov:$dir", s), { _ =>
+      val src = scratchDir("graft_sspan_src")
+      val out = scratchDir("graft_sspan_out")
+      val ck = scratchDir("graft_sspan_ck")
+      stageModShards(s, dir, src, "graft_sspan_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.spanBankIngestStream(s, src.toString, schema,
+        out.toString, ck.toString, width = 8, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      s.read.parquet(s"$out/coverage")
+        .select(col("doc_id"), col("n_windows"), col("dup_windows"),
+          col("dup_ratio"), col("batch").cast("int"))
+    })
+
   /** Stage the documents table as four doc_id-mod-4 shard files with
     * mtimes spaced 60 s apart: the file source delivers oldest-first, so
     * batch i == shard i deterministically — the fixture both order-
@@ -2782,6 +2808,7 @@ object Queries {
     "q_stream_ivf_index" -> (streamIvfIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
+    "q_stream_span_coverage" -> (streamSpanCoverage _),
     "q_stream_minhash_incremental" -> (streamMinhashIncremental _),
     "q_stream_quantile" -> (streamQuantile _),
     "q_stream_decontaminate" -> (streamDecontaminate _),
@@ -3111,6 +3138,7 @@ object Queries {
     "q_semdedup_recall_probed" -> semanticDedupRecallProbedOracle,
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
+    "q_stream_span_coverage" -> streamSpanCoverageOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
     "q_stream_quantile" -> quantileSketchOracle,
     "q_stream_decontaminate" -> streamDecontaminateOracle,
@@ -4997,6 +5025,24 @@ object Queries {
        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_windows,
        |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
        |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
+       |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** The streaming span-coverage fold replayed via FIRST arrivals: with
+    * batch = doc_id % 4 (the mtime-staged shard membership), a window
+    * instance is dup iff its fingerprint's minimum batch over the corpus
+    * is strictly earlier than its own — exactly "the accumulated bank of
+    * earlier batches contains it". Batch 0 scores clean by construction;
+    * within-batch repeats do NOT count (the self-repeat contract). */
+  private def streamSpanCoverageOracle: String =
+    s"""WITH ${spanFpCte(8)},
+       |ex AS (SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS b, unnest(fps) AS fp FROM w),
+       |fst AS (SELECT fp, min(b) AS mb FROM ex GROUP BY 1),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dw
+       |  FROM ex JOIN fst USING (fp) WHERE fst.mb < ex.b GROUP BY 1)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_windows,
+       |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
+       |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio,
+       |  CAST(doc_id % 4 AS INTEGER) AS batch
        |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
 
   /** Per-doc duplicated-span coverage: fingerprints in ≥2 distinct docs

@@ -730,6 +730,62 @@ object OnlineRefresh {
       .start()
   }
 
+  /** INGESTION-TIME SPAN COVERAGE as a stream — the span family's
+    * lifecycle column: each micro-batch of newly-landed documents is
+    * scored window-by-window against the accumulated fingerprint BANK of
+    * all earlier batches ([[graft.ops.Dedup.duplicateSpansAgainst]] — the
+    * batch q_dup_spans_incremental operator, so semantics cannot drift),
+    * then extends the bank with its own distinct window fps. Two
+    * artifacts grow under `outPath`: `bank/batch=<id>` (distinct span
+    * fps, 8 B/row — all the standing corpus ever contributes; text is
+    * never re-read) and `coverage/batch=<id>` (that epoch's per-doc
+    * report, arrival provenance in the partition column). At 100 TB this
+    * is the admission-control shape: per epoch one shard-vs-bank
+    * hash-only semi-join, bank growth bounded by distinct window count.
+    *
+    * Batch membership and order matter (a span is boilerplate only if an
+    * EARLIER batch landed it; a batch that merely repeats itself scores
+    * clean BY CONTRACT — duplicateSpansAgainst's rule), so fixtures pin
+    * delivery order via mtime-staged shards exactly like
+    * q_stream_dedup_incremental. Exactly-once: `batch=<id>` overwrites
+    * plus the `batch < batchId` standing filter make a replayed epoch
+    * rebuild the same coverage against the same earlier-batch bank. */
+  def spanBankIngestStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      width: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/bank"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outPath/coverage"))
+    val bankSchema = new StructType()
+      .add("span_fp", org.apache.spark.sql.types.LongType)
+      .add("batch", org.apache.spark.sql.types.LongType)
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bank = spark.read.schema(bankSchema).parquet(s"$outPath/bank")
+          .where(col("batch") < lit(batchId)).drop("batch")
+        graft.ops.Dedup
+          .duplicateSpansAgainst(batch, bank, width, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$outPath/coverage/batch=$batchId")
+        graft.ops.Dedup.spanFingerprintBank(batch, width, textCol, idCol)
+          .write.mode("overwrite").parquet(s"$outPath/bank/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   // ------------------------------------------------------------ compaction
   // The streaming builders above accrete one `batch=<id>` partition per
   // micro-batch forever — correct, but partition/file counts decay read

@@ -370,6 +370,56 @@ class StreamingSpec extends SparkSpec {
     assert(batches == 2, "resume from checkpoint must not re-run epochs")
   }
 
+  test("spanBankIngestStream: later batches score vs the standing bank; self-repeats clean; resume no-op") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sspan").toString
+    // shard = doc_id parity, width 3. Batch 0 (even): 2 and 4 land the
+    // bank. Batch 1 (odd): 1 shares two windows with 2; 5 is an exact
+    // copy of 4; 3 and 15 repeat each other WITHIN the batch (and 3
+    // repeats itself) — the self-repeat contract says both score clean.
+    val docs = Seq(
+      (2L, "a b c d e"), (4L, "x y z w"),
+      (1L, "a b c d q"), (3L, "p p p p p"), (5L, "x y z w"),
+      (13L, "totally new words here now"), (15L, "p p p p p")
+    ).toDF("doc_id", "text")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for (i <- 0 until 2) {
+      val part = Files.createTempDirectory("graft-sspan-part").toString
+      docs.where(col("doc_id") % 2 === i).coalesce(1)
+        .write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.spanBankIngestStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", width = 3, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out/coverage")
+      .select(col("doc_id"), col("n_windows").cast("long"),
+        col("dup_windows"), col("batch").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1L),   // "a b c", "b c d" banked by doc 2; "c d q" new
+      (2L, 3L, 0L, 0L),   // batch 0 scores clean by construction
+      (3L, 3L, 0L, 1L),   // self/within-batch repeats are NOT boilerplate
+      (4L, 2L, 0L, 0L),
+      (5L, 2L, 2L, 1L),   // exact copy of banked doc 4
+      (13L, 3L, 0L, 1L),
+      (15L, 3L, 0L, 1L)), s"span coverage fold broke: $got")
+    // resume from checkpoint: no re-delivery, no new partitions
+    val q2 = OnlineRefresh.spanBankIngestStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", width = 3, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    def nParts(sub: String) = new java.io.File(s"$tmp/out/$sub").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nParts("coverage") == 2 && nParts("bank") == 2,
+      "resume from checkpoint must not re-run epochs")
+  }
+
   test("compaction: serve output unchanged, stream resumes and appends on top") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sbm25c").toString
