@@ -1924,6 +1924,31 @@ object Queries {
         "recall_rerank"), Seq("probe_id"))
   }
 
+  /** IVF routing × PQ-ADC scoring composed
+    * ([[graft.ops.Similarity.ivfPqTopK]]) — the FAISS IVF-PQ serve shape:
+    * nProbe/nLists of the corpus scanned, nSub code bytes + one double
+    * per scored candidate. */
+  private def ivfTopKPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
+      k = 5, nLists = 16, nProbe = 4)
+  }
+
+  /** The COMPOSED accuracy gate for IVF×PQ: recall@5 vs the float brute
+    * force — cell miss and PQ quantization interact, so the deployment
+    * number is this one, not the parents' gates. */
+  private def annRecallIvfpqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    val approx = Similarity.ivfPqTopK(emb, probes, k = 5, nLists = 16, nProbe = 4)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
+  }
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2017,6 +2042,25 @@ object Queries {
     val stored = Similarity.IvfIndex(s.read.parquet(cPath), s.read.parquet(aPath))
     Similarity.ivfTopKFromIndex(stored, emb, emb.where(col("vec_id") < 10),
       k = 5, nProbe = 4)
+  }
+
+  /** The PQ build/serve split exercised end-to-end: build the index
+    * ([[graft.ops.Similarity.pqIndex]] — codebook table + per-vector
+    * codes/recon_n2), round-trip both tables through parquet, then serve
+    * ADC top-k from the artifact ([[graft.ops.Similarity.pqTopKFromIndex]]
+    * — the corpus floats are never re-read; per candidate the scan is
+    * nSub ints + one double). Registered against q_ann_topk_pq's OWN
+    * oracle: served ≡ direct ≡ DuckDB. */
+  private def annTopKPqServedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val built = Similarity.pqIndex(emb)
+    val base = scratchDir("graft_pq_")
+    val bPath = base.resolve("codebooks").toString
+    val cPath = base.resolve("codes").toString
+    built.codebooks.write.mode("overwrite").parquet(bPath)
+    built.codes.write.mode("overwrite").parquet(cPath)
+    val stored = Similarity.PqIndex(s.read.parquet(bPath), s.read.parquet(cPath))
+    Similarity.pqTopKFromIndex(stored, emb.where(col("vec_id") < 10), k = 5)
   }
 
   /** Prototypicality pruning ([[graft.ops.Similarity
@@ -2930,6 +2974,9 @@ object Queries {
     "q_ann_recall_ivfq" -> (annRecallIvfqQ _),
     "q_ann_topk_pq" -> (annTopKPqQ _),
     "q_ann_recall_pq" -> (annRecallPqQ _),
+    "q_ann_topk_pq_served" -> (annTopKPqServedQ _),
+    "q_ivf_topk_pq" -> (ivfTopKPqQ _),
+    "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3352,6 +3399,10 @@ object Queries {
     "q_ivf_topk_quant" -> ivfTopKQuantOracle,
     "q_ann_topk_pq" -> annTopKPqOracle,
     "q_ann_recall_pq" -> annRecallPqOracle,
+    // parquet round-trip serve — hash-matched against the direct form's oracle
+    "q_ann_topk_pq_served" -> annTopKPqOracle,
+    "q_ivf_topk_pq" -> ivfTopKPqOracle,
+    "q_ann_recall_ivfpq" -> annRecallIvfpqOracle,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (
@@ -4869,7 +4920,26 @@ object Queries {
     * `<p>pairs` (probe_id, corpus_id, adc_cosine); all CTE names carry the
     * `p` prefix so the gate can instantiate several nCodes sweep points
     * in one statement. */
-  private def pqScoredSql(p: String = "pq", nCodes: Int = 16): String = {
+  private def pqScoredSql(p: String = "pq", nCodes: Int = 16): String =
+    s"""${pqCoreSql(p, nCodes)},
+       |${p}dot AS (
+       |  SELECT l.probe_id, a.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)), (x, y) -> x + y) AS adc_dot
+       |  FROM ${p}asg a JOIN ${p}lut l ON l.m = a.m AND l.kk = a.kk
+       |  WHERE l.probe_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |${p}pairs AS (
+       |  SELECT d.probe_id, d.corpus_id,
+       |    round(CASE WHEN n.np * sqrt(r.recon_n2) = 0 THEN NULL
+       |      ELSE d.adc_dot / (n.np * sqrt(r.recon_n2)) END, 6) AS adc_cosine
+       |  FROM ${p}dot d JOIN ${p}rn2 r ON d.corpus_id = r.vec_id
+       |  JOIN ${p}n n ON d.probe_id = n.probe_id)""".stripMargin
+
+  /** The PQ pipeline's shared CTE core (codebooks → assignments →
+    * recon_n2 → probe LUTs → probe norms), ending with `<p>n` — the
+    * flat serve appends the all-pairs fold, the IVF-PQ composition a
+    * cell-joined one. */
+  private def pqCoreSql(p: String, nCodes: Int): String = {
     val w = 8
     s"""${p}base AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS kk, embedding
@@ -4892,20 +4962,8 @@ object Queries {
        |  SELECT e.vec_id AS probe_id, b.m, b.kk,
        |    ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} AS d
        |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN ${p}bn b),
-       |${p}dot AS (
-       |  SELECT l.probe_id, a.vec_id AS corpus_id,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)), (x, y) -> x + y) AS adc_dot
-       |  FROM ${p}asg a JOIN ${p}lut l ON l.m = a.m AND l.kk = a.kk
-       |  WHERE l.probe_id <> a.vec_id
-       |  GROUP BY 1, 2),
        |${p}n AS (SELECT vec_id AS probe_id, sqrt(${dotSql("embedding", "embedding")}) AS np
-       |  FROM embeddings WHERE vec_id < 10),
-       |${p}pairs AS (
-       |  SELECT d.probe_id, d.corpus_id,
-       |    round(CASE WHEN n.np * sqrt(r.recon_n2) = 0 THEN NULL
-       |      ELSE d.adc_dot / (n.np * sqrt(r.recon_n2)) END, 6) AS adc_cosine
-       |  FROM ${p}dot d JOIN ${p}rn2 r ON d.corpus_id = r.vec_id
-       |  JOIN ${p}n n ON d.probe_id = n.probe_id)""".stripMargin
+       |  FROM embeddings WHERE vec_id < 10)""".stripMargin
   }
 
   /** PQ-ADC top-5 per probe — codebooks, codes, LUTs, fold, rank. */
@@ -4954,6 +5012,64 @@ object Queries {
        |SELECT probe_id, recall_pq16, recall_pq64, recall_pq256, recall_rerank
        |FROM r1 JOIN r2 USING (probe_id) JOIN r3 USING (probe_id) JOIN r4 USING (probe_id)""".stripMargin
   }
+
+  /** IVF routing composed with PQ-ADC scoring: the ivfOracle cell
+    * machinery (bootstrap centroids, s DESC / c DESC tie-break) gates
+    * which (probe, corpus) pairs the PQ fold scores — a corpus row has
+    * ONE cell, so the pcell×ccell join cannot duplicate a pair. Ends
+    * with `cpairs` (probe_id, corpus_id, adc_cosine). */
+  private def ivfPqScoredSql: String = {
+    val d = dotSql("e.embedding", "cent.cemb")
+    s"""cent AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c, embedding AS cemb
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |ccell AS (
+       |  SELECT vec_id AS corpus_id, c AS cell FROM (
+       |    SELECT e.vec_id, cent.c, $d AS s FROM embeddings e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) = 1),
+       |pcell AS (
+       |  SELECT vec_id AS probe_id, c AS cell FROM (
+       |    SELECT e.vec_id, cent.c, $d AS s
+       |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN cent)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) <= 4),
+       |${pqCoreSql("pq", 16)},
+       |cdot AS (
+       |  SELECT l.probe_id, a.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)), (x, y) -> x + y) AS adc_dot
+       |  FROM pqasg a JOIN pqlut l ON l.m = a.m AND l.kk = a.kk
+       |  JOIN ccell cc ON cc.corpus_id = a.vec_id
+       |  JOIN pcell pc ON pc.probe_id = l.probe_id AND pc.cell = cc.cell
+       |  WHERE l.probe_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT d.probe_id, d.corpus_id,
+       |    round(CASE WHEN n.np * sqrt(r.recon_n2) = 0 THEN NULL
+       |      ELSE d.adc_dot / (n.np * sqrt(r.recon_n2)) END, 6) AS adc_cosine
+       |  FROM cdot d JOIN pqrn2 r ON d.corpus_id = r.vec_id
+       |  JOIN pqn n ON d.probe_id = n.probe_id)""".stripMargin
+  }
+
+  /** IVF×PQ top-5 per probe — routing and the PQ pipeline replayed. */
+  private def ivfTopKPqOracle: String =
+    s"""WITH $ivfPqScoredSql
+       |SELECT probe_id, corpus_id, adc_cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, adc_cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM cpairs) WHERE rn <= 5""".stripMargin
+
+  /** Recall@5 of the composed IVF×PQ serve vs the float brute force. */
+  private def annRecallIvfpqOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |$ivfPqScoredSql,
+       |approx AS (SELECT probe_id, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM cpairs) WHERE rn <= 5)
+       |SELECT e.probe_id,
+       |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
+       |GROUP BY e.probe_id""".stripMargin
 
   /** IVF routing (bootstrap cells, s DESC / c DESC tie-break — the
     * ivfOracle machinery) composed with int8 within-cell scoring: cells

