@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.fs.{Expressions, FeatureStore, Ingest, OfflineStore, OnlineStore, PointInTime, Registry, Schemas, Serving}
+import graft.fs.{Expressions, FeatureStore, Ingest, Layout, OfflineStore, OnlineStore, PointInTime, Registry, Schemas, Serving}
 import graft.ops.{Dedup, Multimodal, Quantiles, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** The registered query surface — one entry per implemented operator from
@@ -1949,6 +1949,40 @@ object Queries {
       .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
   }
 
+  /** Z-order clustering key over (user_id, value)
+    * ([[graft.fs.Layout.zorderKey]]): exact-percentile bucket boundaries
+    * (rounded 4 — the q_percentiles arithmetic DuckDB's quantile_cont
+    * matches), strictly-below bucket counts, bits interleaved low-to-high.
+    * The layout write this key drives is measured by
+    * [[graft.fs.Layout.layoutStats]] (ScaleProbe / SCALE.md); this query
+    * pins the key derivation itself. */
+  private def zorderKeyQ(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderKey(t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value")),
+      "user_id", "value", bits = 6)
+      .select(col("event_id"), col("__zb_a").as("b_user"),
+        col("__zb_b").as("b_val"), col("zkey"))
+
+  /** Manifest-pruned scan over a Z-ordered layout
+    * ([[graft.fs.Layout.prunedRead]]): events written Z-ordered on
+    * (user_id, value) with its min/max manifest, then a 2-D range read
+    * that hands Spark only the manifest-overlapping files plus the
+    * residual predicate. The oracle is the plain full-scan filter — the
+    * exactness claim IS that file skipping loses no rows. Layout write +
+    * manifest are session-memoized (the [[memoizedQueries]] class); the
+    * pruning receipt (files touched ≪ total) lives in LayoutSpec and the
+    * ScaleProbe r13d section. */
+  private def prunedScanQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("pruned:" + dir, s), _ => {
+      val base = scratchDir("graft_zscan").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 100.0, 130.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2686,7 +2720,8 @@ object Queries {
       "q_stream_minhash_retracted", "q_stream_dedup_retracted",
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
-      "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered")
+      "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
+      "q_pruned_scan")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2977,6 +3012,8 @@ object Queries {
     "q_ann_topk_pq_served" -> (annTopKPqServedQ _),
     "q_ivf_topk_pq" -> (ivfTopKPqQ _),
     "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
+    "q_zorder_key" -> (zorderKeyQ _),
+    "q_pruned_scan" -> (prunedScanQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3403,6 +3440,12 @@ object Queries {
     "q_ann_topk_pq_served" -> annTopKPqOracle,
     "q_ivf_topk_pq" -> ivfTopKPqOracle,
     "q_ann_recall_ivfpq" -> annRecallIvfpqOracle,
+    "q_zorder_key" -> zorderKeyOracle,
+    "q_pruned_scan" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 100 AND user_id <= 130
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (
@@ -5011,6 +5054,24 @@ object Queries {
        |${recallCte("r4", "rer", "recall_rerank")}
        |SELECT probe_id, recall_pq16, recall_pq64, recall_pq256, recall_rerank
        |FROM r1 JOIN r2 USING (probe_id) JOIN r3 USING (probe_id) JOIN r4 USING (probe_id)""".stripMargin
+  }
+
+  /** The Z-order key replayed: quantile_cont boundaries at i/64 rounded 4
+    * (matches the engine's exact percentile), bucket = count of
+    * boundaries strictly below (null value → empty filter → bucket 0),
+    * bits interleaved with >> / & / power-of-two literals verbatim. */
+  private def zorderKeyOracle: String = {
+    val fracs = (1 until 64).map(i => i.toDouble / 64).mkString(", ")
+    val inter = (0 until 6).map(j =>
+      s"((b_user >> $j) & 1) * ${1L << (2 * j)} + ((b_val >> $j) & 1) * ${1L << (2 * j + 1)}"
+    ).mkString(" + ")
+    s"""WITH ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM events),
+       |bb AS (SELECT list_transform(quantile_cont("value", [$fracs]), x -> round(x, 4)) AS b FROM events),
+       |r AS (SELECT event_id,
+       |    CAST(len(list_filter(ba.b, x -> e.user_id > x)) AS INTEGER) AS b_user,
+       |    CAST(len(list_filter(bb.b, x -> e."value" > x)) AS INTEGER) AS b_val
+       |  FROM events e CROSS JOIN ba CROSS JOIN bb)
+       |SELECT event_id, b_user, b_val, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
   }
 
   /** IVF routing composed with PQ-ADC scoring: the ivfOracle cell

@@ -356,6 +356,80 @@ object ScaleProbe {
       time("q_dup_spans_incremental", "/root/testdata/sf0.1")
       time("q_dup_spans_incremental", "/tmp/sfbig")
     }
+    // Round-13c: the Z-order layout receipt on real data — per-file
+    // min/max spread of (user_id, value) under natural, single-column,
+    // and Z-ordered writes of the events table. overlap_frac_* ≈ the
+    // fraction of files a point predicate on that column must touch.
+    if (inSection("r13c")) {
+      val base = java.nio.file.Files.createTempDirectory("graft-zprobe").toString
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sfbig")) {
+        val e = graft.Queries.readEvents(spark, dir)
+          .select("event_id", "user_id", "value")
+        timed(s"zorder write+stats @ $dir") {
+          val tag = dir.replaceAll("[^a-z0-9.]", "_")
+          e.repartition(32).write.mode("overwrite").parquet(s"$base/nat_$tag")
+          e.repartitionByRange(32, org.apache.spark.sql.functions.col("user_id"))
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite").parquet(s"$base/byuser_$tag")
+          graft.fs.Layout.writeZordered(e, s"$base/z_$tag",
+            "user_id", "value", bits = 6, numFiles = 32)
+          for (v <- Seq("nat", "byuser", "z")) {
+            val r = graft.fs.Layout.layoutStats(spark, s"$base/${v}_$tag",
+              "user_id", "value").collect()(0)
+            println(s"ZORDER $dir $v files=${r.getLong(0)} " +
+              s"frac_user=${r.getDouble(1)} frac_value=${r.getDouble(2)}")
+          }
+          0L
+        }
+      }
+    }
+    // Round-13d: what the manifest prune actually buys at read time —
+    // the 2-D range read on a Z-ordered layout via prunedRead (manifest
+    // consult + overlapping files only) vs the same predicate as a full
+    // scan of the same files. Also prints files kept / total.
+    if (inSection("r13d")) {
+      val base = java.nio.file.Files.createTempDirectory("graft-zscan-probe").toString
+      for (dir <- Seq("/root/testdata/sf0.1", "/tmp/sfbig")) {
+        val tag = dir.replaceAll("[^a-z0-9.]", "_")
+        val e = graft.Queries.readEvents(spark, dir)
+          .select("event_id", "user_id", "value")
+        graft.fs.Layout.writeZordered(e, s"$base/z_$tag",
+          "user_id", "value", bits = 6, numFiles = 32)
+        graft.fs.Layout.writeManifest(spark, s"$base/z_$tag", Seq("user_id", "value"))
+        val ranges = Seq(("user_id", 100.0, 130.0), ("value", 10.0, 60.0))
+        val kept = graft.fs.Layout.matchingFiles(spark, s"$base/z_$tag", ranges).length
+        println(s"PRUNE $dir files kept=$kept/32")
+        timed(s"pruned 2-D range @ $dir") {
+          graft.fs.Layout.prunedRead(spark, s"$base/z_$tag", ranges).count()
+        }
+        timed(s"full-scan 2-D range @ $dir") {
+          spark.read.parquet(s"$base/z_$tag")
+            .where(org.apache.spark.sql.functions.col("user_id").between(100, 130) &&
+              org.apache.spark.sql.functions.col("value").between(10, 60)).count()
+        }
+      }
+      // the file-count ladder: the prune's win scales with FILES skipped
+      // (listing + footer + task-schedule per file), not bytes — 512 files
+      // is the shape a 100 TB table actually has
+      locally {
+        val e = graft.Queries.readEvents(spark, "/tmp/sfbig")
+          .select("event_id", "user_id", "value")
+        graft.fs.Layout.writeZordered(e, s"$base/z512",
+          "user_id", "value", bits = 6, numFiles = 512)
+        graft.fs.Layout.writeManifest(spark, s"$base/z512", Seq("user_id", "value"))
+        val ranges = Seq(("user_id", 100.0, 130.0), ("value", 10.0, 60.0))
+        val kept = graft.fs.Layout.matchingFiles(spark, s"$base/z512", ranges).length
+        println(s"PRUNE /tmp/sfbig x512 files kept=$kept/512")
+        timed("pruned 2-D range @ sfbig 512 files") {
+          graft.fs.Layout.prunedRead(spark, s"$base/z512", ranges).count()
+        }
+        timed("full-scan 2-D range @ sfbig 512 files") {
+          spark.read.parquet(s"$base/z512")
+            .where(org.apache.spark.sql.functions.col("user_id").between(100, 130) &&
+              org.apache.spark.sql.functions.col("value").between(10, 60)).count()
+        }
+      }
+    }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
       // gated too, so a filtered run with the env flag set doesn't pay them

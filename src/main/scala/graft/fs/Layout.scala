@@ -1,0 +1,171 @@
+package graft.fs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data LAYOUT for scan pruning — the Z-order clustering
+  * write (the `OPTIMIZE ZORDER BY` idea re-expressed on plain parquet).
+  *
+  * Why it matters at 100 TB: parquet pruning is min/max-stat pruning per
+  * file/row-group, and a single-column sort gives perfect stats on ONE
+  * column and useless stats on every other. Interleaving the bits of
+  * per-column QUANTILE RANKS into one key and range-writing on it gives
+  * every participating column partially-ordered stats, so a 2-D predicate
+  * (key × metric, key × time) prunes on both — the difference between
+  * touching ~√F of F files and touching all of them.
+  *
+  * Determinism/cross-engine contract (q_zorder_key replays it): bucket
+  * boundaries are the engine's exact `percentile` at i/2^bits, rounded 4
+  * (the q_percentiles precedent — DuckDB's quantile_cont matches that
+  * arithmetic), a row's bucket is the COUNT of boundaries strictly below
+  * its value (nulls land in bucket 0, the nulls-first convention), and
+  * the key interleaves bucket bits low-to-high (column A takes even bit
+  * positions, B odd). Boundaries are a 2·(2^bits−1)-element driver
+  * literal — one aggregate pass, no global sort (a `ntile` formulation
+  * would be a single-partition window; this one scales). */
+object Layout {
+
+  /** Adds `__zb_a`, `__zb_b` (the per-column quantile buckets) and `zkey`
+    * (the interleaved Z-value) to `df`. `bits` bits per column — 2^bits
+    * buckets each, zkey in [0, 4^bits). */
+  def zorderKey(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = 6
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val nb = 1 << bits
+    val fracs = (1 until nb).map(i => i.toDouble / nb)
+    def boundaryExpr(c: String): Column = expr(
+      s"transform(percentile($c, array(${fracs.mkString(", ")})), x -> round(x, 4))")
+    // both columns' boundaries in ONE aggregate pass over the input; an
+    // all-null (or empty) column yields null boundaries → every row
+    // bucket 0, consistent with the nulls-first rule below
+    val row = df.agg(boundaryExpr(colA).as("ba"), boundaryExpr(colB).as("bb")).head()
+    val bA = Option(row.getSeq[Double](0)).getOrElse(Seq.empty)
+    val bB = Option(row.getSeq[Double](1)).getOrElse(Seq.empty)
+    // bucket = #boundaries strictly below the value; null comparisons are
+    // never true, so null/NaN-free columns distribute and nulls take 0
+    def bucketCol(c: String, bs: Seq[Double]): Column =
+      if (bs.isEmpty) lit(0)
+      else bs.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+    val withB = df
+      .withColumn("__zb_a", bucketCol(colA, bA))
+      .withColumn("__zb_b", bucketCol(colB, bB))
+    // interleave: A takes even bit positions, B odd — arithmetic only, so
+    // the oracle replays it with >> / & / integer literals verbatim
+    val zkey = (0 until bits).map { j =>
+      shiftright(col("__zb_a"), j).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * j)) +
+        shiftright(col("__zb_b"), j).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * j + 1))
+    }.reduce(_ + _)
+    withB.withColumn("zkey", zkey)
+  }
+
+  /** Write `df` Z-ordered on (colA, colB): derive `zkey`, range-partition
+    * into `numFiles` output files on it, sort within each, drop the
+    * working columns. Each output file then covers a compact Z-curve
+    * segment — a contiguous rectangle-ish region of (A, B) space — so its
+    * parquet min/max stats prune against predicates on EITHER column.
+    * One extra shuffle (the range exchange) at build time; reads pay
+    * nothing. [[layoutStats]] measures what it bought. */
+  def writeZordered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      bits: Int = 6,
+      numFiles: Int = 32
+  ): Unit =
+    zorderKey(df, colA, colB, bits)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("__zb_a", "__zb_b", "zkey")
+      .write.mode("overwrite").parquet(path)
+
+  /** Manifest path convention: a SIBLING directory, never inside the data
+    * path (a nested dir would surface in the data scan's own listing). */
+  def manifestPath(path: String): String = path.stripSuffix("/") + "__manifest"
+
+  /** Write the per-file min/max MANIFEST for `cols` — the file-skipping
+    * index ([[prunedRead]] consumes it). One column-pruned pass over the
+    * data, one tiny parquet out (≤ one row per data file).
+    *
+    * Why not just parquet footer stats? At 100 TB the footers ARE the
+    * cost: file-level min/max lives in per-file metadata, so skipping
+    * 10k of 10k files still lists and opens 10k footers. The manifest is
+    * ONE small table read once by the driver — the Delta/Iceberg
+    * data-skipping shape on plain parquet.
+    *
+    * Staleness contract: the manifest describes the layout AS WRITTEN —
+    * rewrite the data, rewrite the manifest (call this right after
+    * [[writeZordered]]; the pair is the commit unit). min/max ignore
+    * nulls, so an all-null file carries null bounds and is skipped by
+    * every range — consistent with range predicates never matching null. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .select(cols.map(col): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath(path))
+  }
+
+  /** The data files whose [min, max] envelope overlaps EVERY range —
+    * driver-side and manifest-sized by construction (≤ one row per file;
+    * this is the one collect the operator is allowed). */
+  def matchingFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): Array[String] = {
+    require(ranges.nonEmpty, "prune needs at least one range")
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    spark.read.parquet(manifestPath(path))
+      .where(keep).select("file").collect().map(_.getString(0))
+  }
+
+  /** Range-pruned read: consult the manifest, hand Spark ONLY the
+    * overlapping files, and apply the residual predicate to the rows
+    * inside them. Files outside every range are never listed, opened, or
+    * scheduled — on a Z-ordered layout a 2-D range touches the few files
+    * whose curve segment crosses the query rectangle ([[layoutStats]]'
+    * overlap_frac is the expected fraction). The residual filter keeps
+    * the result EXACTLY the full-scan filter (q_pruned_scan's oracle);
+    * pruning only ever removes files the predicate could not match. */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val files = matchingFiles(spark, path, ranges)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).where(resid)
+  }
+
+  /** Per-file min/max spread of two columns for a written layout — the
+    * pruning surface parquet stat-filters actually see. `overlap_frac_*`
+    * is the expected fraction of files a uniformly-placed point predicate
+    * on that column must touch (Σ widths / (range · files)): ~1/files for
+    * a perfectly clustered column, ~1 for an unclustered one. Z-order's
+    * claim is BOTH columns land well under 1 — [[writeZordered]]'s
+    * measured receipt, read straight off the written files. */
+  def layoutStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      colA: String, colB: String): DataFrame = {
+    val perFile = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(colA)).as("a_min"), max(col(colA)).as("a_max"),
+        min(col(colB)).as("b_min"), max(col(colB)).as("b_max"))
+    perFile.agg(
+      count(lit(1)).as("n_files"),
+      round((sum(col("a_max") - col("a_min")) /
+        ((max(col("a_max")) - min(col("a_min"))) * count(lit(1)))).cast("double"), 4)
+        .as("overlap_frac_a"),
+      round((sum(col("b_max") - col("b_min")) /
+        ((max(col("b_max")) - min(col("b_min"))) * count(lit(1)))).cast("double"), 4)
+        .as("overlap_frac_b"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.fs.Layout
+
+/** Z-order layout: key algebra + the measured pruning receipt — the
+  * written Z-ordered files must carry tight min/max stats on BOTH
+  * clustering columns, where a single-column sort helps one and the
+  * natural (arrival) layout helps neither. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a 100×100 uniform grid, arrival order striped so the natural layout
+  // spreads both columns across every file
+  private lazy val grid = spark.range(10000)
+    .select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") / lit(100)).cast("long").cast("double").as("b"))
+
+  test("zorderKey: buckets and key stay in range; equal inputs share keys; nulls take bucket 0") {
+    val keyed = Layout.zorderKey(grid, "a", "b", bits = 6)
+    val stats = keyed.agg(
+      min("__zb_a"), max("__zb_a"), min("__zb_b"), max("__zb_b"),
+      min("zkey"), max("zkey"), countDistinct("zkey")).head()
+    assert(stats.getInt(0) >= 0 && stats.getInt(1) <= 63)
+    assert(stats.getInt(2) >= 0 && stats.getInt(3) <= 63)
+    assert(stats.getLong(4) >= 0L && stats.getLong(5) < 4096L, s"zkey out of [0, 4^6): $stats")
+    // same (bucket, bucket) ⇒ same key: key count cannot exceed bucket-pair count
+    val pairs = keyed.select("__zb_a", "__zb_b").distinct().count()
+    assert(stats.getLong(6) == pairs, "zkey must be a function of the bucket pair")
+    // null column value lands in bucket 0
+    val n = Layout.zorderKey(
+      Seq((1L, Some(5.0), Option.empty[Double])).toDF("id", "a", "b"), "a", "b", bits = 2)
+      .select("__zb_b").head().getInt(0)
+    assert(n == 0, s"null must take bucket 0, got $n")
+  }
+
+  test("writeZordered: both columns prune; single-column sort only one; natural neither") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    def fracs(path: String): (Double, Double) = {
+      val r = Layout.layoutStats(spark, path, "a", "b").head()
+      (r.getDouble(1), r.getDouble(2))
+    }
+    // natural: arrival order stripes both columns across all files
+    grid.repartition(16).write.parquet(s"$base/natural")
+    // single-column: perfect on a, blind on b
+    grid.repartitionByRange(16, col("a"), col("id"))
+      .sortWithinPartitions("a").write.parquet(s"$base/bya")
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 16)
+    // row preservation + working columns dropped
+    val z = spark.read.parquet(s"$base/z")
+    assert(z.count() == 10000 && z.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val (na, nb) = fracs(s"$base/natural")
+    val (sa, sb) = fracs(s"$base/bya")
+    val (za, zb) = fracs(s"$base/z")
+    assert(na > 0.8 && nb > 0.8, s"natural layout should prune neither: $na / $nb")
+    assert(sa < 0.1 && sb > 0.8, s"single-column sort prunes a only: $sa / $sb")
+    assert(za < 0.6 && zb < 0.6, s"z-order must prune BOTH columns: $za / $zb")
+    assert(za < na / 2 && zb < nb / 2, s"z-order must at least halve both spreads: $za/$na, $zb/$nb")
+  }
+
+  test("prunedRead: equals the full-scan filter, touches few files on z-order, all on natural") {
+    val base = java.nio.file.Files.createTempDirectory("graft-pruned").toString
+    grid.repartition(16).write.parquet(s"$base/natural")
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 16)
+    for (v <- Seq("natural", "z")) Layout.writeManifest(spark, s"$base/$v", Seq("a", "b"))
+    val ranges = Seq(("a", 20.0, 35.0), ("b", 40.0, 55.0))
+    // exactness: file skipping + residual ≡ the full-scan filter, both ways
+    val full = spark.read.parquet(s"$base/z")
+      .where(col("a").between(20.0, 35.0) && col("b").between(40.0, 55.0))
+    val pruned = Layout.prunedRead(spark, s"$base/z", ranges)
+    assert(pruned.count() == 16 * 16)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned read must equal the full-scan filter")
+    // the receipt: a compact 2-D rectangle touches a fraction of the
+    // z-ordered files but EVERY naturally-laid file (each spans all of
+    // (a, b) space, so none can be skipped)
+    val zKept = Layout.matchingFiles(spark, s"$base/z", ranges).length
+    val nKept = Layout.matchingFiles(spark, s"$base/natural", ranges).length
+    assert(nKept == 16, s"natural layout cannot skip: kept $nKept/16")
+    assert(zKept <= 8, s"z-order must skip at least half the files: kept $zKept/16")
+    // empty selection: schema intact, zero rows, no file ever opened
+    val none = Layout.prunedRead(spark, s"$base/z", Seq(("a", 1e6, 2e6)))
+    assert(none.count() == 0 && none.columns.sorted.toSeq == Seq("a", "b", "id"))
+    // all-null bounds are skipped by every range (nulls never match a range)
+    import spark.implicits._
+    Seq((1L, Option.empty[Double], Some(1.0)), (2L, None, Some(2.0)))
+      .toDF("id", "a", "b").write.parquet(s"$base/nullcol")
+    Layout.writeManifest(spark, s"$base/nullcol", Seq("a", "b"))
+    assert(Layout.matchingFiles(spark, s"$base/nullcol", Seq(("a", 0.0, 10.0))).isEmpty)
+    assert(Layout.prunedRead(spark, s"$base/nullcol", Seq(("a", 0.0, 10.0))).count() == 0)
+  }
+}
