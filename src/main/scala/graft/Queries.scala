@@ -1978,8 +1978,11 @@ object Queries {
       val e = t(s, dir, "events").select("event_id", "user_id", "value")
       fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6, numFiles = 32)
       fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      // range chosen to be populated at EVERY test SF (user_id tops out
+      // at 14 at sf0.001 — the ContractSpec smoke) while staying narrow
+      // in quantile space at sf0.1
       fs.Layout.prunedRead(s, s"$base/z",
-        Seq(("user_id", 100.0, 130.0), ("value", 10.0, 60.0)))
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
@@ -3444,7 +3447,7 @@ object Queries {
     "q_pruned_scan" ->
       """SELECT event_id, user_id, "value"
         |FROM events
-        |WHERE user_id >= 100 AND user_id <= 130
+        |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
