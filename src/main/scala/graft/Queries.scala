@@ -1986,6 +1986,24 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** Point lookup through the hash-membership file index
+    * ([[graft.fs.Layout.pointRead]]): events landed as an UNCLUSTERED
+    * layout (arrival order — min/max envelopes on event_id span the whole
+    * range, so the manifest class can skip nothing), indexed by
+    * per-file distinct xxhash64 buckets, then probed for one id. The
+    * oracle is the full-scan equality filter — exactness IS the claim;
+    * the skipping receipt (1-2 files of 16 touched where min/max keeps
+    * all 16) lives in LayoutSpec. */
+  private def pointLookupQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("vindex:" + dir, s), _ => {
+      val base = scratchDir("graft_vindex").toString
+      t(s, dir, "events").select("event_id", "user_id", "value")
+        .repartition(16).write.parquet(s"$base/nat")
+      fs.Layout.writeValueIndex(s, s"$base/nat", "event_id")
+      fs.Layout.pointRead(s, s"$base/nat", "event_id", lit(777L))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -2724,7 +2742,7 @@ object Queries {
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
-      "q_pruned_scan")
+      "q_pruned_scan", "q_point_lookup")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -3017,6 +3035,7 @@ object Queries {
     "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
     "q_zorder_key" -> (zorderKeyQ _),
     "q_pruned_scan" -> (prunedScanQ _),
+    "q_point_lookup" -> (pointLookupQ _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3449,6 +3468,8 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    "q_point_lookup" ->
+      """SELECT event_id, user_id, "value" FROM events WHERE event_id = 777""",
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (

@@ -146,6 +146,65 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*).where(resid)
   }
 
+  /** Value-index path convention: sibling of the data, like the manifest. */
+  def valueIndexPath(path: String, c: String): String =
+    path.stripSuffix("/") + s"__vindex_$c"
+
+  /** Write the HASH-MEMBERSHIP file index for `c` — the skipping class
+    * min/max stats cannot cover. A point predicate on an UNCLUSTERED
+    * high-cardinality key (an id spread across arrival order) matches
+    * every file's [min, max] envelope, so [[prunedRead]] skips nothing;
+    * membership is what's needed, not bounds. Per file this stores the
+    * DISTINCT values of `pmod(xxhash64(c), buckets)` — the bitmap/bloom
+    * index idea with the bit-set kept as a plain int array, readable by
+    * any engine.
+    *
+    * Sizing honesty (the production contract): ≤ min(distinct-per-file,
+    * buckets) ints per file — ~256 KiB worst case at the 2^16 default,
+    * versus the manifest's two doubles. The false-positive rate per file
+    * is distinct-per-file / buckets (~1% at 625 distinct / 2^16), so a
+    * probe touches the true files plus ~fp·files others; `buckets` trades
+    * index bytes against wasted file opens. Same staleness contract as
+    * [[writeManifest]]: rewrite data ⇒ rewrite index. */
+  def writeValueIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, buckets: Int = 1 << 16): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    spark.read.parquet(path)
+      .select(col(c))
+      .groupBy(input_file_name().as("file"))
+      .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(valueIndexPath(path, c))
+  }
+
+  /** The files whose hash set contains the probe value's bucket —
+    * driver-side and index-sized (≤ one row per file), possibly a small
+    * false-positive overhang, never a miss (same-engine hash on both
+    * sides; the probe literal is cast to the stored column's type first,
+    * since xxhash64 is type-width-sensitive). */
+  def pointLookupFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, value: Column, buckets: Int = 1 << 16): Array[String] = {
+    val colType = spark.read.parquet(path).schema(c).dataType
+    val h = spark.range(1)
+      .select(pmod(xxhash64(value.cast(colType)), lit(buckets.toLong)))
+      .head().getLong(0)
+    spark.read.parquet(valueIndexPath(path, c))
+      .where(array_contains(col("hset"), h))
+      .select("file").collect().map(_.getString(0))
+  }
+
+  /** Point-lookup read through the value index: open only the files that
+    * can contain `value`, then the exact residual filter. Exactness ≡ the
+    * full-scan equality filter (q_point_lookup's oracle); the index only
+    * ever removes files whose hash set lacks the probe bucket, and a null
+    * probe returns no rows (equality never matches null). */
+  def pointRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, value: Column, buckets: Int = 1 << 16): DataFrame = {
+    val files = pointLookupFiles(spark, path, c, value, buckets)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).where(col(c) === value)
+  }
+
   /** Per-file min/max spread of two columns for a written layout — the
     * pruning surface parquet stat-filters actually see. `overlap_frac_*`
     * is the expected fraction of files a uniformly-placed point predicate

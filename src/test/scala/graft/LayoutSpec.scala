@@ -90,4 +90,33 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.matchingFiles(spark, s"$base/nullcol", Seq(("a", 0.0, 10.0))).isEmpty)
     assert(Layout.prunedRead(spark, s"$base/nullcol", Seq(("a", 0.0, 10.0))).count() == 0)
   }
+
+  test("pointRead: exact on hits and misses; hash index skips where min/max cannot") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vindex").toString
+    // ids striped mod 16 across files: every file's [min, max] envelope
+    // spans nearly the whole id range — the adversarial case for the
+    // min/max manifest, the home case for hash membership
+    spark.range(10000).select(col("id"), (col("id") * 2).as("payload"))
+      .repartitionByRange(16, col("id") % 16)
+      .write.parquet(s"$base/striped")
+    Layout.writeManifest(spark, s"$base/striped", Seq("id"))
+    Layout.writeValueIndex(spark, s"$base/striped", "id")
+    // min/max keeps every file for a point range... (range-partitioning a
+    // 16-value key may coalesce to fewer files; count relative to actual)
+    val total = spark.read.parquet(s"$base/striped")
+      .select(input_file_name()).distinct().count()
+    assert(total >= 8, s"striping degenerated to $total files")
+    assert(Layout.matchingFiles(spark, s"$base/striped",
+      Seq(("id", 777.0, 777.0))).length == total, "striped envelopes defeat min/max")
+    // ...the hash index keeps the one true file plus at most tiny fp spill
+    val kept = Layout.pointLookupFiles(spark, s"$base/striped", "id", lit(777L))
+    assert(kept.length >= 1 && kept.length <= 3, s"hash index kept ${kept.length}/$total")
+    // exactness: the hit
+    val hit = Layout.pointRead(spark, s"$base/striped", "id", lit(777L)).collect()
+    assert(hit.length == 1 && hit(0).getLong(0) == 777L && hit(0).getLong(1) == 1554L)
+    // exactness: the miss — zero rows even if a false-positive file opens
+    assert(Layout.pointRead(spark, s"$base/striped", "id", lit(123456L)).count() == 0)
+    // type-width sensitivity is handled: an Int literal probes a Long column
+    assert(Layout.pointRead(spark, s"$base/striped", "id", lit(777)).count() == 1)
+  }
 }
