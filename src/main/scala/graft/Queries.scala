@@ -632,6 +632,63 @@ object Queries {
           col("dup_ratio"), col("batch").cast("int"))
     })
 
+  /** Span-bank RETRACTION under the hard oracle — the takedown cell that
+    * completes the span family's lifecycle matrix (the r13 verdict's
+    * missing row): three mtime-ordered doc_id-mod-4 shards build the bank
+    * ([[graft.streaming.OnlineRefresh.spanBankIngestStream]]), the
+    * batch-1 docs are then retracted
+    * ([[graft.streaming.OnlineRefresh.retractSpanBank]] — their window
+    * fps re-derived once and anti-joined out of every bank partition),
+    * and the held-out shard 3 is served against the surviving bank
+    * ([[graft.ops.Dedup.duplicateSpansAgainst]]). The oracle replays the
+    * operation's exact semantics: bank ∖ fps(batch-1 docs) — a SET
+    * minus; the rebuild-over-survivors equivalence (which additionally
+    * needs span-disjointness) is StreamingSpec's pin. */
+  private def streamSpanRetracted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_span_ret:$dir", s), { _ =>
+      val src = scratchDir("graft_sspr_src")
+      val out = scratchDir("graft_sspr_out")
+      val ck = scratchDir("graft_sspr_ck")
+      stageOrderedFiles((0 until 3).map(i => t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === i)), src, "graft_sspr_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.spanBankIngestStream(s, src.toString, schema,
+        out.toString, ck.toString, width = 8, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      streaming.OnlineRefresh.retractSpanBank(s, out.toString,
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(4)) === 1), width = 8)
+      ops.Dedup.duplicateSpansAgainst(
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(4)) === 3),
+        streaming.OnlineRefresh.readSpanBank(s, out.toString), width = 8)
+    })
+
+  /** Span-bank COMPACTION under the hard oracle — the family's LSM merge
+    * step: the same three-shard ingest in its own fixture dir, then
+    * [[graft.streaming.OnlineRefresh.compactSpanBank]] folds the two
+    * committed epochs into the oldest partition through `distinct()`
+    * (the bank is consumed as a set, so the fold's read-equivalence is
+    * trivial — and it physically removes cross-epoch fp repeats), and
+    * shard 3 is served against the compacted bank. The oracle is the
+    * UNCOMPACTED serve — coverage of shard 3 vs the distinct fps of
+    * shards 0-2 — so compaction provably cannot move served output. */
+  private def streamSpanCompacted(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_span_cmp:$dir", s), { _ =>
+      val src = scratchDir("graft_sspc_src")
+      val out = scratchDir("graft_sspc_out")
+      val ck = scratchDir("graft_sspc_ck")
+      stageOrderedFiles((0 until 3).map(i => t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(4)) === i)), src, "graft_sspc_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.spanBankIngestStream(s, src.toString, schema,
+        out.toString, ck.toString, width = 8, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      require(streaming.OnlineRefresh.compactSpanBank(s, out.toString),
+        "3 bank epochs must compact")
+      ops.Dedup.duplicateSpansAgainst(
+        t(s, dir, "documents").where(pmod(col("doc_id"), lit(4)) === 3),
+        streaming.OnlineRefresh.readSpanBank(s, out.toString), width = 8)
+    })
+
   /** Stage the documents table as four doc_id-mod-4 shard files with
     * mtimes spaced 60 s apart: the file source delivers oldest-first, so
     * batch i == shard i deterministically — the fixture both order-
@@ -1950,18 +2007,40 @@ object Queries {
   }
 
   /** Z-order clustering key over (user_id, value)
-    * ([[graft.fs.Layout.zorderKey]]): exact-percentile bucket boundaries
-    * (rounded 4 — the q_percentiles arithmetic DuckDB's quantile_cont
-    * matches), strictly-below bucket counts, bits interleaved low-to-high.
-    * The layout write this key drives is measured by
-    * [[graft.fs.Layout.layoutStats]] (ScaleProbe / SCALE.md); this query
-    * pins the key derivation itself. */
+    * ([[graft.fs.Layout.zorderKey]]) on the SCALE-SAFE build path:
+    * boundaries are the exact percentile (rounded 4 — the q_percentiles
+    * arithmetic DuckDB's quantile_cont matches) over the deterministic
+    * 1-in-8 [[graft.fs.Layout.sampleKeep]] sample of event_id — the
+    * oracle replays the LCG sample predicate verbatim, so determinism
+    * holds cross-engine while the build step's aggregate buffers n/8
+    * values instead of every distinct value of both columns (the r13
+    * verdict's named 100 TB build killer). Buckets are strictly-below
+    * counts, bits interleaved low-to-high. The layout write this key
+    * drives is measured by [[graft.fs.Layout.layoutStats]] (ScaleProbe /
+    * SCALE.md); this query pins the key derivation itself. */
   private def zorderKeyQ(s: SparkSession, dir: String): DataFrame =
     Layout.zorderKey(t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("value")),
-      "user_id", "value", bits = 6)
+      "user_id", "value", bits = 6, sampleBy = Some(("event_id", 8)))
       .select(col("event_id"), col("__zb_a").as("b_user"),
         col("__zb_b").as("b_val"), col("zkey"))
+
+  /** 3-column Z-order key ([[graft.fs.Layout.zorderKeyCols]]) over
+    * (user_id, value, floor-seconds of ts) — real tables prune on
+    * key × metric × time, and the round-robin interleave puts column i's
+    * bit j at key position j·3+i. bits=4 keeps the zkey in [0, 2^12);
+    * boundaries from the same sampled-exact-percentile build as
+    * q_zorder_key. ts enters as `unix_timestamp` (floored epoch seconds
+    * — DuckDB replays `floor(epoch(ts))`). */
+  private def zorderKey3Q(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderKeyCols(
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_timestamp(col("ts")).as("ts_sec")),
+      Seq("user_id", "value", "ts_sec"), bits = 4,
+      sampleBy = Some(("event_id", 8)))
+      .select(col("event_id"), col("__zb_0").as("b_user"),
+        col("__zb_1").as("b_val"), col("__zb_2").as("b_ts"), col("zkey"))
 
   /** Manifest-pruned scan over a Z-ordered layout
     * ([[graft.fs.Layout.prunedRead]]): events written Z-ordered on
@@ -1976,7 +2055,8 @@ object Queries {
     fixtureMemo.computeIfAbsent(("pruned:" + dir, s), _ => {
       val base = scratchDir("graft_zscan").toString
       val e = t(s, dir, "events").select("event_id", "user_id", "value")
-      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6, numFiles = 32)
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6,
+        numFiles = 32, sampleBy = Some(("event_id", 8)))
       fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
       // range chosen to be populated at EVERY test SF (user_id tops out
       // at 14 at sf0.001 — the ContractSpec smoke) while staying narrow
@@ -2742,7 +2822,9 @@ object Queries {
       "q_stream_bm25_retracted", "q_ivf_retract_compact",
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
-      "q_pruned_scan", "q_point_lookup")
+      "q_pruned_scan", "q_point_lookup", "q_stream_span_coverage",
+      "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index",
+      "q_pq_drift")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2909,6 +2991,8 @@ object Queries {
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
     "q_stream_span_coverage" -> (streamSpanCoverage _),
+    "q_stream_span_retracted" -> (streamSpanRetracted _),
+    "q_stream_span_compacted" -> (streamSpanCompacted _),
     "q_stream_minhash_incremental" -> (streamMinhashIncremental _),
     "q_stream_quantile" -> (streamQuantile _),
     "q_stream_decontaminate" -> (streamDecontaminate _),
@@ -3034,6 +3118,7 @@ object Queries {
     "q_ivf_topk_pq" -> (ivfTopKPqQ _),
     "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
     "q_zorder_key" -> (zorderKeyQ _),
+    "q_zorder_key3" -> (zorderKey3Q _),
     "q_pruned_scan" -> (prunedScanQ _),
     "q_point_lookup" -> (pointLookupQ _),
     "q_lsh_topk" -> (lshTopKQ _),
@@ -3245,6 +3330,8 @@ object Queries {
     "q_stream_kmv" -> distinctKmvOracle,
     "q_stream_dedup_incremental" -> streamDedupIncrementalOracle,
     "q_stream_span_coverage" -> streamSpanCoverageOracle,
+    "q_stream_span_retracted" -> streamSpanRetractedOracle,
+    "q_stream_span_compacted" -> streamSpanCompactedOracle,
     "q_stream_minhash_incremental" -> streamMinhashIncrementalOracle,
     "q_stream_quantile" -> quantileSketchOracle,
     "q_stream_decontaminate" -> streamDecontaminateOracle,
@@ -3463,6 +3550,7 @@ object Queries {
     "q_ivf_topk_pq" -> ivfTopKPqOracle,
     "q_ann_recall_ivfpq" -> annRecallIvfpqOracle,
     "q_zorder_key" -> zorderKeyOracle,
+    "q_zorder_key3" -> zorderKey3Oracle,
     "q_pruned_scan" ->
       """SELECT event_id, user_id, "value"
         |FROM events
@@ -5080,22 +5168,55 @@ object Queries {
        |FROM r1 JOIN r2 USING (probe_id) JOIN r3 USING (probe_id) JOIN r4 USING (probe_id)""".stripMargin
   }
 
+  /** The [[graft.fs.Layout.sampleKeep]] LCG sample predicate replayed
+    * verbatim — plain `%`/`*`/`//` int64 arithmetic, no engine hash. */
+  private def zSampleSql(idCol: String, every: Int): String =
+    s"((($idCol % 2147483648) * 1103515245 + 12345) % 2147483648) // 32768 % $every = 0"
+
   /** The Z-order key replayed: quantile_cont boundaries at i/64 rounded 4
-    * (matches the engine's exact percentile), bucket = count of
-    * boundaries strictly below (null value → empty filter → bucket 0),
-    * bits interleaved with >> / & / power-of-two literals verbatim. */
+    * (matches the engine's exact percentile) over the SAME deterministic
+    * 1-in-8 LCG sample the engine derives boundaries from, bucket =
+    * count of boundaries strictly below (null value → empty filter →
+    * bucket 0), bits interleaved with >> / & / power-of-two literals
+    * verbatim. */
   private def zorderKeyOracle: String = {
     val fracs = (1 until 64).map(i => i.toDouble / 64).mkString(", ")
+    val keep = zSampleSql("event_id", 8)
     val inter = (0 until 6).map(j =>
       s"((b_user >> $j) & 1) * ${1L << (2 * j)} + ((b_val >> $j) & 1) * ${1L << (2 * j + 1)}"
     ).mkString(" + ")
-    s"""WITH ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM events),
-       |bb AS (SELECT list_transform(quantile_cont("value", [$fracs]), x -> round(x, 4)) AS b FROM events),
+    s"""WITH smp AS (SELECT user_id, "value" FROM events WHERE $keep),
+       |ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |bb AS (SELECT list_transform(quantile_cont("value", [$fracs]), x -> round(x, 4)) AS b FROM smp),
        |r AS (SELECT event_id,
        |    CAST(len(list_filter(ba.b, x -> e.user_id > x)) AS INTEGER) AS b_user,
        |    CAST(len(list_filter(bb.b, x -> e."value" > x)) AS INTEGER) AS b_val
        |  FROM events e CROSS JOIN ba CROSS JOIN bb)
        |SELECT event_id, b_user, b_val, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
+  }
+
+  /** The 3-column Z-order key replayed — same sampled-boundary machinery,
+    * third dimension = floor(epoch(ts)) (Spark's `unix_timestamp`),
+    * round-robin interleave at positions j·3+i. */
+  private def zorderKey3Oracle: String = {
+    val fracs = (1 until 16).map(i => i.toDouble / 16).mkString(", ")
+    val keep = zSampleSql("event_id", 8)
+    val inter = (for {
+      j <- 0 until 4
+      (c, i) <- Seq("b_user", "b_val", "b_ts").zipWithIndex
+    } yield s"(($c >> $j) & 1) * ${1L << (j * 3 + i)}").mkString(" + ")
+    s"""WITH src AS (SELECT event_id, user_id, "value",
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+       |smp AS (SELECT user_id, "value", ts_sec FROM src WHERE $keep),
+       |ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |bb AS (SELECT list_transform(quantile_cont("value", [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |bc AS (SELECT list_transform(quantile_cont(ts_sec, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |r AS (SELECT event_id,
+       |    CAST(len(list_filter(ba.b, x -> e.user_id > x)) AS INTEGER) AS b_user,
+       |    CAST(len(list_filter(bb.b, x -> e."value" > x)) AS INTEGER) AS b_val,
+       |    CAST(len(list_filter(bc.b, x -> e.ts_sec > x)) AS INTEGER) AS b_ts
+       |  FROM src e CROSS JOIN ba CROSS JOIN bb CROSS JOIN bc)
+       |SELECT event_id, b_user, b_val, b_ts, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
   }
 
   /** IVF routing composed with PQ-ADC scoring: the ivfOracle cell
@@ -5227,6 +5348,36 @@ object Queries {
        |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
        |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
        |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** The shared serve tail: incoming docs (CTE `w`) scored against a
+    * fingerprint set (CTE `bank`) — duplicateSpansAgainst replayed. */
+  private def spanServeTailSql: String =
+    s"""ex AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+       |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dw FROM ex JOIN bank USING (fp) GROUP BY 1)
+       |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_windows,
+       |  CAST(coalesce(pd.dw, 0) AS BIGINT) AS dup_windows,
+       |  round(CASE WHEN len(fps) > 0 THEN CAST(coalesce(pd.dw, 0) AS DOUBLE) / CAST(len(fps) AS DOUBLE) ELSE 0.0 END, 6) AS dup_ratio
+       |FROM w LEFT JOIN pd USING (doc_id)""".stripMargin
+
+  /** Span-bank retraction replayed as the SET MINUS it is: surviving
+    * bank = fps(shards 0-2) ∖ fps(batch-1 docs), shard 3 served
+    * against it. */
+  private def streamSpanRetractedOracle: String =
+    s"""WITH ${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 4 IN (0, 1, 2))", "s")},
+       |${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 4 = 1)", "r")},
+       |${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 4 = 3)")},
+       |bank AS (SELECT DISTINCT unnest(fps) AS fp FROM ws
+       |  EXCEPT SELECT DISTINCT unnest(fps) AS fp FROM wr),
+       |$spanServeTailSql""".stripMargin
+
+  /** Span-bank compaction's serve-equivalence: the compacted bank must
+    * serve exactly the uncompacted one — shard 3 vs the distinct fps of
+    * shards 0-2. */
+  private def streamSpanCompactedOracle: String =
+    s"""WITH ${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 4 IN (0, 1, 2))", "s")},
+       |${spanFpCte(8, "(SELECT * FROM documents WHERE doc_id % 4 = 3)")},
+       |bank AS (SELECT DISTINCT unnest(fps) AS fp FROM ws),
+       |$spanServeTailSql""".stripMargin
 
   /** The streaming span-coverage fold replayed via FIRST arrivals: with
     * batch = doc_id % 4 (the mtime-staged shard membership), a window

@@ -19,48 +19,116 @@ import org.apache.spark.sql.functions._
   * (the q_percentiles precedent — DuckDB's quantile_cont matches that
   * arithmetic), a row's bucket is the COUNT of boundaries strictly below
   * its value (nulls land in bucket 0, the nulls-first convention), and
-  * the key interleaves bucket bits low-to-high (column A takes even bit
-  * positions, B odd). Boundaries are a 2·(2^bits−1)-element driver
-  * literal — one aggregate pass, no global sort (a `ntile` formulation
-  * would be a single-partition window; this one scales). */
+  * the key interleaves bucket bits low-to-high round-robin (for 2
+  * columns: A takes even bit positions, B odd). Boundaries are a
+  * k·(2^bits−1)-element driver literal — one aggregate pass over a
+  * deterministic [[sampleKeep]] sample (the scale-safe build path; pass
+  * no sample for exact full-input boundaries at test SF), no global sort
+  * (a `ntile` formulation would be a single-partition window). */
 object Layout {
 
-  /** Adds `__zb_a`, `__zb_b` (the per-column quantile buckets) and `zkey`
-    * (the interleaved Z-value) to `df`. `bits` bits per column — 2^bits
-    * buckets each, zkey in [0, 4^bits). */
-  def zorderKey(
+  /** The deterministic boundary-derivation SAMPLE predicate: a glibc-
+    * constant LCG over a non-negative integer id column, keeping rows
+    * whose mixed HIGH bits land in residue 0 mod `every`. Exactly the
+    * arithmetic `(((id % 2^31) * 1103515245 + 12345) % 2^31 // 2^15) %
+    * every = 0` — plain `%`/`*`/`//` on int64, so any engine replays it
+    * verbatim (the q_zorder_key oracle does, in DuckDB). High bits
+    * because an LCG's low bit k has period 2^(k+1): bits 15.. give a
+    * uniform 1/every systematic sample over sequential ids AND a
+    * well-spread one over arbitrary non-negative ids.
+    *
+    * Why sample at all: boundary derivation via exact `percentile` over
+    * the FULL input buffers every distinct value of every Z column in one
+    * aggregate group — per-partition distinct maps merged into a single
+    * reducer. At test SF that's nothing; at 100 TB of near-unique doubles
+    * the BUILD step OOMs before the layout pays off. Exact percentile
+    * over a deterministic 1/every sample keeps the cross-engine
+    * determinism contract (same rows → same boundaries in both engines)
+    * while bounding build memory by n/every; bucket-boundary QUALITY only
+    * needs the sample's quantiles to approximate the population's, which
+    * holds at any real file count (≥ thousands of sampled rows per
+    * boundary at scale). `every = 1` keeps the exact full-input path. */
+  def sampleKeep(idCol: String, every: Int): Column = {
+    require(every >= 1, s"sampleEvery must be >= 1, got $every")
+    val state = pmod(
+      pmod(col(idCol), lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+    pmod(floor(state / lit(32768L)).cast("long"), lit(every.toLong)) === lit(0L)
+  }
+
+  /** Adds `__zb_0..__zb_{k-1}` (the per-column quantile buckets) and
+    * `zkey` (the round-robin bit-interleaved Z-value) to `df`. `bits`
+    * bits per column — 2^bits buckets each, zkey in [0, 2^(k·bits)).
+    * Column i's bit j lands at key position `j·k + i` — for k=2 that is
+    * the classic even/odd interleave. Boundaries derive from the
+    * [[sampleKeep]] rows of `sampleBy = (idCol, every)`; pass
+    * `every = 1` (or leave the default `None`) for the exact full-input
+    * boundaries — correct at test SF, a build-step scale-killer at
+    * 100 TB (see [[sampleKeep]]). */
+  def zorderKeyCols(
       df: DataFrame,
-      colA: String,
-      colB: String,
-      bits: Int = 6
+      cols: Seq[String],
+      bits: Int = 6,
+      sampleBy: Option[(String, Int)] = None
   ): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
+    require(cols.size * bits <= 62, "k*bits must fit a long zkey")
     val nb = 1 << bits
     val fracs = (1 until nb).map(i => i.toDouble / nb)
     def boundaryExpr(c: String): Column = expr(
       s"transform(percentile($c, array(${fracs.mkString(", ")})), x -> round(x, 4))")
-    // both columns' boundaries in ONE aggregate pass over the input; an
-    // all-null (or empty) column yields null boundaries → every row
-    // bucket 0, consistent with the nulls-first rule below
-    val row = df.agg(boundaryExpr(colA).as("ba"), boundaryExpr(colB).as("bb")).head()
-    val bA = Option(row.getSeq[Double](0)).getOrElse(Seq.empty)
-    val bB = Option(row.getSeq[Double](1)).getOrElse(Seq.empty)
+    // all columns' boundaries in ONE aggregate pass over the (sampled)
+    // input; an all-null (or empty) column yields null boundaries →
+    // every row bucket 0, consistent with the nulls-first rule below
+    val src = sampleBy match {
+      case Some((id, every)) if every > 1 => df.where(sampleKeep(id, every))
+      case _ => df
+    }
+    val row = src
+      .agg(boundaryExpr(cols.head).as("b0"),
+        cols.tail.zipWithIndex.map { case (c, i) =>
+          boundaryExpr(c).as(s"b${i + 1}")
+        }: _*)
+      .head()
+    val bounds = cols.indices.map(i =>
+      Option(row.getSeq[Double](i)).getOrElse(Seq.empty))
     // bucket = #boundaries strictly below the value; null comparisons are
     // never true, so null/NaN-free columns distribute and nulls take 0
     def bucketCol(c: String, bs: Seq[Double]): Column =
       if (bs.isEmpty) lit(0)
       else bs.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
-    val withB = df
-      .withColumn("__zb_a", bucketCol(colA, bA))
-      .withColumn("__zb_b", bucketCol(colB, bB))
-    // interleave: A takes even bit positions, B odd — arithmetic only, so
-    // the oracle replays it with >> / & / integer literals verbatim
-    val zkey = (0 until bits).map { j =>
-      shiftright(col("__zb_a"), j).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * j)) +
-        shiftright(col("__zb_b"), j).bitwiseAND(lit(1)).cast("long") * lit(1L << (2 * j + 1))
-    }.reduce(_ + _)
+    val withB = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__zb_$i", bucketCol(c, bounds(i)))
+    }
+    // round-robin interleave — arithmetic only, so the oracle replays it
+    // with >> / & / integer literals verbatim
+    val k = cols.size
+    val zkey = (for {
+      j <- 0 until bits
+      i <- 0 until k
+    } yield shiftright(col(s"__zb_$i"), j).bitwiseAND(lit(1)).cast("long") *
+      lit(1L << (j * k + i))).reduce(_ + _)
     withB.withColumn("zkey", zkey)
   }
+
+  /** Working-column names [[zorderKeyCols]] adds for k columns. */
+  def zorderWorkCols(k: Int): Seq[String] =
+    (0 until k).map(i => s"__zb_$i") :+ "zkey"
+
+  /** 2-column Z-order key under the historical `__zb_a`/`__zb_b` names
+    * (column A even bit positions, B odd — identical to the k=2
+    * round-robin). */
+  def zorderKey(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int = 6,
+      sampleBy: Option[(String, Int)] = None
+  ): DataFrame =
+    zorderKeyCols(df, Seq(colA, colB), bits, sampleBy)
+      .withColumnRenamed("__zb_0", "__zb_a")
+      .withColumnRenamed("__zb_1", "__zb_b")
 
   /** Write `df` Z-ordered on (colA, colB): derive `zkey`, range-partition
     * into `numFiles` output files on it, sort within each, drop the
@@ -75,12 +143,29 @@ object Layout {
       colA: String,
       colB: String,
       bits: Int = 6,
-      numFiles: Int = 32
+      numFiles: Int = 32,
+      sampleBy: Option[(String, Int)] = None
   ): Unit =
-    zorderKey(df, colA, colB, bits)
+    zorderKey(df, colA, colB, bits, sampleBy)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop("__zb_a", "__zb_b", "zkey")
+      .write.mode("overwrite").parquet(path)
+
+  /** k-column Z-ordered write — [[zorderKeyCols]]' key, the same range
+    * exchange + in-file sort. */
+  def writeZorderedCols(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      bits: Int = 6,
+      numFiles: Int = 32,
+      sampleBy: Option[(String, Int)] = None
+  ): Unit =
+    zorderKeyCols(df, cols, bits, sampleBy)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(cols.size): _*)
       .write.mode("overwrite").parquet(path)
 
   /** Manifest path convention: a SIBLING directory, never inside the data
@@ -99,7 +184,10 @@ object Layout {
     *
     * Staleness contract: the manifest describes the layout AS WRITTEN —
     * rewrite the data, rewrite the manifest (call this right after
-    * [[writeZordered]]; the pair is the commit unit). min/max ignore
+    * [[writeZordered]]; the pair is the commit unit). ENFORCED at read
+    * time: [[matchingFiles]]/[[pointLookupFiles]] compare the live
+    * directory listing against the index's file set and throw on
+    * mismatch rather than silently dropping rows. min/max ignore
     * nulls, so an all-null file carries null bounds and is skipped by
     * every range — consistent with range predicates never matching null. */
   def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -115,17 +203,62 @@ object Layout {
       .write.mode("overwrite").parquet(manifestPath(path))
   }
 
+  /** The basenames of the data files actually present under `path` — one
+    * driver-side listing RPC (milliseconds at 10^5 files), the price of
+    * the staleness guard below. Hidden/metadata entries (`_SUCCESS`,
+    * `.crc`) are excluded, matching what a parquet scan would read. */
+  private def listedDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.listStatus(p).iterator
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.getName).toSet
+  }
+
+  /** ENFORCE the staleness contract: the index's recorded file set must
+    * equal the directory's actual file set, else pruning would hand Spark
+    * a subset of the data and return a silently incomplete RESULT (a
+    * wrong answer, not a slow plan). Compared by basename — the manifest
+    * records full `input_file_name()` URIs whose scheme/prefix need not
+    * match the read-side path string, but all files live in one
+    * directory, so basenames are unique and sufficient. */
+  private def requireFresh(spark: org.apache.spark.sql.SparkSession,
+      path: String, indexed: Iterable[String], what: String): Unit = {
+    val indexedNames = indexed.iterator
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val actual = listedDataFiles(spark, path)
+    require(indexedNames == actual,
+      s"stale $what for $path: index lists ${indexedNames.size} files, " +
+        s"directory holds ${actual.size} " +
+        s"(missing from index: ${(actual -- indexedNames).take(3).mkString(", ")}; " +
+        s"gone from data: ${(indexedNames -- actual).take(3).mkString(", ")}). " +
+        "The data was rewritten without rewriting the index — rewrite the " +
+        s"$what (the write+index pair is the commit unit) before pruned reads.")
+  }
+
   /** The data files whose [min, max] envelope overlaps EVERY range —
     * driver-side and manifest-sized by construction (≤ one row per file;
-    * this is the one collect the operator is allowed). */
+    * this is the one collect the operator is allowed). Verifies the
+    * manifest is FRESH against the live listing before pruning
+    * ([[requireFresh]]) — a stale manifest fails loudly instead of
+    * silently dropping the rows in unlisted files. */
   def matchingFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): Array[String] = {
     require(ranges.nonEmpty, "prune needs at least one range")
     val keep = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
-    spark.read.parquet(manifestPath(path))
-      .where(keep).select("file").collect().map(_.getString(0))
+    // coalesce: an all-null file has null bounds → null keep → skipped
+    // (range predicates never match null), but its row still counts for
+    // the freshness set
+    val manifest = spark.read.parquet(manifestPath(path))
+      .select(col("file"), coalesce(keep, lit(false)).as("keep")).collect()
+    requireFresh(spark, path, manifest.map(_.getString(0)), "manifest")
+    manifest.filter(_.getBoolean(1)).map(_.getString(0))
   }
 
   /** Range-pruned read: consult the manifest, hand Spark ONLY the
@@ -188,9 +321,10 @@ object Layout {
     val h = spark.range(1)
       .select(pmod(xxhash64(value.cast(colType)), lit(buckets.toLong)))
       .head().getLong(0)
-    spark.read.parquet(valueIndexPath(path, c))
-      .where(array_contains(col("hset"), h))
-      .select("file").collect().map(_.getString(0))
+    val index = spark.read.parquet(valueIndexPath(path, c))
+      .select(col("file"), array_contains(col("hset"), h).as("hit")).collect()
+    requireFresh(spark, path, index.map(_.getString(0)), "value index")
+    index.filter(_.getBoolean(1)).map(_.getString(0))
   }
 
   /** Point-lookup read through the value index: open only the files that

@@ -2138,13 +2138,21 @@ object Dedup {
       .select(col(idCol), posexplode(col("__fps")).as(Seq("pos", "span_fp")))
     // the (min doc, min pos) example rides the aggregation as ONE long
     // (doc·2^32 + pos — lexicographic-equivalent since both components are
-    // non-negative and pos < 2^32): a struct min would force SortAggregate
-    // over every window row, the composite key keeps the hash aggregate
+    // non-negative, pos < 2^32 and doc < 2^31): a struct min would force
+    // SortAggregate over every window row, the composite key keeps the
+    // hash aggregate. The doc-id precondition is ENFORCED in-plan: an id
+    // in [2^31, 2^32) would corrupt the min-ordering (and ≥ 2^32 hit an
+    // opaque ANSI overflow), so out-of-range ids raise a named error
+    // instead — the branch is codegen'd and costs nothing on valid data.
+    val idOk = col(idCol).between(0L, (1L << 31) - 1)
+    val checkedId = when(idOk, col(idCol)).otherwise(raise_error(concat(
+      lit(s"topDuplicateSpans: $idCol must be in [0, 2^31) for the "),
+      lit("example pack, got "), col(idCol).cast("string"))))
     val top = ex.groupBy("span_fp")
       .agg(
         countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
-        min(col(idCol) * lit(4294967296L) + col("pos")).as("__k"))
+        min(checkedId * lit(4294967296L) + col("pos")).as("__k"))
       .where(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("span_fp").asc)
       .limit(topN)

@@ -1148,11 +1148,15 @@ object Similarity {
   private[graft] def pqCodebooks(
       corpus: DataFrame, nSub: Int, nCodes: Int,
       idCol: String, embCol: String): Array[Array[Array[Double]]] = {
+    // cast to array<double> in-plan so float AND double embedding
+    // columns collect uniformly (the withInt8Codes isFloat lesson — a
+    // bare getSeq[Float] ClassCastExceptions on array<double> corpora)
     val base = corpus
       .where(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nCodes)
+      .select(col(idCol), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nCodes)
       .collect()
-      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(_.getSeq[Double](1).toArray)
     require(base.nonEmpty, "corpus must be non-empty")
     val dim = base(0).length
     require(base.forall(_.length == dim),

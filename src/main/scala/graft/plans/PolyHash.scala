@@ -190,8 +190,13 @@ case class Poly64MinHash(child: Expression, shingleK: Int, numHashes: Int)
   * base-hashed ONCE into a local array, then each window folds
   * h = h·MUL + tokenHash (mod 2^64, wrapping long arithmetic) from the
   * full-width seed. Fewer than `width` tokens → empty array (null tokens
-  * input → null, which callers coalesce). Bit-identical to the HOF twin
-  * in [[graft.ops.Dedup.duplicateSpans]]'s portable path (spec-enforced)
+  * input → null, which callers coalesce). A NULL ELEMENT inside the array
+  * nulls exactly the windows covering it — matching the HOF twin's
+  * null-propagating fold, since graft_span_fps is a registered SQL
+  * function a user can feed arbitrary array<string> values (the internal
+  * tokensIn path never produces null elements, so its fast all-primitive
+  * branch is untouched). Bit-identical to the HOF twin in
+  * [[graft.ops.Dedup.duplicateSpans]]'s portable path (spec-enforced)
   * and to the DuckDB HUGEINT replay; unlike the HOF it stays inside
   * whole-stage codegen via [[ComputeRefCodegen]] and never materializes
   * per-window slice arrays. */
@@ -202,7 +207,7 @@ case class Poly64SpanFps(child: Expression, width: Int)
 
   require(width >= 1, "width must be positive")
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "graft_span_fps"
 
@@ -218,18 +223,43 @@ case class Poly64SpanFps(child: Expression, width: Int)
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.emptyLongArray)
     val th = new Array[Long](n)
+    var anyNull = false
     var i = 0
-    while (i < n) { th(i) = Poly64.baseHash(toks.getUTF8String(i).toString); i += 1 }
-    val out = new Array[Long](n - width + 1)
-    i = 0
-    while (i <= n - width) {
-      var h = Poly64.Seed
-      var j = 0
-      while (j < width) { h = h * Poly64.Mul + th(i + j); j += 1 }
-      out(i) = h
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      if (u == null) anyNull = true else th(i) = Poly64.baseHash(u.toString)
       i += 1
     }
-    new GenericArrayData(out)
+    if (!anyNull) {
+      // the hot internal path: primitive array, no boxing
+      val out = new Array[Long](n - width + 1)
+      i = 0
+      while (i <= n - width) {
+        var h = Poly64.Seed
+        var j = 0
+        while (j < width) { h = h * Poly64.Mul + th(i + j); j += 1 }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // user-supplied nulls: a window covering a null token yields a null
+      // fingerprint, exactly the HOF fold's null propagation
+      val out = new Array[Any](n - width + 1)
+      i = 0
+      while (i <= n - width) {
+        var h = Poly64.Seed
+        var ok = true
+        var j = 0
+        while (j < width) {
+          if (toks.isNullAt(i + j)) ok = false else h = h * Poly64.Mul + th(i + j)
+          j += 1
+        }
+        out(i) = if (ok) java.lang.Long.valueOf(h) else null
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
   }
 
   override protected def withNewChildInternal(newChild: Expression): Poly64SpanFps =

@@ -786,6 +786,65 @@ object OnlineRefresh {
       .start()
   }
 
+  /** The accumulated span-fingerprint bank as ONE distinct-fps frame —
+    * the serve-side read of the [[spanBankIngestStream]] artifact
+    * ([[graft.ops.Dedup.duplicateSpansAgainst]]'s `standingFps` input).
+    * Self-heals a crashed swap first, like every artifact reader. */
+  def readSpanBank(spark: SparkSession, outPath: String): DataFrame = {
+    recoverSwap(spark, s"$outPath/bank")
+    spark.read.parquet(s"$outPath/bank")
+      .select(col("span_fp")).distinct()
+  }
+
+  /** RETRACT documents from the span bank — the takedown path the r13
+    * verdict named as the family's missing lifecycle cell: without it a
+    * DMCA'd doc's fingerprints keep scoring later arrivals as boilerplate
+    * forever. The feed carries the retracted docs' TEXT (a takedown
+    * identifies its content; the 8 B/fp bank stores no doc attribution by
+    * design), their window fps are re-derived once
+    * ([[graft.ops.Dedup.spanFingerprintBank]] — the only text read), and
+    * every bank partition anti-joins them away
+    * ([[retractBatchArtifact]] keyed on span_fp — idempotent, crash-safe
+    * swap, composes with [[compactSpanBank]] in either order).
+    *
+    * Semantics (what the q_stream_span_retracted oracle replays): the
+    * surviving bank is exactly bank ∖ fps(retracted docs) — a SET minus.
+    * That equals the rebuild over survivors iff no surviving doc shares a
+    * verbatim width-w span with a retracted one (StreamingSpec pins the
+    * equivalence on such a corpus); a shared span is dropped too, and
+    * SELF-HEALS — the next arrival carrying it scores clean once and
+    * re-lands the fp in its own batch's bank partition. For boilerplate
+    * that bias (under-flag after a takedown) is the safe direction.
+    *
+    * Scale shape: the retraction frame is windows(takedown feed) — a few
+    * thousand fps per takedown — broadcast into one anti-join pass over
+    * the 8 B/fp bank; text of the standing corpus is never re-read. */
+  def retractSpanBank(
+      spark: SparkSession,
+      outPath: String,
+      retractedDocs: DataFrame,
+      width: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val fps = graft.ops.Dedup
+      .spanFingerprintBank(retractedDocs, width, textCol, idCol)
+    retractBatchArtifact(spark, s"$outPath/bank", fps, "span_fp")
+  }
+
+  /** Compact the [[spanBankIngestStream]] bank: fold every committed
+    * epoch except the newest into the oldest partition through
+    * `distinct()` — the bank is consumed as a SET ([[readSpanBank]]
+    * distincts; [[graft.ops.Dedup.duplicateSpansAgainst]] semi-joins), so
+    * the distinct fold satisfies [[compactBatchArtifact]]'s
+    * read(fold(parts)) ≡ read(parts) algebra trivially, and physically
+    * removes the cross-epoch fp repeats that accrete whenever epochs
+    * share boilerplate. The newest epoch stays verbatim (the replayable
+    * one); the per-epoch `batch < id` standing read keeps working because
+    * folded fps keep the OLDEST partition's id — strictly earlier than
+    * any future epoch. Run between stream runs, like every compactor. */
+  def compactSpanBank(spark: SparkSession, outPath: String): Boolean =
+    compactBatchArtifact(spark, s"$outPath/bank", _.distinct())
+
   // ------------------------------------------------------------ compaction
   // The streaming builders above accrete one `batch=<id>` partition per
   // micro-batch forever — correct, but partition/file counts decay read

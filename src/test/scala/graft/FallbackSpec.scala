@@ -159,6 +159,22 @@ class FallbackSpec extends SparkSpec {
       .select(col("doc_id"), nat.as("n")).as[(Long, Seq[Long])].collect().toMap
     assert(edges(900001L).isEmpty && edges(900002L).isEmpty && edges(900003L).isEmpty)
     assert(edges(900004L).length == 6, "10 tokens, width 5 → 6 windows")
+    // a USER-supplied array with a null element (graft_span_fps is a
+    // registered SQL function — the internal tokensIn path never makes
+    // one): windows covering the null yield null fps, exactly the HOF
+    // fold's null propagation; windows clear of it hash normally
+    val raw = Seq((1L, Seq("a", "b", null, "d", "e", "f"))).toDF("id", "tk")
+    val w3hof = transform(sequence(lit(0), size(col("tk")) - 3),
+      i => aggregate(
+        slice(transform(col("tk"), t => Dedup.poly64Base(t)), i + 1, lit(3)),
+        lit(graft.plans.Poly64.Seed),
+        (acc, h) => Dedup.mulAdd64(acc, lit(graft.plans.Poly64.Mul), h)))
+    val got = raw.select(
+      call_function("graft_span_fps", col("tk"), lit(3)).as("n"), w3hof.as("h"))
+      .as[(Seq[Option[Long]], Seq[Option[Long]])].head()
+    assert(got._1 == got._2, s"null-element parity broke: $got")
+    assert(got._1(0).isEmpty && got._1(2).isEmpty && got._1(3).isDefined,
+      s"windows over the null must be null, others real: ${got._1}")
   }
 
   test("native graft_pq_assign / graft_pq_lut equal the HOF forms (incl. short/zero vectors)") {

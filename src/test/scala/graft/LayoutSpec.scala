@@ -119,4 +119,68 @@ class LayoutSpec extends SparkSpec {
     // type-width sensitivity is handled: an Int literal probes a Long column
     assert(Layout.pointRead(spark, s"$base/striped", "id", lit(777)).count() == 1)
   }
+
+  test("stale index detection: a data rewrite behind the manifest/value index throws, never drops rows") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stale").toString
+    grid.repartition(4).write.parquet(s"$base/d")
+    Layout.writeManifest(spark, s"$base/d", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/d", "id")
+    val ranges = Seq(("a", 20.0, 35.0))
+    // fresh: both paths serve
+    assert(Layout.prunedRead(spark, s"$base/d", ranges).count() > 0)
+    assert(Layout.pointRead(spark, s"$base/d", "id", lit(777L)).count() == 1)
+    // a file lands AFTER the indexes were written (an append the index
+    // never saw — its rows would silently vanish from pruned reads)
+    grid.where(col("id") < 10).coalesce(1).write.mode("append").parquet(s"$base/d")
+    val e1 = intercept[IllegalArgumentException](Layout.prunedRead(spark, s"$base/d", ranges))
+    assert(e1.getMessage.contains("stale manifest"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Layout.pointRead(spark, s"$base/d", "id", lit(777L)))
+    assert(e2.getMessage.contains("stale value index"), e2.getMessage)
+    // rewriting the indexes restores service (the documented commit unit)
+    Layout.writeManifest(spark, s"$base/d", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/d", "id")
+    assert(Layout.prunedRead(spark, s"$base/d", ranges).count() > 0)
+    // a data file DELETED behind the index also throws (the index lists
+    // a file the scan would fail or silently skip on)
+    val p = new org.apache.hadoop.fs.Path(s"$base/d")
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = hfs.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.endsWith(".parquet")).head
+    hfs.delete(victim, false)
+    val e3 = intercept[IllegalArgumentException](Layout.prunedRead(spark, s"$base/d", ranges))
+    assert(e3.getMessage.contains("gone from data"), e3.getMessage)
+  }
+
+  test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
+    // sampleKeep is a uniform systematic 1/8 over sequential ids
+    val kept = grid.where(Layout.sampleKeep("id", 8)).count()
+    assert(math.abs(kept - 10000 / 8.0) < 150, s"sample fraction off: $kept")
+    // identical inputs → identical keys (the determinism contract), and
+    // sampled buckets must still spread (not all rows one bucket)
+    val k1 = Layout.zorderKey(grid, "a", "b", bits = 6, sampleBy = Some(("id", 8)))
+    val k2 = Layout.zorderKey(grid, "a", "b", bits = 6, sampleBy = Some(("id", 8)))
+    assert(k1.select("id", "zkey").exceptAll(k2.select("id", "zkey")).isEmpty)
+    assert(k1.select("__zb_a").distinct().count() >= 32,
+      "sampled boundaries must still distribute buckets")
+    // every=1 ≡ the exact full-input path
+    val exact = Layout.zorderKey(grid, "a", "b", bits = 6)
+    val one = Layout.zorderKey(grid, "a", "b", bits = 6, sampleBy = Some(("id", 1)))
+    assert(one.select("id", "zkey").exceptAll(exact.select("id", "zkey")).isEmpty)
+    // k=3 round-robin: bucket i's bit j lands at position j*3+i
+    val k3 = Layout.zorderKeyCols(grid
+        .withColumn("c", (col("id") % 7).cast("double")),
+      Seq("a", "b", "c"), bits = 2)
+    val r = k3.select("__zb_0", "__zb_1", "__zb_2", "zkey").head()
+    val (b0, b1, b2) = (r.getInt(0), r.getInt(1), r.getInt(2))
+    val expect = (0 until 2).map(j =>
+      (((b0 >> j) & 1).toLong << (j * 3)) + (((b1 >> j) & 1).toLong << (j * 3 + 1)) +
+        (((b2 >> j) & 1).toLong << (j * 3 + 2))).sum
+    assert(r.getLong(3) == expect, s"round-robin interleave mismatch: $r vs $expect")
+    assert(k3.agg(max("zkey")).head().getLong(0) < 64L, "k*bits=6 → zkey < 2^6")
+    // and the 2-col wrapper is exactly the k=2 generalization
+    val g2 = Layout.zorderKeyCols(grid, Seq("a", "b"), bits = 6)
+      .withColumnRenamed("__zb_0", "__zb_a").withColumnRenamed("__zb_1", "__zb_b")
+    assert(exact.exceptAll(g2).isEmpty && g2.exceptAll(exact).isEmpty)
+  }
 }

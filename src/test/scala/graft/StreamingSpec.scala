@@ -420,6 +420,107 @@ class StreamingSpec extends SparkSpec {
       "resume from checkpoint must not re-run epochs")
   }
 
+  test("span bank retract: ≡ rebuild over survivors on disjoint spans; idempotent; kills the boilerplate signal") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sspanr").toString
+    // batch = doc_id parity; doc 3 (the future takedown) shares no
+    // width-3 span with any other doc — the rebuild-equivalence corpus
+    val docs = Seq(
+      (2L, "a b c d e"), (4L, "m n o p"),
+      (1L, "q r s t"), (3L, "taken down content entirely"))
+      .toDF("doc_id", "text")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    for (i <- 0 until 2) {
+      val part = Files.createTempDirectory("graft-sspanr-part").toString
+      docs.where(col("doc_id") % 2 === i).coalesce(1)
+        .write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.spanBankIngestStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", width = 3, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    // before retraction: an exact copy of doc 3 scores fully boilerplate
+    val probe = Seq((99L, "taken down content entirely")).toDF("doc_id", "text")
+    def score(): (Long, Long) = graft.ops.Dedup.duplicateSpansAgainst(probe,
+        OnlineRefresh.readSpanBank(spark, s"$tmp/out"), width = 3)
+      .select(col("n_windows").cast("long"), col("dup_windows"))
+      .as[(Long, Long)].head()
+    assert(score() == ((2L, 2L)), "banked doc must flag its copy")
+    OnlineRefresh.retractSpanBank(spark, s"$tmp/out", docs.where(col("doc_id") === 3),
+      width = 3)
+    // the takedown's signal is gone...
+    assert(score() == ((2L, 0L)), "retracted doc must stop flagging copies")
+    // ...and the surviving bank ≡ a rebuild over the survivors
+    val survivors = graft.ops.Dedup.spanFingerprintBank(
+      docs.where(col("doc_id") =!= 3), width = 3)
+    val after = OnlineRefresh.readSpanBank(spark, s"$tmp/out")
+    assert(after.exceptAll(survivors).isEmpty && survivors.exceptAll(after).isEmpty,
+      "disjoint-span retraction must equal the survivor rebuild")
+    // idempotent: re-applying the same takedown is a no-op
+    OnlineRefresh.retractSpanBank(spark, s"$tmp/out", docs.where(col("doc_id") === 3),
+      width = 3)
+    assert(OnlineRefresh.readSpanBank(spark, s"$tmp/out").exceptAll(survivors).isEmpty)
+    // other docs' signals are untouched
+    val p2 = Seq((98L, "a b c d e")).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.duplicateSpansAgainst(p2,
+        OnlineRefresh.readSpanBank(spark, s"$tmp/out"), width = 3)
+      .select(col("dup_windows")).as[Long].head()
+    assert(kept == 3L, s"survivor spans must keep flagging, got $kept")
+  }
+
+  test("span bank compact: serve unchanged, stream resumes and scores vs the folded bank") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-sspanc").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val part = Files.createTempDirectory("graft-sspanc-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    for (i <- 0 until 3) stage(i, corpus.where(col("doc_id") % 4 === i))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val q = OnlineRefresh.spanBankIngestStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", width = 8, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    val before = OnlineRefresh.readSpanBank(spark, s"$tmp/out").collect().toSet
+    assert(OnlineRefresh.compactSpanBank(spark, s"$tmp/out"), "3 epochs must compact")
+    def nParts() = new java.io.File(s"$tmp/out/bank").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nParts() == 2, "compaction folds to oldest + newest")
+    assert(OnlineRefresh.readSpanBank(spark, s"$tmp/out").collect().toSet == before,
+      "compaction must not move the bank's fp set")
+    assert(!OnlineRefresh.compactSpanBank(spark, s"$tmp/out"),
+      "2 partitions: nothing to fold")
+    // resume: a 4th shard arrives and scores against the compacted bank —
+    // same coverage the uncompacted bank would give (the batch twin)
+    stage(3, corpus.where(col("doc_id") % 4 === 3))
+    val q2 = OnlineRefresh.spanBankIngestStream(spark, s"$tmp/src", schema,
+      s"$tmp/out", s"$tmp/ck", width = 8, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    val got = spark.read.parquet(s"$tmp/out/coverage")
+      .where(col("batch") === 3)
+      .select(col("doc_id"), col("n_windows"), col("dup_windows"), col("dup_ratio"))
+    val want = graft.ops.Dedup.duplicateSpansAgainst(
+      corpus.where(col("doc_id") % 4 === 3),
+      graft.ops.Dedup.spanFingerprintBank(corpus.where(col("doc_id") % 4 < 3), width = 8),
+      width = 8)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "post-compaction epoch must score exactly as the batch twin")
+  }
+
   test("compaction: serve output unchanged, stream resumes and appends on top") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sbm25c").toString
