@@ -485,6 +485,33 @@ object Queries {
         emb, emb.where(col("vec_id") < 10), k = 5, nProbe = 4)
     })
 
+  /** Streaming incremental PQ index under the hard oracle — the codebook
+    * twin of q_stream_ivf_index, closing the build half of the PQ
+    * lifecycle: codebooks land once (the bootstrap over the full corpus,
+    * so they equal the direct build's), the corpus streams in as four
+    * micro-batches ([[graft.streaming.OnlineRefresh.buildPqIndexStream]]
+    * — one `batch=<id>` codes shard per epoch, exactly-once overwrites),
+    * and ADC serving reads the accumulated artifact
+    * ([[graft.streaming.OnlineRefresh.readPqIndex]]) — hash-matched
+    * against q_ann_topk_pq's OWN oracle, because per-row argmin encoding
+    * has no cross-row terms: micro-batches partition the vector set and
+    * union into exactly the monolithic codes table. */
+  private def streamPqIndex(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_pq:$dir", s), { _ =>
+      val src = scratchDir("graft_spq_src")
+      val out = scratchDir("graft_spq_out")
+      val ck = scratchDir("graft_spq_ck")
+      val emb = t(s, dir, "embeddings")
+      emb.repartition(4).write.mode("overwrite").parquet(src.toString)
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.buildPqIndexStream(s, src.toString, schema,
+        out.toString, ck.toString, Similarity.pqCodebookTable(emb),
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      Similarity.pqTopKFromIndex(streaming.OnlineRefresh.readPqIndex(s, out.toString),
+        emb.where(col("vec_id") < 10), k = 5)
+    })
+
   /** Streaming KMV cardinality under the hard oracle: documents stream in
     * as four micro-batches, each landing a partial per-source sketch
     * ([[graft.streaming.OnlineRefresh.buildKmvSketchStream]]); the
@@ -2291,6 +2318,25 @@ object Queries {
     Similarity.ivfDriftStats(Similarity.IvfIndex(ix.centroids, assignments), emb)
   }
 
+  /** The PQ DRIFT monitor ([[graft.ops.Similarity.pqDriftStats]]) — the
+    * codebook twin of q_ivf_drift, the "when do I re-train" number the
+    * r13 verdict asked for: the corpus encodes as four deterministic
+    * vec_id-mod-4 epochs of codes shards against the FIXED bootstrap
+    * codebooks (the incremental-build shape,
+    * [[graft.ops.Similarity.pqEncodeAgainst]] per shard), and the monitor
+    * reports each epoch's reconstruction-error distribution — climbing
+    * mean/p90 mse on later epochs means the embedding stream has drifted
+    * off the frozen quantizer. */
+  private def pqDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val books = Similarity.pqCodebookTable(emb)
+    val codes = (0 until 4).map(i =>
+      Similarity.pqEncodeAgainst(emb.where(pmod(col("vec_id"), lit(4)) === i), books)
+        .withColumn("batch", lit(i)))
+      .reduce(_ unionByName _)
+    Similarity.pqDriftStats(Similarity.PqIndex(books, codes), emb)
+  }
+
   /** BM25 top-10 retrieval over the documents corpus for three fixed query
     * strings ([[graft.ops.TextAnalysis.bm25TopK]]) — the ranked-search
     * consumer of the inverted-index machinery. Scores are milli-quantized
@@ -2823,8 +2869,7 @@ object Queries {
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_stream_span_coverage",
-      "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index",
-      "q_pq_drift")
+      "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
   private val streamDirMemo =
@@ -2988,6 +3033,7 @@ object Queries {
     "q_stream_ivf_ret_applied" -> (streamIvfRetApplied _),
     "q_ivf_recentered" -> (streamIvfRecentered _),
     "q_stream_ivf_index" -> (streamIvfIndex _),
+    "q_stream_pq_index" -> (streamPqIndex _),
     "q_stream_kmv" -> (streamKmv _),
     "q_stream_dedup_incremental" -> (streamDedupIncremental _),
     "q_stream_span_coverage" -> (streamSpanCoverage _),
@@ -3124,6 +3170,7 @@ object Queries {
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
+    "q_pq_drift" -> (pqDriftQ _),
     "q_semdedup_recall" -> (semanticDedupRecallQ _),
     "q_semdedup_recall_probed" -> (semanticDedupRecallProbedQ _),
     "q_ivf_topk_served" -> (ivfTopKServedQ _),
@@ -3325,6 +3372,8 @@ object Queries {
     // the drifted bootstrap leaves no trace in the served scores
     "q_ivf_recentered" -> ivfOracle,
     "q_ivf_drift" -> ivfDriftOracle,
+    "q_pq_drift" -> pqDriftOracle,
+    "q_stream_pq_index" -> annTopKPqOracle,
     "q_semdedup_recall" -> semanticDedupRecallOracle,
     "q_semdedup_recall_probed" -> semanticDedupRecallProbedOracle,
     "q_stream_kmv" -> distinctKmvOracle,
@@ -5635,6 +5684,33 @@ object Queries {
        |  round(quantile_cont(cos, 0.1), 6) AS p10_cos
        |FROM sc GROUP BY batch""".stripMargin
   }
+
+  /** PQ drift replayed: the pqCoreSql codebook/codes/recon_n2 machinery,
+    * each vector's reconstruction error re-derived from its CHOSEN codes
+    * (the [[graft.ops.Similarity.pqEncode]] 12-dp expression — ‖x‖² −
+    * 2·Σ_m x_m·c_m + ‖recon‖², all m-ordered folds), epochs re-derived
+    * as vec_id % 4, micro-quantized mean + quantile_cont p90. */
+  private def pqDriftOracle: String =
+    s"""WITH ${pqCoreSql("pq", 16)},
+       |xdm AS (
+       |  SELECT a.vec_id, a.m, ${dotSql("e.embedding[a.m*8+1 : a.m*8+8]", "b.csub")} AS dd
+       |  FROM pqasg a JOIN pqbn b ON b.m = a.m AND b.kk = a.kk
+       |  JOIN embeddings e ON e.vec_id = a.vec_id),
+       |xd AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(dd ORDER BY m)), (x, y) -> x + y) AS xdot
+       |  FROM xdm GROUP BY 1),
+       |ms AS (
+       |  SELECT e.vec_id, CAST(e.vec_id % 4 AS INTEGER) AS batch,
+       |    round((${dotSql("e.embedding", "e.embedding")} - 2.0 * xd.xdot + r.recon_n2)
+       |      / CAST(greatest(len(e.embedding), 1) AS DOUBLE), 12) AS mse
+       |  FROM embeddings e JOIN xd ON xd.vec_id = e.vec_id JOIN pqrn2 r ON r.vec_id = e.vec_id)
+       |SELECT batch, CAST(count(*) AS BIGINT) AS n, CAST(count(mse) AS BIGINT) AS n_scored,
+       |  CASE WHEN count(mse) > 0 THEN
+       |    round(CAST(sum(CAST(round(mse * 1000000, 0) AS BIGINT)) AS DOUBLE)
+       |      / CAST(count(mse) AS DOUBLE) / 1000000.0, 4) END AS mean_mse,
+       |  round(quantile_cont(mse, 0.9), 6) AS p90_mse
+       |FROM ms GROUP BY batch""".stripMargin
 
   /** Prototypicality-prune replay: bootstrap centroids, the search's
     * argmax assignment (s DESC, c DESC — the array_max tie), cosine to

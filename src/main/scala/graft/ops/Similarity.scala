@@ -1411,12 +1411,27 @@ object Similarity {
       idCol: String = "vec_id",
       embCol: String = "embedding"
   ): PqIndex = {
+    val bookDf = pqCodebookTable(corpus, nSub, nCodes, idCol, embCol)
+    PqIndex(bookDf, pqEncodeAgainst(corpus, bookDf, idCol, embCol))
+  }
+
+  /** The (m, k, centroid) codebook TABLE alone — the build-once artifact
+    * the incremental/streamed PQ build fixes before any shard encodes
+    * ([[graft.streaming.OnlineRefresh.buildPqIndexStream]]'s analogue of
+    * the IVF centroid table). Bootstrapped from the `nCodes` lowest-id
+    * vectors, same as [[pqIndex]] (which now delegates here). */
+  def pqCodebookTable(
+      corpus: DataFrame,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
     val spark = corpus.sparkSession
     val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
-    val bookDf = spark.createDataFrame(
+    spark.createDataFrame(
       for ((bm, m) <- books.zipWithIndex.toIndexedSeq; (c, k) <- bm.zipWithIndex)
         yield (m, k, c.toIndexedSeq)).toDF("m", "k", "centroid")
-    PqIndex(bookDf, pqEncodeAgainst(corpus, bookDf, idCol, embCol))
   }
 
   /** Encode a corpus shard against an EXISTING codebook table — the
@@ -1444,6 +1459,59 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
+
+  /** DRIFT MONITOR for the incremental PQ artifact — the codebook twin of
+    * [[ivfDriftStats]], closing the "when do I re-train the codebooks"
+    * loop the r13 verdict named as PQ's lagging lifecycle cell: per
+    * arrival epoch (`batchCol` on the codes table — the `batch=<id>`
+    * partitions the streamed builder lands), the distribution of each
+    * vector's RECONSTRUCTION ERROR against the fixed codebooks (the
+    * [[pqEncode]] recon_mse expression re-derived from the stored codes —
+    * codebooks are frozen at bootstrap, so if newly-landed epochs
+    * systematically reconstruct worse (mean_mse climbing, p90_mse
+    * spiking vs the bootstrap epochs), the embedding distribution has
+    * drifted off the codebooks and they need re-training; flat curves
+    * mean incremental encodes are safe to keep appending.
+    *
+    * Scale shape: one join of the codes table with its corpus embeddings
+    * (both keyed on id) plus the ≤ nSub·nCodes codebook literals; output
+    * is one row per epoch. Cross-engine determinism: per-row mse is the
+    * 12-dp [[pqEncode]] expression (index-ordered folds), the mean is
+    * micro-unit integer quantized, p90 is `percentile`'s linear
+    * interpolation. Null-code rows (null/off-dim vectors) carry a null
+    * mse — counted in `n`, excluded from the stats.
+    * Output: (batchCol, n, n_scored, mean_mse, p90_mse). */
+  def pqDriftStats(
+      index: PqIndex,
+      corpus: DataFrame,
+      batchCol: String = "batch",
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val dp = dotFn(corpus.sparkSession)
+    val books = collectPqCodebooks(index.codebooks)
+    val nSub = books.length
+    val native = corpus.sparkSession.catalog.functionExists("graft_pq_lut")
+    val emb = col(embCol)
+    val joined = index.codes
+      .select(col(batchCol), col(idCol), col("codes"), col("recon_n2"))
+      .join(corpus.select(col(idCol), emb), Seq(idCol))
+      .withColumn("__xlut", pqLutCol(emb, books, dp, native))
+    val xDot = (0 until nSub).map { m =>
+      element_at(element_at(col("__xlut"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
+    val scored = joined.withColumn("__mse",
+      when(col("codes").isNotNull, round(
+        (dp(emb, emb) - lit(2.0) * xDot + col("recon_n2"))
+          / greatest(size(emb), lit(1)).cast("double"), 12)))
+    scored.groupBy(col(batchCol))
+      .agg(count(lit(1)).as("n"),
+        count(col("__mse")).as("n_scored"),
+        when(count(col("__mse")) > 0,
+          round(sum(round(col("__mse") * 1e6, 0).cast("long")).cast("double")
+            / count(col("__mse")).cast("double") / 1e6, 4)).as("mean_mse"),
+        round(expr("percentile(__mse, 0.9)"), 6).as("p90_mse"))
+  }
 
   /** SERVE PQ-ADC top-k from a materialized [[PqIndex]]: the codebooks
     * collect back into probe-side LUT literals, and the corpus side is

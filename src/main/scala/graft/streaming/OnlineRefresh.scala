@@ -368,6 +368,88 @@ object OnlineRefresh {
       spark.read.parquet(s"$outPath/assignments"))
   }
 
+  /** Streaming INCREMENTAL PQ index build — the codebook twin of
+    * [[buildIvfIndexStream]], closing the build half of the PQ lifecycle
+    * the r13 verdict named as the lagging family: codebooks are FIXED
+    * once (landed to `outPath/codebooks` before the stream starts — the
+    * same frozen-quantizer contract as the IVF centroid table), and each
+    * micro-batch of newly-landed vectors encodes its own `batch=<id>`
+    * codes shard with [[graft.ops.Similarity.pqEncodeAgainst]] — per-row
+    * argmin against the SAME stored codebooks the ADC serve folds in, so
+    * served lookups cannot drift from the monolithic build. Encoding has
+    * no cross-row terms, so micro-batches union into exactly the
+    * monolithic codes table no matter how the stream was batched
+    * (q_stream_pq_index pins that against q_ann_topk_pq's own oracle).
+    * Exactly-once via the `batch=<id>` overwrite recipe; each batch
+    * re-reads the ≤ nSub·nCodes codebook rows from the artifact
+    * (restart-safe). The `codebooks` argument lands ONLY on first run:
+    * the stored table is authoritative across restarts — a codebook
+    * re-train (the [[graft.ops.Similarity.pqDriftStats]] decision)
+    * replaces it, and a resume passing the original frame must not
+    * clobber the re-trained table. */
+  def buildPqIndexStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      outPath: String,
+      checkpoint: String,
+      codebooks: org.apache.spark.sql.DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    recoverSwap(spark, outPath)
+    val p = new org.apache.hadoop.fs.Path(s"$outPath/codebooks")
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      codebooks.write.mode("overwrite").parquet(s"$outPath/codebooks")
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Similarity
+          .pqEncodeAgainst(batch, spark.read.parquet(s"$outPath/codebooks"),
+            idCol, embCol)
+          .write.mode("overwrite").parquet(s"$outPath/codes/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
+  /** Read the artifact [[buildPqIndexStream]] accumulates back as ONE
+    * served [[graft.ops.Similarity.PqIndex]]: partition discovery unions
+    * the per-batch codes shards (the `batch` provenance column rides
+    * along — [[graft.ops.Similarity.pqTopKFromIndex]] projects it away,
+    * [[graft.ops.Similarity.pqDriftStats]] groups on it); codebooks read
+    * back as-landed. */
+  def readPqIndex(spark: SparkSession, outPath: String): graft.ops.Similarity.PqIndex = {
+    recoverSwap(spark, outPath)
+    recoverSwap(spark, s"$outPath/codes")
+    graft.ops.Similarity.PqIndex(
+      spark.read.parquet(s"$outPath/codebooks"),
+      spark.read.parquet(s"$outPath/codes"))
+  }
+
+  /** [[retractBatchArtifact]] over the [[buildPqIndexStream]] codes
+    * shards — the same per-row algebra as [[retractIvfArtifact]]:
+    * dropping ids' rows IS encode(W ∖ D) (codes carry no cross-row
+    * terms); codebooks stay fixed. */
+  def retractPqArtifact(spark: SparkSession, outPath: String,
+      vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    recoverSwap(spark, outPath)
+    retractBatchArtifact(spark, s"$outPath/codes", vecIds, idCol)
+  }
+
+  /** Compact the [[buildPqIndexStream]] codes shards (per-row, no
+    * cross-row terms — identity fold; codebooks are one fixed table). */
+  def compactPqIndex(spark: SparkSession, outPath: String): Boolean = {
+    recoverSwap(spark, outPath)
+    compactBatchArtifact(spark, s"$outPath/codes")
+  }
+
   /** [[buildIvfIndexStream]] with a DELETION FEED interleaved — the
     * embedding twin of [[buildBm25IndexRetractStream]], closing the last
     * asymmetric cell in the lifecycle matrix: a takedown arriving

@@ -1429,6 +1429,28 @@ class OpsSpec extends SparkSpec {
       s"drifted epoch must read lower: base=($mean0, $p10_0) drifted=($mean1, $p10_1)")
   }
 
+  test("pqDriftStats: a drifted epoch reconstructs worse than the build epoch") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val books = Similarity.pqCodebookTable(emb)
+    val base = Similarity.pqEncodeAgainst(emb, books).withColumn("batch", lit(0))
+    // drifted arrivals: every vector SCALED ×3 with offset ids — the
+    // frozen codebooks sit at the original magnitude, so reconstruction
+    // error must climb (the re-train signal)
+    val drifted = emb.withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", transform(col("embedding"), x => (x * 3.0d).cast("float")))
+    val dCodes = Similarity.pqEncodeAgainst(drifted, books).withColumn("batch", lit(1))
+    val stats = Similarity.pqDriftStats(
+      Similarity.PqIndex(books, base.unionByName(dCodes)),
+      emb.unionByName(drifted))
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._4.get, r._5.get))).toMap
+    val (n0, mean0, p90_0) = stats(0)
+    val (n1, mean1, p90_1) = stats(1)
+    assert(n0 == emb.count() && n1 == n0)
+    assert(mean1 > mean0 && p90_1 > p90_0,
+      s"drifted epoch must reconstruct worse: base=($mean0, $p90_0) drifted=($mean1, $p90_1)")
+  }
+
   test("minhashAccuracy / simhashAccuracy: a perfect detector scores 1.0; empty sides go NULL") {
     val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
       "juliett kilo lima mike november oscar papa quebec romeo"

@@ -521,6 +521,51 @@ class StreamingSpec extends SparkSpec {
       "post-compaction epoch must score exactly as the batch twin")
   }
 
+  test("buildPqIndexStream: shard-union ≡ monolithic; retract drops exactly the ids; compact folds; resume no-op") {
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-spqix").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val books = graft.ops.Similarity.pqCodebookTable(emb)
+    val q = OnlineRefresh.buildPqIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", books, maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    def nParts() = new java.io.File(s"$tmp/ix/codes").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nParts() == 4, "4 staged files → 4 epochs")
+    // per-row encoding has no cross-row terms: the streamed artifact must
+    // SERVE exactly as the monolithic build
+    val probes = emb.where(col("vec_id") < 10)
+    val served = graft.ops.Similarity.pqTopKFromIndex(
+      OnlineRefresh.readPqIndex(spark, s"$tmp/ix"), probes, k = 5)
+    val direct = graft.ops.Similarity.pqTopKFromIndex(
+      graft.ops.Similarity.pqIndex(emb), probes, k = 5)
+    assert(served.exceptAll(direct).isEmpty && direct.exceptAll(served).isEmpty,
+      "streamed PQ serve must equal the monolithic build's")
+    // retraction: encode(W ∖ D) by dropping rows
+    val dels = emb.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+    OnlineRefresh.retractPqArtifact(spark, s"$tmp/ix", dels)
+    val after = OnlineRefresh.readPqIndex(spark, s"$tmp/ix").codes
+      .select(col("vec_id"), col("codes"), col("recon_n2"))
+    val want = graft.ops.Similarity.pqEncodeAgainst(
+      emb.where(col("vec_id") % 7 =!= 0), books)
+    assert(after.exceptAll(want).isEmpty && want.exceptAll(after).isEmpty,
+      "retracted codes must equal the survivor encode")
+    // compaction: fold 3 committed epochs into the oldest, set unchanged
+    val before = after.collect().toSet
+    assert(OnlineRefresh.compactPqIndex(spark, s"$tmp/ix"), "4 epochs must compact")
+    assert(nParts() == 2, "compaction folds to oldest + newest")
+    assert(OnlineRefresh.readPqIndex(spark, s"$tmp/ix").codes
+      .select(col("vec_id"), col("codes"), col("recon_n2"))
+      .collect().toSet == before, "compaction must not move the codes set")
+    // resume from checkpoint: no re-delivery, no new partitions
+    val q2 = OnlineRefresh.buildPqIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", books, maxFilesPerTrigger = Some(1))
+    q2.awaitTermination()
+    assert(nParts() == 2, "resume from checkpoint must not re-run epochs")
+  }
+
   test("compaction: serve output unchanged, stream resumes and appends on top") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sbm25c").toString
