@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -429,6 +429,63 @@ object ScaleProbe {
               org.apache.spark.sql.functions.col("value").between(10, 60)).count()
         }
       }
+    }
+    // Round-14: the layout LIFECYCLE economics — incremental index refresh
+    // must price ∝ the appended batch while the full rewrite prices ∝ the
+    // table (the property that keeps indexed layouts affordable under
+    // continuous ingest), and compaction must restore the built file
+    // count after append accretion. Plus the serve-side cost axis of the
+    // (32, 3) SemDeDup adoption: the same distinct-corpus probe as the
+    // r8 semdedup section at the r13 (16, 2) point vs the r14 point.
+    if (inSection("r14")) {
+      import org.apache.spark.sql.functions.col
+      val base = java.nio.file.Files.createTempDirectory("graft-r14").toString
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      // build from 9 of the 10 copies; the 10th arrives as the append
+      val built = big.where(col("event_id") < 90000000L)
+      val arriving = big.where(col("event_id") >= 90000000L)
+      timed("z512 build (9/10 of rows) + manifest + vindex") {
+        graft.fs.Layout.writeZordered(built, s"$base/z", "user_id", "value",
+          bits = 6, numFiles = 512, sampleBy = Some(("event_id", 8)))
+        graft.fs.Layout.writeManifest(spark, s"$base/z", Seq("user_id", "value"))
+        graft.fs.Layout.writeValueIndex(spark, s"$base/z", "event_id")
+        0L
+      }
+      timed("appendZordered 1/10 of rows (16 files)")(
+        { graft.fs.Layout.appendZordered(arriving, s"$base/z", numFiles = 16); 0L })
+      timed("refreshManifest (incremental, 16 new files)")(
+        graft.fs.Layout.refreshManifest(spark, s"$base/z", Seq("user_id", "value")))
+      timed("refreshValueIndex (incremental, 16 new files)")(
+        graft.fs.Layout.refreshValueIndex(spark, s"$base/z", "event_id"))
+      timed("writeManifest (FULL rewrite, 528 files)")(
+        { graft.fs.Layout.writeManifest(spark, s"$base/z", Seq("user_id", "value")); 0L })
+      timed("writeValueIndex (FULL rewrite, 528 files)")(
+        { graft.fs.Layout.writeValueIndex(spark, s"$base/z", "event_id"); 0L })
+      // served exactness + prune receipt across the append boundary
+      val ranges = Seq(("user_id", 100.0, 130.0), ("value", 10.0, 60.0))
+      println(s"PRUNE after append kept=" +
+        graft.fs.Layout.matchingFiles(spark, s"$base/z", ranges).length + "/528")
+      timed("pruned 2-D range after append")(
+        graft.fs.Layout.prunedRead(spark, s"$base/z", ranges).count())
+      timed("compactLayout 528 -> 512")(
+        { graft.fs.Layout.compactLayout(spark, s"$base/z", numFiles = 512); 0L })
+      timed("writeManifest after compaction")(
+        { graft.fs.Layout.writeManifest(spark, s"$base/z", Seq("user_id", "value")); 0L })
+      println(s"PRUNE after compaction kept=" +
+        graft.fs.Layout.matchingFiles(spark, s"$base/z", ranges).length + "/512")
+      // SemDeDup serve cost at the r13 vs r14 operating points — recall
+      // is the gate's number; this is the other axis of the trade
+      val emb = spark.read.parquet("/tmp/sfbig/embeddings.parquet")
+        .withColumn("embedding", org.apache.spark.sql.functions.transform(
+          col("embedding"), (x, i) =>
+            org.apache.spark.sql.functions.when(i === 0,
+              (x + (col("vec_id") % 9973).cast("double") / 10000d).cast("float"))
+              .otherwise(x)))
+      for ((nl, np) <- Seq((16, 2), (32, 2), (32, 3)))
+        timed(s"semanticDedupProbed 50k DISTINCT nLists=$nl nProbe=$np @ sfbig")(
+          graft.ops.Similarity.semanticDedupProbed(emb, threshold = 0.35,
+            nLists = nl, nProbe = np).count())
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-

@@ -65,22 +65,20 @@ object Layout {
     * `every = 1` (or leave the default `None`) for the exact full-input
     * boundaries — correct at test SF, a build-step scale-killer at
     * 100 TB (see [[sampleKeep]]). */
-  def zorderKeyCols(
+  /** Derive the per-column bucket boundaries — the build step's ONE
+    * aggregate pass over the (sampled) input; an all-null (or empty)
+    * column yields empty boundaries → every row bucket 0, consistent
+    * with the nulls-first rule in [[zorderKeyWithBounds]]. */
+  def deriveBounds(
       df: DataFrame,
       cols: Seq[String],
-      bits: Int = 6,
+      bits: Int,
       sampleBy: Option[(String, Int)] = None
-  ): DataFrame = {
-    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
-    require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
-    require(cols.size * bits <= 62, "k*bits must fit a long zkey")
+  ): Seq[Seq[Double]] = {
     val nb = 1 << bits
     val fracs = (1 until nb).map(i => i.toDouble / nb)
     def boundaryExpr(c: String): Column = expr(
       s"transform(percentile($c, array(${fracs.mkString(", ")})), x -> round(x, 4))")
-    // all columns' boundaries in ONE aggregate pass over the (sampled)
-    // input; an all-null (or empty) column yields null boundaries →
-    // every row bucket 0, consistent with the nulls-first rule below
     val src = sampleBy match {
       case Some((id, every)) if every > 1 => df.where(sampleKeep(id, every))
       case _ => df
@@ -91,10 +89,25 @@ object Layout {
           boundaryExpr(c).as(s"b${i + 1}")
         }: _*)
       .head()
-    val bounds = cols.indices.map(i =>
-      Option(row.getSeq[Double](i)).getOrElse(Seq.empty))
-    // bucket = #boundaries strictly below the value; null comparisons are
-    // never true, so null/NaN-free columns distribute and nulls take 0
+    cols.indices.map(i => Option(row.getSeq[Double](i)).getOrElse(Seq.empty))
+  }
+
+  /** Apply FROZEN boundaries: bucket + interleave, no aggregate pass —
+    * the key an append computes against the layout's persisted meta
+    * ([[appendZordered]]), and the second half of [[zorderKeyCols]].
+    * bucket = #boundaries strictly below the value; null comparisons are
+    * never true, so null/NaN-free columns distribute and nulls take 0. */
+  def zorderKeyWithBounds(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Seq[Double]]
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
+    require(cols.size * bits <= 62, "k*bits must fit a long zkey")
+    require(bounds.size == cols.size,
+      s"bounds for ${bounds.size} columns, expected ${cols.size}")
     def bucketCol(c: String, bs: Seq[Double]): Column =
       if (bs.isEmpty) lit(0)
       else bs.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
@@ -110,6 +123,17 @@ object Layout {
     } yield shiftright(col(s"__zb_$i"), j).bitwiseAND(lit(1)).cast("long") *
       lit(1L << (j * k + i))).reduce(_ + _)
     withB.withColumn("zkey", zkey)
+  }
+
+  def zorderKeyCols(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int = 6,
+      sampleBy: Option[(String, Int)] = None
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
+    zorderKeyWithBounds(df, cols, bits, deriveBounds(df, cols, bits, sampleBy))
   }
 
   /** Working-column names [[zorderKeyCols]] adds for k columns. */
@@ -146,14 +170,13 @@ object Layout {
       numFiles: Int = 32,
       sampleBy: Option[(String, Int)] = None
   ): Unit =
-    zorderKey(df, colA, colB, bits, sampleBy)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("__zb_a", "__zb_b", "zkey")
-      .write.mode("overwrite").parquet(path)
+    writeZorderedCols(df, path, Seq(colA, colB), bits, numFiles, sampleBy)
 
   /** k-column Z-ordered write — [[zorderKeyCols]]' key, the same range
-    * exchange + in-file sort. */
+    * exchange + in-file sort. Persists the clustering parameters (cols,
+    * bits, boundaries) to the [[layoutMetaPath]] sidecar so appends
+    * ([[appendZordered]]) and compaction ([[compactLayout]]) can re-key
+    * rows in the SAME bucket space without a fresh boundary pass. */
   def writeZorderedCols(
       df: DataFrame,
       path: String,
@@ -161,12 +184,164 @@ object Layout {
       bits: Int = 6,
       numFiles: Int = 32,
       sampleBy: Option[(String, Int)] = None
-  ): Unit =
-    zorderKeyCols(df, cols, bits, sampleBy)
+  ): Unit = {
+    val bounds = deriveBounds(df, cols, bits, sampleBy)
+    zorderKeyWithBounds(df, cols, bits, bounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
       .write.mode("overwrite").parquet(path)
+    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds)
+  }
+
+  /** Layout-meta sidecar path: sibling of the data, like the manifest. */
+  def layoutMetaPath(path: String): String = path.stripSuffix("/") + "__layout_meta"
+
+  /** Persist the frozen clustering parameters — one row per Z column:
+    * (pos, zcol, bits, bounds). The sidecar is what makes the layout a
+    * TABLE rather than a one-shot dump: appends re-key against these
+    * boundaries, so every file (original or appended) buckets rows in
+    * one shared quantile space and the manifest's envelopes stay
+    * comparable across the table's lifetime. */
+  def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]]): Unit = {
+    val rows = cols.zipWithIndex.map { case (c, i) => (i, c, bits, bounds(i)) }
+    spark.createDataFrame(rows).toDF("pos", "zcol", "bits", "bounds")
+      .coalesce(1).write.mode("overwrite").parquet(layoutMetaPath(path))
+  }
+
+  /** Read back (cols, bits, bounds) from the sidecar. */
+  def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Int, Seq[Seq[Double]]) = {
+    val rows = spark.read.parquet(layoutMetaPath(path))
+      .orderBy("pos").collect()
+    require(rows.nonEmpty, s"empty layout meta at ${layoutMetaPath(path)}")
+    val cols = rows.map(_.getAs[String]("zcol")).toSeq
+    val bits = rows.head.getAs[Int]("bits")
+    val bounds = rows.map(r =>
+      Option(r.getSeq[Double](r.fieldIndex("bounds"))).getOrElse(Seq.empty)).toSeq
+    (cols, bits, bounds)
+  }
+
+  /** INCREMENTAL append to a Z-ordered layout — the production write
+    * path after the initial build (a stream's micro-batches, a daily
+    * partition): re-key `df` against the FROZEN boundaries from the
+    * meta sidecar (no aggregate pass over anything), range-cluster the
+    * batch into `numFiles` new files, land them with mode=append. Cost
+    * ∝ the batch, never the table. The new files cluster the same
+    * bucket space as the originals, so their min/max envelopes prune
+    * exactly like built files; if the data distribution has drifted off
+    * the frozen quantiles the layout still serves CORRECTLY (the
+    * manifest records real envelopes) — pruning selectivity decays
+    * gracefully, and [[layoutStats]]' overlap_frac is the rebuild
+    * trigger to watch. The data dir is ahead of the indexes after this
+    * call and pruned reads will refuse to serve ([[requireFresh]]) —
+    * run [[refreshManifest]] / [[refreshValueIndex]] to complete the
+    * commit unit; each indexes ONLY the new files. */
+  def appendZordered(df: DataFrame, path: String, numFiles: Int = 4): Unit = {
+    val (cols, bits, bounds) = readLayoutMeta(df.sparkSession, path)
+    zorderKeyWithBounds(df, cols, bits, bounds)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(cols.size): _*)
+      .write.mode("append").parquet(path)
+  }
+
+  /** Incrementally index files the manifest has not seen: list the data
+    * dir, diff against the manifest's recorded set, scan ONLY the new
+    * files for min/max, and swap in (old rows ∪ new rows) crash-safely
+    * ([[AtomicDir.swapDir]] — the read of the old manifest executes
+    * while the live copy is intact). Cost ∝ new data, never the table —
+    * the property that keeps the index affordable under continuous
+    * ingest at 100 TB (a full [[writeManifest]] re-scan per append
+    * would be quadratic over the table's lifetime). A file GONE from
+    * the data (compaction/delete behind the index) still requires the
+    * full rewrite — incremental refresh only ever grows the set.
+    * Returns the number of newly indexed files (0 = already fresh). */
+  def refreshManifest(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val mPath = manifestPath(path)
+    AtomicDir.recoverSwap(spark, mPath)
+    val old = spark.read.parquet(mPath)
+    val indexed = old.select("file").collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val actual = listedDataFiles(spark, path)
+    require((indexed -- actual).isEmpty,
+      s"file(s) gone from data behind the manifest for $path " +
+        s"(${(indexed -- actual).take(3).mkString(", ")}): incremental " +
+        "refresh only grows the set — rewrite with writeManifest.")
+    val newNames = (actual -- indexed).toIndexedSeq.sorted
+    if (newNames.isEmpty) return 0L
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val newRows = spark.read.parquet(
+      newNames.map(n => path.stripSuffix("/") + "/" + n): _*)
+      .select(cols.map(col): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    AtomicDir.swapDir(spark, mPath) { tmp =>
+      old.unionByName(newRows).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    newNames.size.toLong
+  }
+
+  /** The value-index twin of [[refreshManifest]]: hash-membership sets
+    * for ONLY the unindexed files, swapped in with the old rows. Same
+    * contract (grow-only; a gone file requires [[writeValueIndex]]).
+    * `buckets` must match the original build — it is the hash space the
+    * probe side recomputes. */
+  def refreshValueIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      c: String, buckets: Int = 1 << 16): Long = {
+    require(buckets > 0, "buckets must be positive")
+    val vPath = valueIndexPath(path, c)
+    AtomicDir.recoverSwap(spark, vPath)
+    val old = spark.read.parquet(vPath)
+    val indexed = old.select("file").collect().map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val actual = listedDataFiles(spark, path)
+    require((indexed -- actual).isEmpty,
+      s"file(s) gone from data behind the value index for $path " +
+        s"(${(indexed -- actual).take(3).mkString(", ")}): incremental " +
+        "refresh only grows the set — rewrite with writeValueIndex.")
+    val newNames = (actual -- indexed).toIndexedSeq.sorted
+    if (newNames.isEmpty) return 0L
+    val newRows = spark.read.parquet(
+      newNames.map(n => path.stripSuffix("/") + "/" + n): _*)
+      .select(col(c))
+      .groupBy(input_file_name().as("file"))
+      .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
+    AtomicDir.swapDir(spark, vPath) { tmp =>
+      old.unionByName(newRows).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    newNames.size.toLong
+  }
+
+  /** COMPACTION for the append-accreted layout — the small-files answer:
+    * re-key every row against the frozen meta boundaries, re-range-
+    * cluster into `numFiles` files, and swap the data dir crash-safely.
+    * Restores the built layout's file-count and curve-segment tightness
+    * after many [[appendZordered]] batches (appends cluster within
+    * themselves; across batches the same zkey range lands in multiple
+    * small files, so reads touch append-count × the built file count).
+    * One full read+write of the table — schedule like any compaction.
+    * Every file changes, so the indexes require their FULL rewrites
+    * afterwards ([[writeManifest]] / [[writeValueIndex]] — the
+    * incremental refreshes refuse, gone-files contract); until then
+    * pruned reads fail loudly, never silently. */
+  def compactLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int = 32): Unit = {
+    val (cols, bits, bounds) = readLayoutMeta(spark, path)
+    AtomicDir.swapDir(spark, path) { tmp =>
+      zorderKeyWithBounds(spark.read.parquet(path), cols, bits, bounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(zorderWorkCols(cols.size): _*)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
 
   /** Manifest path convention: a SIBLING directory, never inside the data
     * path (a nested dir would surface in the data scan's own listing). */
@@ -277,6 +452,39 @@ object Layout {
     val files = matchingFiles(spark, path, ranges)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*).where(resid)
+  }
+
+  /** COMPOSED pruned read — manifest RANGE pruning ∩ value-index POINT
+    * pruning in one call (the two skipping classes cover different
+    * predicate shapes, and a real query carries both: `key = ? AND
+    * metric BETWEEN ? AND ?`). Each index prunes independently and the
+    * file lists INTERSECT — sound because each side alone only removes
+    * files its predicate cannot match, so the intersection keeps every
+    * file the conjunction could match. Compared by basename (the
+    * [[requireFresh]] rationale: indexes record `input_file_name()`
+    * URIs, all files live in one directory). Both indexes must exist
+    * and be fresh ([[requireFresh]] runs inside each consult); the
+    * residual conjunction keeps the result EXACTLY the full-scan
+    * filter (q_pruned_point's oracle). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)],
+      points: Seq[(String, Column)],
+      buckets: Int): DataFrame = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "composed prune needs at least one range or point predicate")
+    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val sets =
+      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).map(base).toSet)
+       else Nil) ++
+        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).map(base).toSet }
+    val keep = sets.reduce(_ intersect _)
+    val resid = (ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
+    if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(
+      keep.toIndexedSeq.sorted.map(n => path.stripSuffix("/") + "/" + n): _*)
+      .where(resid)
   }
 
   /** Value-index path convention: sibling of the data, like the manifest. */

@@ -949,37 +949,18 @@ object OnlineRefresh {
     * recovery branch inside [[swapDir]] alone is unreachable when the
     * caller (e.g. [[compactBatchArtifact]]'s `spark.read.parquet(dir)`, or
     * any read* helper) touches the missing dst before the swap runs. */
-  private[streaming] def recoverSwap(spark: SparkSession, dirPath: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(dirPath)
-    val fs = dst.getFileSystem(conf)
-    val oldP = new org.apache.hadoop.fs.Path(dirPath + "_old")
-    if (!fs.exists(dst) && fs.exists(oldP) && !fs.rename(oldP, dst))
-      throw new java.io.IOException(s"recovery rename $oldP -> $dst failed")
-  }
+  private[streaming] def recoverSwap(spark: SparkSession, dirPath: String): Unit =
+    graft.fs.AtomicDir.recoverSwap(spark, dirPath)
 
-  /** Crash-safe directory swap (the [[start]] snapshot recipe): write the
-    * replacement via `write(tmpPath)`, move the old dir aside, move tmp
-    * in, drop old — a crash between renames leaves dst or dst_old intact,
-    * and [[recoverSwap]] (run here AND by every public entry point that
-    * touches the dir, where the crash actually surfaces) restores dst. */
-  private def swapDir(spark: SparkSession, dirPath: String)(write: String => Unit): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(dirPath)
-    val fs = dst.getFileSystem(conf)
-    val oldP = new org.apache.hadoop.fs.Path(dirPath + "_old")
-    val tmp = new org.apache.hadoop.fs.Path(dirPath + "_tmp")
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"compaction swap failed: $what")
-    recoverSwap(spark, dirPath)
-    fs.delete(tmp, true)
-    write(tmp.toString)
-    fs.delete(oldP, true)
-    if (fs.exists(dst)) must(fs.rename(dst, oldP), s"rename $dst -> $oldP")
-    must(fs.rename(tmp, dst), s"rename $tmp -> $dst")
-    fs.delete(oldP, true)
-    ()
-  }
+  /** Crash-safe directory swap ([[graft.fs.AtomicDir.swapDir]] — the
+    * [[start]] snapshot recipe, shared with the layout-index refreshes):
+    * write the replacement via `write(tmpPath)`, move the old dir aside,
+    * move tmp in, drop old — a crash between renames leaves dst or
+    * dst_old intact, and [[recoverSwap]] (run there AND by every public
+    * entry point that touches the dir, where the crash actually
+    * surfaces) restores dst. */
+  private def swapDir(spark: SparkSession, dirPath: String)(write: String => Unit): Unit =
+    graft.fs.AtomicDir.swapDir(spark, dirPath)(write)
 
   /** Compact a `batch=<id>`-partitioned artifact directory: fold every
     * partition EXCEPT the newest through `fold` (identity for

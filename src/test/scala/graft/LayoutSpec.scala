@@ -120,6 +120,38 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.pointRead(spark, s"$base/striped", "id", lit(777)).count() == 1)
   }
 
+  test("composed prunedRead: range ∩ point equals the full-scan conjunction, intersection beats either side") {
+    val base = java.nio.file.Files.createTempDirectory("graft-composed").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 16)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    // a real query shape: metric range + key point — the manifest answers
+    // the range, the hash index answers the point, file lists intersect
+    val ranges = Seq(("b", 40.0, 55.0))
+    val points = Seq(("id", lit(4243L)))  // a=43, b=42 → inside the range
+    val got = Layout.prunedRead(spark, s"$base/z", ranges, points, 1 << 16).collect()
+    assert(got.length == 1 && got(0).getAs[Long]("id") == 4243L)
+    // a point whose row falls OUTSIDE the range → zero rows, exactly the
+    // full-scan conjunction (id=9999 has b=99)
+    assert(Layout.prunedRead(spark, s"$base/z", ranges,
+      Seq(("id", lit(9999L))), 1 << 16).count() == 0)
+    // the receipt: the intersection touches no more files than either
+    // index alone keeps, and strictly fewer than the total
+    val rangeKept = Layout.matchingFiles(spark, s"$base/z", ranges).length
+    val pointKept = Layout.pointLookupFiles(spark, s"$base/z", "id", lit(4243L)).length
+    val resolved = Layout.prunedRead(spark, s"$base/z", ranges, points, 1 << 16)
+      .select(input_file_name()).distinct().count()
+    assert(resolved <= math.min(rangeKept, pointKept),
+      s"intersection opened $resolved files vs range=$rangeKept point=$pointKept")
+    assert(rangeKept < 16, "range side must skip on the z layout")
+    // empty intersection (point range-pruned away entirely) stays exact
+    assert(Layout.prunedRead(spark, s"$base/z", Seq(("b", 98.0, 99.0)),
+      Seq(("id", lit(4243L))), 1 << 16).count() == 0)
+    // points-only composed call degrades to the value-index path
+    assert(Layout.prunedRead(spark, s"$base/z", Nil,
+      Seq(("id", lit(4243L))), 1 << 16).count() == 1)
+  }
+
   test("stale index detection: a data rewrite behind the manifest/value index throws, never drops rows") {
     val base = java.nio.file.Files.createTempDirectory("graft-stale").toString
     grid.repartition(4).write.parquet(s"$base/d")
@@ -150,6 +182,60 @@ class LayoutSpec extends SparkSpec {
     hfs.delete(victim, false)
     val e3 = intercept[IllegalArgumentException](Layout.prunedRead(spark, s"$base/d", ranges))
     assert(e3.getMessage.contains("gone from data"), e3.getMessage)
+  }
+
+  test("append lifecycle: frozen-bounds re-key, incremental index refresh ∝ new files, compaction restores file count") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zappend").toString
+    val built = grid.where(col("id") % 2 === 0)
+    val arriving = grid.where(col("id") % 2 === 1)
+    Layout.writeZordered(built, s"$base/z", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    // meta sidecar round-trips the frozen parameters
+    val (mCols, mBits, mBounds) = Layout.readLayoutMeta(spark, s"$base/z")
+    assert(mCols == Seq("a", "b") && mBits == 6 && mBounds.forall(_.nonEmpty))
+    // append re-keys against the frozen bounds; data now AHEAD of indexes →
+    // pruned reads refuse loudly (never silently drop the new rows)
+    Layout.appendZordered(arriving, s"$base/z", numFiles = 4)
+    intercept[IllegalArgumentException](
+      Layout.prunedRead(spark, s"$base/z", Seq(("a", 20.0, 35.0))))
+    // incremental refresh indexes ONLY the new files
+    assert(Layout.refreshManifest(spark, s"$base/z", Seq("a", "b")) == 4L)
+    assert(Layout.refreshValueIndex(spark, s"$base/z", "id") == 4L)
+    // idempotent: a second refresh finds nothing new
+    assert(Layout.refreshManifest(spark, s"$base/z", Seq("a", "b")) == 0L)
+    assert(Layout.refreshValueIndex(spark, s"$base/z", "id") == 0L)
+    // exactness across the append boundary: range and point reads serve
+    // built + appended rows ≡ the full-scan filter
+    val full = spark.read.parquet(s"$base/z")
+      .where(col("a").between(20.0, 35.0) && col("b").between(40.0, 55.0))
+    val pruned = Layout.prunedRead(spark, s"$base/z",
+      Seq(("a", 20.0, 35.0), ("b", 40.0, 55.0)))
+    assert(pruned.count() == 16 * 16 && full.exceptAll(pruned).isEmpty)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(4243L)).count() == 1)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(4244L)).count() == 1)
+    // appended files still prune: the 2-D rectangle skips some of the 12
+    val kept = Layout.matchingFiles(spark, s"$base/z",
+      Seq(("a", 20.0, 35.0), ("b", 40.0, 55.0))).length
+    assert(kept < 12, s"append kept pruning alive: $kept/12 files")
+    // compaction: 12 fragmented files → 8, rows identical, indexes must
+    // be REWRITTEN (incremental refresh refuses on gone files)
+    Layout.compactLayout(spark, s"$base/z", numFiles = 8)
+    val nFiles = spark.read.parquet(s"$base/z")
+      .select(input_file_name()).distinct().count()
+    assert(nFiles <= 8, s"compaction left $nFiles files")
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+    val e = intercept[IllegalArgumentException](
+      Layout.refreshManifest(spark, s"$base/z", Seq("a", "b")))
+    assert(e.getMessage.contains("gone from data"), e.getMessage)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    // re-plan the full scan: the pre-compaction frame's file listing is
+    // stale by design (compaction replaced every file)
+    val fullC = spark.read.parquet(s"$base/z")
+      .where(col("a").between(20.0, 35.0) && col("b").between(40.0, 55.0))
+    val prunedC = Layout.prunedRead(spark, s"$base/z",
+      Seq(("a", 20.0, 35.0), ("b", 40.0, 55.0)))
+    assert(prunedC.count() == 16 * 16 && fullC.exceptAll(prunedC).isEmpty)
   }
 
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {

@@ -1228,6 +1228,40 @@ class OpsSpec extends SparkSpec {
     assert(narrow.groupBy("probe_id").count().collect().forall(_.getLong(1) == 5L))
   }
 
+  test("ivfPqResidualTopK: exact on codebook-bootstrap rows; null ranks last; offset skips centroid rows") {
+    // rows 0-1 are the centroids (nLists = 2); rows 2-3 are the residual
+    // codebook bootstrap (offset = nLists — their residuals ARE the books,
+    // so their reconstruction is exact and their ADC score must equal the
+    // float cosine). Without the offset the books would be the centroid
+    // rows' identically-zero residuals (the measured recall-0.16 bug).
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f, -0.5f)),
+      (1L, Array(-1.0f, 0.5f, -0.5f, 1.0f)),
+      (2L, Array(1.2f, 0.3f, 0.4f, -0.2f)),   // cell 0, bootstrap residual
+      (3L, Array(-0.8f, 0.7f, -0.3f, 0.9f)),  // cell 1, bootstrap residual
+      (4L, Array(0.9f, -0.1f, 0.6f, -0.6f)),
+      (5L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0L)
+    val res = graft.ops.Similarity.ivfPqResidualTopK(corpus, probes, k = 5,
+      nLists = 2, nProbe = 2, nSub = 2, nCodes = 2)
+      .select("corpus_id", "adc_cosine", "rn").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+        r.getInt(2))).toList
+    assert(res.length == 5, s"all 5 non-probe rows must rank: $res")
+    val exact = graft.ops.Similarity.bruteForceTopKJoin(corpus, probes, 5)
+      .select("corpus_id", "cosine").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]))).toMap
+    for (id <- Seq(2L, 3L)) {
+      val got = res.find(_._1 == id).get._2
+      assert(got == exact(id),
+        s"codebook-bootstrap row $id reconstructs exactly, ADC must equal float cosine: $got vs ${exact(id)}")
+    }
+    // the null embedding carries a null score and takes the last rank
+    val nullRow = res.find(_._1 == 5L).get
+    assert(nullRow._2.isEmpty && nullRow._3 == 5, s"null must rank last: $res")
+  }
+
   test("pqIndex: served ≡ direct; shard-union encode ≡ monolithic; per-row retraction algebra") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
