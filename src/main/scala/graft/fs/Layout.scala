@@ -247,6 +247,46 @@ object Layout {
       .write.mode("append").parquet(path)
   }
 
+  /** Streaming-epoch INITIAL build: derive boundaries from this first
+    * batch (a stream cannot see the full table — document the drift
+    * caveat: later data re-keys against these frozen quantiles, and
+    * [[layoutStats]] is the rebuild trigger), land the z-clustered rows
+    * as the `batch=<id>` partition, persist the meta sidecar at the
+    * ROOT (sibling of the partitioned dir — never inside it, where a
+    * stray file breaks partition discovery). With every epoch under
+    * `batch=<id>`, a replayed micro-batch overwrites its own partition
+    * — the engine-wide exactly-once recipe. */
+  def buildZorderedEpoch(
+      df: DataFrame,
+      path: String,
+      cols: Seq[String],
+      bits: Int = 6,
+      numFiles: Int = 8,
+      batchId: Long = 0L
+  ): Unit = {
+    val bounds = deriveBounds(df, cols, bits, None)
+    zorderKeyWithBounds(df, cols, bits, bounds)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(cols.size): _*)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds)
+  }
+
+  /** Streaming-epoch append: frozen-bounds re-key, landed as the
+    * overwrite of THIS epoch's `batch=<id>` partition (idempotent under
+    * foreachBatch replay, unlike the flat [[appendZordered]] whose
+    * mode=append would double rows). */
+  def appendZorderedEpoch(df: DataFrame, path: String, batchId: Long,
+      numFiles: Int = 4): Unit = {
+    val (cols, bits, bounds) = readLayoutMeta(df.sparkSession, path)
+    zorderKeyWithBounds(df, cols, bits, bounds)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(cols.size): _*)
+      .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+  }
+
   /** Incrementally index files the manifest has not seen: list the data
     * dir, diff against the manifest's recorded set, scan ONLY the new
     * files for min/max, and swap in (old rows ∪ new rows) crash-safely
@@ -259,62 +299,79 @@ object Layout {
     * full rewrite — incremental refresh only ever grows the set.
     * Returns the number of newly indexed files (0 = already fresh). */
   def refreshManifest(spark: org.apache.spark.sql.SparkSession, path: String,
-      cols: Seq[String]): Long = {
+      cols: Seq[String], allowGone: Boolean = false): Long = {
     require(cols.nonEmpty, "manifest needs at least one column")
     val mPath = manifestPath(path)
     AtomicDir.recoverSwap(spark, mPath)
     val old = spark.read.parquet(mPath)
     val indexed = old.select("file").collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val actual = listedDataFiles(spark, path)
-    require((indexed -- actual).isEmpty,
+    val actual = listedDataFilePaths(spark, path)
+    val gone = indexed -- actual.keySet
+    require(allowGone || gone.isEmpty,
       s"file(s) gone from data behind the manifest for $path " +
-        s"(${(indexed -- actual).take(3).mkString(", ")}): incremental " +
-        "refresh only grows the set — rewrite with writeManifest.")
-    val newNames = (actual -- indexed).toIndexedSeq.sorted
-    if (newNames.isEmpty) return 0L
+        s"(${gone.take(3).mkString(", ")}): incremental " +
+        "refresh only grows the set — rewrite with writeManifest " +
+        "(or pass allowGone = true for a replayed-epoch overwrite, " +
+        "which regenerates part names).")
+    val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
+    if (newNames.isEmpty && gone.isEmpty) return 0L
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val newRows = spark.read.parquet(
-      newNames.map(n => path.stripSuffix("/") + "/" + n): _*)
-      .select(cols.map(col): _*)
-      .groupBy(input_file_name().as("file"))
-      .agg(aggs.head, aggs.tail: _*)
+    // gone rows (allowGone — a replayed epoch rewrote its partition with
+    // fresh part names) drop out; the result exactly describes the live
+    // file set either way
+    val kept =
+      if (gone.isEmpty) old
+      else old.where(!element_at(split(col("file"), "/"), -1).isin(gone.toSeq: _*))
+    val merged =
+      if (newNames.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(newNames.map(actual): _*)
+          .select(cols.map(col): _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*))
     AtomicDir.swapDir(spark, mPath) { tmp =>
-      old.unionByName(newRows).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     newNames.size.toLong
   }
 
   /** The value-index twin of [[refreshManifest]]: hash-membership sets
     * for ONLY the unindexed files, swapped in with the old rows. Same
-    * contract (grow-only; a gone file requires [[writeValueIndex]]).
-    * `buckets` must match the original build — it is the hash space the
-    * probe side recomputes. */
+    * contract (grow-only; a gone file requires [[writeValueIndex]] —
+    * or `allowGone` for the streaming replay case). `buckets` must
+    * match the original build — it is the hash space the probe side
+    * recomputes. */
   def refreshValueIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      c: String, buckets: Int = 1 << 16): Long = {
+      c: String, buckets: Int = 1 << 16, allowGone: Boolean = false): Long = {
     require(buckets > 0, "buckets must be positive")
     val vPath = valueIndexPath(path, c)
     AtomicDir.recoverSwap(spark, vPath)
     val old = spark.read.parquet(vPath)
     val indexed = old.select("file").collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val actual = listedDataFiles(spark, path)
-    require((indexed -- actual).isEmpty,
+    val actual = listedDataFilePaths(spark, path)
+    val gone = indexed -- actual.keySet
+    require(allowGone || gone.isEmpty,
       s"file(s) gone from data behind the value index for $path " +
-        s"(${(indexed -- actual).take(3).mkString(", ")}): incremental " +
-        "refresh only grows the set — rewrite with writeValueIndex.")
-    val newNames = (actual -- indexed).toIndexedSeq.sorted
-    if (newNames.isEmpty) return 0L
-    val newRows = spark.read.parquet(
-      newNames.map(n => path.stripSuffix("/") + "/" + n): _*)
-      .select(col(c))
-      .groupBy(input_file_name().as("file"))
-      .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
+        s"(${gone.take(3).mkString(", ")}): incremental " +
+        "refresh only grows the set — rewrite with writeValueIndex " +
+        "(or pass allowGone = true for a replayed-epoch overwrite).")
+    val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
+    if (newNames.isEmpty && gone.isEmpty) return 0L
+    val kept =
+      if (gone.isEmpty) old
+      else old.where(!element_at(split(col("file"), "/"), -1).isin(gone.toSeq: _*))
+    val merged =
+      if (newNames.isEmpty) kept
+      else kept.unionByName(
+        spark.read.parquet(newNames.map(actual): _*)
+          .select(col(c))
+          .groupBy(input_file_name().as("file"))
+          .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset")))
     AtomicDir.swapDir(spark, vPath) { tmp =>
-      old.unionByName(newRows).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     newNames.size.toLong
   }
@@ -378,21 +435,32 @@ object Layout {
       .write.mode("overwrite").parquet(manifestPath(path))
   }
 
-  /** The basenames of the data files actually present under `path` — one
-    * driver-side listing RPC (milliseconds at 10^5 files), the price of
-    * the staleness guard below. Hidden/metadata entries (`_SUCCESS`,
-    * `.crc`) are excluded, matching what a parquet scan would read. */
-  private def listedDataFiles(spark: org.apache.spark.sql.SparkSession,
-      path: String): Set[String] = {
+  /** The basenames of the data files actually present under `path` —
+    * driver-side listing RPCs (milliseconds at 10^5 files), the price of
+    * the staleness guard below. Recurses one level of partition
+    * directories (`batch=<id>` — the streaming layout shape) so flat and
+    * epoch-partitioned layouts share one guard; hidden/metadata entries
+    * (`_SUCCESS`, `.crc`) are excluded, matching what a parquet scan
+    * would read. Basenames stay unique across partitions (every write
+    * job salts its part files with a fresh UUID). */
+  private def listedDataFilePaths(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.listStatus(p).iterator
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
-      .map(_.getPath.getName).toSet
+    def visible(n: String): Boolean = !n.startsWith("_") && !n.startsWith(".")
+    hfs.listStatus(p).iterator.flatMap { st =>
+      if (st.isFile && visible(st.getPath.getName)) Iterator(st.getPath)
+      else if (st.isDirectory && visible(st.getPath.getName))
+        hfs.listStatus(st.getPath).iterator
+          .filter(c => c.isFile && visible(c.getPath.getName))
+          .map(_.getPath)
+      else Iterator.empty
+    }.map(q => q.getName -> q.toString).toMap
   }
+
+  private def listedDataFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String): Set[String] =
+    listedDataFilePaths(spark, path).keySet
 
   /** ENFORCE the staleness contract: the index's recorded file set must
     * equal the directory's actual file set, else pruning would hand Spark
@@ -473,18 +541,21 @@ object Layout {
     require(ranges.nonEmpty || points.nonEmpty,
       "composed prune needs at least one range or point predicate")
     def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
-    val sets =
-      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).map(base).toSet)
+    // each consult returns the indexes' recorded FULL input_file_name()
+    // URIs; intersect on basename (unique — every write job salts part
+    // names) but serve the URIs, which stay valid for flat AND
+    // batch-partitioned layouts
+    val uriSets =
+      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).toIndexedSeq)
        else Nil) ++
-        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).map(base).toSet }
-    val keep = sets.reduce(_ intersect _)
+        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).toIndexedSeq }
+    val keep = uriSets.map(_.map(base).toSet).reduce(_ intersect _)
+    val files = uriSets.head.filter(f => keep(base(f))).sorted
     val resid = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
-    if (keep.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(
-      keep.toIndexedSeq.sorted.map(n => path.stripSuffix("/") + "/" + n): _*)
-      .where(resid)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*).where(resid)
   }
 
   /** Value-index path convention: sibling of the data, like the manifest. */

@@ -1356,10 +1356,13 @@ object Similarity {
       nProbe: Int = 4,
       nSub: Int = 8,
       nCodes: Int = 16,
+      rerankDepth: Int = 0,
       idCol: String = "vec_id",
       embCol: String = "embedding"
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(rerankDepth == 0 || rerankDepth >= k,
+      s"rerankDepth must be 0 (off) or >= k, got $rerankDepth < $k")
     val dp = dotFn(corpus.sparkSession)
     val centroids = centroidBootstrap(corpus, nLists, idCol, embCol)
     val cs = cellScores(centroids, dp) _
@@ -1386,9 +1389,12 @@ object Similarity {
           lit(null).cast("double")).otherwise(adcDot / denom), 6))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc_cosine").desc_nulls_last, col("corpus_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("probe_id"), col("corpus_id"), col("adc_cosine"), col("rn"))
+    val approx = scored.withColumn("rn", row_number().over(w))
+    if (rerankDepth == 0) {
+      approx.where(col("rn") <= k)
+        .select(col("probe_id"), col("corpus_id"), col("adc_cosine"), col("rn"))
+    } else exactRerank(corpus, probes,
+      approx.where(col("rn") <= rerankDepth), k, idCol, embCol)
   }
 
   /** RESIDUAL IVF-PQ — the production FAISS `IVFPQ` encoding, one rung

@@ -760,6 +760,107 @@ object OnlineRefresh {
       .start()
   }
 
+  /** CONTINUOUS Z-ORDERED INGEST — the layout family's streaming loop,
+    * completing its lifecycle matrix the way every other artifact family
+    * got one (build → append → refresh → compact, now driven by a
+    * stream): each micro-batch lands z-clustered as its own `batch=<id>`
+    * partition of the layout (first epoch derives the frozen boundaries
+    * from ITSELF and writes the meta sidecar — a stream never sees the
+    * full table; [[graft.fs.Layout.layoutStats]] is the drift/rebuild
+    * trigger), then BOTH skipping indexes catch up incrementally
+    * ([[graft.fs.Layout.refreshManifest]]/[[graft.fs.Layout
+    * .refreshValueIndex]] — cost ∝ the batch, never the table).
+    *
+    * Exactly-once: the `batch=<id>` partition overwrite (the engine-wide
+    * recipe — a replayed epoch rewrites its own partition, never
+    * double-lands), and the index refreshes run with `allowGone = true`
+    * because a replay regenerates part-file names: the refresh drops the
+    * orphaned rows and indexes the fresh files, leaving the index an
+    * exact description of the live file set. Between stream runs,
+    * [[compactZorderLayout]] folds committed epochs back to the built
+    * file count. Pruned/point reads stay EXACT throughout
+    * (q_stream_zorder_ingest's oracle is the full-scan conjunction);
+    * a crash between the data write and an index refresh surfaces as
+    * the loud staleness guard on the next read, never as missing rows. */
+  def zorderIngestStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      layoutPath: String,
+      checkpoint: String,
+      zCols: Seq[String],
+      indexCol: String,
+      bits: Int = 6,
+      numFilesPerBatch: Int = 4,
+      buckets: Int = 1 << 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        val mPath = graft.fs.Layout.manifestPath(layoutPath)
+        val vPath = graft.fs.Layout.valueIndexPath(layoutPath, indexCol)
+        recoverSwap(spark, mPath)
+        recoverSwap(spark, vPath)
+        if (!exists(graft.fs.Layout.layoutMetaPath(layoutPath)))
+          graft.fs.Layout.buildZorderedEpoch(batch, layoutPath, zCols, bits,
+            numFilesPerBatch, batchId)
+        else
+          graft.fs.Layout.appendZorderedEpoch(batch, layoutPath, batchId,
+            numFilesPerBatch)
+        if (!exists(mPath))
+          graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+        else
+          graft.fs.Layout.refreshManifest(spark, layoutPath, zCols, allowGone = true)
+        if (!exists(vPath))
+          graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+        else
+          graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
+            allowGone = true)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold the layout's committed epochs back to the built file count —
+    * [[compactBatchArtifact]] with a z-reclustering fold (frozen-meta
+    * re-key + range exchange + in-file sort, so the compacted partition
+    * is a proper Z layout, not a concatenation), then FULL index
+    * rewrites (every folded file changed — the incremental refreshes'
+    * gone-files contract). Run between stream runs; the newest epoch
+    * stays verbatim (the only one foreachBatch may replay). Returns
+    * false (untouched) below 3 epochs. */
+  def compactZorderLayout(
+      spark: SparkSession,
+      layoutPath: String,
+      zCols: Seq[String],
+      indexCol: String,
+      numFiles: Int = 8,
+      buckets: Int = 1 << 16
+  ): Boolean = {
+    val (cols, bits, bounds) = graft.fs.Layout.readLayoutMeta(spark, layoutPath)
+    val did = compactBatchArtifact(spark, layoutPath, df =>
+      graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
+    if (did) {
+      graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+      graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+    }
+    did
+  }
+
   /** The ingestion loop RUN AS A STREAM: each micro-batch of newly-landed
     * documents is cleaned against the standing corpus of all EARLIER
     * batches' survivors with [[graft.ops.Dedup.dedupAgainst]] (digest

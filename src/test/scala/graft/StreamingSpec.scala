@@ -420,6 +420,70 @@ class StreamingSpec extends SparkSpec {
       "resume from checkpoint must not re-run epochs")
   }
 
+  test("zorderIngestStream: epochs land once, reads exact across epochs, resume appends, compaction preserves serve") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("graft-szing").toString
+    val grid = spark.range(4000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val part = Files.createTempDirectory("graft-szing-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    for (i <- 0 until 3) stage(i, grid.where(col("id") % 3 === i))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = {
+      val q = OnlineRefresh.zorderIngestStream(spark, s"$tmp/src", schema,
+        s"$tmp/z", s"$tmp/ck", Seq("a", "b"), "id",
+        numFilesPerBatch = 2, maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    run()
+    def nEpochs: Int = new java.io.File(s"$tmp/z").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(nEpochs == 3, s"3 staged files must land 3 epochs, got $nEpochs")
+    // exactness across epochs: composed range+point vs the full scan
+    def checkExact(): Unit = {
+      val full = spark.read.parquet(s"$tmp/z")
+        .where(col("a").between(10.0, 25.0) && col("b").between(30.0, 45.0))
+        .select("id", "a", "b")
+      val pruned = graft.fs.Layout.prunedRead(spark, s"$tmp/z",
+        Seq(("a", 10.0, 25.0), ("b", 30.0, 45.0))).select("id", "a", "b")
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        "streamed layout pruned read must equal the full-scan filter")
+      assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(777L))
+        .count() == 1)
+    }
+    checkExact()
+    // resume from checkpoint: no re-delivery, no new epochs, indexes fresh
+    run()
+    assert(nEpochs == 3, "resume must not re-run epochs")
+    checkExact()
+    // a late 4th shard arrives: resume ingests exactly it
+    stage(3, spark.range(4000, 5000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b")))
+    run()
+    assert(nEpochs == 4, "the late shard must land as one new epoch")
+    checkExact()
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(4500L)).count() == 1,
+      "late-shard rows must be point-readable through the refreshed index")
+    // compaction folds committed epochs, serve unchanged
+    assert(OnlineRefresh.compactZorderLayout(spark, s"$tmp/z", Seq("a", "b"), "id",
+      numFiles = 4))
+    assert(nEpochs == 2, s"compaction must leave target + newest, got $nEpochs")
+    checkExact()
+    assert(spark.read.parquet(s"$tmp/z").count() == 5000,
+      "compaction moves bytes, never rows")
+  }
+
   test("span bank retract: ≡ rebuild over survivors on disjoint spans; idempotent; kills the boilerplate signal") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sspanr").toString
