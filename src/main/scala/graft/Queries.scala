@@ -688,6 +688,45 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** The layout family's TAKEDOWN FEED under the hard oracle
+    * ([[graft.streaming.OnlineRefresh.zorderDeleteStream]]): a standing
+    * 4-epoch layout over all events, then two mtime-ordered micro-
+    * batches of takedown keys (`event_id % 202 ∈ {0, 101}` — together
+    * exactly the `event_id % 101 = 0` rows, which is what the oracle
+    * subtracts). Each batch routes through the value index in one
+    * probe, rewrites only victim partitions, and refreshes both indexes
+    * before its epoch commits. The composed pruned read over the final
+    * layout must equal the full-scan conjunction MINUS the fed keys —
+    * continuous deletion removes exactly the fed rows and nothing
+    * else. Order cannot move the result (deletion is a set minus), so
+    * the oracle is the plain batch filter. */
+  private def streamZorderDelete(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_zdel:$dir", s), { _ =>
+      val src = scratchDir("graft_szd_src")
+      val ck = scratchDir("graft_szd_ck")
+      val base = scratchDir("graft_szd_out").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      stageOrderedFiles(Seq(
+        e.where(pmod(col("event_id"), lit(202)) === 0).select("event_id"),
+        e.where(pmod(col("event_id"), lit(202)) === 101).select("event_id")),
+        src, "graft_szd_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.zorderDeleteStream(s, src.toString, schema,
+        s"$base/z", ck.toString, Seq("user_id", "value"), "event_id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Span-bank RETRACTION under the hard oracle — the takedown cell that
     * completes the span family's lifecycle matrix (the r13 verdict's
     * missing row): three mtime-ordered doc_id-mod-4 shards build the bank
@@ -2275,6 +2314,110 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** 3-COLUMN manifest-pruned scan — the k-column generalization under
+    * its own oracle: events written Z-ordered on (user_id, value,
+    * floor-seconds of ts) via [[graft.fs.Layout.writeZorderedCols]]
+    * (bits = 4, zkey < 2^12), manifest on all three, then a 3-D range
+    * read. Real tables prune key × metric × time — this is that query.
+    * The oracle is the plain full-scan conjunction (ts re-derived as
+    * `floor(epoch(ts))`, the q_zorder_key3 convention); exactness is
+    * the claim, the skipping receipt lives in LayoutSpec/SCALE.md. */
+  private def prunedScan3Q(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("pruned3:" + dir, s), _ => {
+      val base = scratchDir("graft_zscan3").toString
+      val e = readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          unix_timestamp(col("ts")).cast("double").as("ts_sec"))
+      fs.Layout.writeZorderedCols(e, s"$base/z",
+        Seq("user_id", "value", "ts_sec"), bits = 4, numFiles = 32,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value", "ts_sec"))
+      // the ts band covers the fixture's first ~10 days (of 30) — 85-94
+      // rows at every test SF
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0),
+          ("ts_sec", 1704067200.0, 1704931200.0)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts_sec").cast("long").as("ts_sec"))
+    })
+
+  /** Index-pruned DELETE ([[graft.fs.Layout.deleteMatching]]) — the
+    * layout family's retraction cell: a 4-epoch layout (the streaming-
+    * ingest shape), a takedown of every `user_id = 7` row routed by the
+    * VALUE INDEX to just the files that can hold victims, partition-
+    * granular crash-safe rewrites, then both indexes refreshed with
+    * `allowGone` (the delete's commit unit). The pruned 2-D read must
+    * equal the full-scan filter MINUS the deleted key — rows leave
+    * exactly once, everything else stays byte-identical. */
+  private def layoutDeletedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdelete:" + dir, s), _ => {
+      val base = scratchDir("graft_zdel").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "user_id")
+      fs.Layout.deleteMatching(s, s"$base/z", Nil, Seq(("user_id", lit(7L))))
+      fs.Layout.refreshManifest(s, s"$base/z", Seq("user_id", "value"),
+        allowGone = true)
+      fs.Layout.refreshValueIndex(s, s"$base/z", "user_id", allowGone = true)
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** Key-based UPSERT ([[graft.fs.Layout.upsertByKey]]) — the layout
+    * family's MERGE cell completing its CRUD surface: a 3-epoch layout,
+    * then an update batch rewriting every `event_id % 97 == 0` row with
+    * `value + 1000`. The batch's keys route via the VALUE INDEX to just
+    * the partitions that hold them; the batch lands as its own epoch
+    * (frozen-bounds re-key — the new rows prune like any other); the
+    * matched keys anti-join out of the older partitions. After the
+    * refresh commit unit, latest-wins is PHYSICAL, and the pruned read
+    * must equal the full-scan CASE rewrite — every key exactly once. */
+  private def layoutUpsertedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zupsert:" + dir, s), _ => {
+      val base = scratchDir("graft_zup").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 2)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      fs.Layout.upsertByKey(s, s"$base/z", upd, "event_id", batchId = Some(3L))
+      fs.Layout.refreshManifest(s, s"$base/z", Seq("user_id", "value"),
+        allowGone = true)
+      fs.Layout.refreshValueIndex(s, s"$base/z", "event_id", allowGone = true)
+      fs.Layout.prunedRead(s, s"$base/z", Seq(("user_id", 5.0, 11.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** Metadata-count pushdown ([[graft.fs.Layout.countMatching]]) —
+    * `count(*)` over a 2-D range where files fully inside the rectangle
+    * contribute their manifest row count WITHOUT being opened and only
+    * boundary-crossing files scan (cost ∝ the rectangle's surface, not
+    * its volume — the receipt lives in LayoutSpec). Exactness against
+    * the plain full-scan COUNT is the oracle's claim. */
+  private def metaCountQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zcount:" + dir, s), _ => {
+      val base = scratchDir("graft_zcnt").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      val (n, _, _) = fs.Layout.countMatching(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+      import s.implicits._
+      Seq(n).toDF("cnt")
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3041,7 +3184,10 @@ object Queries {
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
-      "q_layout_compacted", "q_stream_zorder_ingest", "q_stream_span_coverage",
+      "q_layout_compacted", "q_layout_deleted", "q_layout_upserted",
+      "q_meta_count", "q_pruned_scan3",
+      "q_stream_zorder_ingest", "q_stream_zorder_delete",
+      "q_stream_span_coverage",
       "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
@@ -3346,7 +3492,12 @@ object Queries {
     "q_pruned_point" -> (prunedPointQ _),
     "q_zorder_append" -> (zorderAppendQ _),
     "q_layout_compacted" -> (layoutCompactedQ _),
+    "q_layout_deleted" -> (layoutDeletedQ _),
+    "q_layout_upserted" -> (layoutUpsertedQ _),
+    "q_meta_count" -> (metaCountQ _),
+    "q_pruned_scan3" -> (prunedScan3Q _),
     "q_stream_zorder_ingest" -> (streamZorderIngest _),
+    "q_stream_zorder_delete" -> (streamZorderDelete _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -3813,6 +3964,40 @@ object Queries {
       """SELECT event_id, user_id, "value"
         |FROM events
         |WHERE user_id = 7 AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // streaming takedown feed: the fed keys leave, nothing else moves
+    "q_stream_zorder_delete" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60
+        |  AND event_id % 101 <> 0""".stripMargin,
+    // metadata-count: interior files from the manifest, boundary files scanned
+    "q_meta_count" ->
+      """SELECT count(*) AS cnt
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // key-based upsert: matched keys replaced physically, new keys insert;
+    // the CASE rewrite is the latest-wins truth over the original table
+    "q_layout_upserted" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
+    // index-pruned delete: rows leave exactly once, everything else stays
+    "q_layout_deleted" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11 AND user_id <> 7
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // the k-column layout's 3-D range read: key × metric × time
+    "q_pruned_scan3" ->
+      """SELECT event_id, user_id, "value",
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60
+        |  AND floor(epoch(ts)) >= 1704067200 AND floor(epoch(ts)) <= 1704931200""".stripMargin,
     "q_ann_recall_ivfq" -> annRecallIvfqOracle,
     "q_media_resize" ->
       """WITH m AS (

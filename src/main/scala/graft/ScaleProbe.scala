@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -486,6 +486,48 @@ object ScaleProbe {
         timed(s"semanticDedupProbed 50k DISTINCT nLists=$nl nProbe=$np @ sfbig")(
           graft.ops.Similarity.semanticDedupProbed(emb, threshold = 0.35,
             nLists = nl, nProbe = np).count())
+    }
+    // Round-14b: delete economics on the epoch-partitioned layout — the
+    // claim is cost ∝ affected partitions: a point delete routed by the
+    // value index touches ~1 epoch; a delete keyed on a column every
+    // epoch holds (user_id) pays all of them — the honest upper bound.
+    if (inSection("r14b")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val base = java.nio.file.Files.createTempDirectory("graft-r14b").toString
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      timed("epoch layout build: 10 epochs x ~100k rows") {
+        graft.fs.Layout.buildZorderedEpoch(
+          big.where(col("event_id") < 10000000L), s"$base/z",
+          Seq("user_id", "value"), bits = 6, numFiles = 8)
+        for (k <- 1 to 9)
+          graft.fs.Layout.appendZorderedEpoch(
+            big.where(col("event_id") >= k * 10000000L &&
+              col("event_id") < (k + 1) * 10000000L), s"$base/z", k, numFiles = 8)
+        graft.fs.Layout.writeManifest(spark, s"$base/z", Seq("user_id", "value"))
+        graft.fs.Layout.writeValueIndex(spark, s"$base/z", "event_id")
+        0L
+      }
+      timed("point delete (1 row, value-index routed)")(
+        graft.fs.Layout.deleteMatching(spark, s"$base/z", Nil,
+          Seq(("event_id", lit(7777L)))))
+      timed("index refresh after point delete") {
+        graft.fs.Layout.refreshManifest(spark, s"$base/z",
+          Seq("user_id", "value"), allowGone = true) +
+          graft.fs.Layout.refreshValueIndex(spark, s"$base/z", "event_id",
+            allowGone = true)
+      }
+      timed("key delete (one user, every epoch affected)")(
+        graft.fs.Layout.deleteMatching(spark, s"$base/z",
+          Seq(("user_id", 700.0, 700.0)), Nil))
+      timed("index refresh after key delete") {
+        graft.fs.Layout.refreshManifest(spark, s"$base/z",
+          Seq("user_id", "value"), allowGone = true) +
+          graft.fs.Layout.refreshValueIndex(spark, s"$base/z", "event_id",
+            allowGone = true)
+      }
+      timed("full-scan count after deletes")(
+        spark.read.parquet(s"$base/z").count())
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-

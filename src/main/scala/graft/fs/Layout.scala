@@ -316,8 +316,7 @@ object Layout {
         "which regenerates part names).")
     val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
     if (newNames.isEmpty && gone.isEmpty) return 0L
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = manifestAggs(cols)
     // gone rows (allowGone — a replayed epoch rewrote its partition with
     // fresh part names) drop out; the result exactly describes the live
     // file set either way
@@ -422,11 +421,21 @@ object Layout {
     * mismatch rather than silently dropping rows. min/max ignore
     * nulls, so an all-null file carries null bounds and is skipped by
     * every range — consistent with range predicates never matching null. */
+  /** The per-file aggregate row the manifest stores: min/max envelope
+    * per column PLUS `cnt` (rows) and `nn_<c>` (non-null rows) — the
+    * counts are what let [[countMatching]] answer fully-contained files
+    * from metadata alone, and `nn` is the null-honesty bit (a file
+    * "inside" a range on min/max may still hold null rows the predicate
+    * does not match; min/max ignore nulls). */
+  private def manifestAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nn_$c"))) :+ count(lit(1)).as("cnt")
+
   def writeManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "manifest needs at least one column")
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val aggs = manifestAggs(cols)
     spark.read.parquet(path)
       .select(cols.map(col): _*)
       .groupBy(input_file_name().as("file"))
@@ -558,6 +567,52 @@ object Layout {
     else spark.read.parquet(files: _*).where(resid)
   }
 
+  /** METADATA-COUNT pushdown — `count(*)` over a range conjunction that
+    * reads almost no data: files whose envelope is FULLY CONTAINED in
+    * every range (and null-free on every range column — `nn_c == cnt`,
+    * since min/max ignore nulls a contained envelope alone does not
+    * prove every row matches) contribute their manifest `cnt` without
+    * being opened; only BOUNDARY files (overlapping but not contained)
+    * are scanned with the exact residual predicate. Exactness is
+    * unconditional — containment is a per-file proof that every row
+    * matches, overlap-complement a proof that none does.
+    *
+    * Why it matters at 100 TB: a selective count on a Z-ordered layout
+    * touches only the files whose envelope CROSSES the rectangle's
+    * boundary — interior files (the volume term) count from one driver-
+    * side manifest read, so cost scales with the rectangle's surface,
+    * not its volume; a wide count (the common dashboard shape) reads
+    * nearly nothing. Same freshness contract as every consult: a stale
+    * manifest throws rather than miscounting. Returns (count,
+    * filesMetadataCounted, filesScanned) — the receipt is part of the
+    * API so callers can watch the scan fraction. */
+  def countMatching(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Long, Long, Long) = {
+    require(ranges.nonEmpty, "count needs at least one range")
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+        col(s"nn_$c") === col("cnt")
+    }.reduce(_ && _)
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"), col("cnt"),
+        coalesce(overlap, lit(false)).as("ov"),
+        coalesce(contained, lit(false)).as("ct")).collect()
+    requireFresh(spark, path, m.map(_.getString(0)), "manifest")
+    val metaCount = m.filter(_.getBoolean(3)).map(_.getLong(1)).sum
+    val boundary = m.filter(r => r.getBoolean(2) && !r.getBoolean(3))
+      .map(_.getString(0)).sorted
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val scanned =
+      if (boundary.isEmpty) 0L
+      else spark.read.parquet(boundary.toIndexedSeq: _*).where(resid).count()
+    (metaCount + scanned, m.count(_.getBoolean(3)).toLong, boundary.length.toLong)
+  }
+
   /** Value-index path convention: sibling of the data, like the manifest. */
   def valueIndexPath(path: String, c: String): String =
     path.stripSuffix("/") + s"__vindex_$c"
@@ -616,6 +671,235 @@ object Layout {
     val files = pointLookupFiles(spark, path, c, value, buckets)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
     else spark.read.parquet(files.toIndexedSeq: _*).where(col(c) === value)
+  }
+
+  /** Index-pruned DELETE — the layout family's retraction cell (the
+    * takedown every other artifact family already has): remove the rows
+    * matching the conjunction of `ranges` and `points`, touching ONLY
+    * the partitions whose files the skipping indexes say may hold
+    * victims. On an epoch-partitioned layout (`batch=<id>` — the
+    * streaming-ingest shape) each affected partition is rewritten
+    * without its victims and swapped crash-safely (hidden `.deltmp_`/
+    * `.delold_` set-asides — dot-prefixed so partition discovery and
+    * the freshness listing never see them; a crash mid-swap leaves the
+    * partition or its set-aside intact, and the recovery pass at the
+    * head of the next call restores it). On a FLAT layout every file's
+    * parent is the root, so the delete degrades to one full rewrite —
+    * the honest cost of deleting from an unpartitioned table.
+    *
+    * Cost at 100 TB: ∝ affected partitions — with the delete key among
+    * the Z columns (or value-indexed), victims live in few files and
+    * epoch partitions bound the rewrite amplification by epoch size,
+    * never table size. SQL DELETE semantics: only rows where the
+    * predicate is TRUE are removed (null-predicate rows stay).
+    *
+    * The data moves FIRST; the indexes are stale afterwards by design
+    * (pruned reads refuse loudly until the caller runs
+    * [[refreshManifest]]/[[refreshValueIndex]] with `allowGone = true`
+    * — the same commit-unit discipline as the streaming loop). A re-run
+    * after a crash is idempotent: already-filtered partitions simply
+    * contain no victims. Returns the number of rows removed. */
+  def deleteMatching(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)],
+      points: Seq[(String, Column)],
+      buckets: Int = 1 << 16): Long = {
+    require(ranges.nonEmpty || points.nonEmpty,
+      "delete needs at least one range or point predicate")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(hfs, root)
+    val resid = (ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
+    val hit = coalesce(resid, lit(false))
+    // the same index consult as the composed pruned read
+    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val uriSets =
+      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).toIndexedSeq)
+       else Nil) ++
+        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).toIndexedSeq }
+    val keep = uriSets.map(_.map(base).toSet).reduce(_ intersect _)
+    val files = uriSets.head.filter(f => keep(base(f)))
+    if (files.isEmpty) return 0L
+    rewriteVictimPartitions(spark, hfs, root, files,
+      rows => rows.where(hit).count(), rows => rows.where(!hit))
+  }
+
+  /** Restore partitions whose last partition-granular swap crashed — the
+    * shared head pass of [[deleteMatching]]/[[upsertByKey]]: a set-aside
+    * (`.delold_<part>`) whose live dir is gone renames back; an orphaned
+    * one (both present — crash after the final delete started) drops; a
+    * stranded `.deltmp_<part>` is an incomplete write, dropped. */
+  private def recoverPartitionSwaps(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    for (st <- hfs.listStatus(root)) {
+      val n = st.getPath.getName
+      if (n.startsWith(".delold_")) {
+        val victim = new org.apache.hadoop.fs.Path(root, n.stripPrefix(".delold_"))
+        if (!hfs.exists(victim)) {
+          if (!hfs.rename(st.getPath, victim))
+            throw new java.io.IOException(s"delete recovery rename ${st.getPath} failed")
+        } else hfs.delete(st.getPath, true)
+      } else if (n.startsWith(".deltmp_")) hfs.delete(st.getPath, true)
+    }
+
+  /** The partition-granular rewrite loop [[deleteMatching]] and
+    * [[upsertByKey]] share: group candidate files by parent (a
+    * `batch=<id>` partition, or the root for a flat layout), count each
+    * partition's victims, and rewrite ONLY partitions with victims > 0
+    * (a hash-index false positive, or an idempotent re-run, stays
+    * byte-identical — no rewrite, no index churn). Each rewrite is the
+    * crash-safe dir swap; partitions inside the table use the hidden
+    * dot-prefixed set-asides so discovery never sees a transient dir.
+    * Returns the total victim count across rewritten partitions. */
+  private def rewriteVictimPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      files: Seq[String],
+      countVictims: DataFrame => Long,
+      survivors: DataFrame => DataFrame): Long = {
+    val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
+    val parents = files.map(f => f.substring(0, f.lastIndexOf('/')))
+      .map(_.stripSuffix("/")).distinct.sorted
+    var removed = 0L
+    for (p <- parents) {
+      val rows = spark.read.parquet(p)
+      val victims = countVictims(rows)
+      if (victims > 0) {
+        removed += victims
+        val keepDf = survivors(rows)
+        val partName = p.substring(p.lastIndexOf('/') + 1)
+        if (hfs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+            .stripSuffix("/") == rootUri)
+          AtomicDir.swapDir(spark, p) { tmp =>
+            keepDf.write.mode("overwrite").parquet(tmp)
+          }
+        else
+          AtomicDir.swapDirAt(spark, p,
+            rootUri + s"/.deltmp_$partName", rootUri + s"/.delold_$partName") { tmp =>
+            keepDf.write.mode("overwrite").parquet(tmp)
+          }
+      }
+    }
+    removed
+  }
+
+  /** Key-based UPSERT (MERGE) into an epoch-partitioned layout — the
+    * cell that completes the layout's CRUD surface: every `updates` row
+    * REPLACES the stored row(s) sharing its `keyCol` value, and rows
+    * with unseen keys INSERT. The recipe composes the cells the layout
+    * already has, in crash-ordered sequence:
+    *
+    *  1. consult the value index on `keyCol` while it is FRESH — the
+    *     update batch's distinct key hashes (bounded by the batch, the
+    *     one driver-side literal) route to candidate files exactly as a
+    *     point lookup would;
+    *  2. land `updates` as the overwrite of its own `batch=<id>`
+    *     partition ([[appendZorderedEpoch]] — frozen-bounds re-key, so
+    *     the new rows cluster and prune like every other epoch; the
+    *     overwrite makes a foreachBatch replay idempotent when the
+    *     caller pins `batchId`, the streaming recipe);
+    *  3. anti-join the matched keys out of the OLDER candidate
+    *     partitions only ([[rewriteVictimPartitions]] — the new epoch is
+    *     excluded by name, so a crash-rerun never eats its own insert).
+    *
+    * Cost at 100 TB: index consult + batch write + rewrites of the few
+    * partitions that actually hold the batch's keys — never the table.
+    * The key set broadcasts (an upsert batch is epoch-sized by
+    * contract). MERGE null semantics: a null key never matches, so
+    * null-key update rows are pure inserts. Between steps 2 and 3 the
+    * table transiently holds both versions of a key — pruned reads
+    * refuse throughout (indexes stale) and the caller's closing
+    * [[refreshManifest]]/[[refreshValueIndex]] with `allowGone = true`
+    * is the commit unit, after which latest-wins is physical: the old
+    * rows are gone. Requires the `batch=<id>` shape (a flat layout has
+    * no bounded-rewrite unit — compose [[deleteMatching]] +
+    * [[appendZordered]] there and pay the honest full rewrite).
+    * Returns (replaced, inserted). */
+  def upsertByKey(spark: org.apache.spark.sql.SparkSession, path: String,
+      updates: DataFrame, keyCol: String,
+      buckets: Int = 1 << 16, numFiles: Int = 4,
+      batchId: Option[Long] = None): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(hfs, root)
+    val epochIds = hfs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong).toSeq
+    require(epochIds.nonEmpty,
+      s"upsertByKey needs the epoch-partitioned layout (batch=<id>) at $path; " +
+        "on a flat layout compose deleteMatching + appendZordered — one full " +
+        "rewrite is the honest cost there")
+    val inserted = updates.count()
+    if (inserted == 0L) return (0L, 0L)
+    // 1. candidate files, consulted while the index is still fresh
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val updKeys = updates
+      .select(col(keyCol).cast(keyType).as(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    val candidates = keyCandidateFiles(spark, path, updKeys, keyCol, buckets)
+    // 2. INSERT first — the epoch overwrite is the replay-idempotent unit
+    val id = batchId.getOrElse(epochIds.max + 1L)
+    appendZorderedEpoch(updates, path, id, numFiles)
+    // 3. REPLACE: matched keys leave the older partitions
+    val epochDir = s"batch=$id"
+    val older = candidates.toIndexedSeq.filterNot { f =>
+      val parent = f.substring(0, f.lastIndexOf('/')).stripSuffix("/")
+      parent.substring(parent.lastIndexOf('/') + 1) == epochDir
+    }
+    val replaced = rewriteVictimPartitions(spark, hfs, root, older,
+      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_semi").count(),
+      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_anti"))
+    (replaced, inserted)
+  }
+
+  /** The files whose hash sets can hold ANY of the batch's keys — the
+    * bulk-probe twin of [[pointLookupFiles]]: one `arrays_overlap`
+    * against the batch's distinct key-hash literal (bounded by
+    * min(batch keys, buckets) longs — the batch is the driver-side
+    * budget) instead of one consult per key. `keys` must already be
+    * cast to the stored column's type, non-null, distinct. */
+  private def keyCandidateFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: DataFrame, keyCol: String,
+      buckets: Int): Array[String] = {
+    val keyBuckets = keys
+      .select(pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val index = spark.read.parquet(valueIndexPath(path, keyCol))
+      .select(col("file"),
+        coalesce(arrays_overlap(col("hset"), typedLit(keyBuckets)), lit(false))
+          .as("hit"))
+      .collect()
+    requireFresh(spark, path, index.map(_.getString(0)), "value index")
+    index.filter(_.getBoolean(1)).map(_.getString(0))
+  }
+
+  /** BULK key delete — the TAKEDOWN-FEED shape ([[deleteMatching]] is
+    * the predicate form; this is "here is a list of ids, remove every
+    * row carrying one", the DMCA/GDPR batch): the whole batch routes
+    * through the value index in ONE probe ([[keyCandidateFiles]]), and
+    * only partitions actually holding victims rewrite — same partition-
+    * granular crash-safe swaps, same idempotent re-run (deleted keys
+    * find no victims), same commit unit (caller refreshes both indexes
+    * with `allowGone = true`; pruned reads refuse in between). The key
+    * set broadcasts — a takedown batch is feed-sized, never table-
+    * sized. Null keys never match (SQL equality). Returns rows
+    * removed. */
+  def deleteByKeys(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame, keyCol: String, buckets: Int = 1 << 16): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverPartitionSwaps(hfs, root)
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val delKeys = keys
+      .select(col(keyCol).cast(keyType).as(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    val candidates = keyCandidateFiles(spark, path, delKeys, keyCol, buckets)
+    if (candidates.isEmpty) return 0L
+    rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
+      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi").count(),
+      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
   }
 
   /** Per-file min/max spread of two columns for a written layout — the

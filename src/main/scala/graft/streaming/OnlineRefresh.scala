@@ -861,6 +861,62 @@ object OnlineRefresh {
     did
   }
 
+  /** TAKEDOWN FEED for the Z-ordered layout — the streaming twin of
+    * [[graft.fs.Layout.deleteByKeys]] closing the layout family's
+    * retract-as-a-stream cell (every other artifact family has one):
+    * each micro-batch is a set of `keyCol` values to remove (the
+    * DMCA/GDPR shape — ids arrive continuously, rows must leave the
+    * standing table); the whole batch routes through the value index in
+    * one probe, only victim-holding partitions rewrite (crash-safe
+    * hidden set-asides), and both skipping indexes catch up
+    * incrementally before the epoch commits — so between epochs the
+    * layout is always serveable and exactly the survivors. Replay-
+    * idempotent without epoch bookkeeping: a replayed batch's keys find
+    * no victims (they are already gone), the rewrites skip, and the
+    * refreshes no-op — deletion is naturally convergent, unlike
+    * insertion (which needs the `batch=<id>` overwrite trick). */
+  def zorderDeleteStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      layoutPath: String,
+      checkpoint: String,
+      zCols: Seq[String],
+      keyCol: String,
+      buckets: Int = 1 << 16,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // index swaps may have crashed mid-epoch; restore before the
+        // consult inside deleteByKeys reads them
+        recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
+        recoverSwap(spark, graft.fs.Layout.valueIndexPath(layoutPath, keyCol))
+        // HEAD repair (no-op when fresh): a crash between a previous
+        // epoch's rewrites and its closing refresh leaves stale indexes,
+        // and the consult inside deleteByKeys refuses stale — the
+        // replayed batch must restore freshness before it can route
+        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+          allowGone = true)
+        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
+          allowGone = true)
+        graft.fs.Layout.deleteByKeys(spark, layoutPath, batch, keyCol, buckets)
+        // the epoch's commit unit: indexes catch up to the rewrites
+        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+          allowGone = true)
+        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
+          allowGone = true)
+        ()
+      }
+      .start()
+  }
+
   /** The ingestion loop RUN AS A STREAM: each micro-batch of newly-landed
     * documents is cleaned against the standing corpus of all EARLIER
     * batches' survivors with [[graft.ops.Dedup.dedupAgainst]] (digest

@@ -238,6 +238,167 @@ class LayoutSpec extends SparkSpec {
     assert(prunedC.count() == 16 * 16 && fullC.exceptAll(prunedC).isEmpty)
   }
 
+  test("deleteMatching: index-pruned partition rewrites, untouched partitions byte-identical, idempotent, crash-recoverable") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdel").toString
+    // 4-epoch layout, a ∈ [0,100) per epoch quarter — epoch q holds ids
+    // with id%4==q, so every epoch contains a=43 rows but value-index
+    // pruning on id touches ONE epoch per probe id
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r), s"$base/z", r,
+        numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    def filesOf(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$base/z")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesOf()
+    // delete one row by id: the hash index routes to its one epoch
+    val removed = Layout.deleteMatching(spark, s"$base/z", Nil, Seq(("id", lit(4243L))))
+    assert(removed == 1L, s"exactly one victim, got $removed")
+    val after = filesOf()
+    // 4243 % 4 == 3: only epoch 3 (plus hash-collision spill, if any) moved
+    assert(after("batch=0") == before("batch=0") &&
+      after("batch=1") == before("batch=1") && after("batch=2") == before("batch=2"),
+      "partitions without victims must stay byte-identical")
+    assert(after("batch=3") != before("batch=3"), "the victim's partition must be rewritten")
+    // data moved, indexes stale → pruned reads refuse loudly
+    intercept[IllegalArgumentException](
+      Layout.prunedRead(spark, s"$base/z", Seq(("a", 40.0, 45.0))))
+    // the commit unit: refresh with allowGone, reads exact minus the victim
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", allowGone = true)
+    assert(spark.read.parquet(s"$base/z").count() == 9999)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(4243L)).count() == 0)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(4242L)).count() == 1)
+    // range-predicate delete: a whole (a, b) rectangle via the manifest
+    val removed2 = Layout.deleteMatching(spark, s"$base/z",
+      Seq(("a", 10.0, 12.0), ("b", 20.0, 22.0)), Nil)
+    assert(removed2 == 9L, s"3x3 grid rectangle, got $removed2")
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", allowGone = true)
+    val full = spark.read.parquet(s"$base/z")
+      .where(col("a").between(8.0, 14.0) && col("b").between(18.0, 24.0))
+      .select("id", "a", "b")
+    val pruned = Layout.prunedRead(spark, s"$base/z",
+      Seq(("a", 8.0, 14.0), ("b", 18.0, 24.0))).select("id", "a", "b")
+    assert(pruned.count() == 7 * 7 - 9 && full.exceptAll(pruned).isEmpty)
+    // idempotent: nothing left to delete
+    assert(Layout.deleteMatching(spark, s"$base/z",
+      Seq(("a", 10.0, 12.0), ("b", 20.0, 22.0)), Nil) == 0L)
+    // crash recovery: a partition left set-aside (dst gone, .delold_ present)
+    // is restored by the next call's recovery pass
+    val root = new java.io.File(s"$base/z")
+    val p1 = new java.io.File(root, "batch=1")
+    val aside = new java.io.File(root, ".delold_batch=1")
+    assert(p1.renameTo(aside))
+    assert(Layout.deleteMatching(spark, s"$base/z", Nil, Seq(("id", lit(-1L)))) == 0L)
+    assert(p1.isDirectory && !aside.exists, "recovery must restore the set-aside partition")
+    assert(spark.read.parquet(s"$base/z").count() == 9990)
+  }
+
+  test("countMatching: exact everywhere, interior files counted from metadata, null files never metadata-counted") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zcount").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 64)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    def truth(df: org.apache.spark.sql.DataFrame,
+        r: Seq[(String, Double, Double)]): Long =
+      df.where(r.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi
+      }.reduce(_ && _)).count()
+    // whole space: every file fully contained, ZERO scanned — the
+    // metadata-only fast path
+    val (n0, f0, s0) = Layout.countMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0)))
+    assert(n0 == 10000 && f0 == 64 && s0 == 0, s"($n0, $f0, $s0)")
+    // a large rectangle: exact, interior files counted from metadata,
+    // only the boundary-crossing files scanned
+    val big = Seq(("a", 10.0, 90.0), ("b", 10.0, 90.0))
+    val (n1, f1, s1) = Layout.countMatching(spark, s"$base/z", big)
+    assert(n1 == truth(grid, big), s"exactness: $n1")
+    assert(f1 > 0, "interior files must count from metadata alone")
+    // a selective rectangle: exact, and files outside it never touched
+    val sel = Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0))
+    val (nS, fS, sS) = Layout.countMatching(spark, s"$base/z", sel)
+    assert(nS == truth(grid, sel), s"selective exactness: $nS")
+    assert(fS + sS < 32, s"a 9x6 rectangle over a 64-file z-layout must skip " +
+      s"most files, touched ${fS + sS}")
+    val (ne, fe, se) = Layout.countMatching(spark, s"$base/z",
+      Seq(("a", 200.0, 300.0)))
+    assert(ne == 0 && fe == 0 && se == 0)
+    // null honesty: with nulls in every file, containment must never
+    // claim a file (min/max ignore nulls — nn_b < cnt blocks the proof),
+    // and the count stays exact through the boundary scan
+    val gnull = grid.withColumn("b",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("b")))
+    Layout.writeZordered(gnull, s"$base/zn", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeManifest(spark, s"$base/zn", Seq("a", "b"))
+    val (n2, f2, _) = Layout.countMatching(spark, s"$base/zn", big)
+    assert(n2 == truth(gnull, big), s"null-bearing exactness: $n2")
+    assert(f2 == 0, "a file with nulls in a range column cannot be metadata-counted")
+    // but a range conjunction NOT touching the null column counts the
+    // null rows too (they match the a-only predicate)
+    val aOnly = Seq(("a", 0.0, 99.0))
+    val (n3, f3, s3) = Layout.countMatching(spark, s"$base/zn", aOnly)
+    assert(n3 == 10000 && f3 == 8 && s3 == 0, s"($n3, $f3, $s3)")
+  }
+
+  test("upsertByKey: replaces matched keys, inserts new ones, untouched partitions byte-identical, replay-idempotent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zup").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r), s"$base/z", r,
+        numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    def filesOf(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$base/z")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesOf()
+    // batch: rewrite two existing keys (ids 8 and 17 — epochs 0 and 1)
+    // and insert two new ones; ids 20000+ are outside the grid
+    val upd = Seq((8L, 999.0, 999.0), (17L, 888.0, 888.0),
+      (20000L, 1.0, 1.0), (20001L, 2.0, 2.0)).toDF("id", "a", "b")
+    val (replaced, inserted) = Layout.upsertByKey(spark, s"$base/z", upd, "id",
+      batchId = Some(4L))
+    assert(replaced == 2L && inserted == 4L, s"got ($replaced, $inserted)")
+    val after = filesOf()
+    // 8 % 4 == 0 and 17 % 4 == 1: epochs 2 and 3 hold no matched keys
+    assert(after("batch=2") == before("batch=2") &&
+      after("batch=3") == before("batch=3"),
+      "partitions without matched keys must stay byte-identical")
+    assert(after.contains("batch=4"), "the update batch lands as its own epoch")
+    // the commit unit, then latest-wins is physical
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", allowGone = true)
+    val all = spark.read.parquet(s"$base/z")
+    assert(all.count() == 10002, "2 replaced in place + 2 inserted")
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(8L))
+      .select("a").head().getDouble(0) == 999.0)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(20001L)).count() == 1)
+    // a replayed micro-batch (same batchId) is a no-op on the outcome
+    val (r2, i2) = Layout.upsertByKey(spark, s"$base/z", upd, "id",
+      batchId = Some(4L))
+    assert(r2 == 0L && i2 == 4L, s"replay must find no older victims, got ($r2, $i2)")
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", allowGone = true)
+    assert(spark.read.parquet(s"$base/z").count() == 10002)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(17L))
+      .select("b").head().getDouble(0) == 888.0)
+    // flat layouts refuse with the compose-instead contract
+    grid.limit(10).write.parquet(s"$base/flat")
+    intercept[IllegalArgumentException](
+      Layout.upsertByKey(spark, s"$base/flat", upd, "id"))
+  }
+
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
     // sampleKeep is a uniform systematic 1/8 over sequential ids
     val kept = grid.where(Layout.sampleKeep("id", 8)).count()

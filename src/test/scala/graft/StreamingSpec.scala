@@ -484,6 +484,65 @@ class StreamingSpec extends SparkSpec {
       "compaction moves bytes, never rows")
   }
 
+  test("zorderDeleteStream: fed keys leave exactly, resume no-op, late takedown shard applies, serve stays exact throughout") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("graft-szdel").toString
+    val grid = spark.range(4000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b"))
+    // the standing table: 2-epoch layout, both indexes
+    graft.fs.Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0),
+      s"$tmp/z", Seq("a", "b"), bits = 6, numFiles = 4)
+    graft.fs.Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1),
+      s"$tmp/z", 1, numFiles = 4)
+    graft.fs.Layout.writeManifest(spark, s"$tmp/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$tmp/z", "id")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val part = Files.createTempDirectory("graft-szdel-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    stage(0, spark.range(0, 100).toDF("id"))
+    stage(1, spark.range(200, 250).toDF("id"))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = {
+      val q = OnlineRefresh.zorderDeleteStream(spark, s"$tmp/src", schema,
+        s"$tmp/z", s"$tmp/ck", Seq("a", "b"), "id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def checkExact(expected: Long): Unit = {
+      assert(spark.read.parquet(s"$tmp/z").count() == expected)
+      val full = spark.read.parquet(s"$tmp/z")
+        .where(col("a").between(10.0, 25.0) && col("b").between(30.0, 45.0))
+        .select("id", "a", "b")
+      val pruned = graft.fs.Layout.prunedRead(spark, s"$tmp/z",
+        Seq(("a", 10.0, 25.0), ("b", 30.0, 45.0))).select("id", "a", "b")
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        "pruned read must stay exact after streamed deletes")
+    }
+    run()
+    checkExact(4000 - 150)
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(42L)).count() == 0,
+      "a fed key must be gone")
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(150L)).count() == 1,
+      "an unfed key must survive")
+    // resume from checkpoint: no re-delivery, nothing moves
+    run()
+    checkExact(3850)
+    // a late takedown shard arrives; resume applies exactly it
+    stage(2, spark.range(3000, 3010).toDF("id"))
+    run()
+    checkExact(3840)
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(3005L)).count() == 0)
+  }
+
   test("span bank retract: ≡ rebuild over survivors on disjoint spans; idempotent; kills the boilerplate signal") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sspanr").toString
