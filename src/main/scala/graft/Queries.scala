@@ -2418,6 +2418,25 @@ object Queries {
       Seq(n).toDF("cnt")
     })
 
+  /** Metadata min/max/count pushdown ([[graft.fs.Layout.aggMatching]]) —
+    * the aggregates per-file envelopes can PROVE: fully-contained files
+    * contribute manifest bounds unopened (min of per-file minima IS the
+    * global min — no arithmetic, no fp reassociation, which is why
+    * sum/avg are not offered), boundary files scan. One row out; the
+    * oracle is the plain filtered aggregate. */
+  private def metaMinMaxQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zminmax:" + dir, s), _ => {
+      val base = scratchDir("graft_zagg").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      val (mn, mx, n, _, _) = fs.Layout.aggMatching(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)), "value")
+      import s.implicits._
+      Seq((mn.get, mx.get, n)).toDF("min_v", "max_v", "cnt")
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3185,7 +3204,7 @@ object Queries {
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
       "q_layout_compacted", "q_layout_deleted", "q_layout_upserted",
-      "q_meta_count", "q_pruned_scan3",
+      "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_span_coverage",
       "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
@@ -3495,6 +3514,7 @@ object Queries {
     "q_layout_deleted" -> (layoutDeletedQ _),
     "q_layout_upserted" -> (layoutUpsertedQ _),
     "q_meta_count" -> (metaCountQ _),
+    "q_meta_minmax" -> (metaMinMaxQ _),
     "q_pruned_scan3" -> (prunedScan3Q _),
     "q_stream_zorder_ingest" -> (streamZorderIngest _),
     "q_stream_zorder_delete" -> (streamZorderDelete _),
@@ -3974,6 +3994,12 @@ object Queries {
     // metadata-count: interior files from the manifest, boundary files scanned
     "q_meta_count" ->
       """SELECT count(*) AS cnt
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // metadata min/max/count: envelope-provable aggregates never open files
+    "q_meta_minmax" ->
+      """SELECT min("value") AS min_v, max("value") AS max_v, count(*) AS cnt
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,

@@ -528,6 +528,49 @@ object ScaleProbe {
       }
       timed("full-scan count after deletes")(
         spark.read.parquet(s"$base/z").count())
+      // upsert economics: a CDC batch whose keys spread over every epoch
+      // — the honest worst case (clustered keys touch fewer partitions)
+      timed("upsert: spread-key CDC batch, all epochs affected") {
+        val upd = big.where(pmod(col("event_id"), lit(997L)) === 7L)
+          .withColumn("value", col("value") + lit(1.0))
+        graft.fs.Layout.upsertByKey(spark, s"$base/z", upd, "event_id")._1
+      }
+      timed("index refresh after upsert") {
+        graft.fs.Layout.refreshManifest(spark, s"$base/z",
+          Seq("user_id", "value"), allowGone = true) +
+          graft.fs.Layout.refreshValueIndex(spark, s"$base/z", "event_id",
+            allowGone = true)
+      }
+      // metadata count/agg vs the scan they replace
+      timed("metadata count: wide 2-D rectangle") {
+        val (n, fullF, scanF) = graft.fs.Layout.countMatching(spark, s"$base/z",
+          Seq(("user_id", 100.0, 1500.0), ("value", 10.0, 60.0)))
+        println(s"PROBE   meta-count receipt: $fullF files metadata-counted, $scanF scanned")
+        n
+      }
+      timed("the full-scan count it replaces")(
+        spark.read.parquet(s"$base/z")
+          .where(col("user_id").between(100.0, 1500.0) &&
+            col("value").between(10.0, 60.0)).count())
+      // envelope tightness is the metadata count's lever: the same
+      // rectangle against a 256-file flat z-layout (tight envelopes)
+      timed("256-file z-layout build (the tight-envelope comparison)") {
+        graft.fs.Layout.writeZordered(big, s"$base/z256", "user_id", "value",
+          bits = 8, numFiles = 256)
+        graft.fs.Layout.writeManifest(spark, s"$base/z256",
+          Seq("user_id", "value"))
+        0L
+      }
+      timed("metadata count on 256 tight files") {
+        val (n, fullF, scanF) = graft.fs.Layout.countMatching(spark, s"$base/z256",
+          Seq(("user_id", 100.0, 1500.0), ("value", 10.0, 60.0)))
+        println(s"PROBE   meta-count receipt: $fullF files metadata-counted, $scanF scanned")
+        n
+      }
+      timed("the 256-file full-scan count")(
+        spark.read.parquet(s"$base/z256")
+          .where(col("user_id").between(100.0, 1500.0) &&
+            col("value").between(10.0, 60.0)).count())
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-

@@ -613,6 +613,66 @@ object Layout {
     (metaCount + scanned, m.count(_.getBoolean(3)).toLong, boundary.length.toLong)
   }
 
+  /** METADATA MIN/MAX/COUNT pushdown — [[countMatching]] generalized to
+    * the aggregates the manifest can prove: for `min(aggCol)`,
+    * `max(aggCol)`, `count(*)` over a range conjunction, a file fully
+    * contained in every range (null-free on the RANGE columns — the
+    * [[countMatching]] proof that every row matches) contributes its
+    * manifest `min_<aggCol>`/`max_<aggCol>`/`cnt` WITHOUT being opened;
+    * only boundary files scan. Exact because min/max of per-file
+    * minima/maxima IS the global min/max (no arithmetic, no fp
+    * reassociation — the reason sum/avg are NOT offered here: float
+    * partial sums reassociate) and min/max ignore nulls on both the
+    * manifest and the scan side, the SQL convention. `aggCol` must be
+    * among the manifest's columns and numeric; results are surfaced as
+    * doubles (exact for integral values below 2^53). Returns
+    * (min, max, count, filesMetadataCounted, filesScanned); min/max are
+    * None when no row matches (SQL NULL). */
+  def aggMatching(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)], aggCol: String)
+      : (Option[Double], Option[Double], Long, Long, Long) = {
+    require(ranges.nonEmpty, "agg needs at least one range")
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+        col(s"nn_$c") === col("cnt")
+    }.reduce(_ && _)
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"), col("cnt"),
+        col(s"min_$aggCol").cast("double").as("mn"),
+        col(s"max_$aggCol").cast("double").as("mx"),
+        coalesce(overlap, lit(false)).as("ov"),
+        coalesce(contained, lit(false)).as("ct")).collect()
+    requireFresh(spark, path, m.map(_.getString(0)), "manifest")
+    val full = m.filter(_.getBoolean(5))
+    val metaCount = full.map(_.getLong(1)).sum
+    // an all-null aggCol file carries null bounds — skip it in min/max,
+    // keep its rows in the count (nulls match the range on OTHER cols)
+    val metaMins = full.filter(!_.isNullAt(2)).map(_.getDouble(2))
+    val metaMaxs = full.filter(!_.isNullAt(3)).map(_.getDouble(3))
+    val boundary = m.filter(r => r.getBoolean(4) && !r.getBoolean(5))
+      .map(_.getString(0)).sorted
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val (scanMin, scanMax, scanCnt) =
+      if (boundary.isEmpty) (None, None, 0L)
+      else {
+        val r = spark.read.parquet(boundary.toIndexedSeq: _*).where(resid)
+          .agg(min(col(aggCol).cast("double")), max(col(aggCol).cast("double")),
+            count(lit(1))).head()
+        (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getLong(2))
+      }
+    val mins = metaMins ++ scanMin
+    val maxs = metaMaxs ++ scanMax
+    (if (mins.isEmpty) None else Some(mins.min),
+      if (maxs.isEmpty) None else Some(maxs.max),
+      metaCount + scanCnt, full.length.toLong, boundary.length.toLong)
+  }
+
   /** Value-index path convention: sibling of the data, like the manifest. */
   def valueIndexPath(path: String, c: String): String =
     path.stripSuffix("/") + s"__vindex_$c"
@@ -838,6 +898,15 @@ object Layout {
     val updKeys = updates
       .select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
+    // MERGE contract: two versions of one key in a single batch would
+    // BOTH land (the epoch holds the batch verbatim) — refuse rather
+    // than silently violate latest-wins; collapse upstream first
+    // (latestPerKey, the CDC recipe). Null keys are pure inserts.
+    val nullKeys = updates.where(col(keyCol).isNull).count()
+    require(updKeys.count() + nullKeys == inserted,
+      s"upsert batch carries duplicate $keyCol values — a batch must be " +
+        "key-distinct (collapse with latest-per-key upstream); both copies " +
+        "would land in the epoch and violate the MERGE contract")
     val candidates = keyCandidateFiles(spark, path, updKeys, keyCol, buckets)
     // 2. INSERT first — the epoch overwrite is the replay-idempotent unit
     val id = batchId.getOrElse(epochIds.max + 1L)

@@ -347,6 +347,45 @@ class LayoutSpec extends SparkSpec {
     assert(n3 == 10000 && f3 == 8 && s3 == 0, s"($n3, $f3, $s3)")
   }
 
+  test("aggMatching: min/max/count exact from metadata + boundary scan, null-aware, empty rectangle is SQL NULL") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zagg").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 64)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    def truth(df: org.apache.spark.sql.DataFrame,
+        r: Seq[(String, Double, Double)]): (Double, Double, Long) = {
+      val x = df.where(r.map { case (c, lo, hi) =>
+        col(c) >= lo && col(c) <= hi
+      }.reduce(_ && _)).agg(min("b"), max("b"), count(lit(1))).head()
+      (x.getDouble(0), x.getDouble(1), x.getLong(2))
+    }
+    // whole space: metadata-only (zero scans), exact
+    val (mn0, mx0, n0, f0, s0) = Layout.aggMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0)), "b")
+    assert((mn0.get, mx0.get, n0) == truth(grid, Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0))))
+    assert(f0 == 64 && s0 == 0, s"($f0, $s0)")
+    // selective rectangles: exact through the mixed path
+    for (r <- Seq(Seq(("a", 10.0, 90.0), ("b", 10.0, 90.0)),
+      Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0)), Seq(("b", 5.0, 7.0)))) {
+      val (mn, mx, n, _, _) = Layout.aggMatching(spark, s"$base/z", r, "b")
+      assert((mn.get, mx.get, n) == truth(grid, r), s"rect $r")
+    }
+    // empty rectangle: SQL NULL min/max, zero count, nothing touched
+    val (mnE, mxE, nE, fE, sE) = Layout.aggMatching(spark, s"$base/z",
+      Seq(("a", 200.0, 300.0)), "b")
+    assert(mnE.isEmpty && mxE.isEmpty && nE == 0 && fE == 0 && sE == 0)
+    // nulls in the agg column: manifest bounds ignore them (SQL min/max),
+    // count keeps the null rows (they match the a-range), result exact
+    val gnull = grid.withColumn("b",
+      when(col("id") % 7 === 0, lit(null)).otherwise(col("b")))
+    Layout.writeZordered(gnull, s"$base/zn", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeManifest(spark, s"$base/zn", Seq("a", "b"))
+    val (mnN, mxN, nN, fN, sN) = Layout.aggMatching(spark, s"$base/zn",
+      Seq(("a", 0.0, 99.0)), "b")
+    assert((mnN.get, mxN.get, nN) == truth(gnull, Seq(("a", 0.0, 99.0))))
+    assert(nN == 10000 && fN == 8 && sN == 0,
+      "a-only range: all files metadata-provable even with null b rows")
+  }
+
   test("upsertByKey: replaces matched keys, inserts new ones, untouched partitions byte-identical, replay-idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-zup").toString
     Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
@@ -397,6 +436,13 @@ class LayoutSpec extends SparkSpec {
     grid.limit(10).write.parquet(s"$base/flat")
     intercept[IllegalArgumentException](
       Layout.upsertByKey(spark, s"$base/flat", upd, "id"))
+    // duplicate keys within one batch refuse BEFORE anything lands —
+    // both copies would enter the epoch and break latest-wins
+    val dup = Seq((8L, 1.0, 1.0), (8L, 2.0, 2.0)).toDF("id", "a", "b")
+    intercept[IllegalArgumentException](
+      Layout.upsertByKey(spark, s"$base/z", dup, "id", batchId = Some(9L)))
+    assert(!new java.io.File(s"$base/z/batch=9").exists,
+      "a refused batch must leave no partition behind")
   }
 
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
