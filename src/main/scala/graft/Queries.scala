@@ -2437,6 +2437,55 @@ object Queries {
       Seq((mn.get, mx.get, n)).toDF("min_v", "max_v", "cnt")
     })
 
+  /** MERGE-ON-READ delete ([[graft.fs.Layout.deleteLogical]]) — the
+    * other delete strategy ([[graft.fs.Layout.deleteMatching]] is
+    * copy-on-write): the `user_id = 7` takedown lands as a tombstone
+    * sidecar (zero data bytes move), and the serve path subtracts it
+    * with a broadcast anti-join. Same oracle as q_layout_deleted — the
+    * two strategies must be observationally identical. */
+  private def layoutDeletedMorQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdelmor:" + dir, s), _ => {
+      val base = scratchDir("graft_zmor").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.deleteLogical(s, s"$base/z",
+        e.where(col("user_id") === 7).select("event_id"), "event_id")
+      fs.Layout.prunedReadMor(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)), "event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** [[graft.fs.Layout.applyTombstones]] — the fold from merge-on-read
+    * back to copy-on-write: same fixture shape as q_layout_deleted_mor,
+    * tombstones APPLIED (value-index-routed physical delete + index
+    * refresh + sidecar clear), then the plain COW pruned read. Same
+    * oracle again: the fold cannot move served output. */
+  private def layoutMorAppliedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zmorapp:" + dir, s), _ => {
+      val base = scratchDir("graft_zmora").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.deleteLogical(s, s"$base/z",
+        e.where(col("user_id") === 7).select("event_id"), "event_id")
+      fs.Layout.applyTombstones(s, s"$base/z", "event_id",
+        Seq("user_id", "value"))
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3203,7 +3252,8 @@ object Queries {
       "q_stream_minhash_ret_compacted", "q_stream_bm25_ret_compacted",
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
-      "q_layout_compacted", "q_layout_deleted", "q_layout_upserted",
+      "q_layout_compacted", "q_layout_deleted", "q_layout_deleted_mor",
+      "q_layout_mor_applied", "q_layout_upserted",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_span_coverage",
@@ -3512,6 +3562,8 @@ object Queries {
     "q_zorder_append" -> (zorderAppendQ _),
     "q_layout_compacted" -> (layoutCompactedQ _),
     "q_layout_deleted" -> (layoutDeletedQ _),
+    "q_layout_deleted_mor" -> (layoutDeletedMorQ _),
+    "q_layout_mor_applied" -> (layoutMorAppliedQ _),
     "q_layout_upserted" -> (layoutUpsertedQ _),
     "q_meta_count" -> (metaCountQ _),
     "q_meta_minmax" -> (metaMinMaxQ _),
@@ -4012,6 +4064,18 @@ object Queries {
         |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
     // index-pruned delete: rows leave exactly once, everything else stays
     "q_layout_deleted" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11 AND user_id <> 7
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // merge-on-read twin: tombstone subtraction must serve identically
+    "q_layout_deleted_mor" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11 AND user_id <> 7
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // and the fold to physical cannot move served output either
+    "q_layout_mor_applied" ->
       """SELECT event_id, user_id, "value"
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11 AND user_id <> 7

@@ -571,6 +571,18 @@ object ScaleProbe {
         spark.read.parquet(s"$base/z256")
           .where(col("user_id").between(100.0, 1500.0) &&
             col("value").between(10.0, 60.0)).count())
+      // merge-on-read vs the copy-on-write key delete above: the
+      // takedown of another whole user, as a tombstone sidecar
+      timed("MoR logical delete (one user's keys, zero data moved)")(
+        graft.fs.Layout.deleteLogical(spark, s"$base/z",
+          big.where(col("user_id") === 701.0).select("event_id"), "event_id"))
+      timed("MoR read overhead (pruned read + tombstone anti-join)")(
+        graft.fs.Layout.prunedReadMor(spark, s"$base/z",
+          Seq(("user_id", 600.0, 800.0), ("value", 10.0, 60.0)), "event_id")
+          .count())
+      timed("applyTombstones: fold back to copy-on-write")(
+        graft.fs.Layout.applyTombstones(spark, s"$base/z", "event_id",
+          Seq("user_id", "value")))
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-

@@ -589,6 +589,7 @@ object Layout {
   def countMatching(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): (Long, Long, Long) = {
     require(ranges.nonEmpty, "count needs at least one range")
+    requireNoTombstones(spark, path)
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -632,6 +633,7 @@ object Layout {
       ranges: Seq[(String, Double, Double)], aggCol: String)
       : (Option[Double], Option[Double], Long, Long, Long) = {
     require(ranges.nonEmpty, "agg needs at least one range")
+    requireNoTombstones(spark, path)
     val overlap = ranges.map { case (c, lo, hi) =>
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
     }.reduce(_ && _)
@@ -969,6 +971,129 @@ object Layout {
     rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
       rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi").count(),
       rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
+  }
+
+  /** Tombstone sidecar path — keyed logical deletes for `keyCol`. */
+  def tombstonePath(path: String, keyCol: String): String =
+    path.stripSuffix("/") + s"__tombstones_$keyCol"
+
+  /** MERGE-ON-READ logical delete — the OTHER delete strategy every
+    * table format offers ([[deleteByKeys]] is copy-on-write): instead
+    * of rewriting victim partitions now, append the keys to a tombstone
+    * sidecar (one tiny crash-safe swap, cost ∝ keys — O(feed), never
+    * O(affected partitions)) and let reads subtract them. The trade is
+    * explicit and measured (SCALE.md r14f): deletes become instant and
+    * rewrite-free, every read pays a broadcast anti-join against the
+    * standing tombstone set, and the METADATA pushdowns refuse while
+    * tombstones are pending (a manifest `cnt` cannot see logical
+    * deletes — refusing loudly beats miscounting, the engine-wide
+    * contract). [[applyTombstones]] is the fold back to copy-on-write:
+    * run it on compaction cadence to keep the tombstone set bounded.
+    * Idempotent (already-tombstoned keys re-append as a no-op: the
+    * sidecar is a distinct set); null keys never match, so they are
+    * dropped. Returns the newly tombstoned key count. */
+  def deleteLogical(spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: DataFrame, keyCol: String): Long = {
+    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val add = keys.select(col(keyCol).cast(keyType).as(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
+    val tPath = tombstonePath(path, keyCol)
+    AtomicDir.recoverSwap(spark, tPath)
+    val hp = new org.apache.hadoop.fs.Path(tPath)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(hp)) {
+      add.coalesce(1).write.mode("overwrite").parquet(tPath)
+      spark.read.parquet(tPath).count()
+    } else {
+      val before = spark.read.parquet(tPath).count()
+      AtomicDir.swapDir(spark, tPath) { tmp =>
+        spark.read.parquet(tPath).unionByName(add).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+      }
+      spark.read.parquet(tPath).count() - before
+    }
+  }
+
+  /** The standing tombstone set for `keyCol` (empty if none recorded). */
+  def readTombstones(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame = {
+    val tPath = tombstonePath(path, keyCol)
+    AtomicDir.recoverSwap(spark, tPath)
+    val hp = new org.apache.hadoop.fs.Path(tPath)
+    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(hp)) spark.read.parquet(tPath)
+    else {
+      val keyType = spark.read.parquet(path).schema(keyCol).dataType
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol, keyType))))
+    }
+  }
+
+  /** Apply `df`'s pending tombstones: broadcast anti-join (the
+    * tombstone set is feed-sized by contract — [[applyTombstones]] on
+    * compaction cadence is what KEEPS it feed-sized). */
+  def subtractTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, keyCol: String): DataFrame =
+    df.join(broadcast(readTombstones(spark, path, keyCol)), Seq(keyCol),
+      "left_anti")
+
+  /** Merge-on-read pruned range read: [[prunedRead]] minus the standing
+    * tombstones — serve-path exactness while deletes stay logical. */
+  def prunedReadMor(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)], keyCol: String): DataFrame =
+    subtractTombstones(spark, path, prunedRead(spark, path, ranges), keyCol)
+
+  /** Merge-on-read point read: the value-index lookup as usual, minus
+    * the standing tombstones — a tombstoned key answers empty. */
+  def pointReadMor(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, value: Column, buckets: Int = 1 << 16): DataFrame =
+    subtractTombstones(spark, path,
+      pointRead(spark, path, keyCol, value, buckets), keyCol)
+
+  /** FOLD merge-on-read back to copy-on-write: physically remove the
+    * tombstoned rows ([[deleteByKeys]] — value-index routed, partition-
+    * granular) and clear the sidecar. Crash-ordered for idempotence:
+    * data first (a re-run's keys find no victims), indexes next (the
+    * caller-visible commit unit, as everywhere), sidecar cleared LAST —
+    * a crash anywhere re-applies harmlessly because physical deletion
+    * of already-gone keys is a no-op and the logical subtraction stays
+    * correct throughout. Returns rows physically removed. */
+  def applyTombstones(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String, manifestCols: Seq[String],
+      buckets: Int = 1 << 16): Long = {
+    val ts = readTombstones(spark, path, keyCol)
+    if (ts.isEmpty) return 0L
+    val removed = deleteByKeys(spark, path, ts, keyCol, buckets)
+    refreshManifest(spark, path, manifestCols, allowGone = true)
+    refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
+    val hp = new org.apache.hadoop.fs.Path(tombstonePath(path, keyCol))
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    removed
+  }
+
+  /** The metadata pushdowns' merge-on-read fence: a manifest `cnt`
+    * cannot see logical deletes, so [[countMatching]]/[[aggMatching]]
+    * refuse while ANY tombstone sidecar is pending — refusing loudly
+    * beats miscounting (the engine-wide contract). Sidecars are
+    * discovered by the `<table>__tombstones_<col>` naming convention in
+    * the table's parent directory; [[applyTombstones]] removes the
+    * sidecar, which is what re-arms the pushdowns. */
+  private def requireNoTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = p.getName + "__tombstones_"
+    val parent = p.getParent
+    if (parent != null && hfs.exists(parent)) {
+      val pending = hfs.listStatus(parent)
+        .filter(_.getPath.getName.startsWith(prefix)).map(_.getPath.getName)
+      require(pending.isEmpty,
+        s"metadata pushdown refused: pending tombstone sidecar(s) " +
+          s"${pending.mkString(", ")} hold logical deletes the manifest's " +
+          "row counts cannot see — applyTombstones first (or read through " +
+          "the merge-on-read serve path)")
+    }
   }
 
   /** Per-file min/max spread of two columns for a written layout — the

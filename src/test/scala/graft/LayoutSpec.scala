@@ -445,6 +445,57 @@ class LayoutSpec extends SparkSpec {
       "a refused batch must leave no partition behind")
   }
 
+  test("merge-on-read deletes: O(keys) logical delete, reads exact, metadata pushdown fenced, apply folds to physical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zmor").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r), s"$base/z", r,
+        numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    def filesOf(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$base/z")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesOf()
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      spark.range(100, 120).toDF("id"), "id") == 20L)
+    assert(filesOf() == before,
+      "a logical delete must move ZERO data bytes — that is its entire point")
+    // serve-path exactness while deletes stay logical
+    val rect = Seq(("a", 0.0, 30.0), ("b", 0.0, 10.0))
+    val full = spark.read.parquet(s"$base/z")
+      .where(col("a").between(0.0, 30.0) && col("b").between(0.0, 10.0) &&
+        !col("id").between(100, 119)).select("id", "a", "b")
+    val mor = Layout.prunedReadMor(spark, s"$base/z", rect, "id")
+      .select("id", "a", "b")
+    assert(mor.exceptAll(full).isEmpty && full.exceptAll(mor).isEmpty)
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(105L)).count() == 0)
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(150L)).count() == 1)
+    // idempotent and incremental
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      spark.range(100, 120).toDF("id"), "id") == 0L)
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      spark.range(115, 125).toDF("id"), "id") == 5L)
+    // the manifest's counts cannot see logical deletes → pushdowns fence
+    intercept[IllegalArgumentException](
+      Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0))))
+    intercept[IllegalArgumentException](
+      Layout.aggMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0)), "b"))
+    // fold to physical: rows leave, sidecar clears, pushdowns re-arm
+    assert(Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b")) == 25L)
+    assert(spark.read.parquet(s"$base/z").count() == 10000 - 25)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(105L)).count() == 0,
+      "applied tombstones are physically gone")
+    assert(Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0)))._1
+      == 10000 - 25, "pushdowns re-arm once tombstones are applied")
+    // nothing pending: apply is a no-op
+    assert(Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b")) == 0L)
+  }
+
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
     // sampleKeep is a uniform systematic 1/8 over sequential ids
     val kept = grid.where(Layout.sampleKeep("id", 8)).count()
