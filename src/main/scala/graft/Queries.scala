@@ -727,6 +727,44 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** The layout family's CDC APPLY under the hard oracle
+    * ([[graft.streaming.OnlineRefresh.zorderUpsertStream]]): a standing
+    * 4-epoch layout over all events, then two mtime-ordered micro-
+    * batches of change rows (`event_id % 194 ∈ {0, 97}` with
+    * `value + 1000` — together exactly the `event_id % 97 = 0` keys).
+    * Each batch lands as its own CDC epoch in the reserved id space and
+    * its keys anti-join out of every older partition. The pruned read
+    * must equal the full-scan CASE rewrite — every key exactly once,
+    * latest version wins. Same oracle as the batch upsert
+    * (q_layout_upserted): the streaming loop cannot drift from the
+    * batch cell because it IS the batch cell per epoch. */
+  private def streamZorderUpsert(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_zups:$dir", s), { _ =>
+      val src = scratchDir("graft_szu_src")
+      val ck = scratchDir("graft_szu_ck")
+      val base = scratchDir("graft_szu_out").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      val upd = e.withColumn("value", col("value") + lit(1000.0))
+      stageOrderedFiles(Seq(
+        upd.where(pmod(col("event_id"), lit(194)) === 0),
+        upd.where(pmod(col("event_id"), lit(194)) === 97)),
+        src, "graft_szu_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.zorderUpsertStream(s, src.toString, schema,
+        s"$base/z", ck.toString, Seq("user_id", "value"), "event_id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      fs.Layout.prunedRead(s, s"$base/z", Seq(("user_id", 5.0, 11.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Span-bank RETRACTION under the hard oracle — the takedown cell that
     * completes the span family's lifecycle matrix (the r13 verdict's
     * missing row): three mtime-ordered doc_id-mod-4 shards build the bank
@@ -3256,7 +3294,7 @@ object Queries {
       "q_layout_mor_applied", "q_layout_upserted",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
-      "q_stream_span_coverage",
+      "q_stream_zorder_upsert", "q_stream_span_coverage",
       "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
@@ -3570,6 +3608,7 @@ object Queries {
     "q_pruned_scan3" -> (prunedScan3Q _),
     "q_stream_zorder_ingest" -> (streamZorderIngest _),
     "q_stream_zorder_delete" -> (streamZorderDelete _),
+    "q_stream_zorder_upsert" -> (streamZorderUpsert _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -4036,6 +4075,12 @@ object Queries {
       """SELECT event_id, user_id, "value"
         |FROM events
         |WHERE user_id = 7 AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // streaming CDC apply: every key exactly once, latest version wins
+    "q_stream_zorder_upsert" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
     // streaming takedown feed: the fed keys leave, nothing else moves
     "q_stream_zorder_delete" ->
       """SELECT event_id, user_id, "value"

@@ -917,6 +917,61 @@ object OnlineRefresh {
       .start()
   }
 
+  /** CDC APPLY for the Z-ordered layout — the streaming MERGE loop
+    * completing the layout's streaming matrix (ingest, takedown, now
+    * upsert): each micro-batch of key-distinct change rows goes through
+    * [[graft.fs.Layout.upsertByKey]] — the batch lands as its own epoch
+    * (frozen-bounds re-key), matched keys anti-join out of every older
+    * partition, indexes catch up before the epoch commits. CDC epochs
+    * land at `cdcEpochBase + batchId` — a RESERVED id space far above
+    * any ingest epoch, because foreachBatch ids restart at 0 and a
+    * collision with a data epoch would overwrite it; the fixed base
+    * also makes replay idempotent (batch k always lands partition
+    * base+k, the engine-wide overwrite recipe — a derived max+1 base
+    * would drift across resumes and double-land). Latest-wins ACROSS
+    * batches is structural: a later batch's keys are matched out of
+    * earlier CDC epochs like any other partition. Same self-healing
+    * head repair as the takedown feed. Each batch must be key-distinct
+    * ([[graft.fs.Layout.upsertByKey]] refuses otherwise) — collapse
+    * with latest-per-key upstream, the CDC recipe. */
+  def zorderUpsertStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      layoutPath: String,
+      checkpoint: String,
+      zCols: Seq[String],
+      keyCol: String,
+      buckets: Int = 1 << 16,
+      numFilesPerBatch: Int = 4,
+      cdcEpochBase: Long = 1L << 40,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
+        recoverSwap(spark, graft.fs.Layout.valueIndexPath(layoutPath, keyCol))
+        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+          allowGone = true)
+        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
+          allowGone = true)
+        graft.fs.Layout.upsertByKey(spark, layoutPath, batch, keyCol, buckets,
+          numFilesPerBatch, batchId = Some(cdcEpochBase + batchId))
+        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+          allowGone = true)
+        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
+          allowGone = true)
+        ()
+      }
+      .start()
+  }
+
   /** The ingestion loop RUN AS A STREAM: each micro-batch of newly-landed
     * documents is cleaned against the standing corpus of all EARLIER
     * batches' survivors with [[graft.ops.Dedup.dedupAgainst]] (digest

@@ -543,6 +543,65 @@ class StreamingSpec extends SparkSpec {
     assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(3005L)).count() == 0)
   }
 
+  test("zorderUpsertStream: CDC batches apply latest-wins, resume no-op, late shard overrides, inserts land") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("graft-szups").toString
+    val grid = spark.range(4000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b"))
+    graft.fs.Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0),
+      s"$tmp/z", Seq("a", "b"), bits = 6, numFiles = 4)
+    graft.fs.Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1),
+      s"$tmp/z", 1, numFiles = 4)
+    graft.fs.Layout.writeManifest(spark, s"$tmp/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$tmp/z", "id")
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val part = Files.createTempDirectory("graft-szups-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // batch 0 updates keys 10..19; batch 1 updates 15..24 (overlap —
+    // the later batch must win) and inserts new keys 9000..9004
+    stage(0, spark.range(10, 20).select(col("id"),
+      lit(111.0).as("a"), lit(111.0).as("b")))
+    stage(1, spark.range(15, 25).select(col("id"),
+      lit(222.0).as("a"), lit(222.0).as("b"))
+      .unionByName(spark.range(9000, 9005).select(col("id"),
+        lit(333.0).as("a"), lit(333.0).as("b"))))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = {
+      val q = OnlineRefresh.zorderUpsertStream(spark, s"$tmp/src", schema,
+        s"$tmp/z", s"$tmp/ck", Seq("a", "b"), "id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+    }
+    def aOf(id: Long): Double =
+      graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(id))
+        .select("a").head().getDouble(0)
+    run()
+    assert(spark.read.parquet(s"$tmp/z").count() == 4005,
+      "15 updates in place + 5 inserts over 4000")
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(17L)).count() == 1,
+      "an overlapping key must exist exactly once")
+    assert(aOf(12L) == 111.0 && aOf(17L) == 222.0 && aOf(9002L) == 333.0,
+      "batch-0 version, batch-1 override, and insert must all serve")
+    // resume: no re-delivery, nothing moves
+    run()
+    assert(spark.read.parquet(s"$tmp/z").count() == 4005)
+    assert(aOf(17L) == 222.0)
+    // a late CDC shard overrides again
+    stage(2, spark.range(17, 18).select(col("id"),
+      lit(444.0).as("a"), lit(444.0).as("b")))
+    run()
+    assert(spark.read.parquet(s"$tmp/z").count() == 4005 && aOf(17L) == 444.0)
+  }
+
   test("span bank retract: ≡ rebuild over survivors on disjoint spans; idempotent; kills the boilerplate signal") {
     import org.apache.spark.sql.functions.col
     val tmp = Files.createTempDirectory("graft-sspanr").toString
