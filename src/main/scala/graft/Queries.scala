@@ -2524,6 +2524,33 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** TIME TRAVEL ([[graft.fs.Layout.snapshotLayout]]/[[graft.fs.Layout.readSnapshot]])
+    * — snapshot v0 pins the 2-epoch state; the table then moves on (two
+    * more epochs land, a whole user is logically deleted) and the
+    * snapshot read must still serve EXACTLY the pinned state: epochs
+    * 0-1, user 7 intact. The oracle is the epoch-membership filter the
+    * current table can no longer satisfy — the proof the read actually
+    * time-travels. */
+  private def layoutSnapshotQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zsnapq:" + dir, s), _ => {
+      val base = scratchDir("graft_zsnapq").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 1),
+        s"$base/z", 1, numFiles = 4)
+      val v0 = fs.Layout.snapshotLayout(s, s"$base/z", Some("event_id"))
+      for (r <- 2 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.deleteLogical(s, s"$base/z",
+        e.where(col("user_id") === 7).select("event_id"), "event_id")
+      fs.Layout.readSnapshot(s, s"$base/z", v0, Some("event_id"))
+        .where(col("user_id").between(5, 11) &&
+          col("value").between(10.0, 60.0))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3291,7 +3318,7 @@ object Queries {
       "q_stream_ivf_retracted", "q_stream_ivf_ret_applied", "q_ivf_recentered",
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
       "q_layout_compacted", "q_layout_deleted", "q_layout_deleted_mor",
-      "q_layout_mor_applied", "q_layout_upserted",
+      "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_zorder_upsert", "q_stream_span_coverage",
@@ -3603,6 +3630,7 @@ object Queries {
     "q_layout_deleted_mor" -> (layoutDeletedMorQ _),
     "q_layout_mor_applied" -> (layoutMorAppliedQ _),
     "q_layout_upserted" -> (layoutUpsertedQ _),
+    "q_layout_snapshot" -> (layoutSnapshotQ _),
     "q_meta_count" -> (metaCountQ _),
     "q_meta_minmax" -> (metaMinMaxQ _),
     "q_pruned_scan3" -> (prunedScan3Q _),
@@ -4093,6 +4121,13 @@ object Queries {
       """SELECT count(*) AS cnt
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // time travel: the pinned 2-epoch state, immune to later epochs/deletes
+    "q_layout_snapshot" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE event_id % 4 IN (0, 1)
+        |  AND user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
     // metadata min/max/count: envelope-provable aggregates never open files
     "q_meta_minmax" ->

@@ -1096,6 +1096,107 @@ object Layout {
     }
   }
 
+  /** Snapshot root convention — sibling of the data, like every index. */
+  def snapshotsPath(path: String): String =
+    path.stripSuffix("/") + "__snapshots"
+
+  /** SNAPSHOT (time travel): pin the table's CURRENT state as version
+    * `v` — the live file list plus, when `keyCol` is given, a COPY of
+    * the standing tombstone set (so a snapshot taken between a logical
+    * delete and its fold serves the deleted-at-snapshot-time view, and
+    * a snapshot taken before serves the pre-delete view — merge-on-read
+    * and time travel compose). The snapshot is metadata only (one tiny
+    * parquet of file URIs): appends/new epochs leave old snapshots
+    * intact (their files still exist), and the HONEST expiry contract
+    * is physical: a copy-on-write delete, compaction, or
+    * [[applyTombstones]] rewrites files, and any snapshot pinning a
+    * rewritten file EXPIRES — [[readSnapshot]] refuses loudly, never
+    * serves a partial state. That is the trade every table format
+    * makes (Iceberg's expire-snapshots/vacuum); keeping snapshots
+    * serveable across rewrites means retaining the old files, i.e.
+    * deferring the rewrite — compose with tombstones for that.
+    * Commit is a single dir rename (build under a hidden tmp, rename
+    * to `v=<n>`); stray tmps from crashed snapshots are swept at the
+    * next call. Returns the new version number. */
+  def snapshotLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: Option[String] = None): Long = {
+    val root = new org.apache.hadoop.fs.Path(snapshotsPath(path))
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(root)
+    for (st <- hfs.listStatus(root); if st.getPath.getName.startsWith(".tmp_v="))
+      hfs.delete(st.getPath, true)
+    val v = listSnapshots(spark, path).foldLeft(-1L)(math.max) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(root, s".tmp_v=$v")
+    val files = listedDataFilePaths(spark, path).values.toSeq.sorted
+    import spark.implicits._
+    files.toDF("file").coalesce(1).write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(tmp, "files").toString)
+    keyCol.foreach { c =>
+      readTombstones(spark, path, c).coalesce(1).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(tmp, s"tombstones_$c").toString)
+    }
+    val dst = new org.apache.hadoop.fs.Path(root, s"v=$v")
+    if (!hfs.rename(tmp, dst))
+      throw new java.io.IOException(s"snapshot commit rename $tmp -> $dst failed")
+    v
+  }
+
+  /** The committed snapshot versions for `path`, unsorted. */
+  def listSnapshots(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(snapshotsPath(path))
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(root)) Seq.empty
+    else hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  /** TIME-TRAVEL read of snapshot `version`: exactly the rows the table
+    * held when the snapshot was taken — the pinned file list, minus the
+    * pinned tombstone set if one was captured. Refuses loudly when any
+    * pinned file has been physically rewritten since (the expiry
+    * contract in [[snapshotLayout]]); a partial historical answer is a
+    * wrong answer. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long, keyCol: Option[String] = None): DataFrame = {
+    val vDir = new org.apache.hadoop.fs.Path(snapshotsPath(path), s"v=$version")
+    val hfs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(vDir),
+      s"no snapshot v=$version for $path (have ${listSnapshots(spark, path).sorted.mkString(", ")})")
+    val files = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(vDir, "files").toString)
+      .collect().map(_.getString(0)).sorted
+    val live = listedDataFiles(spark, path)
+    val gone = files.map(f => f.substring(f.lastIndexOf('/') + 1))
+      .filterNot(live)
+    require(gone.isEmpty,
+      s"snapshot v=$version expired: ${gone.length} pinned file(s) were " +
+        s"physically rewritten since (${gone.take(3).mkString(", ")}) — " +
+        "copy-on-write deletes, compaction, and applyTombstones expire " +
+        "snapshots; serve the live table or re-snapshot")
+    val data =
+      if (files.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(files.toIndexedSeq: _*)
+    keyCol match {
+      case Some(c) =>
+        val tPath = new org.apache.hadoop.fs.Path(vDir, s"tombstones_$c")
+        if (hfs.exists(tPath))
+          data.join(broadcast(spark.read.parquet(tPath.toString)), Seq(c),
+            "left_anti")
+        else data
+      case None => data
+    }
+  }
+
+  /** Drop snapshot `version` — the expire/vacuum step that releases the
+    * pin (metadata only; data files belong to the live table). */
+  def expireSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      version: Long): Boolean = {
+    val vDir = new org.apache.hadoop.fs.Path(snapshotsPath(path), s"v=$version")
+    val hfs = vDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(vDir, true)
+  }
+
   /** Per-file min/max spread of two columns for a written layout — the
     * pruning surface parquet stat-filters actually see. `overlap_frac_*`
     * is the expected fraction of files a uniformly-placed point predicate

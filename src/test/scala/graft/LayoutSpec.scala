@@ -496,6 +496,50 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b")) == 0L)
   }
 
+  test("snapshots: time travel across appends and logical deletes, loud expiry on physical rewrite, versions independent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zsnap").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(grid.where(col("id") % 4 === 1), s"$base/z", 1,
+      numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    // v0 pins the 2-epoch state
+    val v0 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    assert(v0 == 0L)
+    // appends do NOT disturb v0
+    Layout.appendZorderedEpoch(grid.where(col("id") % 4 === 2), s"$base/z", 2,
+      numFiles = 4)
+    assert(Layout.readSnapshot(spark, s"$base/z", v0, Some("id")).count() == 5000)
+    assert(spark.read.parquet(s"$base/z").count() == 7500)
+    // a logical delete after v0: v0 still serves the PRE-delete state,
+    // a snapshot taken now pins the deleted view
+    Layout.deleteLogical(spark, s"$base/z", spark.range(0, 4000, 4).toDF("id"), "id")
+    val v1 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    assert(v1 == 1L)
+    assert(Layout.readSnapshot(spark, s"$base/z", v0, Some("id")).count() == 5000,
+      "an older snapshot must not see a later logical delete")
+    assert(Layout.readSnapshot(spark, s"$base/z", v1, Some("id")).count() == 7500 - 1000,
+      "a snapshot after the logical delete pins the deleted view")
+    assert(Layout.readSnapshot(spark, s"$base/z", v1, Some("id"))
+      .where(col("id") === 8).count() == 0)
+    // the fold rewrites files → BOTH snapshots expire loudly
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", allowGone = true)
+    Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b"))
+    intercept[IllegalArgumentException](
+      Layout.readSnapshot(spark, s"$base/z", v0, Some("id")))
+    intercept[IllegalArgumentException](
+      Layout.readSnapshot(spark, s"$base/z", v1, Some("id")))
+    // a fresh snapshot of the post-fold state serves; expiry drops it
+    val v2 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    assert(Layout.readSnapshot(spark, s"$base/z", v2, Some("id")).count() == 6500)
+    assert(Layout.expireSnapshot(spark, s"$base/z", v0))
+    assert(Layout.listSnapshots(spark, s"$base/z").sorted == Seq(1L, 2L))
+    intercept[IllegalArgumentException](
+      Layout.readSnapshot(spark, s"$base/z", v0, Some("id")))
+  }
+
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
     // sampleKeep is a uniform systematic 1/8 over sequential ids
     val kept = grid.where(Layout.sampleKeep("id", 8)).count()
