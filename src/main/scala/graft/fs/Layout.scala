@@ -301,39 +301,14 @@ object Layout {
   def refreshManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String], allowGone: Boolean = false): Long = {
     require(cols.nonEmpty, "manifest needs at least one column")
-    val mPath = manifestPath(path)
-    AtomicDir.recoverSwap(spark, mPath)
-    val old = spark.read.parquet(mPath)
-    val indexed = old.select("file").collect().map(_.getString(0))
-      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val actual = listedDataFilePaths(spark, path)
-    val gone = indexed -- actual.keySet
-    require(allowGone || gone.isEmpty,
-      s"file(s) gone from data behind the manifest for $path " +
-        s"(${gone.take(3).mkString(", ")}): incremental " +
-        "refresh only grows the set — rewrite with writeManifest " +
-        "(or pass allowGone = true for a replayed-epoch overwrite, " +
-        "which regenerates part names).")
-    val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
-    if (newNames.isEmpty && gone.isEmpty) return 0L
-    val aggs = manifestAggs(cols)
-    // gone rows (allowGone — a replayed epoch rewrote its partition with
-    // fresh part names) drop out; the result exactly describes the live
-    // file set either way
-    val kept =
-      if (gone.isEmpty) old
-      else old.where(!element_at(split(col("file"), "/"), -1).isin(gone.toSeq: _*))
-    val merged =
-      if (newNames.isEmpty) kept
-      else kept.unionByName(
-        spark.read.parquet(newNames.map(actual): _*)
-          .select(cols.map(col): _*)
-          .groupBy(input_file_name().as("file"))
-          .agg(aggs.head, aggs.tail: _*))
-    AtomicDir.swapDir(spark, mPath) { tmp =>
-      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    refreshIndexCore(spark, path, manifestPath(path), "manifest",
+      "writeManifest", allowGone) { files =>
+      val aggs = manifestAggs(cols)
+      spark.read.parquet(files: _*)
+        .select(cols.map(col): _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
     }
-    newNames.size.toLong
   }
 
   /** The value-index twin of [[refreshManifest]]: hash-membership sets
@@ -345,31 +320,52 @@ object Layout {
   def refreshValueIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, buckets: Int = 1 << 16, allowGone: Boolean = false): Long = {
     require(buckets > 0, "buckets must be positive")
-    val vPath = valueIndexPath(path, c)
-    AtomicDir.recoverSwap(spark, vPath)
-    val old = spark.read.parquet(vPath)
+    refreshIndexCore(spark, path, valueIndexPath(path, c), "value index",
+      "writeValueIndex", allowGone) { files =>
+      spark.read.parquet(files: _*)
+        .select(col(c))
+        .groupBy(input_file_name().as("file"))
+        .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
+    }
+  }
+
+  /** The incremental-refresh core both skipping indexes share — ONE
+    * place for the grow-only/allowGone contract: recover a crashed
+    * index swap, diff the index's recorded basenames against the live
+    * listing, refuse gone files unless `allowGone` (a replayed-epoch
+    * overwrite regenerates part names; anything else means the caller
+    * skipped the full rewrite the gone-files contract demands), drop
+    * gone rows, index ONLY the new files via `indexNew`, and swap the
+    * merged table in crash-safely. Cost ∝ new data, never the table —
+    * the property that keeps both indexes affordable under continuous
+    * ingest at 100 TB. Returns the number of newly indexed files. */
+  private def refreshIndexCore(spark: org.apache.spark.sql.SparkSession,
+      path: String, indexPath: String, what: String, rewriteHint: String,
+      allowGone: Boolean)(indexNew: Seq[String] => DataFrame): Long = {
+    AtomicDir.recoverSwap(spark, indexPath)
+    val old = spark.read.parquet(indexPath)
     val indexed = old.select("file").collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val actual = listedDataFilePaths(spark, path)
     val gone = indexed -- actual.keySet
     require(allowGone || gone.isEmpty,
-      s"file(s) gone from data behind the value index for $path " +
+      s"file(s) gone from data behind the $what for $path " +
         s"(${gone.take(3).mkString(", ")}): incremental " +
-        "refresh only grows the set — rewrite with writeValueIndex " +
-        "(or pass allowGone = true for a replayed-epoch overwrite).")
+        s"refresh only grows the set — rewrite with $rewriteHint " +
+        "(or pass allowGone = true for a replayed-epoch overwrite, " +
+        "which regenerates part names).")
     val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
     if (newNames.isEmpty && gone.isEmpty) return 0L
+    // gone rows (allowGone — a replayed epoch rewrote its partition with
+    // fresh part names) drop out; the result exactly describes the live
+    // file set either way
     val kept =
       if (gone.isEmpty) old
       else old.where(!element_at(split(col("file"), "/"), -1).isin(gone.toSeq: _*))
     val merged =
       if (newNames.isEmpty) kept
-      else kept.unionByName(
-        spark.read.parquet(newNames.map(actual): _*)
-          .select(col(c))
-          .groupBy(input_file_name().as("file"))
-          .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset")))
-    AtomicDir.swapDir(spark, vPath) { tmp =>
+      else kept.unionByName(indexNew(newNames.map(actual)))
+    AtomicDir.swapDir(spark, indexPath) { tmp =>
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     }
     newNames.size.toLong
@@ -549,17 +545,7 @@ object Layout {
       buckets: Int): DataFrame = {
     require(ranges.nonEmpty || points.nonEmpty,
       "composed prune needs at least one range or point predicate")
-    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
-    // each consult returns the indexes' recorded FULL input_file_name()
-    // URIs; intersect on basename (unique — every write job salts part
-    // names) but serve the URIs, which stay valid for flat AND
-    // batch-partitioned layouts
-    val uriSets =
-      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).toIndexedSeq)
-       else Nil) ++
-        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).toIndexedSeq }
-    val keep = uriSets.map(_.map(base).toSet).reduce(_ intersect _)
-    val files = uriSets.head.filter(f => keep(base(f))).sorted
+    val files = candidateFilesFor(spark, path, ranges, points, buckets).sorted
     val resid = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
@@ -769,29 +755,62 @@ object Layout {
       "delete needs at least one range or point predicate")
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverPartitionSwaps(hfs, root)
+    recoverLayout(spark, path)
     val resid = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
     val hit = coalesce(resid, lit(false))
-    // the same index consult as the composed pruned read
-    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
-    val uriSets =
-      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).toIndexedSeq)
-       else Nil) ++
-        points.map { case (c, v) => pointLookupFiles(spark, path, c, v, buckets).toIndexedSeq }
-    val keep = uriSets.map(_.map(base).toSet).reduce(_ intersect _)
-    val files = uriSets.head.filter(f => keep(base(f)))
+    val files = candidateFilesFor(spark, path, ranges, points, buckets)
     if (files.isEmpty) return 0L
     rewriteVictimPartitions(spark, hfs, root, files,
       rows => rows.where(hit).count(), rows => rows.where(!hit))
   }
 
+  /** The composed index consult [[prunedRead]] and [[deleteMatching]]
+    * share — one place for the soundness rule: each index alone only
+    * removes files its predicate cannot match, so the basename
+    * INTERSECTION keeps every file the conjunction could match (URIs
+    * served from the first set; basenames are unique — every write job
+    * salts part names). */
+  private def candidateFilesFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, ranges: Seq[(String, Double, Double)],
+      points: Seq[(String, Column)], buckets: Int): Seq[String] = {
+    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val uriSets =
+      (if (ranges.nonEmpty) Seq(matchingFiles(spark, path, ranges).toIndexedSeq)
+       else Nil) ++
+        points.map { case (c, v) =>
+          pointLookupFiles(spark, path, c, v, buckets).toIndexedSeq
+        }
+    val keep = uriSets.map(_.map(base).toSet).reduce(_ intersect _)
+    uriSets.head.filter(f => keep(base(f)))
+  }
+
+  /** CRASH RECOVERY for the layout's data dirs — the one entry point
+    * every mutating/reading head calls (directly or via the mutators):
+    * (a) the data ROOT's own `_old` set-aside, left by a crashed FLAT-
+    * layout swap ([[deleteMatching]] degrades to a root swap there —
+    * without this pass the table would look GONE after such a crash
+    * and only a manual rename could bring it back); (b) the hidden
+    * `.delold_`/`.deltmp_` partition set-asides of a crashed partition-
+    * granular swap. Must run BEFORE any index refresh: a refresh that
+    * sees the set-aside state would record the partition's files as
+    * gone and serve without them — the silent-row-loss class the
+    * freshness guard exists to prevent. */
+  def recoverLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    AtomicDir.recoverSwap(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hfs.exists(root)) recoverPartitionSwaps(hfs, root)
+  }
+
   /** Restore partitions whose last partition-granular swap crashed — the
-    * shared head pass of [[deleteMatching]]/[[upsertByKey]]: a set-aside
-    * (`.delold_<part>`) whose live dir is gone renames back; an orphaned
-    * one (both present — crash after the final delete started) drops; a
-    * stranded `.deltmp_<part>` is an incomplete write, dropped. */
+    * shared head pass of [[deleteMatching]]/[[upsertByKey]] (via
+    * [[recoverLayout]]): a set-aside (`.delold_<part>`) whose live dir
+    * is gone renames back; an orphaned one (both present — crash after
+    * the final delete started) drops; a stranded `.deltmp_<part>` is an
+    * incomplete write, dropped. */
   private def recoverPartitionSwaps(hfs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit =
     for (st <- hfs.listStatus(root)) {
@@ -885,7 +904,7 @@ object Layout {
       batchId: Option[Long] = None): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverPartitionSwaps(hfs, root)
+    recoverLayout(spark, path)
     val epochIds = hfs.listStatus(root).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=").toLong).toSeq
@@ -893,22 +912,29 @@ object Layout {
       s"upsertByKey needs the epoch-partitioned layout (batch=<id>) at $path; " +
         "on a flat layout compose deleteMatching + appendZordered — one full " +
         "rewrite is the honest cost there")
-    val inserted = updates.count()
-    if (inserted == 0L) return (0L, 0L)
-    // 1. candidate files, consulted while the index is still fresh
     val keyType = spark.read.parquet(path).schema(keyCol).dataType
-    val updKeys = updates
-      .select(col(keyCol).cast(keyType).as(keyCol))
-      .where(col(keyCol).isNotNull).distinct()
+    // ONE aggregate pass over the batch (this runs per CDC micro-batch —
+    // separate count()/distinct-count jobs would re-evaluate the batch
+    // plan three times on the hot path): total rows, non-null keys,
+    // distinct keys
+    val stats = updates.agg(count(lit(1)),
+      count(col(keyCol).cast(keyType)),
+      countDistinct(col(keyCol).cast(keyType))).head()
+    val (inserted, nonNull, distinctKeys) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    if (inserted == 0L) return (0L, 0L)
     // MERGE contract: two versions of one key in a single batch would
     // BOTH land (the epoch holds the batch verbatim) — refuse rather
     // than silently violate latest-wins; collapse upstream first
     // (latestPerKey, the CDC recipe). Null keys are pure inserts.
-    val nullKeys = updates.where(col(keyCol).isNull).count()
-    require(updKeys.count() + nullKeys == inserted,
+    require(nonNull == distinctKeys,
       s"upsert batch carries duplicate $keyCol values — a batch must be " +
         "key-distinct (collapse with latest-per-key upstream); both copies " +
         "would land in the epoch and violate the MERGE contract")
+    // consulted while the index is still fresh
+    val updKeys = updates
+      .select(col(keyCol).cast(keyType).as(keyCol))
+      .where(col(keyCol).isNotNull).distinct()
     val candidates = keyCandidateFiles(spark, path, updKeys, keyCol, buckets)
     // 2. INSERT first — the epoch overwrite is the replay-idempotent unit
     val id = batchId.getOrElse(epochIds.max + 1L)
@@ -961,7 +987,7 @@ object Layout {
       keys: DataFrame, keyCol: String, buckets: Int = 1 << 16): Long = {
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverPartitionSwaps(hfs, root)
+    recoverLayout(spark, path)
     val keyType = spark.read.parquet(path).schema(keyCol).dataType
     val delKeys = keys
       .select(col(keyCol).cast(keyType).as(keyCol))
@@ -1064,6 +1090,13 @@ object Layout {
       buckets: Int = 1 << 16): Long = {
     val ts = readTombstones(spark, path, keyCol)
     if (ts.isEmpty) return 0L
+    // HEAD repair: a previous applyTombstones that crashed between its
+    // physical deletes and its refreshes left the indexes stale, and
+    // the consult inside deleteByKeys refuses stale — restore freshness
+    // first so the re-run actually re-applies (no-ops when fresh)
+    recoverLayout(spark, path)
+    refreshManifest(spark, path, manifestCols, allowGone = true)
+    refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
     val removed = deleteByKeys(spark, path, ts, keyCol, buckets)
     refreshManifest(spark, path, manifestCols, allowGone = true)
     refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
@@ -1175,7 +1208,11 @@ object Layout {
         "copy-on-write deletes, compaction, and applyTombstones expire " +
         "snapshots; serve the live table or re-snapshot")
     val data =
-      if (files.isEmpty) spark.emptyDataFrame
+      if (files.isEmpty)
+        // zero pinned files: empty rows WITH the live table's schema, so
+        // the tombstone anti-join and downstream projections still
+        // resolve (a schemaless emptyDataFrame would throw on both)
+        spark.read.parquet(path).limit(0)
       else spark.read.parquet(files.toIndexedSeq: _*)
     keyCol match {
       case Some(c) =>

@@ -400,9 +400,16 @@ object OnlineRefresh {
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
     recoverSwap(spark, outPath)
+    recoverSwap(spark, s"$outPath/codebooks")
     val p = new org.apache.hadoop.fs.Path(s"$outPath/codebooks")
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-      codebooks.write.mode("overwrite").parquet(s"$outPath/codebooks")
+      // the one-time codebook landing commits via dir swap: a crash
+      // mid-write leaves only the tmp dir (swept on the retry), never a
+      // partial codebooks dir a bare existence check would adopt as
+      // authoritative and silently encode every future batch against
+      graft.fs.AtomicDir.swapDir(spark, s"$outPath/codebooks") { tmp =>
+        codebooks.write.mode("overwrite").parquet(tmp)
+      }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputPath)
@@ -898,6 +905,11 @@ object OnlineRefresh {
         // consult inside deleteByKeys reads them
         recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
         recoverSwap(spark, graft.fs.Layout.valueIndexPath(layoutPath, keyCol))
+        // DATA recovery strictly BEFORE the head refresh: a crash inside
+        // a partition swap leaves a set-aside the refresh would read as
+        // gone files — refreshing first would drop the partition from
+        // the indexes and serve without its surviving rows
+        graft.fs.Layout.recoverLayout(spark, layoutPath)
         // HEAD repair (no-op when fresh): a crash between a previous
         // epoch's rewrites and its closing refresh leaves stale indexes,
         // and the consult inside deleteByKeys refuses stale — the
@@ -957,6 +969,9 @@ object OnlineRefresh {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
         recoverSwap(spark, graft.fs.Layout.valueIndexPath(layoutPath, keyCol))
+        // data recovery BEFORE the head refresh (see zorderDeleteStream —
+        // a refresh over a set-aside partition would drop its files)
+        graft.fs.Layout.recoverLayout(spark, layoutPath)
         graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
           allowGone = true)
         graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,

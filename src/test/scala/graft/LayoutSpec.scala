@@ -540,6 +540,40 @@ class LayoutSpec extends SparkSpec {
       Layout.readSnapshot(spark, s"$base/z", v0, Some("id")))
   }
 
+  test("crash recovery: flat-root set-aside restores before delete, wedged tombstone fold self-repairs") {
+    // (a) a FLAT layout's delete swaps the data ROOT; a crash between
+    // the two renames leaves only <root>_old — the next call must
+    // restore it and proceed, not throw FileNotFound
+    val base = java.nio.file.Files.createTempDirectory("graft-zcrash").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    assert(new java.io.File(s"$base/z").renameTo(new java.io.File(s"$base/z_old")))
+    val removed = Layout.deleteMatching(spark, s"$base/z",
+      Seq(("a", 10.0, 12.0), ("b", 20.0, 22.0)), Nil)
+    assert(removed == 9L, s"recovery then delete, got $removed")
+    assert(!new java.io.File(s"$base/z_old").exists)
+    // (b) applyTombstones crashed between its physical deletes and its
+    // refreshes: sidecar still pending, indexes stale — the re-run must
+    // self-repair and complete, not refuse on freshness
+    Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0), s"$base/e",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1), s"$base/e", 1,
+      numFiles = 4)
+    Layout.writeManifest(spark, s"$base/e", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/e", "id")
+    Layout.deleteLogical(spark, s"$base/e", spark.range(50, 60).toDF("id"), "id")
+    // simulate the crash: the physical half ran, nothing else did
+    assert(Layout.deleteByKeys(spark, s"$base/e",
+      spark.range(50, 60).toDF("id"), "id") == 10L)
+    // the re-run: head repair → re-apply (0 victims left) → sidecar clear
+    assert(Layout.applyTombstones(spark, s"$base/e", "id", Seq("a", "b")) == 0L)
+    assert(!new java.io.File(Layout.tombstonePath(s"$base/e", "id")).exists,
+      "the wedged fold must complete and clear the sidecar")
+    assert(spark.read.parquet(s"$base/e").count() == 9990)
+    assert(Layout.countMatching(spark, s"$base/e", Seq(("a", 0.0, 99.0)))._1 == 9990,
+      "pushdowns must re-arm after the repaired fold")
+  }
+
   test("sampled boundaries: deterministic, ~1/every rows, buckets still spread; k-column round-robin key") {
     // sampleKeep is a uniform systematic 1/8 over sequential ids
     val kept = grid.where(Layout.sampleKeep("id", 8)).count()

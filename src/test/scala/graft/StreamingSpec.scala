@@ -541,6 +541,21 @@ class StreamingSpec extends SparkSpec {
     run()
     checkExact(3840)
     assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(3005L)).count() == 0)
+    // crash INSIDE a partition swap (set-aside present, live dir gone):
+    // the next batch must restore the partition BEFORE its head refresh
+    // — refreshing first would record the partition's files as gone and
+    // serve without its surviving rows
+    val p0 = new java.io.File(s"$tmp/z/batch=0")
+    val aside = new java.io.File(s"$tmp/z/.delold_batch=0")
+    assert(p0.renameTo(aside))
+    stage(3, spark.range(500, 510).toDF("id"))
+    run()
+    assert(p0.isDirectory && !aside.exists,
+      "the stream's head recovery must restore the set-aside partition")
+    checkExact(3830)
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(502L)).count() == 0)
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(600L)).count() == 1,
+      "rows from the recovered partition must survive and stay indexed")
   }
 
   test("zorderUpsertStream: CDC batches apply latest-wins, resume no-op, late shard overrides, inserts land") {
