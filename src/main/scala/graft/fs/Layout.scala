@@ -763,7 +763,7 @@ object Layout {
     val files = candidateFilesFor(spark, path, ranges, points, buckets)
     if (files.isEmpty) return 0L
     rewriteVictimPartitions(spark, hfs, root, files,
-      rows => rows.where(hit).count(), rows => rows.where(!hit))
+      rows => rows.where(hit), rows => rows.where(!hit))
   }
 
   /** The composed index consult [[prunedRead]] and [[deleteMatching]]
@@ -825,43 +825,54 @@ object Layout {
     }
 
   /** The partition-granular rewrite loop [[deleteMatching]] and
-    * [[upsertByKey]] share: group candidate files by parent (a
-    * `batch=<id>` partition, or the root for a flat layout), count each
-    * partition's victims, and rewrite ONLY partitions with victims > 0
-    * (a hash-index false positive, or an idempotent re-run, stays
-    * byte-identical — no rewrite, no index churn). Each rewrite is the
-    * crash-safe dir swap; partitions inside the table use the hidden
-    * dot-prefixed set-asides so discovery never sees a transient dir.
-    * Returns the total victim count across rewritten partitions. */
+    * [[upsertByKey]] share: ONE counting pass over all candidate files
+    * locates the victims per parent partition (victims can only live in
+    * candidate files — the indexes are complete — so a single
+    * `input_file_name`-grouped job replaces a per-partition counting
+    * job; at many-partition scale the scheduling cost of 2·P driver-
+    * side jobs was the bottleneck, now 1 + victims), then ONLY
+    * partitions with victims > 0 rewrite (a hash-index false positive,
+    * or an idempotent re-run, stays byte-identical — no rewrite, no
+    * index churn). Each rewrite is the crash-safe dir swap; partitions
+    * inside the table use the hidden dot-prefixed set-asides so
+    * discovery never sees a transient dir. Returns the total victim
+    * count across rewritten partitions. */
   private def rewriteVictimPartitions(
       spark: org.apache.spark.sql.SparkSession,
       hfs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       files: Seq[String],
-      countVictims: DataFrame => Long,
+      victims: DataFrame => DataFrame,
       survivors: DataFrame => DataFrame): Long = {
+    if (files.isEmpty) return 0L
     val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
-    val parents = files.map(f => f.substring(0, f.lastIndexOf('/')))
-      .map(_.stripSuffix("/")).distinct.sorted
+    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val parentOf = files.map(f =>
+      base(f) -> f.substring(0, f.lastIndexOf('/')).stripSuffix("/")).toMap
+    val byFile = victims(
+      spark.read.parquet(files.toIndexedSeq: _*)
+        .withColumn("__vf", input_file_name()))
+      .groupBy(col("__vf")).agg(count(lit(1)).as("n")).collect()
+    val victimsByParent = byFile
+      .groupBy(r => parentOf(base(r.getString(0))))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
     var removed = 0L
-    for (p <- parents) {
-      val rows = spark.read.parquet(p)
-      val victims = countVictims(rows)
-      if (victims > 0) {
-        removed += victims
-        val keepDf = survivors(rows)
-        val partName = p.substring(p.lastIndexOf('/') + 1)
-        if (hfs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
-            .stripSuffix("/") == rootUri)
-          AtomicDir.swapDir(spark, p) { tmp =>
-            keepDf.write.mode("overwrite").parquet(tmp)
-          }
-        else
-          AtomicDir.swapDirAt(spark, p,
-            rootUri + s"/.deltmp_$partName", rootUri + s"/.delold_$partName") { tmp =>
-            keepDf.write.mode("overwrite").parquet(tmp)
-          }
-      }
+    for (p <- victimsByParent.keys.toSeq.sorted) {
+      removed += victimsByParent(p)
+      // the rewrite reads the WHOLE partition: non-candidate files'
+      // rows (never victims) must survive alongside
+      val keepDf = survivors(spark.read.parquet(p))
+      val partName = p.substring(p.lastIndexOf('/') + 1)
+      if (hfs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+          .stripSuffix("/") == rootUri)
+        AtomicDir.swapDir(spark, p) { tmp =>
+          keepDf.write.mode("overwrite").parquet(tmp)
+        }
+      else
+        AtomicDir.swapDirAt(spark, p,
+          rootUri + s"/.deltmp_$partName", rootUri + s"/.delold_$partName") { tmp =>
+          keepDf.write.mode("overwrite").parquet(tmp)
+        }
     }
     removed
   }
@@ -946,7 +957,7 @@ object Layout {
       parent.substring(parent.lastIndexOf('/') + 1) == epochDir
     }
     val replaced = rewriteVictimPartitions(spark, hfs, root, older,
-      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_semi").count(),
+      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_semi"),
       rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_anti"))
     (replaced, inserted)
   }
@@ -995,7 +1006,7 @@ object Layout {
     val candidates = keyCandidateFiles(spark, path, delKeys, keyCol, buckets)
     if (candidates.isEmpty) return 0L
     rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
-      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi").count(),
+      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi"),
       rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
   }
 
