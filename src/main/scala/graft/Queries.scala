@@ -2551,6 +2551,29 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** ADDITIVE SCHEMA EVOLUTION ([[graft.fs.Layout.readLayout]]) — epoch
+    * 2 lands with a NEW `tag` column the first two epochs never had;
+    * the merged read serves the union schema with nulls for the older
+    * rows, and the PRUNED read over the evolved table must agree (its
+    * candidate files span old and new epochs — both read paths merge
+    * schemas). The oracle derives the tag from epoch membership. */
+  private def layoutEvolvedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zevolve:" + dir, s), _ => {
+      val base = scratchDir("graft_zevo").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === 1),
+        s"$base/z", 1, numFiles = 4)
+      fs.Layout.appendZorderedEpoch(
+        e.where(pmod(col("event_id"), lit(3)) === 2).withColumn("tag", lit("v2")),
+        s"$base/z", 2, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"), col("tag"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3319,6 +3342,7 @@ object Queries {
       "q_pruned_scan", "q_point_lookup", "q_pruned_point", "q_zorder_append",
       "q_layout_compacted", "q_layout_deleted", "q_layout_deleted_mor",
       "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
+      "q_layout_evolved",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_zorder_upsert", "q_stream_span_coverage",
@@ -3631,6 +3655,7 @@ object Queries {
     "q_layout_mor_applied" -> (layoutMorAppliedQ _),
     "q_layout_upserted" -> (layoutUpsertedQ _),
     "q_layout_snapshot" -> (layoutSnapshotQ _),
+    "q_layout_evolved" -> (layoutEvolvedQ _),
     "q_meta_count" -> (metaCountQ _),
     "q_meta_minmax" -> (metaMinMaxQ _),
     "q_pruned_scan3" -> (prunedScan3Q _),
@@ -4119,6 +4144,13 @@ object Queries {
     // metadata-count: interior files from the manifest, boundary files scanned
     "q_meta_count" ->
       """SELECT count(*) AS cnt
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // additive schema evolution: the new column is null for older epochs
+    "q_layout_evolved" ->
+      """SELECT event_id, user_id, "value",
+        |  CASE WHEN event_id % 3 = 2 THEN 'v2' ELSE NULL END AS tag
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,

@@ -304,7 +304,7 @@ object Layout {
     refreshIndexCore(spark, path, manifestPath(path), "manifest",
       "writeManifest", allowGone) { files =>
       val aggs = manifestAggs(cols)
-      spark.read.parquet(files: _*)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
         .select(cols.map(col): _*)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -432,7 +432,10 @@ object Layout {
       cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "manifest needs at least one column")
     val aggs = manifestAggs(cols)
-    spark.read.parquet(path)
+    // mergeSchema: an evolved column (added in a later epoch) indexes
+    // with null bounds for the files predating it — skipped by every
+    // range on it, the null-never-matches convention
+    spark.read.option("mergeSchema", "true").parquet(path)
       .select(cols.map(col): _*)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -524,7 +527,8 @@ object Layout {
     }.reduce(_ && _)
     val files = matchingFiles(spark, path, ranges)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*).where(resid)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.toIndexedSeq: _*).where(resid)
   }
 
   /** COMPOSED pruned read — manifest RANGE pruning ∩ value-index POINT
@@ -550,7 +554,8 @@ object Layout {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(files: _*).where(resid)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).where(resid)
   }
 
   /** METADATA-COUNT pushdown — `count(*)` over a range conjunction that
@@ -596,7 +601,8 @@ object Layout {
     }.reduce(_ && _)
     val scanned =
       if (boundary.isEmpty) 0L
-      else spark.read.parquet(boundary.toIndexedSeq: _*).where(resid).count()
+      else spark.read.option("mergeSchema", "true")
+        .parquet(boundary.toIndexedSeq: _*).where(resid).count()
     (metaCount + scanned, m.count(_.getBoolean(3)).toLong, boundary.length.toLong)
   }
 
@@ -648,7 +654,8 @@ object Layout {
     val (scanMin, scanMax, scanCnt) =
       if (boundary.isEmpty) (None, None, 0L)
       else {
-        val r = spark.read.parquet(boundary.toIndexedSeq: _*).where(resid)
+        val r = spark.read.option("mergeSchema", "true")
+          .parquet(boundary.toIndexedSeq: _*).where(resid)
           .agg(min(col(aggCol).cast("double")), max(col(aggCol).cast("double")),
             count(lit(1))).head()
         (if (r.isNullAt(0)) None else Some(r.getDouble(0)),
@@ -684,7 +691,7 @@ object Layout {
   def writeValueIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, buckets: Int = 1 << 16): Unit = {
     require(buckets > 0, "buckets must be positive")
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
       .select(col(c))
       .groupBy(input_file_name().as("file"))
       .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
@@ -699,7 +706,8 @@ object Layout {
     * since xxhash64 is type-width-sensitive). */
   def pointLookupFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, value: Column, buckets: Int = 1 << 16): Array[String] = {
-    val colType = spark.read.parquet(path).schema(c).dataType
+    val colType = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema(c).dataType
     val h = spark.range(1)
       .select(pmod(xxhash64(value.cast(colType)), lit(buckets.toLong)))
       .head().getLong(0)
@@ -718,7 +726,8 @@ object Layout {
       c: String, value: Column, buckets: Int = 1 << 16): DataFrame = {
     val files = pointLookupFiles(spark, path, c, value, buckets)
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*).where(col(c) === value)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(files.toIndexedSeq: _*).where(col(c) === value)
   }
 
   /** Index-pruned DELETE — the layout family's retraction cell (the
@@ -923,7 +932,8 @@ object Layout {
       s"upsertByKey needs the epoch-partitioned layout (batch=<id>) at $path; " +
         "on a flat layout compose deleteMatching + appendZordered — one full " +
         "rewrite is the honest cost there")
-    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val keyType = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema(keyCol).dataType
     // ONE aggregate pass over the batch (this runs per CDC micro-batch —
     // separate count()/distinct-count jobs would re-evaluate the batch
     // plan three times on the hot path): total rows, non-null keys,
@@ -999,7 +1009,8 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverLayout(spark, path)
-    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val keyType = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema(keyCol).dataType
     val delKeys = keys
       .select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
@@ -1009,6 +1020,24 @@ object Layout {
       rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi"),
       rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
   }
+
+  /** SCHEMA-EVOLVED full read — ADDITIVE evolution, the kind every
+    * table format allows: a later epoch may land with NEW columns
+    * (appendZorderedEpoch re-keys on the frozen Z columns and extra
+    * columns simply ride along), and `mergeSchema` reconciles the
+    * union schema with nulls for the older files' missing columns.
+    * The indexes are UNAFFECTED by construction: the meta sidecar pins
+    * the original Z columns, and the manifest/value index keep serving
+    * their recorded columns — a NEW column becomes prunable only after
+    * a fresh [[writeManifest]] naming it (files predating the column
+    * then carry null bounds and are skipped by every range on it,
+    * which is exactly SQL's null-never-matches). All pruned/point/
+    * snapshot reads also merge schemas, so a candidate set spanning
+    * old and new epochs serves the union schema consistently. Renames
+    * and type changes are NOT supported — that is rewrite territory. */
+  def readLayout(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 
   /** Tombstone sidecar path — keyed logical deletes for `keyCol`. */
   def tombstonePath(path: String, keyCol: String): String =
@@ -1031,7 +1060,8 @@ object Layout {
     * dropped. Returns the newly tombstoned key count. */
   def deleteLogical(spark: org.apache.spark.sql.SparkSession, path: String,
       keys: DataFrame, keyCol: String): Long = {
-    val keyType = spark.read.parquet(path).schema(keyCol).dataType
+    val keyType = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema(keyCol).dataType
     val add = keys.select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
     val tPath = tombstonePath(path, keyCol)
@@ -1060,7 +1090,8 @@ object Layout {
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(hp)) spark.read.parquet(tPath)
     else {
-      val keyType = spark.read.parquet(path).schema(keyCol).dataType
+      val keyType = spark.read.option("mergeSchema", "true")
+      .parquet(path).schema(keyCol).dataType
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(keyCol, keyType))))
@@ -1224,7 +1255,8 @@ object Layout {
         // the tombstone anti-join and downstream projections still
         // resolve (a schemaless emptyDataFrame would throw on both)
         spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(files.toIndexedSeq: _*)
     keyCol match {
       case Some(c) =>
         val tPath = new org.apache.hadoop.fs.Path(vDir, s"tombstones_$c")

@@ -540,6 +540,38 @@ class LayoutSpec extends SparkSpec {
       Layout.readSnapshot(spark, s"$base/z", v0, Some("id")))
   }
 
+  test("schema evolution: later epoch's new column reads as null for old rows, new column prunable after manifest rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zevo").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(
+      grid.where(col("id") % 2 === 1)
+        .withColumn("score", (col("id") % 10).cast("double")),
+      s"$base/z", 1, numFiles = 4)
+    // merged full read: union schema, nulls for the pre-evolution epoch
+    val all = Layout.readLayout(spark, s"$base/z")
+    assert(all.columns.contains("score") && all.count() == 10000)
+    assert(all.where(col("score").isNull).count() == 5000,
+      "older epoch's rows must carry null for the added column")
+    // pruned read spanning both epochs serves the union schema too
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    val pruned = Layout.prunedRead(spark, s"$base/z", Seq(("a", 10.0, 20.0)))
+    assert(pruned.columns.contains("score"))
+    assert(pruned.count() ==
+      all.where(col("a").between(10.0, 20.0)).count())
+    // the NEW column becomes prunable after a manifest naming it: files
+    // predating it carry null bounds → skipped by every score range
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b", "score"))
+    val byScore = Layout.prunedRead(spark, s"$base/z", Seq(("score", 3.0, 3.0)))
+    assert(byScore.count() == all.where(col("score") === 3.0).count())
+    val touched = Layout.matchingFiles(spark, s"$base/z",
+      Seq(("score", 0.0, 9.0))).length
+    val total = Layout.matchingFiles(spark, s"$base/z",
+      Seq(("a", 0.0, 99.0))).length
+    assert(touched < total,
+      s"pre-evolution files (null score bounds) must be skipped: $touched/$total")
+  }
+
   test("crash recovery: flat-root set-aside restores before delete, wedged tombstone fold self-repairs") {
     // (a) a FLAT layout's delete swaps the data ROOT; a crash between
     // the two renames leaves only <root>_old — the next call must
