@@ -322,7 +322,7 @@ object Layout {
     require(buckets > 0, "buckets must be positive")
     refreshIndexCore(spark, path, valueIndexPath(path, c), "value index",
       "writeValueIndex", allowGone) { files =>
-      spark.read.parquet(files: _*)
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
         .select(col(c))
         .groupBy(input_file_name().as("file"))
         .agg(collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as("hset"))
@@ -526,7 +526,7 @@ object Layout {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     val files = matchingFiles(spark, path, ranges)
-    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    if (files.isEmpty) readLayout(spark, path).where(lit(false))
     else spark.read.option("mergeSchema", "true")
       .parquet(files.toIndexedSeq: _*).where(resid)
   }
@@ -553,7 +553,7 @@ object Layout {
     val resid = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
-    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    if (files.isEmpty) readLayout(spark, path).where(lit(false))
     else spark.read.option("mergeSchema", "true")
       .parquet(files: _*).where(resid)
   }
@@ -706,8 +706,7 @@ object Layout {
     * since xxhash64 is type-width-sensitive). */
   def pointLookupFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, value: Column, buckets: Int = 1 << 16): Array[String] = {
-    val colType = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema(c).dataType
+    val colType = evolvedColType(spark, path, c)
     val h = spark.range(1)
       .select(pmod(xxhash64(value.cast(colType)), lit(buckets.toLong)))
       .head().getLong(0)
@@ -725,7 +724,7 @@ object Layout {
   def pointRead(spark: org.apache.spark.sql.SparkSession, path: String,
       c: String, value: Column, buckets: Int = 1 << 16): DataFrame = {
     val files = pointLookupFiles(spark, path, c, value, buckets)
-    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    if (files.isEmpty) readLayout(spark, path).where(lit(false))
     else spark.read.option("mergeSchema", "true")
       .parquet(files.toIndexedSeq: _*).where(col(c) === value)
   }
@@ -858,8 +857,15 @@ object Layout {
     def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
     val parentOf = files.map(f =>
       base(f) -> f.substring(0, f.lastIndexOf('/')).stripSuffix("/")).toMap
+    // resolve the candidate set's MERGED schema once (bounded by the
+    // candidates, not the table) and read every partition through it:
+    // an evolved key/predicate column reads as null in pre-evolution
+    // files (null never matches, so their rows always survive) instead
+    // of throwing on a partition that predates the column
+    val mergedSchema = spark.read.option("mergeSchema", "true")
+      .parquet(files.toIndexedSeq: _*).schema
     val byFile = victims(
-      spark.read.parquet(files.toIndexedSeq: _*)
+      spark.read.schema(mergedSchema).parquet(files.toIndexedSeq: _*)
         .withColumn("__vf", input_file_name()))
       .groupBy(col("__vf")).agg(count(lit(1)).as("n")).collect()
     val victimsByParent = byFile
@@ -868,9 +874,18 @@ object Layout {
     var removed = 0L
     for (p <- victimsByParent.keys.toSeq.sorted) {
       removed += victimsByParent(p)
-      // the rewrite reads the WHOLE partition: non-candidate files'
-      // rows (never victims) must survive alongside
-      val keepDf = survivors(spark.read.parquet(p))
+      // the rewrite reads the WHOLE partition (non-candidate files'
+      // rows — never victims — must survive alongside) under the
+      // partition's OWN union schema, plus null-backfill for any
+      // candidate-set column the partition predates (so the survivors
+      // join/filter resolves; additive evolution writes the column as
+      // nulls, which is what an evolved read serves anyway)
+      val part0 = spark.read.option("mergeSchema", "true").parquet(p)
+      val part = mergedSchema.fields.foldLeft(part0) { (d, f) =>
+        if (d.columns.contains(f.name)) d
+        else d.withColumn(f.name, lit(null).cast(f.dataType))
+      }
+      val keepDf = survivors(part)
       val partName = p.substring(p.lastIndexOf('/') + 1)
       if (hfs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
           .stripSuffix("/") == rootUri)
@@ -932,18 +947,23 @@ object Layout {
       s"upsertByKey needs the epoch-partitioned layout (batch=<id>) at $path; " +
         "on a flat layout compose deleteMatching + appendZordered — one full " +
         "rewrite is the honest cost there")
-    val keyType = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema(keyCol).dataType
+    val keyType = evolvedColType(spark, path, keyCol)
     // ONE aggregate pass over the batch (this runs per CDC micro-batch —
     // separate count()/distinct-count jobs would re-evaluate the batch
-    // plan three times on the hot path): total rows, non-null keys,
-    // distinct keys
-    val stats = updates.agg(count(lit(1)),
+    // plan three times on the hot path): total rows, raw non-null keys,
+    // post-cast non-null keys, distinct keys
+    val stats = updates.agg(count(lit(1)), count(col(keyCol)),
       count(col(keyCol).cast(keyType)),
       countDistinct(col(keyCol).cast(keyType))).head()
-    val (inserted, nonNull, distinctKeys) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    val (inserted, rawNonNull, nonNull, distinctKeys) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     if (inserted == 0L) return (0L, 0L)
+    // a key that CASTS to null would silently dodge both the matching
+    // and the duplicate check below while still landing in the epoch —
+    // refuse the batch (the caller's key type does not fit the table's)
+    require(rawNonNull == nonNull,
+      s"upsert batch carries $keyCol values that cast to null against the " +
+        s"stored type $keyType — keys must convert losslessly")
     // MERGE contract: two versions of one key in a single batch would
     // BOTH land (the epoch holds the batch verbatim) — refuse rather
     // than silently violate latest-wins; collapse upstream first
@@ -1009,8 +1029,7 @@ object Layout {
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverLayout(spark, path)
-    val keyType = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema(keyCol).dataType
+    val keyType = evolvedColType(spark, path, keyCol)
     val delKeys = keys
       .select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
@@ -1039,6 +1058,17 @@ object Layout {
       path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Resolve a column's stored type — the plain schema sample first
+    * (one footer), the all-footer merge ONLY when the column is evolved
+    * and the sampled footer predates it. The consult paths run this per
+    * operation; an unconditional mergeSchema here would read every
+    * footer in the table, the exact cost the manifest exists to avoid. */
+  private def evolvedColType(spark: org.apache.spark.sql.SparkSession,
+      path: String, c: String): org.apache.spark.sql.types.DataType =
+    spark.read.parquet(path).schema.find(_.name == c).map(_.dataType)
+      .getOrElse(spark.read.option("mergeSchema", "true")
+        .parquet(path).schema(c).dataType)
+
   /** Tombstone sidecar path — keyed logical deletes for `keyCol`. */
   def tombstonePath(path: String, keyCol: String): String =
     path.stripSuffix("/") + s"__tombstones_$keyCol"
@@ -1060,8 +1090,7 @@ object Layout {
     * dropped. Returns the newly tombstoned key count. */
   def deleteLogical(spark: org.apache.spark.sql.SparkSession, path: String,
       keys: DataFrame, keyCol: String): Long = {
-    val keyType = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema(keyCol).dataType
+    val keyType = evolvedColType(spark, path, keyCol)
     val add = keys.select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
     val tPath = tombstonePath(path, keyCol)
@@ -1090,8 +1119,7 @@ object Layout {
     val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hfs.exists(hp)) spark.read.parquet(tPath)
     else {
-      val keyType = spark.read.option("mergeSchema", "true")
-      .parquet(path).schema(keyCol).dataType
+      val keyType = evolvedColType(spark, path, keyCol)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(keyCol, keyType))))
@@ -1254,7 +1282,7 @@ object Layout {
         // zero pinned files: empty rows WITH the live table's schema, so
         // the tombstone anti-join and downstream projections still
         // resolve (a schemaless emptyDataFrame would throw on both)
-        spark.read.parquet(path).limit(0)
+        readLayout(spark, path).limit(0)
       else spark.read.option("mergeSchema", "true")
         .parquet(files.toIndexedSeq: _*)
     keyCol match {

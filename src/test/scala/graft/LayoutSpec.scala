@@ -572,6 +572,31 @@ class LayoutSpec extends SparkSpec {
       s"pre-evolution files (null score bounds) must be skipped: $touched/$total")
   }
 
+  test("evolved-key bulk delete: value index on a later-epoch column routes, pre-evolution partitions survive untouched") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zevok").toString
+    // epoch 0 predates the key column entirely; epoch 1 adds it
+    Layout.buildZorderedEpoch(grid.where(col("id") < 5000), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(
+      grid.where(col("id") >= 5000).withColumn("k", col("id") + 100000L),
+      s"$base/z", 1, numFiles = 4)
+    Layout.writeValueIndex(spark, s"$base/z", "k")
+    def filesOf(name: String): Set[String] =
+      new java.io.File(s"$base/z/$name").listFiles().map(_.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val before = filesOf("batch=0")
+    val removed = Layout.deleteByKeys(spark, s"$base/z",
+      Seq(105000L, 107777L).toDF("k"), "k")
+    assert(removed == 2L, s"evolved-key victims, got $removed")
+    Layout.refreshValueIndex(spark, s"$base/z", "k", allowGone = true)
+    assert(spark.read.parquet(s"$base/z").count() == 9998)
+    assert(filesOf("batch=0") == before,
+      "the pre-evolution epoch holds no keys — it must stay byte-identical " +
+        "(a hash-42 collision candidate reads k as null and finds no victims)")
+    assert(Layout.pointRead(spark, s"$base/z", "k", lit(105000L)).count() == 0)
+    assert(Layout.pointRead(spark, s"$base/z", "k", lit(106000L)).count() == 1)
+  }
+
   test("crash recovery: flat-root set-aside restores before delete, wedged tombstone fold self-repairs") {
     // (a) a FLAT layout's delete swaps the data ROOT; a crash between
     // the two renames leaves only <root>_old — the next call must
