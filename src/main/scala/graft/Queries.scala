@@ -2574,6 +2574,147 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"), col("tag"))
     })
 
+  /** MERGE-ON-READ upsert ([[graft.fs.Layout.upsertLogical]]) — the
+    * update twin of q_layout_deleted_mor completing the MoR column of
+    * the CRUD matrix: the same `event_id % 97` update batch lands as a
+    * DELTA SIDECAR (zero data bytes move — cost ∝ feed, the 0.5 s-vs-
+    * 6.2 s MoR economics of the delete path applied to updates), and
+    * the serve path folds it (staged keys replace, broadcast anti-join
+    * + union). Same oracle as q_layout_upserted — logical and physical
+    * MERGE must be observationally identical. */
+  private def layoutUpsertMorQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zupmor:" + dir, s), _ => {
+      val base = scratchDir("graft_zupmor").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 2)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      fs.Layout.upsertLogical(s, s"$base/z", upd, "event_id")
+      fs.Layout.prunedReadMor(s, s"$base/z", Seq(("user_id", 5.0, 11.0)),
+        "event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** [[graft.fs.Layout.applyUpsertDeltas]] — the fold from merge-on-read
+    * upserts back to copy-on-write: same fixture as q_layout_upsert_mor,
+    * deltas APPLIED (latest-per-key through one physical upsertByKey +
+    * index refresh + sidecar clear), then the plain COW pruned read.
+    * Same oracle again: the fold cannot move served output. */
+  private def layoutUpsertMorAppliedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zupmora:" + dir, s), _ => {
+      val base = scratchDir("graft_zupmora").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 2)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      fs.Layout.upsertLogical(s, s"$base/z", upd, "event_id")
+      fs.Layout.applyUpsertDeltas(s, s"$base/z", "event_id",
+        Seq("user_id", "value"))
+      fs.Layout.prunedRead(s, s"$base/z", Seq(("user_id", 5.0, 11.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** Metadata SUM pushdown ([[graft.fs.Layout.sumMatching]]) — the
+    * integral-column member of the pushdown family: `sum(user_id)` over
+    * the rectangle where contained files contribute their manifest
+    * `sum_user_id` unopened (int sums are exact under any regrouping —
+    * the property float sums lack, which is why the manifest carries
+    * sums for integral columns only) and boundary files scan. The
+    * oracle is the plain filtered SUM. */
+  private def metaSumQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zsum:" + dir, s), _ => {
+      val base = scratchDir("graft_zsum").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      val (sm, n, _, _) = fs.Layout.sumMatching(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)), "user_id")
+      import s.implicits._
+      Seq((sm.get.longValueExact(), n)).toDF("sum_uid", "cnt")
+    })
+
+  /** LAYOUT DRIFT ([[graft.fs.Layout.layoutDrift]]) — the recluster
+    * trigger: a layout built (sampled exact-percentile boundaries) from
+    * the LOW half of the value distribution, then the high half appended
+    * against those frozen bounds — the canonical drifted stream. The
+    * monitor buckets every row against the frozen boundaries and
+    * reports, per Z column, the total-variation distance from the
+    * uniform occupancy the boundaries promised: `value` (whose
+    * distribution moved) drifts hard, `user_id` (identically distributed
+    * in both halves) stays near the sampling floor. Exact integer
+    * arithmetic until one final division — the oracle replays boundary
+    * derivation, bucketing, and the TV fold verbatim. */
+  private def layoutDriftQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdrift:" + dir, s), _ => {
+      val base = scratchDir("graft_zdrift").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(col("value") <= 35.0), s"$base/z",
+        "user_id", "value", bits = 6, numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.appendZordered(e.where(col("value") > 35.0), s"$base/z",
+        numFiles = 16)
+      fs.Layout.layoutDrift(s, s"$base/z")
+    })
+
+  /** RECLUSTER ([[graft.fs.Layout.reclusterLayout]]) — the drift cure:
+    * the same drifted fixture, boundaries re-derived from the full
+    * drifted table (sampled — the scale-safe path), data rewritten
+    * clustered on them, meta swapped, indexes fully rebuilt (every file
+    * changed). The pruned 2-D read must still equal the full-scan
+    * filter — reclustering moves rows between files, never in or out of
+    * the table. */
+  private def layoutReclusteredQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zreclus:" + dir, s), _ => {
+      val base = scratchDir("graft_zreclus").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(col("value") <= 35.0), s"$base/z",
+        "user_id", "value", bits = 6, numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.appendZordered(e.where(col("value") > 35.0), s"$base/z",
+        numFiles = 16)
+      fs.Layout.reclusterLayout(s, s"$base/z", numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** The drift monitor AFTER the recluster — closing the loop on the
+    * number itself: boundaries now derive from the full (drifted) table,
+    * so the post-recluster TV sits back at the sampling floor on BOTH
+    * columns (the oracle replays the full-table boundary derivation and
+    * the TV fold, pinning the exact values). Together with
+    * q_layout_drift this is the before/after receipt that
+    * [[graft.fs.Layout.reclusterLayout]] actually resets what
+    * [[graft.fs.Layout.layoutDrift]] measures. */
+  private def layoutDriftAfterQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdrifta:" + dir, s), _ => {
+      val base = scratchDir("graft_zdrifta").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(col("value") <= 35.0), s"$base/z",
+        "user_id", "value", bits = 6, numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.appendZordered(e.where(col("value") > 35.0), s"$base/z",
+        numFiles = 16)
+      fs.Layout.reclusterLayout(s, s"$base/z", numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.layoutDrift(s, s"$base/z")
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3343,6 +3484,8 @@ object Queries {
       "q_layout_compacted", "q_layout_deleted", "q_layout_deleted_mor",
       "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
       "q_layout_evolved",
+      "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
+      "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_zorder_upsert", "q_stream_span_coverage",
@@ -3654,6 +3797,12 @@ object Queries {
     "q_layout_deleted_mor" -> (layoutDeletedMorQ _),
     "q_layout_mor_applied" -> (layoutMorAppliedQ _),
     "q_layout_upserted" -> (layoutUpsertedQ _),
+    "q_layout_upsert_mor" -> (layoutUpsertMorQ _),
+    "q_layout_upsert_mor_applied" -> (layoutUpsertMorAppliedQ _),
+    "q_meta_sum" -> (metaSumQ _),
+    "q_layout_drift" -> (layoutDriftQ _),
+    "q_layout_reclustered" -> (layoutReclusteredQ _),
+    "q_layout_drift_after" -> (layoutDriftAfterQ _),
     "q_layout_snapshot" -> (layoutSnapshotQ _),
     "q_layout_evolved" -> (layoutEvolvedQ _),
     "q_meta_count" -> (metaCountQ _),
@@ -4174,6 +4323,34 @@ object Queries {
         |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
+    // merge-on-read upsert twin: delta-sidecar fold must serve identically
+    "q_layout_upsert_mor" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
+    // and the fold to physical cannot move served output either
+    "q_layout_upsert_mor_applied" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
+    // metadata SUM: integral per-file sums fold exactly, never reassociate
+    "q_meta_sum" ->
+      """SELECT CAST(sum(user_id) AS BIGINT) AS sum_uid, count(*) AS cnt
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // drift monitor: bounds from the low-value build half, TV over all rows
+    "q_layout_drift" -> layoutDriftOracle("\"value\" <= 35"),
+    // post-recluster monitor: bounds re-derived from the full table
+    "q_layout_drift_after" -> layoutDriftOracle("TRUE"),
+    // recluster moves rows between files, never in or out of the table
+    "q_layout_reclustered" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
     // index-pruned delete: rows leave exactly once, everything else stays
     "q_layout_deleted" ->
       """SELECT event_id, user_id, "value"
@@ -5815,6 +5992,40 @@ object Queries {
     * verbatim — plain `%`/`*`/`//` int64 arithmetic, no engine hash. */
   private def zSampleSql(idCol: String, every: Int): String =
     s"((($idCol % 2147483648) * 1103515245 + 12345) % 2147483648) // 32768 % $every = 0"
+
+  /** The layout-drift monitor replayed verbatim: boundaries via
+    * quantile_cont at i/64 rounded 4 over the BOUND SOURCE's 1-in-8 LCG
+    * sample (`boundFilter` selects the rows the engine derived bounds
+    * from — the low-value build half for q_layout_drift, the full table
+    * for the post-recluster q_layout_drift_after), every events row
+    * bucketed by strictly-below counting, then per Z column the
+    * EXACT-INTEGER total-variation fold: (Σ_present |cnt·64 − n| +
+    * n per absent bucket) / (2·64·n), rounded 6 — integer arithmetic
+    * until the one final division, so both engines agree bit-for-bit. */
+  private def layoutDriftOracle(boundFilter: String): String = {
+    val fracs = (1 until 64).map(i => i.toDouble / 64).mkString(", ")
+    val keep = zSampleSql("event_id", 8)
+    def tvCte(name: String, counts: String, pos: Int, zcol: String): String =
+      s"""$name AS (SELECT CAST($pos AS INTEGER) AS pos, '$zcol' AS zcol,
+         |    CAST(64 AS INTEGER) AS n_buckets,
+         |    round((sum(abs(cnt * 64 - nn.n)) + (64 - count(*)) * min(nn.n))
+         |      / (2.0 * 64 * min(nn.n)), 6) AS tv_drift
+         |  FROM $counts CROSS JOIN nn)""".stripMargin
+    s"""WITH smp AS (SELECT user_id, "value" FROM events
+       |  WHERE ($boundFilter) AND $keep),
+       |ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |bb AS (SELECT list_transform(quantile_cont("value", [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |nn AS (SELECT count(*) AS n FROM events),
+       |r AS (SELECT
+       |    CAST(len(list_filter(ba.b, x -> e.user_id > x)) AS INTEGER) AS b0,
+       |    CAST(len(list_filter(bb.b, x -> e."value" > x)) AS INTEGER) AS b1
+       |  FROM events e CROSS JOIN ba CROSS JOIN bb),
+       |c0 AS (SELECT b0 AS bucket, count(*) AS cnt FROM r GROUP BY 1),
+       |c1 AS (SELECT b1 AS bucket, count(*) AS cnt FROM r GROUP BY 1),
+       |${tvCte("t0", "c0", 0, "user_id")},
+       |${tvCte("t1", "c1", 1, "value")}
+       |SELECT * FROM t0 UNION ALL SELECT * FROM t1""".stripMargin
+  }
 
   /** The Z-order key replayed: quantile_cont boundaries at i/64 rounded 4
     * (matches the engine's exact percentile) over the SAME deterministic

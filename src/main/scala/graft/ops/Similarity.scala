@@ -204,10 +204,15 @@ object Similarity {
     val centroids = corpus
       // null/empty vectors can't seed a cell (and would NPE the literal fold)
       .where(col(embCol).isNotNull && size(col(embCol)) > 0)
-      .select(col(idCol), col(embCol)).orderBy(col(idCol)).limit(nLists)
+      // cast to array<double> in-plan so float AND double embedding columns
+      // collect uniformly (the pqCodebooks lesson — a bare getSeq[Float]
+      // ClassCastExceptions on array<double> corpora, and this bootstrap
+      // feeds every IVF/SemDeDup/ivfPq entry point)
+      .select(col(idCol), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nLists)
       .collect()
       .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Float](1).map(_.toDouble).toArray }
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
     require(centroids.nonEmpty, "corpus must be non-empty")
     centroids
   }
@@ -407,7 +412,9 @@ object Similarity {
     * the probe/assignment expressions fold in — ≤ nLists rows by
     * construction, the same driver hop the bootstrap uses. */
   private def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double])] =
-    centroids.select(col("cell"), col("centroid")).collect()
+    // cast in-plan: our build writes array<double>, but an index parquet
+    // rewritten by an external tool as array<float> must not ClassCastException
+    centroids.select(col("cell"), col("centroid").cast("array<double>")).collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
 
   /** SERVE IVF top-k from a materialized [[IvfIndex]]: the ≤ nLists
@@ -1591,7 +1598,7 @@ object Similarity {
     * literal nesting the encode/serve expressions fold in — ≤ nSub·nCodes
     * rows by construction (the collectCentroids hop). */
   private def collectPqCodebooks(codebooks: DataFrame): Array[Array[Array[Double]]] =
-    codebooks.select(col("m"), col("k"), col("centroid")).collect()
+    codebooks.select(col("m"), col("k"), col("centroid").cast("array<double>")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))

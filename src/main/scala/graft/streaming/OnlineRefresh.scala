@@ -819,6 +819,16 @@ object OnlineRefresh {
         val vPath = graft.fs.Layout.valueIndexPath(layoutPath, indexCol)
         recoverSwap(spark, mPath)
         recoverSwap(spark, vPath)
+        // DATA recovery before anything touches the root (the r14 ADVICE
+        // gap — the other two layout streams already do this): the
+        // companion compactZorderLayout swaps the layout ROOT, and a crash
+        // between its renames leaves only '<layout>_old'; without this
+        // restore, appendZorderedEpoch would recreate the root holding
+        // only the new epoch and the allowGone refreshes would silently
+        // drop every pre-compaction file from the indexes — silent row
+        // loss instead of the loud staleness failure. No-op before the
+        // first epoch (the root does not exist yet).
+        graft.fs.Layout.recoverLayout(spark, layoutPath)
         if (!exists(graft.fs.Layout.layoutMetaPath(layoutPath)))
           graft.fs.Layout.buildZorderedEpoch(batch, layoutPath, zCols, bits,
             numFilesPerBatch, batchId)
@@ -866,6 +876,31 @@ object OnlineRefresh {
       graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
     }
     did
+  }
+
+  /** RECLUSTER the layout between stream runs — the drift-loop closer
+    * ([[graft.fs.Layout.layoutDrift]] is the trigger,
+    * [[graft.fs.Layout.reclusterLayout]] the rewrite, this the bundled
+    * maintenance unit like [[compactZorderLayout]]): fresh boundaries
+    * from the drifted table, epoch fold (newest kept on its own
+    * partition for replay), then the FULL index rewrites every-file-
+    * changed demands — the layout serves pruned reads again the moment
+    * this returns. Run instead of compactZorderLayout when the drift
+    * number says the frozen bounds no longer match the data. */
+  def reclusterZorderLayout(
+      spark: SparkSession,
+      layoutPath: String,
+      zCols: Seq[String],
+      indexCol: String,
+      numFiles: Int = 8,
+      buckets: Int = 1 << 16,
+      sampleBy: Option[(String, Int)] = None
+  ): Seq[Seq[Double]] = {
+    val bounds = graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles,
+      sampleBy)
+    graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+    graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+    bounds
   }
 
   /** TAKEDOWN FEED for the Z-ordered layout — the streaming twin of

@@ -662,4 +662,226 @@ class LayoutSpec extends SparkSpec {
       .withColumnRenamed("__zb_0", "__zb_a").withColumnRenamed("__zb_1", "__zb_b")
     assert(exact.exceptAll(g2).isEmpty && g2.exceptAll(exact).isEmpty)
   }
+
+  test("merge-on-read upserts: O(feed) staging, latest-wins serve, takedown beats update, fold converges") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zupmor").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r), s"$base/z", r,
+        numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    def filesOf(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$base/z")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet).toMap
+    }
+    val before = filesOf()
+    // stage: replace id 8 (epoch 0), insert id 20000 (outside the grid)
+    val u1 = Seq((8L, 999.0, 999.0), (20000L, 1.0, 1.0)).toDF("id", "a", "b")
+    assert(Layout.upsertLogical(spark, s"$base/z", u1, "id") == 2L)
+    assert(filesOf() == before,
+      "a logical upsert must move ZERO data bytes — that is its entire point")
+    // serve: latest staged version replaces, unseen key inserts — even
+    // through a point read whose base candidate set is EMPTY
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(8L))
+      .select("a").head().getDouble(0) == 999.0)
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(20000L)).count() == 1)
+    // the replaced row's OLD coordinates leave the rectangle serve, the
+    // staged insert's coordinates enter it
+    val rect = Seq(("a", 7.0, 9.0), ("b", 0.0, 0.0))
+    val served = Layout.prunedReadMor(spark, s"$base/z", rect, "id")
+      .select("id").as[Long].collect().toSet
+    assert(!served.contains(8L), "replaced row's old coords must leave the rect")
+    assert(served.contains(7L) && served.contains(9L))
+    val rect2 = Seq(("a", 1.0, 1.0), ("b", 1.0, 1.0))
+    assert(Layout.prunedReadMor(spark, s"$base/z", rect2, "id")
+      .select("id").as[Long].collect().toSet.contains(20000L),
+      "staged insert must appear in range serves")
+    // latest staged batch wins per key
+    assert(Layout.upsertLogical(spark, s"$base/z",
+      Seq((8L, 777.0, 777.0)).toDF("id", "a", "b"), "id") == 1L)
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(8L))
+      .select("a").head().getDouble(0) == 777.0)
+    // refusals: duplicate keys, null keys
+    intercept[IllegalArgumentException](Layout.upsertLogical(spark, s"$base/z",
+      Seq((5L, 1.0, 1.0), (5L, 2.0, 2.0)).toDF("id", "a", "b"), "id"))
+    intercept[IllegalArgumentException](Layout.upsertLogical(spark, s"$base/z",
+      Seq((Option.empty[Long], 1.0, 1.0)).toDF("id", "a", "b"), "id"))
+    // takedown beats update: tombstone the staged insert
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      Seq(20000L).toDF("id"), "id") == 1L)
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(20000L)).count() == 0)
+    // metadata pushdowns fence while ANY MoR sidecar is pending
+    intercept[IllegalArgumentException](
+      Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0))))
+    // fold: latest-per-key through one physical upsert, tombstoned keys
+    // never resurrect, sidecar clears
+    val (replaced, inserted) =
+      Layout.applyUpsertDeltas(spark, s"$base/z", "id", Seq("a", "b"))
+    assert(replaced == 1L && inserted == 1L, s"got ($replaced, $inserted)")
+    assert(Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b")) == 0L,
+      "the tombstoned key never landed physically")
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(8L))
+      .select("a").head().getDouble(0) == 777.0)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(20000L)).count() == 0)
+    // 9999: the replaced row now lives at a=777, outside the rectangle
+    assert(Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0)))._1
+      == 9999L, "pushdowns re-arm once both sidecars fold")
+    // nothing pending: the fold is a no-op
+    assert(Layout.applyUpsertDeltas(spark, s"$base/z", "id", Seq("a", "b"))
+      == ((0L, 0L)))
+  }
+
+  test("drift→recluster loop: monitor flags the drifted column, recluster resets it, rows never move in or out") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdrift").toString
+    // the canonical drifted stream: boundaries from the LOW half of b,
+    // then the high half appended against the frozen bounds
+    Layout.writeZordered(grid.where(col("b") <= 49.0), s"$base/z", "a", "b",
+      bits = 6, numFiles = 8)
+    Layout.appendZordered(grid.where(col("b") > 49.0), s"$base/z", numFiles = 8)
+    def drift(): Map[String, Double] =
+      Layout.layoutDrift(spark, s"$base/z").collect()
+        .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    val before = drift()
+    assert(before("b") > 0.35,
+      s"half the mass sits above every frozen boundary: ${before("b")}")
+    assert(before("a") < 0.25,
+      s"a is identically distributed in both halves: ${before("a")}")
+    val v0 = Layout.snapshotLayout(spark, s"$base/z")
+    val (_, _, bounds0) = Layout.readLayoutMeta(spark, s"$base/z")
+    val schema0 = Layout.layoutSchema(spark, s"$base/z")
+    Layout.reclusterLayout(spark, s"$base/z", numFiles = 8)
+    // rows never move in or out
+    val back = spark.read.parquet(s"$base/z").select("id", "a", "b")
+    assert(back.count() == 10000 &&
+      back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+    // the monitor resets to the discreteness floor; meta carries fresh
+    // bounds on the drifted column; identity (schema) carries over
+    val after = drift()
+    assert(after("b") < 0.25 && after("b") < before("b") / 2,
+      s"recluster must reset the drift: ${before("b")} -> ${after("b")}")
+    val (_, _, bounds1) = Layout.readLayoutMeta(spark, s"$base/z")
+    assert(bounds0(1) != bounds1(1), "b's boundaries must be re-derived")
+    assert(Layout.layoutSchema(spark, s"$base/z") == schema0,
+      "recluster must not forget the table's schema")
+    // every file changed: the pinned snapshot expires LOUDLY
+    intercept[IllegalArgumentException](
+      Layout.readSnapshot(spark, s"$base/z", v0))
+    // and pruning serves exactly again after the index rewrite
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    val pr = Layout.prunedRead(spark, s"$base/z",
+      Seq(("a", 0.0, 30.0), ("b", 60.0, 80.0))).select("id", "a", "b")
+    val full = grid.where(col("a").between(0.0, 30.0) &&
+      col("b").between(60.0, 80.0))
+    assert(pr.exceptAll(full).isEmpty && full.exceptAll(pr).isEmpty)
+  }
+
+  test("recluster on the epoch layout: newest epoch keeps its partition for replay, the rest folds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zreclep").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r), s"$base/z", r,
+        numFiles = 4)
+    Layout.reclusterLayout(spark, s"$base/z", numFiles = 4)
+    val parts = new java.io.File(s"$base/z").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(parts == Set("batch=0", "batch=3"),
+      s"fold into oldest, newest verbatim on its own id: $parts")
+    val back = spark.read.parquet(s"$base/z").select("id", "a", "b")
+    assert(back.count() == 10000 &&
+      back.exceptAll(grid).isEmpty && grid.exceptAll(back).isEmpty)
+    // a replayed last micro-batch re-keys against the NEW meta and
+    // overwrites its own partition — the row set cannot move
+    Layout.appendZorderedEpoch(grid.where(col("id") % 4 === 3), s"$base/z", 3,
+      numFiles = 4)
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+  }
+
+  test("sumMatching: exact from metadata + boundary scan, integral-only, MoR-fenced") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zsum").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 16)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b", "id"))
+    val (sm, n, metaF, scanF) = Layout.sumMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 49.0), ("b", 0.0, 49.0)), "id")
+    val exp = grid.where(col("a").between(0.0, 49.0) && col("b").between(0.0, 49.0))
+      .agg(sum("id"), count(lit(1))).head()
+    assert(sm.get.longValueExact() == exp.getLong(0) && n == exp.getLong(1))
+    assert(metaF > 0, "interior files must fold from metadata alone")
+    assert(metaF + scanF < 16, "the rectangle cannot touch every file")
+    // empty rectangle is SQL NULL sum, zero count
+    val (s0, n0, _, _) = Layout.sumMatching(spark, s"$base/z",
+      Seq(("a", 1000.0, 2000.0)), "id")
+    assert(s0.isEmpty && n0 == 0L)
+    // float columns refuse — their partial sums reassociate
+    intercept[IllegalArgumentException](Layout.sumMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 30.0)), "b"))
+    // pending MoR sidecars fence the pushdown
+    Layout.deleteLogical(spark, s"$base/z", Seq(1L).toDF("id"), "id")
+    intercept[IllegalArgumentException](Layout.sumMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 30.0)), "id"))
+  }
+
+  test("value index persists its hash space: mismatched consults and refreshes refuse loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zbkt").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeValueIndex(spark, s"$base/z", "id", buckets = 1024)
+    assert(Layout.pointRead(spark, s"$base/z", "id", lit(8L),
+      buckets = 1024).count() == 1)
+    // a consult in a different modulus would silently skip files — refuse
+    intercept[IllegalArgumentException](
+      Layout.pointRead(spark, s"$base/z", "id", lit(8L)).count())
+    intercept[IllegalArgumentException](
+      Layout.deleteByKeys(spark, s"$base/z", Seq(8L).toDF("id"), "id",
+        buckets = 4096))
+    intercept[IllegalArgumentException](
+      Layout.refreshValueIndex(spark, s"$base/z", "id", buckets = 4096))
+  }
+
+  test("pruned/point reads: the empty candidate set serves the leaf-read schema, never the partition column") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zempty").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1), s"$base/z", 1,
+      numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    val hit = Layout.prunedRead(spark, s"$base/z", Seq(("a", 0.0, 30.0)))
+    val miss = Layout.prunedRead(spark, s"$base/z", Seq(("a", 1000.0, 2000.0)))
+    assert(miss.count() == 0)
+    assert(miss.schema == hit.schema,
+      s"empty and non-empty candidate sets must agree: ${miss.schema} vs ${hit.schema}")
+    assert(!miss.columns.contains("batch"),
+      "the r14 ADVICE bug: the old empty branch surfaced the partition column")
+    val pmiss = Layout.pointRead(spark, s"$base/z", "id", lit(123456L))
+    assert(pmiss.count() == 0 && pmiss.schema == hit.schema)
+  }
+
+  test("writer lease: loud refusal while held, released on every exit path, breakable after a crash") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zlease").toString
+    val path = s"$base/z"
+    val got = Layout.withWriterLease(spark, path, "t1") {
+      intercept[IllegalArgumentException](
+        Layout.withWriterLease(spark, path, "t2") { 0 })
+      42
+    }
+    assert(got == 42)
+    // released on normal exit
+    assert(Layout.withWriterLease(spark, path) { 7 } == 7)
+    // released on the exception path too
+    intercept[RuntimeException](
+      Layout.withWriterLease(spark, path) { throw new RuntimeException("x") })
+    assert(Layout.withWriterLease(spark, path) { 8 } == 8)
+    // a crashed holder leaves the marker — refuse, then break explicitly
+    val lp = new org.apache.hadoop.fs.Path(Layout.leasePath(path))
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration).createNewFile(lp)
+    intercept[IllegalArgumentException](Layout.withWriterLease(spark, path) { 0 })
+    assert(Layout.breakWriterLease(spark, path))
+    assert(Layout.withWriterLease(spark, path) { 9 } == 9)
+  }
 }

@@ -1510,4 +1510,29 @@ class OpsSpec extends SparkSpec {
     val disjoint = Seq((0L, "one two three"), (1L, "four five six")).toDF("doc_id", "text")
     assert(Dedup.minhashAccuracy(disjoint, thresholds = Seq(0.9)).isEmpty)
   }
+
+  test("IVF/PQ bootstraps accept array<double> corpora (the r14 verdict crash class)") {
+    // The test corpus ships array<float>; every serve path advertises
+    // array<double> support. A bare getSeq[Float] in any bootstrap collect
+    // throws ClassCastException here — this pins the whole class dead.
+    val f = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = f.withColumn("embedding", col("embedding").cast("array<double>"))
+    val probesF = f.where(col("vec_id") < 3)
+    val probesD = d.where(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "corpus_id", "rn").as[(Long, Long, Int)].collect().toSet
+    // centroidBootstrap path (feeds all IVF/SemDeDup entry points)
+    assert(rows(Similarity.ivfTopK(d, probesD, 5, nLists = 8, nProbe = 8)) ==
+      rows(Similarity.ivfTopK(f, probesF, 5, nLists = 8, nProbe = 8)))
+    // residual bootstrap + pqCodebooks path: same row count served either way
+    val resD = Similarity.ivfPqResidualTopK(d, probesD, 4, nLists = 4, nProbe = 2,
+      nSub = 8, nCodes = 8)
+    val resF = Similarity.ivfPqResidualTopK(f, probesF, 4, nLists = 4, nProbe = 2,
+      nSub = 8, nCodes = 8)
+    assert(resD.count() == resF.count() && resD.count() > 0)
+    // Lloyd refinement's vsum collect
+    val refD = Similarity.refinedCentroids(d, 4, 1, "vec_id", "embedding")
+    val refF = Similarity.refinedCentroids(f, 4, 1, "vec_id", "embedding")
+    assert(refD.map(_._1).toSeq == refF.map(_._1).toSeq)
+  }
 }

@@ -482,6 +482,27 @@ class StreamingSpec extends SparkSpec {
     checkExact()
     assert(spark.read.parquet(s"$tmp/z").count() == 5000,
       "compaction moves bytes, never rows")
+    // crash INSIDE the companion compaction's ROOT swap (live dir gone,
+    // set-aside present): the next ingest batch must restore the root
+    // BEFORE appending — the r14 ADVICE gap: without the head recovery
+    // the batch would recreate the root holding only its own epoch and
+    // the allowGone refreshes would silently drop every pre-compaction
+    // file from the indexes (silent row loss, not a loud staleness
+    // failure)
+    val root = new java.io.File(s"$tmp/z")
+    val rootAside = new java.io.File(s"$tmp/z_old")
+    assert(root.renameTo(rootAside))
+    stage(4, spark.range(5000, 5100).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b")))
+    run()
+    assert(root.isDirectory && !rootAside.exists,
+      "the ingest stream's head recovery must restore the swapped-aside root")
+    assert(spark.read.parquet(s"$tmp/z").count() == 5100,
+      "recovery must restore the whole pre-crash table, not just the new epoch")
+    checkExact()
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(5050L)).count() == 1,
+      "the post-crash epoch must land and index as usual")
   }
 
   test("zorderDeleteStream: fed keys leave exactly, resume no-op, late takedown shard applies, serve stays exact throughout") {
