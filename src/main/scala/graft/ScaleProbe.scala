@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, r14b, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, r15, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -583,6 +583,145 @@ object ScaleProbe {
       timed("applyTombstones: fold back to copy-on-write")(
         graft.fs.Layout.applyTombstones(spark, s"$base/z", "event_id",
           Seq("user_id", "value")))
+    }
+    // Round-15: (a) MoR upsert vs CoW upsert economics, (b) the
+    // drift→recluster loop with the pruning receipt restored, (c) the
+    // integral SUM pushdown vs the scan it replaces, (d) the persisted-
+    // schema consult vs the legacy footer-sweep on an evolved table.
+    if (inSection("r15")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      // (a) the same spread-key CDC batch, staged logically vs applied
+      // physically — the r14b CoW upsert is the comparison row
+      val baseA = java.nio.file.Files.createTempDirectory("graft-r15a").toString
+      timed("epoch layout build: 10 epochs x ~1M rows") {
+        graft.fs.Layout.buildZorderedEpoch(
+          big.where(col("event_id") < 10000000L), s"$baseA/z",
+          Seq("user_id", "value"), bits = 6, numFiles = 8)
+        for (k <- 1 to 9)
+          graft.fs.Layout.appendZorderedEpoch(
+            big.where(col("event_id") >= k * 10000000L &&
+              col("event_id") < (k + 1) * 10000000L), s"$baseA/z", k, numFiles = 8)
+        graft.fs.Layout.writeManifest(spark, s"$baseA/z", Seq("user_id", "value"))
+        graft.fs.Layout.writeValueIndex(spark, s"$baseA/z", "event_id")
+        0L
+      }
+      val cdc = big.where(pmod(col("event_id"), lit(997L)) === 7L)
+        .withColumn("value", col("value") + lit(1.0))
+      timed("upsertByKey: spread-key CDC batch, all epochs rewritten (CoW)")(
+        graft.fs.Layout.upsertByKey(spark, s"$baseA/z", cdc, "event_id")._1)
+      timed("index refresh after CoW upsert") {
+        graft.fs.Layout.refreshManifest(spark, s"$baseA/z",
+          Seq("user_id", "value"), allowGone = true) +
+          graft.fs.Layout.refreshValueIndex(spark, s"$baseA/z", "event_id",
+            allowGone = true)
+      }
+      val cdc2 = big.where(pmod(col("event_id"), lit(997L)) === 11L)
+        .withColumn("value", col("value") + lit(2.0))
+      timed("upsertLogical: the same-shape batch STAGED (MoR, zero rewrites)")(
+        graft.fs.Layout.upsertLogical(spark, s"$baseA/z", cdc2, "event_id"))
+      timed("MoR read overhead (pruned read + delta fold + anti-join)")(
+        graft.fs.Layout.prunedReadMor(spark, s"$baseA/z",
+          Seq(("user_id", 600.0, 800.0), ("value", 10.0, 60.0)), "event_id")
+          .count())
+      timed("applyUpsertDeltas: fold back to copy-on-write")(
+        graft.fs.Layout.applyUpsertDeltas(spark, s"$baseA/z", "event_id",
+          Seq("user_id", "value"))._1)
+      // (d) evolved-column consult: persisted schema vs legacy footer sweep
+      graft.fs.Layout.appendZorderedEpoch(
+        big.where(col("event_id") < 1000L).withColumn("tag", lit("v2")),
+        s"$baseA/z", 10, numFiles = 2)
+      graft.fs.Layout.refreshManifest(spark, s"$baseA/z",
+        Seq("user_id", "value"), allowGone = true)
+      graft.fs.Layout.refreshValueIndex(spark, s"$baseA/z", "event_id",
+        allowGone = true)
+      graft.fs.Layout.writeValueIndex(spark, s"$baseA/z", "tag")
+      timed("evolved-column consult x20 (persisted union schema)") {
+        for (_ <- 1 to 20)
+          graft.fs.Layout.pointLookupFiles(spark, s"$baseA/z", "tag", lit("v2"))
+        0L
+      }
+      val (mcols, mbits, mbounds) = graft.fs.Layout.readLayoutMeta(spark, s"$baseA/z")
+      graft.fs.Layout.writeLayoutMeta(spark, s"$baseA/z", mcols, mbits, mbounds)
+      timed("evolved-column consult x20 (LEGACY meta: all-footer sweep)") {
+        for (_ <- 1 to 20)
+          graft.fs.Layout.pointLookupFiles(spark, s"$baseA/z", "tag", lit("v2"))
+        0L
+      }
+      // (b) drift→recluster: bounds frozen on the low half, high half
+      // appended, then the loop closes — prune receipts either side
+      val baseB = java.nio.file.Files.createTempDirectory("graft-r15b").toString
+      timed("drifted z512 build: bounds from value<=35, high half appended") {
+        graft.fs.Layout.writeZordered(big.where(col("value") <= 35.0),
+          s"$baseB/z", "user_id", "value", bits = 6, numFiles = 256,
+          sampleBy = Some(("event_id", 8)))
+        graft.fs.Layout.appendZordered(big.where(col("value") > 35.0),
+          s"$baseB/z", numFiles = 256)
+        graft.fs.Layout.writeManifest(spark, s"$baseB/z", Seq("user_id", "value"))
+        0L
+      }
+      timed("layoutDrift (full pass, k·2^bits counters)") {
+        graft.fs.Layout.layoutDrift(spark, s"$baseB/z").collect().foreach(r =>
+          println(s"PROBE   drift before: ${r.getString(1)} tv=${r.getDouble(3)}"))
+        0L
+      }
+      val hiRect = Seq(("user_id", 100.0, 130.0), ("value", 100.0, 150.0))
+      println(s"PRUNE drifted-region rect kept=" +
+        graft.fs.Layout.matchingFiles(spark, s"$baseB/z", hiRect).length + "/512")
+      // the dimension that actually decays: under the frozen bounds every
+      // appended row shares ONE value bucket, so the appended half is
+      // clustered by user_id alone and a VALUE-ONLY predicate must open
+      // all of it — rows-opened vs rows-matched is the waste receipt
+      val vRect = Seq(("value", 100.0, 150.0))
+      def vReceipt(tag: String): Unit = {
+        val kept = graft.fs.Layout.matchingFiles(spark, s"$baseB/z", vRect)
+        val opened =
+          if (kept.isEmpty) 0L
+          else spark.read.parquet(kept.toIndexedSeq: _*).count()
+        val matched = graft.fs.Layout.prunedRead(spark, s"$baseB/z", vRect).count()
+        println(s"PRUNE value-only rect $tag kept=${kept.length}/512 " +
+          s"rowsOpened=$opened rowsMatched=$matched")
+      }
+      vReceipt("BEFORE recluster")
+      timed("reclusterLayout (fresh sampled bounds, full rewrite)")(
+        { graft.fs.Layout.reclusterLayout(spark, s"$baseB/z", numFiles = 512,
+            sampleBy = Some(("event_id", 8))); 0L })
+      timed("writeManifest after recluster")(
+        { graft.fs.Layout.writeManifest(spark, s"$baseB/z",
+            Seq("user_id", "value")); 0L })
+      timed("layoutDrift after recluster") {
+        graft.fs.Layout.layoutDrift(spark, s"$baseB/z").collect().foreach(r =>
+          println(s"PROBE   drift after:  ${r.getString(1)} tv=${r.getDouble(3)}"))
+        0L
+      }
+      println(s"PRUNE drifted-region rect kept=" +
+        graft.fs.Layout.matchingFiles(spark, s"$baseB/z", hiRect).length + "/512")
+      vReceipt("AFTER recluster ")
+      timed("pruned read on the drifted-region rect after recluster")(
+        graft.fs.Layout.prunedRead(spark, s"$baseB/z", hiRect).count())
+      // (c) integral SUM pushdown vs the scan it replaces
+      val baseC = java.nio.file.Files.createTempDirectory("graft-r15c").toString
+      timed("z256 build + manifest incl. integral sum column") {
+        graft.fs.Layout.writeZordered(big, s"$baseC/z", "user_id", "value",
+          bits = 8, numFiles = 256)
+        graft.fs.Layout.writeManifest(spark, s"$baseC/z",
+          Seq("user_id", "value", "event_id"))
+        0L
+      }
+      timed("metadata SUM: wide 2-D rectangle") {
+        val (sm, n, fullF, scanF) = graft.fs.Layout.sumMatching(spark,
+          s"$baseC/z", Seq(("user_id", 100.0, 1400.0), ("value", 10.0, 60.0)),
+          "event_id")
+        println(s"PROBE   meta-sum receipt: $fullF files metadata-summed, " +
+          s"$scanF scanned, sum=${sm.orNull}")
+        n
+      }
+      timed("the full-scan sum it replaces")(
+        { spark.read.parquet(s"$baseC/z")
+            .where(col("user_id").between(100.0, 1400.0) &&
+              col("value").between(10.0, 60.0))
+            .agg(org.apache.spark.sql.functions.sum("event_id")).head(); 0L })
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-

@@ -239,12 +239,29 @@ object Layout {
   def layoutSchema(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[org.apache.spark.sql.types.StructType] = {
     AtomicDir.recoverSwap(spark, layoutMetaPath(path))
-    val df = spark.read.parquet(layoutMetaPath(path))
-    if (!df.columns.contains("schema_json")) None
-    else Option(df.select("schema_json").head().getString(0))
-      .map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    // cached per sidecar CONTENT: the consult paths call this once per
+    // operation, and an uncached read is a (tiny but real) Spark job.
+    // Every meta rewrite lands fresh UUID part names through a dir swap,
+    // so the listed (name, length) set fingerprints the content — one
+    // driver-side listing RPC replaces the job, and a swapped-in meta
+    // can never serve a stale cache entry.
+    val mp = new org.apache.hadoop.fs.Path(layoutMetaPath(path))
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = hfs.listStatus(mp).iterator
+      .map(st => st.getPath.getName + ":" + st.getLen)
+      .toSeq.sorted.mkString(",")
+    if (schemaCache.size > 1024) schemaCache.clear() // rewrites accrete keys
+    schemaCache.computeIfAbsent((layoutMetaPath(path), fp), _ => {
+      val df = spark.read.parquet(layoutMetaPath(path))
+      if (!df.columns.contains("schema_json")) None
+      else Option(df.select("schema_json").head().getString(0))
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    })
   }
+
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Option[org.apache.spark.sql.types.StructType]]
 
   /** EPOCH-COMMIT-UNIT schema evolution: fold an incoming batch's schema
     * into the persisted union schema — new columns append (additive
@@ -1505,6 +1522,21 @@ object Layout {
         col(keyCol) === value),
       keyCol)
 
+  /** Full-table merge-on-read read: every leaf row (served under the
+    * stable persisted schema — no partition column, evolved columns
+    * null-backfilled), plus the pending upsert deltas, minus the
+    * pending tombstones — the complete logical table while every
+    * mutation stays staged. The whole-table sibling of
+    * [[prunedReadMor]]/[[pointReadMor]]. */
+  def readLayoutMor(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCol: String): DataFrame =
+    subtractTombstones(spark, path,
+      applyDeltasTo(spark, path,
+        readLayoutFiles(spark, path,
+          listedDataFilePaths(spark, path).values.toSeq.sorted),
+        keyCol, lit(true)),
+      keyCol)
+
   /** FOLD pending upsert deltas back to copy-on-write — the
     * [[applyTombstones]] twin: the latest staged version of each key
     * (plus null-key inserts) goes through ONE physical
@@ -1895,24 +1927,46 @@ object Layout {
     * Deliberately NOT auto-wired inside the mutators — the recipes nest
     * (applyTombstones calls deleteByKeys + both refreshes) and a
     * re-entrant lock needs an owner identity a plain filesystem cannot
-    * provide; the LEASE HOLDER is the caller's unit of work. A writer
-    * that crashed while holding the lease leaves the marker behind —
-    * that is the honest choice (nothing can distinguish a crashed
-    * holder from a live one without heartbeats); [[breakWriterLease]]
-    * is the operator's explicit recovery, to be run only after
-    * confirming the holder is gone. Full optimistic concurrency is out
-    * of scope (a table format's commit protocol); this is the
-    * lease-or-refuse floor a single-writer deployment needs. */
+    * provide; the LEASE HOLDER is the caller's unit of work. The
+    * engine's own layout loops ARE wired: each zorder*Stream batch and
+    * each compact/recluster maintenance run holds the lease for its
+    * duration, so a maintenance job started while the stream is mid-
+    * epoch refuses instead of interleaving swaps. A marker recording
+    * the SAME holder identity re-acquires (self-fenced re-entry — a
+    * crashed stream restart keeps healing automatically; holders must
+    * uniquely identify a writing role, the streams use their checkpoint
+    * path); a marker from a DIFFERENT holder refuses loudly, and
+    * [[breakWriterLease]] is the operator's explicit recovery, to be
+    * run only after confirming the holder is gone. Full optimistic
+    * concurrency is out of scope (a table format's commit protocol);
+    * this is the lease-or-refuse floor a single-writer deployment
+    * needs. */
   def withWriterLease[T](spark: org.apache.spark.sql.SparkSession,
       path: String, holder: String = "unnamed")(body: => T): T = {
     val lp = new org.apache.hadoop.fs.Path(leasePath(path))
     val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = lp.getParent
     if (parent != null) hfs.mkdirs(parent)
-    require(hfs.createNewFile(lp),
-      s"writer lease for $path is held (marker ${leasePath(path)} exists) — " +
-        "the layout is single-writer: wait for the holder to release, or " +
-        "breakWriterLease ONLY after confirming the holding process is gone")
+    if (!hfs.createNewFile(lp)) {
+      // SELF-FENCED re-entry: a marker recording OUR OWN holder identity
+      // is a crashed prior incarnation of this writer (the streaming
+      // loops pass their checkpoint path — one active query per
+      // checkpoint is the stream's own exclusivity unit), so retaking it
+      // is safe and keeps crash recovery automatic. A DIFFERENT holder
+      // refuses loudly — that is the whole point of the lease. Holders
+      // must uniquely identify a writing role; two live writers must
+      // never share one.
+      val prior = {
+        val in = hfs.open(lp)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }
+      require(prior == holder,
+        s"writer lease for $path is held by '$prior' (marker " +
+          s"${leasePath(path)}) — the layout is single-writer: wait for " +
+          "the holder to release, or breakWriterLease ONLY after " +
+          "confirming the holding process is gone")
+    }
     try {
       // record the holder for the operator reading a stuck lease
       val out = hfs.create(lp, true)

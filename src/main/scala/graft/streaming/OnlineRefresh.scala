@@ -810,6 +810,8 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, layoutPath,
+          s"zorderIngestStream:$checkpoint") {
         val conf = spark.sparkContext.hadoopConfiguration
         def exists(p: String): Boolean = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -844,6 +846,7 @@ object OnlineRefresh {
         else
           graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
             allowGone = true)
+        }
         ()
       }
       .start()
@@ -864,7 +867,8 @@ object OnlineRefresh {
       indexCol: String,
       numFiles: Int = 8,
       buckets: Int = 1 << 16
-  ): Boolean = {
+  ): Boolean = graft.fs.Layout.withWriterLease(spark, layoutPath,
+      "layout-maintenance") {
     val (cols, bits, bounds) = graft.fs.Layout.readLayoutMeta(spark, layoutPath)
     val did = compactBatchArtifact(spark, layoutPath, df =>
       graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
@@ -895,7 +899,8 @@ object OnlineRefresh {
       numFiles: Int = 8,
       buckets: Int = 1 << 16,
       sampleBy: Option[(String, Int)] = None
-  ): Seq[Seq[Double]] = {
+  ): Seq[Seq[Double]] = graft.fs.Layout.withWriterLease(spark, layoutPath,
+      "layout-maintenance") {
     val bounds = graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles,
       sampleBy)
     graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
@@ -936,6 +941,8 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.fs.Layout.withWriterLease(spark, layoutPath,
+          s"zorderDeleteStream:$checkpoint") {
         // index swaps may have crashed mid-epoch; restore before the
         // consult inside deleteByKeys reads them
         recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
@@ -959,6 +966,7 @@ object OnlineRefresh {
           allowGone = true)
         graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
           allowGone = true)
+        }
         ()
       }
       .start()
@@ -1002,6 +1010,8 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, layoutPath,
+          s"zorderUpsertStream:$checkpoint") {
         recoverSwap(spark, graft.fs.Layout.manifestPath(layoutPath))
         recoverSwap(spark, graft.fs.Layout.valueIndexPath(layoutPath, keyCol))
         // data recovery BEFORE the head refresh (see zorderDeleteStream —
@@ -1017,6 +1027,7 @@ object OnlineRefresh {
           allowGone = true)
         graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
           allowGone = true)
+        }
         ()
       }
       .start()

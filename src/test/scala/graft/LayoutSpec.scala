@@ -710,10 +710,14 @@ class LayoutSpec extends SparkSpec {
       Seq((5L, 1.0, 1.0), (5L, 2.0, 2.0)).toDF("id", "a", "b"), "id"))
     intercept[IllegalArgumentException](Layout.upsertLogical(spark, s"$base/z",
       Seq((Option.empty[Long], 1.0, 1.0)).toDF("id", "a", "b"), "id"))
+    // full logical table: base minus the replaced key's base row, plus
+    // the two staged rows
+    assert(Layout.readLayoutMor(spark, s"$base/z", "id").count() == 10001)
     // takedown beats update: tombstone the staged insert
     assert(Layout.deleteLogical(spark, s"$base/z",
       Seq(20000L).toDF("id"), "id") == 1L)
     assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(20000L)).count() == 0)
+    assert(Layout.readLayoutMor(spark, s"$base/z", "id").count() == 10000)
     // metadata pushdowns fence while ANY MoR sidecar is pending
     intercept[IllegalArgumentException](
       Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0))))
@@ -879,9 +883,22 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.withWriterLease(spark, path) { 8 } == 8)
     // a crashed holder leaves the marker — refuse, then break explicitly
     val lp = new org.apache.hadoop.fs.Path(Layout.leasePath(path))
-    lp.getFileSystem(spark.sparkContext.hadoopConfiguration).createNewFile(lp)
+    val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.createNewFile(lp)
     intercept[IllegalArgumentException](Layout.withWriterLease(spark, path) { 0 })
     assert(Layout.breakWriterLease(spark, path))
     assert(Layout.withWriterLease(spark, path) { 9 } == 9)
+    // self-fenced re-entry: a marker recording the SAME holder identity
+    // is a crashed prior self — retaken automatically (the streams'
+    // restart recipe), while a different holder still refuses above
+    val out = hfs.create(lp, true)
+    out.write("stream:ck1".getBytes("UTF-8")); out.close()
+    assert(Layout.withWriterLease(spark, path, "stream:ck1") { 10 } == 10)
+    intercept[IllegalArgumentException] {
+      val o2 = hfs.create(lp, true)
+      o2.write("stream:ck1".getBytes("UTF-8")); o2.close()
+      Layout.withWriterLease(spark, path, "stream:OTHER") { 0 }
+    }
+    assert(Layout.breakWriterLease(spark, path))
   }
 }

@@ -421,4 +421,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), s"cell join missing: $p")
   }
+
+  test("q_layout_upsert_mor: the MoR serve folds deltas and tombstones as BROADCAST anti-joins") {
+    // both sidecars are feed-sized by contract (the folds keep them so) —
+    // a SortMergeJoin here would shuffle the whole base table per read
+    val p = plan("q_layout_upsert_mor")
+    assert(nodes(p, "SortMergeJoin") == 0,
+      "MoR serve must never shuffle the base on the sidecar joins")
+    assert(nodes(p, "CartesianProduct") == 0)
+    assert(nodes(p, "BroadcastHashJoin") >= 1,
+      s"delta/tombstone subtraction must broadcast: $p")
+  }
 }
