@@ -765,6 +765,75 @@ object Queries {
         .select(col("event_id"), col("user_id"), col("value"))
     })
 
+  /** The layout family's MERGE-ON-READ takedown feed under the hard
+    * oracle ([[graft.streaming.OnlineRefresh.zorderDeleteMorStream]]):
+    * the q_stream_zorder_delete fixture verbatim, but each takedown
+    * batch lands as TOMBSTONES (one tiny sidecar swap, zero partition
+    * rewrites, indexes never go stale) and the serve is the MoR pruned
+    * read. Same oracle as the physical loop — the two takedown streams
+    * must be observationally identical. */
+  private def streamZorderDeleteMor(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_zdelmor:$dir", s), { _ =>
+      val src = scratchDir("graft_szdm_src")
+      val ck = scratchDir("graft_szdm_ck")
+      val base = scratchDir("graft_szdm_out").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      stageOrderedFiles(Seq(
+        e.where(pmod(col("event_id"), lit(202)) === 0).select("event_id"),
+        e.where(pmod(col("event_id"), lit(202)) === 101).select("event_id")),
+        src, "graft_szdm_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.zorderDeleteMorStream(s, src.toString,
+        schema, s"$base/z", ck.toString, "event_id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      fs.Layout.prunedReadMor(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)), "event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** The layout family's MERGE-ON-READ CDC feed under the hard oracle
+    * ([[graft.streaming.OnlineRefresh.zorderUpsertMorStream]]): the
+    * q_stream_zorder_upsert fixture verbatim, but each change batch is
+    * STAGED in the delta sidecar (O(feed) per batch — the r15a
+    * economics) and the serve folds latest-per-key. Same oracle as the
+    * physical CDC loop and the batch upsert — all three MERGE cells
+    * must be observationally identical. */
+  private def streamZorderUpsertMor(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent((s"stream_zupsmor:$dir", s), { _ =>
+      val src = scratchDir("graft_szum_src")
+      val ck = scratchDir("graft_szum_ck")
+      val base = scratchDir("graft_szum_out").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === 0),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 1 to 3)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
+          s"$base/z", r, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      val upd = e.withColumn("value", col("value") + lit(1000.0))
+      stageOrderedFiles(Seq(
+        upd.where(pmod(col("event_id"), lit(194)) === 0),
+        upd.where(pmod(col("event_id"), lit(194)) === 97)),
+        src, "graft_szum_tmp")
+      val schema = s.read.parquet(src.toString).schema
+      val q = streaming.OnlineRefresh.zorderUpsertMorStream(s, src.toString,
+        schema, s"$base/z", ck.toString, "event_id",
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      fs.Layout.prunedReadMor(s, s"$base/z", Seq(("user_id", 5.0, 11.0)),
+        "event_id")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Span-bank RETRACTION under the hard oracle — the takedown cell that
     * completes the span family's lifecycle matrix (the r13 verdict's
     * missing row): three mtime-ordered doc_id-mod-4 shards build the bank
@@ -3488,7 +3557,8 @@ object Queries {
       "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
-      "q_stream_zorder_upsert", "q_stream_span_coverage",
+      "q_stream_zorder_upsert", "q_stream_zorder_delete_mor",
+      "q_stream_zorder_upsert_mor", "q_stream_span_coverage",
       "q_stream_span_retracted", "q_stream_span_compacted", "q_stream_pq_index")
 
   /** Staged source dirs for the streaming twin, keyed by sf dir. */
@@ -3811,6 +3881,8 @@ object Queries {
     "q_stream_zorder_ingest" -> (streamZorderIngest _),
     "q_stream_zorder_delete" -> (streamZorderDelete _),
     "q_stream_zorder_upsert" -> (streamZorderUpsert _),
+    "q_stream_zorder_delete_mor" -> (streamZorderDeleteMor _),
+    "q_stream_zorder_upsert_mor" -> (streamZorderUpsertMor _),
     "q_lsh_topk" -> (lshTopKQ _),
     "q_ivf_topk" -> (ivfTopKQ _),
     "q_ivf_drift" -> (ivfDriftQ _),
@@ -4285,6 +4357,19 @@ object Queries {
         |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
     // streaming takedown feed: the fed keys leave, nothing else moves
     "q_stream_zorder_delete" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60
+        |  AND event_id % 101 <> 0""".stripMargin,
+    // MoR streaming twins: same SQL as the physical loops — tombstone
+    // staging and delta staging must be observationally identical to them
+    "q_stream_zorder_upsert_mor" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11""".stripMargin,
+    "q_stream_zorder_delete_mor" ->
       """SELECT event_id, user_id, "value"
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11

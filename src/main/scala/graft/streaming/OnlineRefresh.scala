@@ -972,6 +972,94 @@ object OnlineRefresh {
       .start()
   }
 
+  /** TAKEDOWN FEED, MERGE-ON-READ — the O(feed) twin of
+    * [[zorderDeleteStream]]: each micro-batch of keys lands as
+    * tombstones ([[graft.fs.Layout.deleteLogical]] — one tiny
+    * crash-safe sidecar swap, ZERO partition rewrites) and, unlike the
+    * physical loop, the skipping indexes never go stale, so MoR reads
+    * serve exactly THROUGHOUT the batch, not just between epochs.
+    * Replay is idempotent by construction: already-tombstoned keys
+    * re-append as a no-op (the sidecar is a distinct set). Run
+    * [[graft.fs.Layout.applyTombstones]] on compaction cadence between
+    * stream runs — the deletion-vector cadence: it folds physical,
+    * keeps the standing set broadcast-sized, and re-arms the metadata
+    * pushdowns. Choose this loop when takedowns are frequent and small
+    * (the r15a economics: staging cost ∝ keys; the physical loop's ∝
+    * victim partitions). */
+  def zorderDeleteMorStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      layoutPath: String,
+      checkpoint: String,
+      keyCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.fs.Layout.withWriterLease(spark, layoutPath,
+          s"zorderDeleteMorStream:$checkpoint") {
+          // heal a crashed companion maintenance swap before touching
+          // the table (the ingest-loop lesson); the sidecar's own swap
+          // recovery runs inside deleteLogical
+          graft.fs.Layout.recoverLayout(spark, layoutPath)
+          graft.fs.Layout.deleteLogical(spark, layoutPath, batch, keyCol)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** CDC APPLY, MERGE-ON-READ — the O(feed) twin of
+    * [[zorderUpsertStream]]: each key-distinct micro-batch STAGES its
+    * replacement rows ([[graft.fs.Layout.upsertLogical]] — one tiny
+    * sidecar swap, zero partition rewrites, measured ~23× cheaper per
+    * batch than the physical loop at the spread-key worst case, SCALE.md
+    * r15a) and MoR reads fold the latest staged version per key.
+    * Replay is idempotent on the SERVED result: a replayed batch
+    * re-stages the same rows under a fresh `__seq`, and latest-wins
+    * picks identical values (only the last uncommitted batch can
+    * replay, so no earlier version can be resurrected). Run
+    * [[graft.fs.Layout.applyUpsertDeltas]] on compaction cadence
+    * between stream runs — it folds latest-per-key through one physical
+    * merge, keeps the delta set broadcast-sized, and re-arms the
+    * metadata pushdowns. Batches must be key-distinct and null-key-free
+    * ([[graft.fs.Layout.upsertLogical]] refuses both — collapse with
+    * latest-per-key upstream, route keyless inserts through the ingest
+    * loop). */
+  def zorderUpsertMorStream(
+      spark: SparkSession,
+      inputPath: String,
+      schema: StructType,
+      layoutPath: String,
+      checkpoint: String,
+      keyCol: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputPath)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.fs.Layout.withWriterLease(spark, layoutPath,
+          s"zorderUpsertMorStream:$checkpoint") {
+          graft.fs.Layout.recoverLayout(spark, layoutPath)
+          graft.fs.Layout.upsertLogical(spark, layoutPath, batch, keyCol)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** CDC APPLY for the Z-ordered layout — the streaming MERGE loop
     * completing the layout's streaming matrix (ingest, takedown, now
     * upsert): each micro-batch of key-distinct change rows goes through

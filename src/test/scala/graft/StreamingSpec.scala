@@ -579,6 +579,84 @@ class StreamingSpec extends SparkSpec {
       "rows from the recovered partition must survive and stay indexed")
   }
 
+  test("zorder MoR streams: takedowns tombstone and CDC batches stage at O(feed), serves exact, folds converge") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-szmor").toString
+    val grid = spark.range(4000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b"))
+    graft.fs.Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0),
+      s"$tmp/z", Seq("a", "b"), bits = 6, numFiles = 4)
+    graft.fs.Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1),
+      s"$tmp/z", 1, numFiles = 4)
+    graft.fs.Layout.writeManifest(spark, s"$tmp/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$tmp/z", "id")
+    def dataFiles(): Set[String] = {
+      def walk(d: java.io.File): Seq[String] =
+        d.listFiles().toSeq.flatMap(f =>
+          if (f.isDirectory) walk(f) else Seq(f.getName))
+      walk(new java.io.File(s"$tmp/z")).filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles()
+    def stage(dir: String, i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      val part = Files.createTempDirectory("graft-szmor-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$dir/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    // takedown feed: 150 keys over two mtime-ordered batches
+    stage(s"$tmp/dsrc", 0, spark.range(0, 100).toDF("id"))
+    stage(s"$tmp/dsrc", 1, spark.range(200, 250).toDF("id"))
+    val dSchema = spark.read.parquet(s"$tmp/dsrc").schema
+    def runDel(): Unit = OnlineRefresh.zorderDeleteMorStream(spark,
+      s"$tmp/dsrc", dSchema, s"$tmp/z", s"$tmp/dck", "id",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    runDel()
+    assert(dataFiles() == before,
+      "the MoR takedown stream must move ZERO data bytes")
+    assert(graft.fs.Layout.readLayoutMor(spark, s"$tmp/z", "id").count() == 3850)
+    assert(graft.fs.Layout.pointReadMor(spark, s"$tmp/z", "id", lit(42L)).count() == 0)
+    assert(graft.fs.Layout.pointReadMor(spark, s"$tmp/z", "id", lit(150L)).count() == 1)
+    // resume from checkpoint: no re-delivery, nothing changes
+    runDel()
+    assert(graft.fs.Layout.readLayoutMor(spark, s"$tmp/z", "id").count() == 3850)
+    // CDC feed: replace id 300 twice across batches (latest wins), insert 20000
+    stage(s"$tmp/usrc", 0, Seq((300L, 999.0, 999.0)).toDF("id", "a", "b"))
+    stage(s"$tmp/usrc", 1,
+      Seq((300L, 777.0, 777.0), (20000L, 1.0, 1.0)).toDF("id", "a", "b"))
+    val uSchema = spark.read.parquet(s"$tmp/usrc").schema
+    def runUps(): Unit = OnlineRefresh.zorderUpsertMorStream(spark,
+      s"$tmp/usrc", uSchema, s"$tmp/z", s"$tmp/uck", "id",
+      maxFilesPerTrigger = Some(1)).awaitTermination()
+    runUps()
+    assert(dataFiles() == before,
+      "the MoR CDC stream must move ZERO data bytes")
+    assert(graft.fs.Layout.pointReadMor(spark, s"$tmp/z", "id", lit(300L))
+      .select("a").head().getDouble(0) == 777.0,
+      "latest staged batch must win across stream batches")
+    assert(graft.fs.Layout.pointReadMor(spark, s"$tmp/z", "id", lit(20000L)).count() == 1)
+    assert(graft.fs.Layout.readLayoutMor(spark, s"$tmp/z", "id").count() == 3851)
+    runUps() // resume: no re-delivery, serve unchanged
+    assert(graft.fs.Layout.pointReadMor(spark, s"$tmp/z", "id", lit(300L))
+      .select("a").head().getDouble(0) == 777.0)
+    // folds converge regardless of order; pushdowns re-arm
+    assert(graft.fs.Layout.applyUpsertDeltas(spark, s"$tmp/z", "id",
+      Seq("a", "b")) == ((1L, 2L)))
+    assert(graft.fs.Layout.applyTombstones(spark, s"$tmp/z", "id",
+      Seq("a", "b")) == 150L)
+    assert(spark.read.parquet(s"$tmp/z").count() == 3851)
+    assert(graft.fs.Layout.pointRead(spark, s"$tmp/z", "id", lit(300L))
+      .select("a").head().getDouble(0) == 777.0)
+    assert(graft.fs.Layout.countMatching(spark, s"$tmp/z",
+      Seq(("a", 0.0, 2000.0)))._1 == 3851L)
+  }
+
   test("zorderUpsertStream: CDC batches apply latest-wins, resume no-op, late shard overrides, inserts land") {
     import org.apache.spark.sql.functions.{col, lit}
     val tmp = Files.createTempDirectory("graft-szups").toString
