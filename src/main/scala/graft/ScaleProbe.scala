@@ -628,6 +628,19 @@ object ScaleProbe {
       timed("applyUpsertDeltas: fold back to copy-on-write")(
         graft.fs.Layout.applyUpsertDeltas(spark, s"$baseA/z", "event_id",
           Seq("user_id", "value"))._1)
+      // staging FLATNESS: epoch-append sidecars make per-batch cost ∝
+      // feed, independent of the standing set — 10 sequential batches
+      // must time flat (a whole-sidecar rewrite per batch would climb)
+      for (k <- 0 until 10)
+        timed(f"upsertLogical batch ${k + 1}%2d/10 (standing set grows)")(
+          graft.fs.Layout.upsertLogical(spark, s"$baseA/z",
+            big.where(pmod(col("event_id"), lit(971L)) === k.toLong)
+              .withColumn("value", col("value") + lit(3.0)),
+            "event_id"))
+      timed("MoR read with a 10-batch standing delta set")(
+        graft.fs.Layout.prunedReadMor(spark, s"$baseA/z",
+          Seq(("user_id", 600.0, 800.0), ("value", 10.0, 60.0)), "event_id")
+          .count())
       // (d) evolved-column consult: persisted schema vs legacy footer sweep
       graft.fs.Layout.appendZorderedEpoch(
         big.where(col("event_id") < 1000L).withColumn("tag", lit("v2")),

@@ -1313,10 +1313,53 @@ object Layout {
   def tombstonePath(path: String, keyCol: String): String =
     path.stripSuffix("/") + s"__tombstones_$keyCol"
 
+  /** APPEND-ONLY sidecar epoch commit — the staging primitive both MoR
+    * sidecars share (the span-bank precedent: partitions accrete, folds
+    * rewrite): land `rows` under a hidden tmp inside `root`, then ONE
+    * rename to `<prefix><next>` commits the epoch. This is what makes
+    * staging truly O(feed): the old swap recipe rewrote the WHOLE
+    * sidecar per batch (cost ∝ standing set), which under heavy CDC
+    * between folds accretes quadratically. A crash before the rename
+    * leaves a hidden tmp (swept at the next call); after it, the epoch
+    * is committed. Returns rows landed; an empty `rows` aborts the tmp
+    * and commits nothing. */
+  private def appendSidecarEpoch(spark: org.apache.spark.sql.SparkSession,
+      root: String, prefix: String, rows: DataFrame): Long = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val hfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(rp)
+    for (st <- hfs.listStatus(rp); if st.getPath.getName.startsWith(".tmp_"))
+      hfs.delete(st.getPath, true)
+    val next = hfs.listStatus(rp).iterator
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong).foldLeft(-1L)(math.max) + 1L
+    val tmp = new org.apache.hadoop.fs.Path(rp, s".tmp_$next")
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val cnt = spark.read.parquet(tmp.toString).count()
+    if (cnt == 0L) { hfs.delete(tmp, true); 0L }
+    else {
+      val dst = new org.apache.hadoop.fs.Path(rp, s"$prefix$next")
+      if (!hfs.rename(tmp, dst))
+        throw new java.io.IOException(s"sidecar epoch commit $tmp -> $dst failed")
+      cnt
+    }
+  }
+
+  /** A sidecar exists when its root holds at least one COMMITTED epoch
+    * (hidden tmps from crashed stagings don't count). */
+  private def sidecarExists(spark: org.apache.spark.sql.SparkSession,
+      root: String): Boolean = {
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val hfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.exists(rp) && hfs.listStatus(rp)
+      .exists(st => !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+  }
+
   /** MERGE-ON-READ logical delete — the OTHER delete strategy every
     * table format offers ([[deleteByKeys]] is copy-on-write): instead
     * of rewriting victim partitions now, append the keys to a tombstone
-    * sidecar (one tiny crash-safe swap, cost ∝ keys — O(feed), never
+    * sidecar (one crash-safe epoch-partition rename, cost ∝ keys — O(feed), never
     * O(affected partitions)) and let reads subtract them. The trade is
     * explicit and measured (SCALE.md r14f): deletes become instant and
     * rewrite-free, every read pays a broadcast anti-join against the
@@ -1334,42 +1377,32 @@ object Layout {
     val add = keys.select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
     val tPath = tombstonePath(path, keyCol)
+    // recover a purge/fold swap that crashed mid-rename (the staging
+    // path itself is append-only — a crashed staging is a hidden tmp
+    // that appendSidecarEpoch sweeps, never a partial live sidecar:
+    // the r14 ADVICE hazard class is structurally gone)
     AtomicDir.recoverSwap(spark, tPath)
-    val hp = new org.apache.hadoop.fs.Path(tPath)
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(hp)) {
-      // first-time landing goes through the SAME swap recipe as the
-      // union branch (the r14 ADVICE fix: a bare overwrite crashing
-      // mid-write leaves a partial sidecar readTombstones would adopt —
-      // silently serving logically-deleted rows on the takedown path)
-      AtomicDir.swapDir(spark, tPath) { tmp =>
-        add.coalesce(1).write.mode("overwrite").parquet(tmp)
-      }
-      spark.read.parquet(tPath).count()
-    } else {
-      // newly-tombstoned = add ∖ existing, counted in ONE job BEFORE the
-      // swap (the r14 verdict fix: count-after − count-before read the
-      // sidecar three times per batch on the MoR hot path); an all-known
-      // batch (idempotent re-apply) skips the swap entirely
-      val fresh = add
-        .join(spark.read.parquet(tPath), Seq(keyCol), "left_anti").count()
-      if (fresh > 0L)
-        AtomicDir.swapDir(spark, tPath) { tmp =>
-          spark.read.parquet(tPath).unionByName(add).distinct()
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-        }
-      fresh
-    }
+    // each batch lands ONLY its genuinely-new keys as a fresh epoch
+    // partition: epochs stay disjoint (no distinct needed at read), an
+    // all-known batch (idempotent re-apply) commits nothing, and the
+    // staging cost is ∝ feed — never ∝ the standing set (the old swap
+    // recipe rewrote the whole sidecar per batch)
+    val fresh =
+      if (!sidecarExists(spark, tPath)) add
+      else add.join(readTombstones(spark, path, keyCol), Seq(keyCol),
+        "left_anti")
+    appendSidecarEpoch(spark, tPath, "batch=", fresh)
   }
 
-  /** The standing tombstone set for `keyCol` (empty if none recorded). */
+  /** The standing tombstone set for `keyCol` (empty if none recorded) —
+    * epochs are key-disjoint by construction ([[deleteLogical]] lands
+    * only fresh keys), so the union of partitions IS the set. */
   def readTombstones(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String): DataFrame = {
     val tPath = tombstonePath(path, keyCol)
     AtomicDir.recoverSwap(spark, tPath)
-    val hp = new org.apache.hadoop.fs.Path(tPath)
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hfs.exists(hp)) spark.read.parquet(tPath)
+    if (sidecarExists(spark, tPath))
+      spark.read.parquet(tPath).select(col(keyCol))
     else {
       val keyType = evolvedColType(spark, path, keyCol)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1396,7 +1429,7 @@ object Layout {
     * copy-on-write partition rewrites per batch; the measured 0.5 s-vs-
     * 6.2 s MoR/CoW ratio from the delete path applies just as much
     * here): stage the batch's full replacement rows in a delta sidecar
-    * (one tiny crash-safe swap, cost ∝ feed, never ∝ partitions) and
+    * (one crash-safe epoch-partition rename, cost ∝ feed, never ∝ partitions or the standing set) and
     * let reads fold them — a delta row REPLACES the stored row(s)
     * sharing its key, unseen keys INSERT, and latest staged batch wins
     * per key (a monotone `__seq` stamps each batch). MERGE contract as
@@ -1437,36 +1470,31 @@ object Layout {
         "within one batch is undefined")
     val staged = updates.withColumn(keyCol, col(keyCol).cast(keyType))
     val dPath = deltaPath(path, keyCol)
+    // recover a purge/fold swap; the staging itself is append-only —
+    // each batch commits as its own `__seq=<n>` partition (one rename,
+    // cost ∝ feed, never ∝ the standing set — the old swap recipe
+    // rewrote the whole sidecar per batch), and the monotone partition
+    // id IS the latest-wins sequence
     AtomicDir.recoverSwap(spark, dPath)
-    val hp = new org.apache.hadoop.fs.Path(dPath)
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!hfs.exists(hp))
-      AtomicDir.swapDir(spark, dPath) { tmp =>
-        staged.withColumn("__seq", lit(0L))
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-      }
-    else {
-      val maxSeq = spark.read.parquet(dPath)
-        .agg(max(col("__seq"))).head().getLong(0)
-      AtomicDir.swapDir(spark, dPath) { tmp =>
-        spark.read.parquet(dPath)
-          .unionByName(staged.withColumn("__seq", lit(maxSeq + 1L)),
-            allowMissingColumns = true)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-      }
-    }
+    // the partition dir spells it `seq=` (an `__seq=` dir would be
+    // underscore-hidden from Spark's listing); reads expose it as __seq
+    appendSidecarEpoch(spark, dPath, "seq=", staged)
     total
   }
 
-  /** The standing delta set for `keyCol` (rows + `__seq`), or None when
-    * no upserts are pending. */
+  /** The standing delta set for `keyCol` (rows + `__seq`, the staging
+    * epoch id — a partition column on the live sidecar, a plain column
+    * on a post-purge rewrite or a snapshot copy; cast to long either
+    * way), or None when no upserts are pending. */
   def readDeltas(spark: org.apache.spark.sql.SparkSession, path: String,
       keyCol: String): Option[DataFrame] = {
     val dPath = deltaPath(path, keyCol)
     AtomicDir.recoverSwap(spark, dPath)
-    val hp = new org.apache.hadoop.fs.Path(dPath)
-    val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hfs.exists(hp)) Some(spark.read.parquet(dPath)) else None
+    if (sidecarExists(spark, dPath))
+      Some(spark.read.parquet(dPath)
+        .withColumnRenamed("seq", "__seq")
+        .withColumn("__seq", col("__seq").cast("long")))
+    else None
   }
 
   /** Fold `df`'s pending upsert deltas: rows whose key has a staged
@@ -1612,8 +1640,12 @@ object Layout {
         dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(dp, true)
       else
+        // partitionBy keeps the sidecar's epoch layout uniform, so later
+        // stagings keep appending `__seq=<n>` partitions beside the
+        // survivors
         AtomicDir.swapDir(spark, deltaPath(path, keyCol)) { tmp =>
-          kept.coalesce(1).write.mode("overwrite").parquet(tmp)
+          kept.withColumnRenamed("__seq", "seq").coalesce(1).write
+            .partitionBy("seq").mode("overwrite").parquet(tmp)
         }
     }
     val hp = new org.apache.hadoop.fs.Path(tombstonePath(path, keyCol))
