@@ -1335,7 +1335,14 @@ object Layout {
       .map(_.stripPrefix(prefix).toLong).foldLeft(-1L)(math.max) + 1L
     val tmp = new org.apache.hadoop.fs.Path(rp, s".tmp_$next")
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val cnt = spark.read.parquet(tmp.toString).count()
+    // count the landed part files directly (reading the dot-prefixed tmp
+    // DIR works but trips Spark's all-paths-ignored warning)
+    val parts = hfs.listStatus(tmp).iterator.map(_.getPath)
+      .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .map(_.toString).toSeq
+    val cnt =
+      if (parts.isEmpty) 0L
+      else spark.read.parquet(parts: _*).count()
     if (cnt == 0L) { hfs.delete(tmp, true); 0L }
     else {
       val dst = new org.apache.hadoop.fs.Path(rp, s"$prefix$next")
