@@ -2784,6 +2784,43 @@ object Queries {
       fs.Layout.layoutDrift(s, s"$base/z")
     })
 
+  /** The SELF-MAINTAINING table end-to-end
+    * ([[graft.streaming.OnlineRefresh.maintainLayout]]): a drifted
+    * 3-epoch layout (bounds frozen on the low-value first epoch, the
+    * high half appended) accumulates BOTH pending MoR sidecars — a
+    * takedown of every `user_id = 7` row and a staged `event_id % 97`
+    * update — and then ONE maintenance call folds the sidecars
+    * (takedown wins where they overlap), measures the drift, and
+    * reclusters on the number. The pruned read over the maintained
+    * table must equal the logical table: the CASE rewrite minus the
+    * deleted user — fold correctness, takedown-wins, recluster row
+    * preservation, and post-recluster pruning exactness pinned in one
+    * oracle. */
+  private def layoutMaintainedQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zmaint:" + dir, s), _ => {
+      val base = scratchDir("graft_zmaint").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      val low = e.where(col("value") <= 35.0)
+      val hi = e.where(col("value") > 35.0)
+      fs.Layout.buildZorderedEpoch(low, s"$base/z", Seq("user_id", "value"),
+        bits = 6, numFiles = 8)
+      fs.Layout.appendZorderedEpoch(hi.where(pmod(col("event_id"), lit(2)) === 0),
+        s"$base/z", 1, numFiles = 4)
+      fs.Layout.appendZorderedEpoch(hi.where(pmod(col("event_id"), lit(2)) === 1),
+        s"$base/z", 2, numFiles = 4)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.deleteLogical(s, s"$base/z",
+        e.where(col("user_id") === 7).select("event_id"), "event_id")
+      val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      fs.Layout.upsertLogical(s, s"$base/z", upd, "event_id")
+      streaming.OnlineRefresh.maintainLayout(s, s"$base/z",
+        Seq("user_id", "value"), "event_id", reclusterAt = 0.2, numFiles = 8)
+      fs.Layout.prunedRead(s, s"$base/z", Seq(("user_id", 5.0, 11.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Approximate ANN: IVF cells, nProbe of nLists searched (rows-only). */
   private def ivfTopKQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -3555,6 +3592,7 @@ object Queries {
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
       "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
+      "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_zorder_upsert", "q_stream_zorder_delete_mor",
@@ -3873,6 +3911,7 @@ object Queries {
     "q_layout_drift" -> (layoutDriftQ _),
     "q_layout_reclustered" -> (layoutReclusteredQ _),
     "q_layout_drift_after" -> (layoutDriftAfterQ _),
+    "q_layout_maintained" -> (layoutMaintainedQ _),
     "q_layout_snapshot" -> (layoutSnapshotQ _),
     "q_layout_evolved" -> (layoutEvolvedQ _),
     "q_meta_count" -> (metaCountQ _),
@@ -4430,6 +4469,13 @@ object Queries {
     "q_layout_drift" -> layoutDriftOracle("\"value\" <= 35"),
     // post-recluster monitor: bounds re-derived from the full table
     "q_layout_drift_after" -> layoutDriftOracle("TRUE"),
+    // one maintenance call: fold both sidecars (takedown wins), recluster
+    // on the drift number — serve must equal the logical table
+    "q_layout_maintained" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN event_id % 97 = 0 THEN "value" + 1000 ELSE "value" END AS value
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11 AND user_id <> 7""".stripMargin,
     // recluster moves rows between files, never in or out of the table
     "q_layout_reclustered" ->
       """SELECT event_id, user_id, "value"

@@ -972,6 +972,97 @@ object OnlineRefresh {
       .start()
   }
 
+  /** LAYOUT MAINTENANCE — ONE call closing the whole monitor→decide→act
+    * loop, the thing an operator actually schedules: (1) FOLD any
+    * pending MoR sidecars (tombstones first, then upsert deltas — the
+    * takedown-wins rule is enforced inside the folds themselves;
+    * maintenance time IS the compaction cadence that keeps both
+    * sidecars broadcast-sized and re-arms the metadata pushdowns);
+    * (2) measure [[graft.fs.Layout.layoutDrift]] on the folded table
+    * and RECLUSTER when any Z column's TV ≥ `reclusterAt` (fresh
+    * sampled bounds + full index rewrite — the drift cure); (3) else
+    * COMPACT when the live file count exceeds `maxFiles` (the
+    * small-files answer: epoch layouts fold committed epochs, flat
+    * layouts re-range-cluster; full index rewrite either way). Holds
+    * the writer lease for the whole run, so a stream mid-epoch refuses
+    * it and vice versa; every step is individually crash-safe and a
+    * re-run converges (folds are key-idempotent, recluster/compact are
+    * whole-rewrites). Assumes the standing layout has its manifest on
+    * `zCols` and value index on `keyCol` — the serving posture every
+    * loop here maintains. Returns the decision receipt as (action,
+    * value) rows: fold counts, per-column drift, and which rewrite (if
+    * any) ran with the file counts either side. */
+  def maintainLayout(
+      spark: SparkSession,
+      layoutPath: String,
+      zCols: Seq[String],
+      keyCol: String,
+      buckets: Int = 1 << 16,
+      reclusterAt: Double = 0.25,
+      maxFiles: Int = 64,
+      numFiles: Int = 8,
+      sampleBy: Option[(String, Int)] = None
+  ): DataFrame = graft.fs.Layout.withWriterLease(spark, layoutPath,
+      "layout-maintenance") {
+    graft.fs.Layout.recoverLayout(spark, layoutPath)
+    val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val removed = graft.fs.Layout.applyTombstones(spark, layoutPath, keyCol,
+      zCols, buckets)
+    if (removed > 0) report += ("fold_tombstones_removed" -> removed.toDouble)
+    val (rep, ins) = graft.fs.Layout.applyUpsertDeltas(spark, layoutPath,
+      keyCol, zCols, buckets, numFiles)
+    if (rep + ins > 0) {
+      report += ("fold_deltas_replaced" -> rep.toDouble)
+      report += ("fold_deltas_inserted" -> ins.toDouble)
+    }
+    val drift = graft.fs.Layout.layoutDrift(spark, layoutPath, sampleBy)
+      .collect()
+    drift.foreach(r =>
+      report += (s"drift_${r.getString(1)}" -> r.getDouble(3)))
+    val maxTv = drift.map(_.getDouble(3)).foldLeft(0.0)(math.max)
+    def fileCount(): Int =
+      spark.read.parquet(layoutPath).inputFiles.length
+    val filesBefore = fileCount()
+    report += ("files_before" -> filesBefore.toDouble)
+    if (maxTv >= reclusterAt) {
+      graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles, sampleBy)
+      graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+      graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+      report += ("reclustered" -> 1.0)
+      graft.fs.Layout.layoutDrift(spark, layoutPath, sampleBy).collect()
+        .foreach(r =>
+          report += (s"drift_after_${r.getString(1)}" -> r.getDouble(3)))
+      report += ("files_after" -> fileCount().toDouble)
+    } else if (filesBefore > maxFiles) {
+      val hasEpochs = {
+        val rp = new org.apache.hadoop.fs.Path(layoutPath)
+        val hfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.listStatus(rp).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("batch="))
+      }
+      val did =
+        if (hasEpochs) {
+          val (cols, bits, bounds) =
+            graft.fs.Layout.readLayoutMeta(spark, layoutPath)
+          compactBatchArtifact(spark, layoutPath, df =>
+            graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
+              .repartitionByRange(numFiles, col("zkey"))
+              .sortWithinPartitions(col("zkey"))
+              .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
+        } else {
+          graft.fs.Layout.compactLayout(spark, layoutPath, numFiles); true
+        }
+      if (did) {
+        graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+        graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+        report += ("compacted" -> 1.0)
+        report += ("files_after" -> fileCount().toDouble)
+      }
+    }
+    import spark.implicits._
+    report.toSeq.toDF("action", "value")
+  }
+
   /** TAKEDOWN FEED, MERGE-ON-READ — the O(feed) twin of
     * [[zorderDeleteStream]]: each micro-batch of keys lands as
     * tombstones ([[graft.fs.Layout.deleteLogical]] — one tiny

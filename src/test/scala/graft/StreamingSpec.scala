@@ -579,6 +579,76 @@ class StreamingSpec extends SparkSpec {
       "rows from the recovered partition must survive and stay indexed")
   }
 
+  test("maintainLayout: folds pend, recluster fires on drift, compact on file count, no-op below thresholds") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val grid = spark.range(10000).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") / lit(100)).cast("long").cast("double").as("b"))
+    def actions(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.as[(String, Double)].collect().toMap
+    // (1) healthy uniform layout, nothing pending → measure-only report
+    val t1 = Files.createTempDirectory("graft-maint1").toString
+    graft.fs.Layout.writeZordered(grid, s"$t1/z", "a", "b", bits = 6,
+      numFiles = 8)
+    graft.fs.Layout.writeManifest(spark, s"$t1/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$t1/z", "id")
+    val r1 = actions(OnlineRefresh.maintainLayout(spark, s"$t1/z",
+      Seq("a", "b"), "id", reclusterAt = 0.3, maxFiles = 64))
+    assert(!r1.contains("reclustered") && !r1.contains("compacted") &&
+      !r1.keys.exists(_.startsWith("fold_")), s"healthy table must no-op: $r1")
+    assert(r1.contains("drift_a") && r1("files_before") == 8.0)
+    // (2) drifted + both sidecars pending → folds, then recluster
+    // (epoch shape — the delta fold goes through upsertByKey, which
+    // needs the bounded-rewrite unit; bounds freeze on the low epoch)
+    val t2 = Files.createTempDirectory("graft-maint2").toString
+    graft.fs.Layout.buildZorderedEpoch(grid.where(col("b") <= 49.0), s"$t2/z",
+      Seq("a", "b"), bits = 6, numFiles = 8)
+    graft.fs.Layout.appendZorderedEpoch(grid.where(col("b") > 49.0), s"$t2/z",
+      1, numFiles = 8)
+    graft.fs.Layout.writeManifest(spark, s"$t2/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$t2/z", "id")
+    graft.fs.Layout.deleteLogical(spark, s"$t2/z",
+      spark.range(100, 120).toDF("id"), "id")
+    graft.fs.Layout.upsertLogical(spark, s"$t2/z",
+      Seq((8L, 999.0, 999.0), (110L, 1.0, 1.0)).toDF("id", "a", "b"), "id")
+    val r2 = actions(OnlineRefresh.maintainLayout(spark, s"$t2/z",
+      Seq("a", "b"), "id", reclusterAt = 0.3, maxFiles = 64))
+    assert(r2("fold_tombstones_removed") == 20.0)
+    // the staged update of tombstoned key 110 must NOT resurrect it
+    assert(r2("fold_deltas_replaced") == 1.0 && r2("fold_deltas_inserted") == 1.0)
+    assert(r2("reclustered") == 1.0 && r2("drift_b") > 0.3 &&
+      r2("drift_after_b") < 0.3, s"recluster must fire and reset: $r2")
+    val served = spark.read.parquet(s"$t2/z")
+    assert(served.count() == 10000 - 20)
+    assert(graft.fs.Layout.pointRead(spark, s"$t2/z", "id", lit(8L))
+      .select("a").head().getDouble(0) == 999.0)
+    assert(graft.fs.Layout.pointRead(spark, s"$t2/z", "id", lit(110L)).count() == 0)
+    // (3) fragmented uniform layout → compact branch (epoch shape)
+    val t3 = Files.createTempDirectory("graft-maint3").toString
+    graft.fs.Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0),
+      s"$t3/z", Seq("a", "b"), bits = 6, numFiles = 4)
+    for (r <- 1 to 3)
+      graft.fs.Layout.appendZorderedEpoch(grid.where(col("id") % 4 === r),
+        s"$t3/z", r, numFiles = 4)
+    graft.fs.Layout.writeManifest(spark, s"$t3/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$t3/z", "id")
+    // the id%4 epoch split skews a's bucket occupancy (every 4th value),
+    // so pin the drift gate out of the way — this scenario tests the
+    // file-count decision
+    val r3 = actions(OnlineRefresh.maintainLayout(spark, s"$t3/z",
+      Seq("a", "b"), "id", reclusterAt = 0.9, maxFiles = 8, numFiles = 4))
+    assert(r3("compacted") == 1.0 && !r3.contains("reclustered"), s"$r3")
+    assert(r3("files_after") < r3("files_before"), s"$r3")
+    assert(spark.read.parquet(s"$t3/z").count() == 10000)
+    // pruned reads serve exactly after maintenance (indexes rewritten)
+    val pr = graft.fs.Layout.prunedRead(spark, s"$t3/z",
+      Seq(("a", 0.0, 30.0), ("b", 0.0, 10.0))).select("id", "a", "b")
+    val full = grid.where(col("a").between(0.0, 30.0) &&
+      col("b").between(0.0, 10.0))
+    assert(pr.exceptAll(full).isEmpty && full.exceptAll(pr).isEmpty)
+  }
+
   test("zorder MoR streams: takedowns tombstone and CDC batches stage at O(feed), serves exact, folds converge") {
     import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
