@@ -1327,12 +1327,14 @@ object Layout {
       root: String, prefix: String, rows: DataFrame): Long = {
     val rp = new org.apache.hadoop.fs.Path(root)
     val hfs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    hfs.mkdirs(rp)
-    for (st <- hfs.listStatus(rp); if st.getPath.getName.startsWith(".tmp_"))
-      hfs.delete(st.getPath, true)
-    val next = hfs.listStatus(rp).iterator
-      .map(_.getPath.getName).filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong).foldLeft(-1L)(math.max) + 1L
+    if (hfs.exists(rp))
+      for (st <- hfs.listStatus(rp); if st.getPath.getName.startsWith(".tmp_"))
+        hfs.delete(st.getPath, true)
+    val next =
+      if (!hfs.exists(rp)) 0L
+      else hfs.listStatus(rp).iterator
+        .map(_.getPath.getName).filter(_.startsWith(prefix))
+        .map(_.stripPrefix(prefix).toLong).foldLeft(-1L)(math.max) + 1L
     val tmp = new org.apache.hadoop.fs.Path(rp, s".tmp_$next")
     rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     // count the landed part files directly (reading the dot-prefixed tmp
@@ -1343,8 +1345,14 @@ object Layout {
     val cnt =
       if (parts.isEmpty) 0L
       else spark.read.parquet(parts: _*).count()
-    if (cnt == 0L) { hfs.delete(tmp, true); 0L }
-    else {
+    if (cnt == 0L) {
+      hfs.delete(tmp, true)
+      // an ABORTED first staging must not leave an empty root behind —
+      // the MoR fence discovers sidecars by directory existence, and an
+      // empty root would fence the metadata pushdowns forever
+      if (hfs.exists(rp) && hfs.listStatus(rp).isEmpty) hfs.delete(rp, true)
+      0L
+    } else {
       val dst = new org.apache.hadoop.fs.Path(rp, s"$prefix$next")
       if (!hfs.rename(tmp, dst))
         throw new java.io.IOException(s"sidecar epoch commit $tmp -> $dst failed")
@@ -1498,7 +1506,10 @@ object Layout {
     val dPath = deltaPath(path, keyCol)
     AtomicDir.recoverSwap(spark, dPath)
     if (sidecarExists(spark, dPath))
-      Some(spark.read.parquet(dPath)
+      // mergeSchema: a later delta batch may carry an evolved column the
+      // earlier staged epochs lack (the additive-evolution convention
+      // holds for the sidecar too)
+      Some(spark.read.option("mergeSchema", "true").parquet(dPath)
         .withColumnRenamed("seq", "__seq")
         .withColumn("__seq", col("__seq").cast("long")))
     else None
@@ -1676,8 +1687,11 @@ object Layout {
     val prefixes = Seq(p.getName + "__tombstones_", p.getName + "__deltas_")
     val parent = p.getParent
     if (parent != null && hfs.exists(parent)) {
+      // only sidecars holding COMMITTED epochs fence (an empty shell —
+      // e.g. all stagings aborted — holds no mutation to miscount)
       val pending = hfs.listStatus(parent)
         .filter(st => prefixes.exists(st.getPath.getName.startsWith))
+        .filter(st => sidecarExists(spark, st.getPath.toString))
         .map(_.getPath.getName)
       require(pending.isEmpty,
         s"metadata pushdown refused: pending merge-on-read sidecar(s) " +

@@ -740,6 +740,25 @@ class LayoutSpec extends SparkSpec {
       == ((0L, 0L)))
   }
 
+  test("an aborted first staging leaves no sidecar shell: pushdowns stay armed, re-delete still lands") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zshell").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 8)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    // a takedown batch of only null keys stages NOTHING — and must not
+    // leave an empty sidecar root that would fence the pushdowns forever
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      Seq(Option.empty[Long]).toDF("id"), "id") == 0L)
+    assert(Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0)))._1
+      == 10000L, "no mutation staged -> nothing to fence")
+    // and a real batch afterwards lands as epoch 0 exactly as first-time
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      Seq(5L).toDF("id"), "id") == 1L)
+    intercept[IllegalArgumentException](
+      Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0))))
+    assert(Layout.pointReadMor(spark, s"$base/z", "id", lit(5L)).count() == 0)
+  }
+
   test("drift→recluster loop: monitor flags the drifted column, recluster resets it, rows never move in or out") {
     val base = java.nio.file.Files.createTempDirectory("graft-zdrift").toString
     // the canonical drifted stream: boundaries from the LOW half of b,
