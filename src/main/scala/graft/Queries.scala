@@ -2715,6 +2715,72 @@ object Queries {
       Seq((sm.get.longValueExact(), n)).toDF("sum_uid", "cnt")
     })
 
+  /** SIZE-TIERED epoch fold ([[graft.fs.Layout.compactEpochsTiered]] via
+    * [[graft.streaming.OnlineRefresh.tierZorderLayout]]) — the
+    * INCREMENTAL small-files answer: one large built epoch plus three
+    * appended micro-epochs, then a tier pass whose threshold admits only
+    * the small non-newest epochs — the big epoch's files and the newest
+    * (replayable) epoch stay untouched, the small tail folds into one
+    * partition, and the skipping indexes catch up INCREMENTALLY
+    * (allowGone — fold-sized, not table-sized). The oracle claim is the
+    * layout family's: folding moves rows between files, never in or out
+    * of the table, so the pruned serve equals the full-scan filter. */
+  private def layoutTieredQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("ztier:" + dir, s), _ => {
+      val base = scratchDir("graft_ztier").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.buildZorderedEpoch(e.where(pmod(col("event_id"), lit(8)) < 5),
+        s"$base/z", Seq("user_id", "value"), bits = 6, numFiles = 8)
+      for (r <- 5 to 7)
+        fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(8)) === r),
+          s"$base/z", r, numFiles = 2)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      // threshold between the micro-epoch size and the built epoch's —
+      // derived from the layout itself so the fixture holds at every SF
+      val root = new org.apache.hadoop.fs.Path(s"$base/z")
+      val hfs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val bigBytes = hfs.getContentSummary(
+        new org.apache.hadoop.fs.Path(root, "batch=0")).getLength
+      val folded = streaming.OnlineRefresh.tierZorderLayout(s, s"$base/z",
+        Seq("user_id", "value"), "event_id", maxBytes = bigBytes / 2,
+        numFiles = 2)
+      require(folded == Seq(5L, 6L),
+        s"tier pass must fold exactly the small non-newest epochs, got $folded")
+      fs.Layout.prunedRead(s, s"$base/z",
+        Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** Metadata COUNT DISTINCT pushdown ([[graft.fs.Layout.ndvMatching]]) —
+    * the SKETCH member of the pushdown family: NDV of `event_id` over
+    * the rectangle, where contained files contribute their per-file
+    * `kmv_event_id` manifest sketch unopened and only boundary files
+    * scan. KMV min-k merge is EXACT (min-k of a union is min-k of the
+    * per-part min-ks), so the folded estimate is bit-identical to
+    * running the sketch over the full filtered scan — which is exactly
+    * what the oracle replays in DuckDB (md5-60 hashes → rank ≤ 16 →
+    * (k−1)·2^60/u_k), alongside the exact NDV and the error it pins. */
+  private def metaNdvQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zndv:" + dir, s), _ => {
+      val base = scratchDir("graft_zndv").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z",
+        Seq("user_id", "value", "event_id"))
+      val ranges = Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0))
+      val (nSeen, est, _, _) = fs.Layout.ndvMatching(s, s"$base/z",
+        ranges, "event_id")
+      val nExact = fs.Layout.prunedRead(s, s"$base/z", ranges)
+        .agg(countDistinct(col("event_id"))).head().getLong(0)
+      import s.implicits._
+      Seq((nSeen, est, nExact)).toDF("n_seen", "est_distinct", "n_exact")
+        .withColumn("err_pct", round(abs(col("est_distinct") -
+          col("n_exact").cast("double")) / col("n_exact").cast("double")
+          * lit(100.0), 2))
+    })
+
   /** LAYOUT DRIFT ([[graft.fs.Layout.layoutDrift]]) — the recluster
     * trigger: a layout built (sampled exact-percentile boundaries) from
     * the LOW half of the value distribution, then the high half appended
@@ -3591,6 +3657,7 @@ object Queries {
       "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
+      "q_meta_ndv", "q_layout_tiered",
       "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
       "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
@@ -3908,6 +3975,8 @@ object Queries {
     "q_layout_upsert_mor" -> (layoutUpsertMorQ _),
     "q_layout_upsert_mor_applied" -> (layoutUpsertMorAppliedQ _),
     "q_meta_sum" -> (metaSumQ _),
+    "q_meta_ndv" -> (metaNdvQ _),
+    "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
     "q_layout_reclustered" -> (layoutReclusteredQ _),
     "q_layout_drift_after" -> (layoutDriftAfterQ _),
@@ -4465,6 +4534,33 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // size-tiered epoch fold: rows move between files, never in or out
+    "q_layout_tiered" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // metadata COUNT DISTINCT: the per-file KMV sketches fold EXACTLY
+    // (min-k of a union = min-k of the per-file min-ks), so the pushdown
+    // must reproduce the whole-scan sketch estimate bit-for-bit — the
+    // oracle replays md5-60 → rank ≤ 16 → (k−1)·2^60/u_k over the
+    // filtered rows, plus the exact NDV and the error the sketch pins
+    "q_meta_ndv" ->
+      s"""WITH f AS (SELECT event_id FROM events
+         |  WHERE user_id >= 5 AND user_id <= 11
+         |    AND "value" >= 10 AND "value" <= 60 AND event_id IS NOT NULL),
+         |hx AS (SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS hx FROM f),
+         |h AS (SELECT DISTINCT ${hexToLongSql("hx")} AS h FROM hx),
+         |r AS (SELECT h, row_number() OVER (ORDER BY h ASC) AS rn FROM h),
+         |kk AS (SELECT count(*) AS n_seen, max(h) AS u FROM r WHERE rn <= 16),
+         |e AS (SELECT n_seen,
+         |    round(CASE WHEN n_seen < 16 THEN CAST(n_seen AS DOUBLE)
+         |      ELSE CAST(15 AS DOUBLE) * 1152921504606846976.0 / CAST(u AS DOUBLE) END, 4) AS est_distinct
+         |  FROM kk),
+         |x AS (SELECT count(DISTINCT event_id) AS n_exact FROM f)
+         |SELECT n_seen, est_distinct, n_exact,
+         |  round(abs(est_distinct - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE) * 100.0, 2) AS err_pct
+         |FROM e, x""".stripMargin,
     // drift monitor: bounds from the low-value build half, TV over all rows
     "q_layout_drift" -> layoutDriftOracle("\"value\" <= 35"),
     // post-recluster monitor: bounds re-derived from the full table

@@ -394,7 +394,7 @@ object Layout {
       "writeManifest", allowGone) { files =>
       val src = spark.read.option("mergeSchema", "true").parquet(files: _*)
         .select(cols.map(col): _*)
-      val aggs = manifestAggs(src.schema, cols)
+      val aggs = manifestAggs(spark, src.schema, cols)
       src
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
@@ -493,6 +493,144 @@ object Layout {
     }
   }
 
+  /** SIZE-TIERED epoch compaction — the INCREMENTAL small-files answer
+    * for the streaming layout (the LSM tiering idea applied to the
+    * `batch=<id>` shape): fold ONLY the epochs below `maxBytes` into the
+    * oldest picked epoch's partition (frozen-meta re-key, range-cluster,
+    * in-file sort — a proper Z layout, not a concatenation) and leave
+    * every large epoch's files untouched. The full folds
+    * ([[compactLayout]], `compactZorderLayout`'s all-epochs fold)
+    * rewrite the WHOLE table per maintenance run — at 100 TB that is a
+    * 100 TB write to absorb a few GB of micro-batches. This rewrite is
+    * ∝ the small tail, and because untouched epochs keep their files,
+    * the index catch-up is the INCREMENTAL `refreshManifest` /
+    * `refreshValueIndex` with `allowGone = true` (gone victim files drop,
+    * new target files index) — fold-sized, where the full folds force
+    * full index rewrites. Run on compaction cadence; repeated runs tier
+    * naturally (folded mass grows past `maxBytes` and stops being
+    * picked; fresh micro-batches fold into a new small tier).
+    *
+    * The NEWEST epoch is never picked even when small — it is the one
+    * partition a crashed foreachBatch may replay-overwrite (the
+    * engine-wide exactly-once recipe; folding it would double its rows
+    * on replay). No-op (returns Nil) with fewer than 2 foldable epochs.
+    *
+    * Crash safety — the multi-partition commit is the one shape
+    * [[AtomicDir.swapDir]] alone cannot give (the fold changes one
+    * partition AND deletes others), so it uses a COMMIT MARKER
+    * (`.cmpcommit`, hidden from discovery and the freshness listing like
+    * every staging name here):
+    *
+    *  1. fold written to hidden staging (victims still live — a crash
+    *     here leaves an uncommitted staging dir, dropped by recovery);
+    *  2. marker lands naming target + victims (still rollback territory:
+    *     marker + staging present ⇒ recovery restores the target from
+    *     its set-aside if needed and drops staging + marker);
+    *  3. target partition swaps (staging → live); from here the marker
+    *     with NO staging left means COMMITTED ⇒ recovery rolls FORWARD:
+    *     delete the named victims + set-aside + marker. Between 3 and
+    *     the final deletes the table transiently holds the folded rows
+    *     AND the original victims (the [[upsertByKey]] step-2/3 class of
+    *     transient): pruned reads refuse throughout (indexes stale until
+    *     the closing refreshes) and [[recoverTieredFold]] — run at the
+    *     head of every mutator via [[recoverLayout]] — converges it.
+    *
+    * Returns the folded epoch ids (head = the target). The data dir is
+    * ahead of the indexes after a fold — run the allowGone refreshes to
+    * complete the commit unit ([[graft.streaming.OnlineRefresh]]'s
+    * `tierZorderLayout` bundles them). */
+  def compactEpochsTiered(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBytes: Long, numFiles: Int = 4): Seq[Long] = {
+    recoverLayout(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epochs = hfs.listStatus(root).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(st => st.getPath.getName.stripPrefix("batch=").toLong ->
+        hfs.getContentSummary(st.getPath).getLength)
+      .toSeq.sortBy(_._1)
+    require(epochs.nonEmpty,
+      s"compactEpochsTiered needs the epoch-partitioned layout (batch=<id>) " +
+        s"at $path; flat layouts compact whole via compactLayout")
+    val newest = epochs.last._1
+    val picks = epochs.dropRight(1).filter(_._2 <= maxBytes).map(_._1)
+    if (picks.size < 2) return Nil
+    val target = picks.head
+    val victims = picks.tail
+    val (cols, bits, bounds) = readLayoutMeta(spark, path)
+    require(!picks.contains(newest), "newest epoch must never fold") // belt
+    // stage the fold while every victim is still live (the reads happen
+    // inside the write job, strictly before any rename)
+    val staging = new org.apache.hadoop.fs.Path(root, s".cmpnew_batch=$target")
+    hfs.delete(staging, true)
+    val foldSrc = spark.read.option("mergeSchema", "true")
+      .parquet(picks.map(id => s"$path/batch=$id"): _*)
+    zorderKeyWithBounds(foldSrc, cols, bits, bounds)
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(cols.size): _*)
+      .write.mode("overwrite").parquet(staging.toString)
+    // commit marker: from here recovery knows the fold's shape
+    val marker = new org.apache.hadoop.fs.Path(root, ".cmpcommit")
+    val out = hfs.create(marker, true)
+    try out.write((target +: victims).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    // swap the target partition (hidden set-aside — discovery stays blind)
+    val live = new org.apache.hadoop.fs.Path(root, s"batch=$target")
+    val aside = new org.apache.hadoop.fs.Path(root, s".cmpold_batch=$target")
+    hfs.delete(aside, true)
+    if (!hfs.rename(live, aside))
+      throw new java.io.IOException(s"tiered fold: rename $live -> $aside failed")
+    if (!hfs.rename(staging, live))
+      throw new java.io.IOException(s"tiered fold: rename $staging -> $live failed")
+    // committed: roll forward (all idempotent — recovery replays these)
+    victims.foreach(id =>
+      hfs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
+    hfs.delete(aside, true)
+    hfs.delete(marker, true)
+    picks
+  }
+
+  /** Converge a [[compactEpochsTiered]] fold that crashed mid-commit —
+    * the marker state machine: marker + staging still present means the
+    * target swap never completed (ROLLBACK: restore the target from its
+    * set-aside if the swap's first rename happened, drop staging +
+    * marker — victims were never touched, the table is exactly
+    * pre-fold); marker with NO staging means the swap committed
+    * (ROLL FORWARD: delete the marker's victims + set-aside + marker —
+    * idempotent, exactly the live call's closing deletes); a staging
+    * dir with no marker is an uncommitted build, dropped. Called by
+    * [[recoverLayout]] so every mutator and consult head heals it. */
+  private def recoverTieredFold(hfs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, ".cmpcommit")
+    val staged = hfs.listStatus(root)
+      .filter(_.getPath.getName.startsWith(".cmpnew_batch=")).map(_.getPath)
+    if (hfs.exists(marker)) {
+      val ids = {
+        val in = hfs.open(marker)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      }.split("\n").filter(_.nonEmpty).map(_.toLong)
+      val target = ids.head
+      val aside = new org.apache.hadoop.fs.Path(root, s".cmpold_batch=$target")
+      if (staged.nonEmpty) {
+        // rollback: the swap never finished — victims are intact
+        val live = new org.apache.hadoop.fs.Path(root, s"batch=$target")
+        if (!hfs.exists(live) && hfs.exists(aside) && !hfs.rename(aside, live))
+          throw new java.io.IOException(
+            s"tiered fold rollback rename $aside -> $live failed")
+        staged.foreach(hfs.delete(_, true))
+      } else {
+        // roll forward: the swap committed — finish the deletes
+        ids.tail.foreach(id =>
+          hfs.delete(new org.apache.hadoop.fs.Path(root, s"batch=$id"), true))
+        hfs.delete(aside, true)
+      }
+      hfs.delete(marker, false)
+    } else staged.foreach(hfs.delete(_, true))
+  }
+
   /** Manifest path convention: a SIBLING directory, never inside the data
     * path (a nested dir would surface in the data scan's own listing). */
   def manifestPath(path: String): String = path.stripSuffix("/") + "__manifest"
@@ -521,7 +659,12 @@ object Layout {
     * from metadata alone, and `nn` is the null-honesty bit (a file
     * "inside" a range on min/max may still hold null rows the predicate
     * does not match; min/max ignore nulls). */
-  private def manifestAggs(schema: org.apache.spark.sql.types.StructType,
+  /** Sketch width of the per-file `kmv_<c>` manifest column — 16 longs
+    * (128 B) per file per column, the [[graft.ops.Sketches]] default. */
+  val ManifestKmvK: Int = 16
+
+  private def manifestAggs(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String]): Seq[Column] =
     cols.flatMap { c =>
       // sum_<c> ONLY for integral columns: int64 partial sums are exact
@@ -533,8 +676,22 @@ object Layout {
         if (schema.fields.exists(f => f.name == c && isIntegral(f.dataType)))
           Seq(sum(col(c).cast("decimal(38,0)")).as(s"sum_$c"))
         else Nil
+      // kmv_<c>: the per-file partial KMV cardinality sketch (k smallest
+      // distinct md5-60 hashes, sorted asc). min-k merges EXACTLY across
+      // any file grouping, so [[ndvMatching]] folds contained files'
+      // sketches without opening them — COUNT DISTINCT joins the
+      // surface-not-volume pushdown family. Native bounded-buffer
+      // aggregate (graft_kmv — 8·k bytes per file regardless of column
+      // cardinality) when the session carries GraftExtensions; the
+      // collect_set HOF twin otherwise (test-SF sessions only: it
+      // buffers every distinct hash of a file before truncating).
+      val h = graft.ops.Sketches.md5Long60(col(c))
+      val kmvAgg =
+        if (spark.catalog.functionExists("graft_kmv"))
+          call_function("graft_kmv", h, lit(ManifestKmvK)).as(s"kmv_$c")
+        else slice(array_sort(collect_set(h)), 1, ManifestKmvK).as(s"kmv_$c")
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        count(col(c)).as(s"nn_$c")) ++ sumAgg
+        count(col(c)).as(s"nn_$c")) ++ sumAgg :+ kmvAgg
     } :+ count(lit(1)).as("cnt")
 
   private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
@@ -550,7 +707,7 @@ object Layout {
     // range on it, the null-never-matches convention
     val src = spark.read.option("mergeSchema", "true").parquet(path)
       .select(cols.map(col): _*)
-    val aggs = manifestAggs(src.schema, cols)
+    val aggs = manifestAggs(spark, src.schema, cols)
     src
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -869,6 +1026,88 @@ object Layout {
       metaCount + scanCnt, full.length.toLong, boundary.length.toLong)
   }
 
+  /** METADATA COUNT-DISTINCT pushdown — the SKETCH member of the pushdown
+    * family ([[countMatching]], [[aggMatching]], [[sumMatching]]): the
+    * KMV cardinality estimate of `aggCol` over a range conjunction where
+    * files fully contained in every range (null-free on the range
+    * columns — the containment proof) contribute their manifest
+    * `kmv_<aggCol>` sketch WITHOUT being opened; only boundary files scan
+    * (distinct md5-60 hashes of matching rows, k smallest). The fold is
+    * the KMV merge — min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), exact,
+    * not approximate — so the result is BIT-IDENTICAL to
+    * [[graft.ops.Sketches.kmvDistinct]] run over the full filtered scan
+    * (q_meta_ndv's oracle replays that arithmetic in DuckDB). Unlike
+    * count/min/max/sum the answer is an ESTIMATE of the true NDV — but
+    * it is the deterministic estimate the sketch contract promises, with
+    * the estimator's usual 1/√(k−2) relative error, and it is EXACT
+    * whenever the true NDV < k (every distinct hash is in the sketch).
+    *
+    * Why it matters at 100 TB: COUNT DISTINCT is the one common dashboard
+    * aggregate that does NOT decompose by containment (distinct counts
+    * don't add), so without a mergeable per-file sketch the only exact
+    * answer is a full shuffle over the rectangle's rows. With `kmv_<c>`
+    * in the manifest the interior (volume term) folds from one
+    * driver-side manifest read and only the rectangle's SURFACE scans —
+    * the same economics the other pushdowns bought for count/min/max/sum,
+    * at 128 B per file per column. NULL values carry no cardinality
+    * (COUNT DISTINCT semantics). Same freshness + MoR fences as every
+    * consult. Returns (nSeen ≤ k, estDistinct, filesMetadataCounted,
+    * filesScanned). */
+  def ndvMatching(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)], aggCol: String)
+      : (Long, Double, Long, Long) = {
+    require(ranges.nonEmpty, "ndv needs at least one range")
+    requireNoPendingMor(spark, path)
+    val manifest = spark.read.parquet(manifestPath(path))
+    require(manifest.columns.contains(s"kmv_$aggCol"),
+      s"manifest for $path carries no kmv_$aggCol — rebuild the manifest " +
+        "naming the column to enable the COUNT DISTINCT pushdown, or " +
+        "aggregate through a scan")
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+        col(s"nn_$c") === col("cnt")
+    }.reduce(_ && _)
+    val m = manifest
+      .select(col("file"), col(s"kmv_$aggCol").as("kv"),
+        coalesce(overlap, lit(false)).as("ov"),
+        coalesce(contained, lit(false)).as("ct")).collect()
+    requireFresh(spark, path, m.map(_.getString(0)), "manifest")
+    val k = ManifestKmvK
+    val buf = new graft.plans.KmvBuffer(k)
+    // contained files: their sketch IS min-k of their distinct hashes and
+    // every row matches, so the sketch is exactly sketch(file ∩ predicate)
+    for (r <- m; if r.getBoolean(3) && !r.isNullAt(1);
+         v <- r.getSeq[Any](1)) // Seq[Any]: element runtime type stays the
+      buf.add(v.asInstanceOf[Number].longValue) // writer's, never assumed
+    val boundary = m.filter(r => r.getBoolean(2) && !r.getBoolean(3))
+      .map(_.getString(0)).sorted
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    if (boundary.nonEmpty) {
+      // k smallest distinct hashes of the boundary rows that match: the
+      // scan term is the rectangle's surface, and the collect is ≤ k longs
+      val hs = spark.read.option("mergeSchema", "true")
+        .parquet(boundary.toIndexedSeq: _*).where(resid)
+        .select(graft.ops.Sketches.md5Long60(col(aggCol)).as("__h"))
+        .where(col("__h").isNotNull).distinct()
+        .orderBy(col("__h").asc).limit(k).collect()
+      hs.foreach(r => buf.add(r.getLong(0)))
+    }
+    // identical arithmetic to Sketches.kmvEstimate (n_seen < k ⇒ exact;
+    // else (k−1)·2^60/u_k, round 4 — HALF_UP like Spark's round())
+    val est =
+      if (buf.n < k) buf.n.toDouble
+      else java.math.BigDecimal.valueOf(
+        (k - 1).toDouble * 1152921504606846976.0 / buf.arr(k - 1).toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    (buf.n.toLong, est, m.count(_.getBoolean(3)).toLong,
+      boundary.length.toLong)
+  }
+
   /** Value-index path convention: sibling of the data, like the manifest. */
   def valueIndexPath(path: String, c: String): String =
     path.stripSuffix("/") + s"__vindex_$c"
@@ -1044,7 +1283,10 @@ object Layout {
     AtomicDir.recoverSwap(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (hfs.exists(root)) recoverPartitionSwaps(hfs, root)
+    if (hfs.exists(root)) {
+      recoverPartitionSwaps(hfs, root)
+      recoverTieredFold(hfs, root)
+    }
   }
 
   /** Restore partitions whose last partition-granular swap crashed — the

@@ -151,6 +151,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         VectorSumAgg(children.head).toAggregateExpression()))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (children: Seq[Expression]) =>
+        KmvAgg(children.head,
+          children(1).eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssignExpr].getName, "graft_pq_assign"),
       (children: Seq[Expression]) => {

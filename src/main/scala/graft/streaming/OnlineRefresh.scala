@@ -882,6 +882,38 @@ object OnlineRefresh {
     did
   }
 
+  /** SIZE-TIERED fold between stream runs — the INCREMENTAL maintenance
+    * unit ([[graft.fs.Layout.compactEpochsTiered]] + the fold-sized
+    * index catch-up): only epochs below `maxBytes` fold (never the
+    * newest — replay safety), untouched epochs keep their files, so the
+    * closing index refreshes run INCREMENTALLY with `allowGone = true`
+    * (victim files drop, target files index) instead of the full
+    * rewrites [[compactZorderLayout]] forces. The steady-state cadence
+    * for a long-lived ingest stream: each run absorbs the small tail at
+    * cost ∝ the tail; schedule the full fold (or a recluster, on the
+    * drift number) only when the tier count itself grows. Returns the
+    * folded epoch ids (empty = nothing small enough to fold). */
+  def tierZorderLayout(
+      spark: SparkSession,
+      layoutPath: String,
+      zCols: Seq[String],
+      indexCol: String,
+      maxBytes: Long,
+      numFiles: Int = 4,
+      buckets: Int = 1 << 16
+  ): Seq[Long] = graft.fs.Layout.withWriterLease(spark, layoutPath,
+      "layout-maintenance") {
+    val folded = graft.fs.Layout.compactEpochsTiered(spark, layoutPath,
+      maxBytes, numFiles)
+    if (folded.nonEmpty) {
+      graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+        allowGone = true)
+      graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
+        allowGone = true)
+    }
+    folded
+  }
+
   /** RECLUSTER the layout between stream runs — the drift-loop closer
     * ([[graft.fs.Layout.layoutDrift]] is the trigger,
     * [[graft.fs.Layout.reclusterLayout]] the rewrite, this the bundled

@@ -227,4 +227,38 @@ class FallbackSpec extends SparkSpec {
       .collect()(0)
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
+  test("native graft_kmv equals the collect_set fallback (incl. nulls, dups, fewer-than-k)") {
+    val rnd = new scala.util.Random(42)
+    // dups (mod squeeze), a null-heavy group, a group with < k distinct
+    val rows = (0 until 500).map { i =>
+      val g = i % 4
+      val h: java.lang.Long =
+        if (g == 3 && i % 2 == 0) null
+        else if (g == 2) java.lang.Long.valueOf(i % 5L) // < k distinct
+        else java.lang.Long.valueOf(rnd.nextLong() % 1000L)
+      (g, h)
+    }
+    val df = rows.toDF("g", "h")
+    val native = df.groupBy("g")
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("kmv"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val fallback = df.groupBy("g")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, 8).as("kmv"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(native == fallback)
+    // every sketch is sorted-ascending distinct, width <= k
+    for ((_, s) <- native) {
+      assert(s == s.distinct.sorted && s.length <= 8)
+    }
+    assert(native(2).length == 5, "fewer-than-k group keeps every distinct hash")
+    // the merge is exact: sketch of the union == merge of per-part sketches
+    val parts = df.withColumn("part", col("h") % 2)
+      .groupBy("g", "part")
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("kmv"))
+    val merged = parts.select(col("g"), explode(col("kmv")).as("h"))
+      .groupBy("g")
+      .agg(call_function("graft_kmv", col("h"), lit(8)).as("kmv"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(merged == native)
+  }
 }

@@ -386,6 +386,127 @@ class LayoutSpec extends SparkSpec {
       "a-only range: all files metadata-provable even with null b rows")
   }
 
+  test("compactEpochsTiered: folds only small non-newest epochs, untouched files stay, serve unchanged, crash-convergent") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ztier").toString
+    // one big built epoch + three micro-epochs (the streaming accretion)
+    Layout.buildZorderedEpoch(grid.where(col("id") < 7000), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 8)
+    for (r <- 1 to 3)
+      Layout.appendZorderedEpoch(grid.where(col("id") >= lit(6000 + r * 1000)
+        && col("id") < lit(7000 + r * 1000)), s"$base/z", r, numFiles = 2)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id", buckets = 1 << 12)
+    val root = new org.apache.hadoop.fs.Path(s"$base/z")
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(part: String): Set[String] =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(root, part))
+        .map(_.getPath.getName).toSet
+    val bigBytes = hfs.getContentSummary(
+      new org.apache.hadoop.fs.Path(root, "batch=0")).getLength
+    val bigBefore = files("batch=0")
+    val newestBefore = files("batch=3")
+    // epochs 1 and 2 are small and non-newest: exactly they fold; epoch 3
+    // is equally small but NEWEST (replayable) — never picked
+    val folded = Layout.compactEpochsTiered(spark, s"$base/z",
+      maxBytes = bigBytes / 2, numFiles = 2)
+    assert(folded == Seq(1L, 2L), s"fold set: $folded")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, "batch=2")))
+    assert(files("batch=0") == bigBefore, "big epoch must be untouched")
+    assert(files("batch=3") == newestBefore, "newest epoch must be untouched")
+    // the index catch-up is INCREMENTAL (allowGone) — then serve is exact
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"), allowGone = true)
+    Layout.refreshValueIndex(spark, s"$base/z", "id", buckets = 1 << 12,
+      allowGone = true)
+    val r = Seq(("a", 8.0, 14.0), ("b", 18.0, 24.0))
+    val truth = grid.where(col("a").between(8.0, 14.0) &&
+      col("b").between(18.0, 24.0)).select("id", "a", "b")
+    val served = Layout.prunedRead(spark, s"$base/z", r).select("id", "a", "b")
+    assert(served.count() == truth.count() && truth.exceptAll(served).isEmpty)
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+    // re-run: the folded tier alone is below threshold but a fold needs
+    // >= 2 picks — no-op
+    assert(Layout.compactEpochsTiered(spark, s"$base/z", bigBytes / 2, 2).isEmpty)
+    // crash window (a): an uncommitted staging dir (no marker) is dropped
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(root, ".cmpnew_batch=1"))
+    Layout.recoverLayout(spark, s"$base/z")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, ".cmpnew_batch=1")))
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+    // crash window (b): marker + staging present, target set aside —
+    // ROLLBACK restores the target, drops staging + marker, victims intact
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(root, "batch=1"),
+      new org.apache.hadoop.fs.Path(root, ".cmpold_batch=1")))
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(root, ".cmpnew_batch=1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/z/.cmpcommit"),
+      "1\n3".getBytes("UTF-8"))
+    Layout.recoverLayout(spark, s"$base/z")
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(root, "batch=1")))
+    assert(hfs.exists(new org.apache.hadoop.fs.Path(root, "batch=3")),
+      "rollback must never touch the marker's victims")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, ".cmpcommit")))
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+    // crash window (c): marker with NO staging — the swap committed; ROLL
+    // FORWARD deletes the named victims (a stranded duplicate partition)
+    val srcDir = java.nio.file.Paths.get(s"$base/z/batch=1")
+    val dupDir = java.nio.file.Paths.get(s"$base/z/batch=9")
+    java.nio.file.Files.walk(srcDir).forEach { p =>
+      java.nio.file.Files.copy(p, dupDir.resolve(srcDir.relativize(p).toString),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(spark.read.parquet(s"$base/z").count() > 10000, "duplicate staged")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/z/.cmpcommit"),
+      "1\n9".getBytes("UTF-8"))
+    Layout.recoverLayout(spark, s"$base/z")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, "batch=9")))
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
+  }
+
+  test("ndvMatching: sketch fold bit-identical to the whole-scan KMV, interior files from metadata, exact under k, fences") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zndv").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 64)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b", "id"))
+    // the claim: the pushdown's sketch-fold answer IS the whole-scan
+    // sketch's answer (KMV min-k merge is exact), on any rectangle
+    def direct(df: org.apache.spark.sql.DataFrame,
+        r: Seq[(String, Double, Double)], c: String): (Long, Double) = {
+      val row = graft.ops.Sketches.kmvDistinct(
+        df.where(r.map { case (cc, lo, hi) =>
+          col(cc) >= lo && col(cc) <= hi
+        }.reduce(_ && _)).withColumn("g", lit(1)), "g", col(c)).head()
+      (row.getAs[Long]("n_seen"), row.getAs[Double]("est_distinct"))
+    }
+    // whole space: zero files scanned, estimate from metadata alone
+    val whole = Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0))
+    val (n0, e0, f0, s0) = Layout.ndvMatching(spark, s"$base/z", whole, "id")
+    assert(f0 == 64 && s0 == 0, s"($f0, $s0)")
+    assert((n0, e0) == direct(grid, whole, "id"), s"($n0, $e0)")
+    // selective rectangle: bit-identical estimate, most files untouched
+    val sel = Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0))
+    val (n1, e1, f1, s1) = Layout.ndvMatching(spark, s"$base/z", sel, "id")
+    assert((n1, e1) == direct(grid, sel, "id"), s"($n1, $e1)")
+    assert(f1 + s1 < 32, s"9x6 rectangle must skip most files, touched ${f1 + s1}")
+    // true NDV < k: the sketch holds every distinct hash — estimate EXACT
+    val (n2, e2, _, _) = Layout.ndvMatching(spark, s"$base/z",
+      Seq(("b", 5.0, 7.0)), "b")
+    assert(n2 == 3 && e2 == 3.0, s"($n2, $e2)")
+    // incremental refresh carries the sketch column for the new files
+    val extra = spark.range(10000, 12000).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") / lit(100)).cast("long").cast("double").as("b"))
+    Layout.appendZordered(extra, s"$base/z", numFiles = 4)
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b", "id"))
+    val wide = Seq(("a", 0.0, 99.0), ("b", 0.0, 199.0))
+    val (n3, e3, _, _) = Layout.ndvMatching(spark, s"$base/z", wide, "id")
+    assert((n3, e3) == direct(grid.unionAll(extra), wide, "id"), s"($n3, $e3)")
+    // a column the manifest never sketched refuses loudly
+    val err = intercept[IllegalArgumentException](
+      Layout.ndvMatching(spark, s"$base/z", whole, "nope"))
+    assert(err.getMessage.contains("kmv_nope"))
+    // MoR fence: pending tombstones make the manifest a lie — refuse
+    Layout.deleteLogical(spark, s"$base/z", Seq(17L).toDF("id"), "id")
+    intercept[IllegalArgumentException](
+      Layout.ndvMatching(spark, s"$base/z", whole, "id"))
+  }
+
   test("upsertByKey: replaces matched keys, inserts new ones, untouched partitions byte-identical, replay-idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-zup").toString
     Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
