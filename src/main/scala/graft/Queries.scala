@@ -2715,6 +2715,35 @@ object Queries {
       Seq((sm.get.longValueExact(), n)).toDF("sum_uid", "cnt")
     })
 
+  /** Metadata QUANTILE pushdown ([[graft.fs.Layout.quantileMatching]]) —
+    * the sample-sketch member of the pushdown family: P50/P90 of `value`
+    * over the rectangle, where contained files contribute their per-file
+    * bottom-k row sample (the quantile index, sampled by the unique
+    * `event_id`) unopened and only boundary files scan. The bottom-k
+    * sample merges EXACTLY (bottom-k of a union = bottom-k of the
+    * per-part bottom-ks), so the folded estimate is bit-identical to
+    * sketching the full filtered scan — the oracle replays md5-60
+    * priorities → rank ≤ 64 → quantile_cont in DuckDB, plus the exact
+    * quantiles and the error the sample pins. */
+  private def metaQuantileQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zquant:" + dir, s), _ => {
+      val base = scratchDir("graft_zquant").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 32)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.writeQuantileIndex(s, s"$base/z", "value", "event_id", k = 64)
+      val ranges = Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0))
+      val (nSeen, qs, _, _) = fs.Layout.quantileMatching(s, s"$base/z",
+        ranges, "value", "event_id", probs = Seq(0.5, 0.9), k = 64)
+      val exact = fs.Layout.prunedRead(s, s"$base/z", ranges)
+        .agg(round(expr("percentile(value, 0.5)"), 4),
+          round(expr("percentile(value, 0.9)"), 4)).head()
+      import s.implicits._
+      Seq((nSeen, qs(0).get, qs(1).get, exact.getDouble(0), exact.getDouble(1)))
+        .toDF("n_seen", "p50", "p90", "p50_exact", "p90_exact")
+    })
+
   /** SIZE-TIERED epoch fold ([[graft.fs.Layout.compactEpochsTiered]] via
     * [[graft.streaming.OnlineRefresh.tierZorderLayout]]) — the
     * INCREMENTAL small-files answer: one large built epoch plus three
@@ -3657,7 +3686,7 @@ object Queries {
       "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
-      "q_meta_ndv", "q_layout_tiered",
+      "q_meta_ndv", "q_meta_quantile", "q_layout_tiered",
       "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
       "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
@@ -3976,6 +4005,7 @@ object Queries {
     "q_layout_upsert_mor_applied" -> (layoutUpsertMorAppliedQ _),
     "q_meta_sum" -> (metaSumQ _),
     "q_meta_ndv" -> (metaNdvQ _),
+    "q_meta_quantile" -> (metaQuantileQ _),
     "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
     "q_layout_reclustered" -> (layoutReclusteredQ _),
@@ -4534,6 +4564,27 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // metadata QUANTILE: per-file bottom-k row samples fold EXACTLY
+    // (bottom-k of a union = bottom-k of the per-part bottom-ks), so the
+    // pushdown must reproduce the whole-scan sketch estimate bit-for-bit
+    // — the oracle replays md5-60 priorities → rank ≤ 64 → quantile_cont
+    // over the filtered rows, plus the exact quantiles it approximates
+    "q_meta_quantile" ->
+      s"""WITH f0 AS (SELECT event_id, CAST("value" AS DOUBLE) AS v FROM events
+         |  WHERE user_id >= 5 AND user_id <= 11
+         |    AND "value" >= 10 AND "value" <= 60),
+         |f AS (SELECT event_id, v FROM f0
+         |  WHERE v IS NOT NULL AND event_id IS NOT NULL),
+         |hx AS (SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS hx, v FROM f),
+         |pri AS (SELECT DISTINCT ${hexToLongSql("hx")} AS pri, v FROM hx),
+         |r AS (SELECT v, row_number() OVER (ORDER BY pri ASC, v ASC) AS rn FROM pri),
+         |e AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+         |    round(quantile_cont(v, 0.5), 4) AS p50,
+         |    round(quantile_cont(v, 0.9), 4) AS p90
+         |  FROM r WHERE rn <= 64),
+         |x AS (SELECT round(quantile_cont(v, 0.5), 4) AS p50_exact,
+         |    round(quantile_cont(v, 0.9), 4) AS p90_exact FROM f0)
+         |SELECT n_seen, p50, p90, p50_exact, p90_exact FROM e, x""".stripMargin,
     // size-tiered epoch fold: rows move between files, never in or out
     "q_layout_tiered" ->
       """SELECT event_id, user_id, "value"

@@ -1108,6 +1108,171 @@ object Layout {
       boundary.length.toLong)
   }
 
+  /** Quantile-index path convention: sibling of the data, one index per
+    * (value, sample-key) pair — the pair is baked into the name so a
+    * consult can never mix sketches drawn under different keys. */
+  def quantileIndexPath(path: String, valueCol: String, keyCol: String): String =
+    path.stripSuffix("/") + s"__qindex_${valueCol}_by_$keyCol"
+
+  /** Write the per-file QUANTILE-SKETCH index for `valueCol` sampled by
+    * `keyCol` — the fifth member of the metadata family (manifest
+    * min/max/cnt/nn/sum/kmv, value index, and now per-file bottom-k
+    * row samples): each file's row is its
+    * [[graft.ops.Sketches.quantileSketch]] — the k rows with the
+    * smallest md5-60(key) priorities as (pri, v) structs, ~16·k bytes.
+    * Like the KMV column, the sample is EXACTLY mergeable
+    * (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B))), which is
+    * what lets [[quantileMatching]] answer P50/P90-over-a-rectangle
+    * from contained files' sketches without opening them. `keyCol` must
+    * be unique per row (the sketch's sampling contract). Files whose
+    * (key, value) pairs are all null keep an EMPTY sketch row — every
+    * live file must appear in the index or the freshness guard would
+    * refuse a complete index. Persists `k` (the bucket-count lesson: a
+    * consult under a larger k than the build's would silently
+    * under-sample). */
+  def writeQuantileIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, valueCol: String, keyCol: String, k: Int = 64): Unit = {
+    require(k >= 2, s"quantile index needs k >= 2, got $k")
+    val src = spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col(keyCol), col(valueCol))
+      .withColumn("file", input_file_name())
+    quantileIndexRows(src, valueCol, keyCol, k)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(quantileIndexPath(path, valueCol, keyCol))
+  }
+
+  /** One index row per file — shared by build and refresh: the per-file
+    * sketch, left-joined back onto the full file list so null-only files
+    * keep an (empty-sketch) row. */
+  private def quantileIndexRows(src: DataFrame, valueCol: String,
+      keyCol: String, k: Int): DataFrame = {
+    val sk = graft.ops.Sketches.quantileSketch(src, "file",
+      col(keyCol), col(valueCol), k)
+    src.groupBy(col("file")).agg(count(lit(1)).as("__n")).select("file")
+      .join(sk, Seq("file"), "left")
+      .select(col("file"),
+        coalesce(col("qsk"),
+          array().cast("array<struct<pri:bigint,v:double>>")).as("qsk"),
+        lit(k).as("k"))
+  }
+
+  /** Incremental quantile-index refresh — the [[refreshManifest]]
+    * contract verbatim: index only the unindexed files, grow-only unless
+    * `allowGone`. */
+  def refreshQuantileIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, valueCol: String, keyCol: String, k: Int = 64,
+      allowGone: Boolean = false): Long =
+    refreshIndexCore(spark, path, quantileIndexPath(path, valueCol, keyCol),
+      "quantile index", "writeQuantileIndex", allowGone) { files =>
+      quantileIndexRows(
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+          .select(col(keyCol), col(valueCol))
+          .withColumn("file", input_file_name()),
+        valueCol, keyCol, k)
+    }
+
+  /** METADATA QUANTILE pushdown — P50/P90-class aggregates over a range
+    * conjunction from the per-file bottom-k samples: files fully
+    * contained in every range (null-free on the range columns, the
+    * containment proof) contribute their index sketch WITHOUT being
+    * opened; boundary files scan their matching rows into one sketch;
+    * the sketches fold through [[graft.ops.Sketches.quantileMerge]]
+    * (exact — the bottom-k of a union is the bottom-k of the per-part
+    * bottom-ks, and the (pri, v) dedup absorbs any overlap) and estimate
+    * through [[graft.ops.Sketches.quantileEstimate]] (`percentile`
+    * linear interpolation, round 4 — the DuckDB `quantile_cont`
+    * arithmetic). The answer is therefore BIT-IDENTICAL to running the
+    * quantile sketch over the full filtered scan, which is exactly what
+    * q_meta_quantile's oracle replays; it is an ESTIMATE of the true
+    * quantile with the sketch's ~1/√k quantile-space error, EXACT when
+    * fewer than k rows match (the sample is the population).
+    *
+    * Why it matters at 100 TB: quantiles are the other dashboard
+    * aggregate (P50/P99 latency, median doc length) that does not
+    * decompose by containment — without a mergeable per-file sample the
+    * only answer is a full shuffle of the rectangle's rows. Same
+    * freshness + MoR fences as every consult; the consult `k` must
+    * equal the build's (persisted — the value-index bucket lesson).
+    * Returns (nSeen, one Option per requested prob (None = no rows),
+    * filesMetadataCounted, filesScanned). */
+  def quantileMatching(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)], valueCol: String, keyCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9), k: Int = 64)
+      : (Long, Seq[Option[Double]], Long, Long) = {
+    require(ranges.nonEmpty, "quantile needs at least one range")
+    require(probs.nonEmpty, "quantile needs at least one probability")
+    requireNoPendingMor(spark, path)
+    val qPath = quantileIndexPath(path, valueCol, keyCol)
+    val qp = new org.apache.hadoop.fs.Path(qPath)
+    val hfs = qp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hfs.exists(qp),
+      s"no quantile index for $path on ($valueCol by $keyCol) — build it " +
+        "with writeQuantileIndex to enable the quantile pushdown, or " +
+        "aggregate through a scan")
+    AtomicDir.recoverSwap(spark, qPath)
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+    }.reduce(_ && _)
+    val contained = ranges.map { case (c, lo, hi) =>
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi) &&
+        col(s"nn_$c") === col("cnt")
+    }.reduce(_ && _)
+    val m = spark.read.parquet(manifestPath(path))
+      .select(col("file"),
+        coalesce(overlap, lit(false)).as("ov"),
+        coalesce(contained, lit(false)).as("ct")).collect()
+    requireFresh(spark, path, m.map(_.getString(0)), "manifest")
+    val qidx = spark.read.parquet(qPath)
+    require(qidx.columns.contains("k"),
+      s"quantile index at $qPath predates k persistence — rebuild it")
+    val qFiles = qidx.select(col("file"), col("k")).collect()
+    qFiles.headOption.foreach(r => require(r.getInt(1) == k,
+      s"quantile-index k mismatch for $path ($valueCol by $keyCol): built " +
+        s"with ${r.getInt(1)}, consult asked for $k — a larger consult k " +
+        "would silently under-sample; pass the build's k (or rebuild)"))
+    requireFresh(spark, path, qFiles.map(_.getString(0)), "quantile index")
+    def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
+    val containedSet = m.filter(_.getBoolean(2)).map(r => base(r.getString(0))).toSet
+    val boundary = m.filter(r => r.getBoolean(1) && !r.getBoolean(2))
+      .map(_.getString(0)).sorted
+    import spark.implicits._
+    // contained files' sketches via a broadcast join against the (file-
+    // count-sized) driver list — an isInCollection literal would inflate
+    // the plan at 10^5 files, a join stays flat
+    val containedDf = containedSet.toSeq.toDF("__bn")
+    val sk1 = qidx
+      .join(broadcast(containedDf),
+        element_at(split(col("file"), "/"), -1) === col("__bn"))
+      .select(lit(1).as("g"), col("qsk"))
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    // boundary rows sketch PER FILE first (the window partitions by file
+    // — no all-rows-to-one-partition exchange), then join the merge at
+    // ≤ k rows per boundary file; exact by the same bottom-k-of-
+    // bottom-ks identity the whole fold rests on
+    val sketches =
+      if (boundary.isEmpty) sk1
+      else sk1.unionByName(graft.ops.Sketches.quantileSketch(
+        spark.read.option("mergeSchema", "true")
+          .parquet(boundary.toIndexedSeq: _*).where(resid)
+          .withColumn("__bf", input_file_name()),
+        "__bf", col(keyCol), col(valueCol), k)
+        .select(lit(1).as("g"), col("qsk")))
+    val merged = graft.ops.Sketches.quantileMerge(sketches, "g", k)
+    val est = graft.ops.Sketches.quantileEstimate(merged, "g",
+      probs.zipWithIndex.map { case (p, i) => p -> s"__p$i" }).collect()
+    val (nSeen, vals) = est.headOption match {
+      case None => (0L, probs.map(_ => None))
+      case Some(r) => (r.getLong(r.fieldIndex("n_seen")),
+        probs.indices.map { i =>
+          val fi = r.fieldIndex(s"__p$i")
+          if (r.isNullAt(fi)) None else Some(r.getDouble(fi))
+        })
+    }
+    (nSeen, vals.toSeq, containedSet.size.toLong, boundary.length.toLong)
+  }
+
   /** Value-index path convention: sibling of the data, like the manifest. */
   def valueIndexPath(path: String, c: String): String =
     path.stripSuffix("/") + s"__vindex_$c"

@@ -507,6 +507,71 @@ class LayoutSpec extends SparkSpec {
       Layout.ndvMatching(spark, s"$base/z", whole, "id"))
   }
 
+  test("quantileMatching: sketch fold bit-identical to the whole-scan sample, interior files from metadata, exact under k, fences") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zquant").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 64)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeQuantileIndex(spark, s"$base/z", "b", "id", k = 32)
+    // the claim: the pushdown's folded sample IS the whole-scan sample
+    def direct(df: org.apache.spark.sql.DataFrame,
+        r: Seq[(String, Double, Double)]): (Long, Double, Double) = {
+      val sk = graft.ops.Sketches.quantileSketch(
+        df.where(r.map { case (cc, lo, hi) =>
+          col(cc) >= lo && col(cc) <= hi
+        }.reduce(_ && _)).withColumn("g", lit(1)), "g", col("id"), col("b"),
+        k = 32)
+      val row = graft.ops.Sketches.quantileEstimate(sk, "g").head()
+      (row.getAs[Long]("n_seen"), row.getAs[Double]("p50"),
+        row.getAs[Double]("p90"))
+    }
+    // whole space: zero files scanned, estimate from the index alone
+    val whole = Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0))
+    val (n0, q0, f0, s0) = Layout.quantileMatching(spark, s"$base/z", whole,
+      "b", "id", probs = Seq(0.5, 0.9), k = 32)
+    assert(f0 == 64 && s0 == 0, s"($f0, $s0)")
+    assert((n0, q0(0).get, q0(1).get) == direct(grid, whole))
+    // selective rectangle: bit-identical, most files untouched
+    val sel = Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0))
+    val (n1, q1, f1, s1) = Layout.quantileMatching(spark, s"$base/z", sel,
+      "b", "id", probs = Seq(0.5, 0.9), k = 32)
+    assert((n1, q1(0).get, q1(1).get) == direct(grid, sel))
+    assert(f1 + s1 < 32, s"9x6 rectangle must skip most files, touched ${f1 + s1}")
+    // fewer matching rows than k: the sample is the population — exact
+    val tiny = Seq(("a", 10.0, 11.0), ("b", 5.0, 7.0))
+    val (n2, q2, _, _) = Layout.quantileMatching(spark, s"$base/z", tiny,
+      "b", "id", probs = Seq(0.5), k = 32)
+    val ex = grid.where(col("a").between(10.0, 11.0) && col("b").between(5.0, 7.0))
+      .agg(round(expr("percentile(b, 0.5)"), 4)).head().getDouble(0)
+    assert(n2 < 32 && q2(0).get == ex, s"($n2, ${q2(0)}, $ex)")
+    // empty rectangle: n_seen 0, SQL-NULL quantiles, nothing touched
+    val (nE, qE, fE, sE) = Layout.quantileMatching(spark, s"$base/z",
+      Seq(("a", 200.0, 300.0)), "b", "id", probs = Seq(0.5), k = 32)
+    assert(nE == 0 && qE == Seq(None) && fE == 0 && sE == 0)
+    // incremental refresh carries per-file samples for the new files
+    val extra = spark.range(10000, 12000).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") / lit(100)).cast("long").cast("double").as("b"))
+    Layout.appendZordered(extra, s"$base/z", numFiles = 4)
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"))
+    assert(Layout.refreshQuantileIndex(spark, s"$base/z", "b", "id", k = 32) == 4L)
+    val wide = Seq(("a", 0.0, 99.0), ("b", 0.0, 199.0))
+    val (n3, q3, _, _) = Layout.quantileMatching(spark, s"$base/z", wide,
+      "b", "id", probs = Seq(0.5, 0.9), k = 32)
+    assert((n3, q3(0).get, q3(1).get) == direct(grid.unionAll(extra), wide))
+    // a mismatched consult k refuses loudly (the bucket-count lesson)
+    val errK = intercept[IllegalArgumentException](
+      Layout.quantileMatching(spark, s"$base/z", whole, "b", "id", k = 64))
+    assert(errK.getMessage.contains("k mismatch"))
+    // a missing index refuses loudly
+    val errM = intercept[IllegalArgumentException](
+      Layout.quantileMatching(spark, s"$base/z", whole, "a", "id", k = 32))
+    assert(errM.getMessage.contains("no quantile index"))
+    // MoR fence: pending tombstones make the sketches a lie — refuse
+    Layout.deleteLogical(spark, s"$base/z", Seq(17L).toDF("id"), "id")
+    intercept[IllegalArgumentException](
+      Layout.quantileMatching(spark, s"$base/z", whole, "b", "id", k = 32))
+  }
+
   test("upsertByKey: replaces matched keys, inserts new ones, untouched partitions byte-identical, replay-idempotent") {
     val base = java.nio.file.Files.createTempDirectory("graft-zup").toString
     Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
