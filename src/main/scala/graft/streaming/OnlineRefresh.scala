@@ -1014,8 +1014,13 @@ object OnlineRefresh {
     * and RECLUSTER when any Z column's TV ≥ `reclusterAt` (fresh
     * sampled bounds + full index rewrite — the drift cure); (3) else
     * COMPACT when the live file count exceeds `maxFiles` (the
-    * small-files answer: epoch layouts fold committed epochs, flat
-    * layouts re-range-cluster; full index rewrite either way). Holds
+    * small-files answer): with `tierBytes` set, an epoch layout first
+    * tries the SIZE-TIERED fold ([[tierZorderLayout]]'s economics —
+    * rewrite ∝ the small tail, incremental index catch-up) and only
+    * falls through to the whole-table fold when nothing small enough
+    * remains to tier; without it, epoch layouts fold committed epochs
+    * and flat layouts re-range-cluster, full index rewrite either way.
+    * Holds
     * the writer lease for the whole run, so a stream mid-epoch refuses
     * it and vice versa; every step is individually crash-safe and a
     * re-run converges (folds are key-idempotent, recluster/compact are
@@ -1033,7 +1038,8 @@ object OnlineRefresh {
       reclusterAt: Double = 0.25,
       maxFiles: Int = 64,
       numFiles: Int = 8,
-      sampleBy: Option[(String, Int)] = None
+      sampleBy: Option[(String, Int)] = None,
+      tierBytes: Option[Long] = None
   ): DataFrame = graft.fs.Layout.withWriterLease(spark, layoutPath,
       "layout-maintenance") {
     graft.fs.Layout.recoverLayout(spark, layoutPath)
@@ -1072,23 +1078,42 @@ object OnlineRefresh {
         hfs.listStatus(rp).exists(st =>
           st.isDirectory && st.getPath.getName.startsWith("batch="))
       }
-      val did =
-        if (hasEpochs) {
-          val (cols, bits, bounds) =
-            graft.fs.Layout.readLayoutMeta(spark, layoutPath)
-          compactBatchArtifact(spark, layoutPath, df =>
-            graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
-              .repartitionByRange(numFiles, col("zkey"))
-              .sortWithinPartitions(col("zkey"))
-              .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
-        } else {
-          graft.fs.Layout.compactLayout(spark, layoutPath, numFiles); true
-        }
-      if (did) {
-        graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-        graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
-        report += ("compacted" -> 1.0)
+      // with a tier threshold configured, the epoch shape tries the
+      // INCREMENTAL fold first — cost ∝ the small tail, index catch-up
+      // incremental; the full fold is the fallback when nothing small
+      // enough remains to tier (so repeated maintenance stays cheap and
+      // the whole-table rewrite happens only when genuinely due)
+      val tiered =
+        if (hasEpochs) tierBytes.map(b =>
+          graft.fs.Layout.compactEpochsTiered(spark, layoutPath, b, numFiles))
+          .getOrElse(Nil)
+        else Nil
+      if (tiered.nonEmpty) {
+        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+          allowGone = true)
+        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
+          allowGone = true)
+        report += ("tiered" -> tiered.size.toDouble)
         report += ("files_after" -> fileCount().toDouble)
+      } else {
+        val did =
+          if (hasEpochs) {
+            val (cols, bits, bounds) =
+              graft.fs.Layout.readLayoutMeta(spark, layoutPath)
+            compactBatchArtifact(spark, layoutPath, df =>
+              graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
+                .repartitionByRange(numFiles, col("zkey"))
+                .sortWithinPartitions(col("zkey"))
+                .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
+          } else {
+            graft.fs.Layout.compactLayout(spark, layoutPath, numFiles); true
+          }
+        if (did) {
+          graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+          graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+          report += ("compacted" -> 1.0)
+          report += ("files_after" -> fileCount().toDouble)
+        }
       }
     }
     import spark.implicits._

@@ -647,6 +647,45 @@ class StreamingSpec extends SparkSpec {
     val full = grid.where(col("a").between(0.0, 30.0) &&
       col("b").between(0.0, 10.0))
     assert(pr.exceptAll(full).isEmpty && full.exceptAll(pr).isEmpty)
+    // (4) tierBytes set: the INCREMENTAL fold takes the compact slot —
+    // only the small tail rewrites, the big epoch's files stay; a second
+    // pass with nothing left to tier falls through to the full fold
+    // striped epoch split (like t3) so every epoch is identically
+    // distributed — this scenario tests the tier decision, not drift
+    val t4 = Files.createTempDirectory("graft-maint4").toString
+    graft.fs.Layout.buildZorderedEpoch(
+      grid.where(org.apache.spark.sql.functions.pmod(col("id"), lit(8)) < 5),
+      s"$t4/z", Seq("a", "b"), bits = 6, numFiles = 8)
+    for (r <- 5 to 7)
+      graft.fs.Layout.appendZorderedEpoch(
+        grid.where(org.apache.spark.sql.functions.pmod(col("id"), lit(8)) === r),
+        s"$t4/z", r, numFiles = 4)
+    graft.fs.Layout.writeManifest(spark, s"$t4/z", Seq("a", "b"))
+    graft.fs.Layout.writeValueIndex(spark, s"$t4/z", "id")
+    val rp4 = new org.apache.hadoop.fs.Path(s"$t4/z")
+    val hfs4 = rp4.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigBytes = hfs4.getContentSummary(
+      new org.apache.hadoop.fs.Path(rp4, "batch=0")).getLength
+    def bigFiles(): Set[String] = hfs4.listStatus(
+      new org.apache.hadoop.fs.Path(rp4, "batch=0"))
+      .map(_.getPath.getName).toSet
+    val bigBefore = bigFiles()
+    val r4 = actions(OnlineRefresh.maintainLayout(spark, s"$t4/z",
+      Seq("a", "b"), "id", reclusterAt = 0.9, maxFiles = 8, numFiles = 4,
+      tierBytes = Some(bigBytes / 2)))
+    assert(r4("tiered") == 2.0 && !r4.contains("compacted"), s"$r4")
+    assert(bigFiles() == bigBefore, "tier must not touch the big epoch")
+    assert(r4("files_after") < r4("files_before"), s"$r4")
+    val pr4 = graft.fs.Layout.prunedRead(spark, s"$t4/z",
+      Seq(("a", 0.0, 30.0), ("b", 0.0, 10.0))).select("id", "a", "b")
+    assert(pr4.exceptAll(full).isEmpty && full.exceptAll(pr4).isEmpty)
+    // nothing small enough remains (one tiered epoch + newest) — the
+    // same call now takes the full-fold fallback
+    val r5 = actions(OnlineRefresh.maintainLayout(spark, s"$t4/z",
+      Seq("a", "b"), "id", reclusterAt = 0.9, maxFiles = 8, numFiles = 4,
+      tierBytes = Some(bigBytes / 2)))
+    assert(r5.contains("compacted") && !r5.contains("tiered"), s"$r5")
+    assert(spark.read.parquet(s"$t4/z").count() == 10000)
   }
 
   test("zorder MoR streams: takedowns tombstone and CDC batches stage at O(feed), serves exact, folds converge") {
