@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, r14b, r15, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -735,6 +735,79 @@ object ScaleProbe {
             .where(col("user_id").between(100.0, 1400.0) &&
               col("value").between(10.0, 60.0))
             .agg(org.apache.spark.sql.functions.sum("event_id")).head(); 0L })
+    }
+    // Round-15b: tiered-fold economics + the sketch pushdown consults
+    if (inSection("r15b")) {
+      import org.apache.spark.sql.functions.{col, countDistinct, expr}
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      // (a) size-tiered fold vs the whole-table fold on the same shape:
+      // one big built epoch (700k rows) + three 100k micro-epochs — the
+      // long-lived ingest stream's steady state
+      def buildTierFixture(base: String): Long = {
+        graft.fs.Layout.buildZorderedEpoch(
+          big.where(col("event_id") < 70000000L), s"$base/z",
+          Seq("user_id", "value"), bits = 6, numFiles = 56)
+        for (k <- 7 to 9)
+          graft.fs.Layout.appendZorderedEpoch(
+            big.where(col("event_id") >= k * 10000000L &&
+              col("event_id") < (k + 1) * 10000000L), s"$base/z", k,
+            numFiles = 8)
+        graft.fs.Layout.writeManifest(spark, s"$base/z", Seq("user_id", "value"))
+        graft.fs.Layout.writeValueIndex(spark, s"$base/z", "event_id")
+        0L
+      }
+      val baseT = java.nio.file.Files.createTempDirectory("graft-r15t").toString
+      timed("tier fixture build: 700k epoch + 3 x 100k epochs")(
+        buildTierFixture(baseT))
+      val rootT = new org.apache.hadoop.fs.Path(s"$baseT/z")
+      val hfsT = rootT.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bigBytes = hfsT.getContentSummary(
+        new org.apache.hadoop.fs.Path(rootT, "batch=0")).getLength
+      timed("tierZorderLayout: fold 2 small epochs + incremental catch-up") {
+        graft.streaming.OnlineRefresh.tierZorderLayout(spark, s"$baseT/z",
+          Seq("user_id", "value"), "event_id", maxBytes = bigBytes / 2,
+          numFiles = 8).size.toLong
+      }
+      val baseF = java.nio.file.Files.createTempDirectory("graft-r15f").toString
+      timed("same fixture rebuilt for the comparison row")(
+        buildTierFixture(baseF))
+      timed("compactZorderLayout: the whole-table fold it replaces")(
+        { graft.streaming.OnlineRefresh.compactZorderLayout(spark, s"$baseF/z",
+            Seq("user_id", "value"), "event_id", numFiles = 56); 0L })
+      // (b) the sketch pushdown consults vs the scans they replace
+      val baseQ = java.nio.file.Files.createTempDirectory("graft-r15q").toString
+      timed("z256 build + manifest(kmv) + quantile index") {
+        graft.fs.Layout.writeZordered(big, s"$baseQ/z", "user_id", "value",
+          bits = 8, numFiles = 256)
+        graft.fs.Layout.writeManifest(spark, s"$baseQ/z",
+          Seq("user_id", "value", "event_id"))
+        graft.fs.Layout.writeQuantileIndex(spark, s"$baseQ/z", "value",
+          "event_id")
+        0L
+      }
+      val rect = Seq(("user_id", 100.0, 1400.0), ("value", 10.0, 60.0))
+      timed("metadata NDV: wide 2-D rectangle") {
+        val (n, est, fullF, scanF) = graft.fs.Layout.ndvMatching(spark,
+          s"$baseQ/z", rect, "event_id")
+        println(s"PROBE   meta-ndv receipt: $fullF files sketch-folded, " +
+          s"$scanF scanned, n_seen=$n est=$est")
+        n
+      }
+      timed("the full countDistinct it replaces")(
+        graft.fs.Layout.prunedRead(spark, s"$baseQ/z", rect)
+          .agg(countDistinct(col("event_id"))).head().getLong(0))
+      timed("metadata QUANTILE: same rectangle") {
+        val (n, qs, fullF, scanF) = graft.fs.Layout.quantileMatching(spark,
+          s"$baseQ/z", rect, "value", "event_id")
+        println(s"PROBE   meta-quantile receipt: $fullF files sample-folded, " +
+          s"$scanF scanned, p50=${qs(0).orNull} p90=${qs(1).orNull}")
+        n
+      }
+      timed("the full percentile it replaces")(
+        { graft.fs.Layout.prunedRead(spark, s"$baseQ/z", rect)
+            .agg(expr("percentile(value, 0.5)"),
+              expr("percentile(value, 0.9)")).head(); 0L })
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
