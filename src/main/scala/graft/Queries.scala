@@ -2715,6 +2715,37 @@ object Queries {
       Seq((sm.get.longValueExact(), n)).toDF("sum_uid", "cnt")
     })
 
+  /** Snapshot-to-snapshot CHANGE DATA FEED
+    * ([[graft.fs.Layout.snapshotDiff]]) — the read an incremental
+    * consumer runs instead of re-reading the table: snapshot the built
+    * layout, stage a window of logical upserts (updates + inserts) and
+    * a takedown batch (merge-on-read — no data files move, so both
+    * snapshots stay readable), snapshot again, and diff. The natural
+    * CDC cadence makes the FAST PATH eligible (same pinned file list,
+    * clean older snapshot), so the change set assembles from the pinned
+    * sidecars at cost ∝ changes; the oracle replays the three change
+    * classes (update/insert/delete, takedown-wins on the overlap) from
+    * the mutation predicates. */
+  private def snapshotDiffQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdiff:" + dir, s), _ => {
+      val base = scratchDir("graft_zdiff").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value",
+        bits = 6, numFiles = 8)
+      val v0 = fs.Layout.snapshotLayout(s, s"$base/z", Some("event_id"))
+      val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      val ins = e.where(pmod(col("event_id"), lit(101)) === 0)
+        .select((col("event_id") + lit(1000000000L)).as("event_id"),
+          col("user_id"), col("value"))
+      fs.Layout.upsertLogical(s, s"$base/z", upd.unionByName(ins), "event_id")
+      fs.Layout.deleteLogical(s, s"$base/z",
+        e.where(pmod(col("event_id"), lit(103)) === 0).select("event_id"),
+        "event_id")
+      val v1 = fs.Layout.snapshotLayout(s, s"$base/z", Some("event_id"))
+      fs.Layout.snapshotDiff(s, s"$base/z", v0, v1, "event_id")
+    })
+
   /** Metadata QUANTILE pushdown ([[graft.fs.Layout.quantileMatching]]) —
     * the sample-sketch member of the pushdown family: P50/P90 of `value`
     * over the rectangle, where contained files contribute their per-file
@@ -3686,7 +3717,7 @@ object Queries {
       "q_layout_mor_applied", "q_layout_upserted", "q_layout_snapshot",
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
-      "q_meta_ndv", "q_meta_quantile", "q_layout_tiered",
+      "q_meta_ndv", "q_meta_quantile", "q_layout_tiered", "q_snapshot_diff",
       "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
       "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
@@ -4006,6 +4037,7 @@ object Queries {
     "q_meta_sum" -> (metaSumQ _),
     "q_meta_ndv" -> (metaNdvQ _),
     "q_meta_quantile" -> (metaQuantileQ _),
+    "q_snapshot_diff" -> (snapshotDiffQ _),
     "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
     "q_layout_reclustered" -> (layoutReclusteredQ _),
@@ -4564,6 +4596,21 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // snapshot CDC diff: the three change classes replay from the
+    // mutation predicates; takedown wins on the update/delete overlap
+    "q_snapshot_diff" ->
+      """WITH e AS (SELECT event_id, user_id, "value" AS v FROM events)
+        |SELECT event_id, 'delete' AS change,
+        |  user_id AS user_id_before, v AS value_before,
+        |  CAST(NULL AS BIGINT) AS user_id_after, CAST(NULL AS DOUBLE) AS value_after
+        |FROM e WHERE event_id % 103 = 0
+        |UNION ALL
+        |SELECT event_id, 'update', user_id, v, user_id, v + 1000
+        |FROM e WHERE event_id % 97 = 0 AND event_id % 103 <> 0
+        |UNION ALL
+        |SELECT event_id + 1000000000, 'insert',
+        |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), user_id, v
+        |FROM e WHERE event_id % 101 = 0""".stripMargin,
     // metadata QUANTILE: per-file bottom-k row samples fold EXACTLY
     // (bottom-k of a union = bottom-k of the per-part bottom-ks), so the
     // pushdown must reproduce the whole-scan sketch estimate bit-for-bit

@@ -2241,6 +2241,137 @@ object Layout {
     hfs.delete(vDir, true)
   }
 
+  /** CHANGE-DATA-FEED between two snapshots — every key whose row
+    * changed from `v1` to `v2`, as (key, change ∈ insert/delete/update,
+    * `<c>_before`, `<c>_after` per data column): the read an incremental
+    * consumer runs instead of re-reading the table (the audit read a
+    * takedown regulator asks for). Works on any pair of readable
+    * snapshots; the natural cadence is the MoR loop's — fold, snapshot,
+    * stage a window of logical upserts/takedowns, snapshot, diff — since
+    * MoR staging moves no data files, both snapshots stay readable (a
+    * copy-on-write mutation between them expires v1, the standing
+    * physical-expiry contract).
+    *
+    * Two plans, chosen by what the snapshots pin:
+    *  - FAST PATH (the CDC-feed shape): both snapshots pin the SAME file
+    *    list and v1 pins no sidecar state — then every change is in v2's
+    *    pinned sidecars, the changed-key set is feed-sized by the MoR
+    *    contract, and the diff assembles from ONE broadcast-semi-joined
+    *    pass over the pinned base (no shuffle, no second scan): cost ∝
+    *    changes, not table.
+    *  - GENERAL PATH: full-outer join of the two snapshot reads on the
+    *    key — two scans + one key shuffle, the honest audit price for
+    *    arbitrary snapshot pairs (spec-pinned identical to the fast
+    *    path on fast-path-eligible fixtures).
+    *
+    * Both sides must be key-unique and null-free on `keyCol` (checked —
+    * one aggregate per side on the general path; the MoR sidecar
+    * contracts already guarantee it on the fast path). A staged no-op
+    * update (delta identical to the stored row) is NOT a change. Schema
+    * evolution between the snapshots aligns by name — a column absent
+    * on one side reads null there, the additive-evolution convention. */
+  def snapshotDiff(spark: org.apache.spark.sql.SparkSession, path: String,
+      v1: Long, v2: Long, keyCol: String): DataFrame = {
+    val sp = snapshotsPath(path)
+    val hfs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pinned(v: Long): Seq[String] = spark.read
+      .parquet(new org.apache.hadoop.fs.Path(sp, s"v=$v/files").toString)
+      .collect().map(_.getString(0)).toSeq.sorted
+    def sidecar(v: Long, kind: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(sp, s"v=$v/${kind}_$keyCol")
+      if (hfs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    def empty(df: Option[DataFrame]): Boolean = df.forall(_.isEmpty)
+    val fastEligible =
+      hfs.exists(new org.apache.hadoop.fs.Path(sp, s"v=$v1")) &&
+        hfs.exists(new org.apache.hadoop.fs.Path(sp, s"v=$v2")) &&
+        pinned(v1) == pinned(v2) &&
+        empty(sidecar(v1, "tombstones")) && empty(sidecar(v1, "deltas"))
+    if (!fastEligible) return snapshotDiffGeneral(spark, path, v1, v2, keyCol)
+    // FAST PATH — v2's sidecars ARE the change set
+    val base0 = readSnapshot(spark, path, v1, None)
+    val deltas0 = sidecar(v2, "deltas").map { d =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("__seq").desc)
+      d.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "__seq")
+    }.getOrElse(base0.limit(0))
+    // align by name (a delta batch may carry an evolved column the
+    // pinned base predates — it reads null there, the standing
+    // additive-evolution convention)
+    val types = (base0.schema.fields ++ deltas0.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    val cols = (base0.columns ++ deltas0.columns).distinct
+      .filterNot(_ == keyCol).sorted.toIndexedSeq
+    def align(df: DataFrame): DataFrame = cols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(types(c))))
+    val base = align(base0)
+    val deltas = align(deltas0)
+    val tombs = sidecar(v2, "tombstones")
+      .map(_.select(col(keyCol))).getOrElse(base.select(col(keyCol)).limit(0))
+    val changedKeys = deltas.select(col(keyCol))
+      .unionByName(tombs).distinct()
+    // one pass over the pinned base, broadcast-filtered to changed keys
+    val b4 = base.join(broadcast(changedKeys), Seq(keyCol), "left_semi")
+      .select(col(keyCol), struct(cols.map(col): _*).as("__b4"))
+    val af = deltas
+      .join(broadcast(tombs), Seq(keyCol), "left_anti") // takedown wins
+      .select(col(keyCol), struct(cols.map(col): _*).as("__af"))
+    diffAssemble(b4.join(af, Seq(keyCol), "full_outer")
+      .join(broadcast(tombs.withColumn("__t", lit(true))), Seq(keyCol), "left"),
+      keyCol, cols)
+  }
+
+  /** The general snapshot diff — full-outer join of the two reads. */
+  private[graft] def snapshotDiffGeneral(spark: org.apache.spark.sql.SparkSession,
+      path: String, v1: Long, v2: Long, keyCol: String): DataFrame = {
+    val a0 = readSnapshot(spark, path, v1, Some(keyCol))
+    val b0 = readSnapshot(spark, path, v2, Some(keyCol))
+    def chk(df: DataFrame, v: Long): Unit = {
+      val r = df.agg(count(lit(1)), count(col(keyCol)),
+        countDistinct(col(keyCol))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"snapshotDiff: null $keyCol keys in snapshot v=$v of $path — the " +
+          "diff is keyed and a null key addresses nothing")
+      require(r.getLong(1) == r.getLong(2),
+        s"snapshotDiff: duplicate $keyCol keys in snapshot v=$v of $path — " +
+          "a keyed diff needs one row per key (dedup or diff on a unique key)")
+    }
+    chk(a0, v1); chk(b0, v2)
+    val types = (a0.schema.fields ++ b0.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
+    val cols = (a0.columns ++ b0.columns).distinct
+      .filterNot(_ == keyCol).sorted.toIndexedSeq
+    def align(df: DataFrame): DataFrame = cols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(types(c))))
+    val b4 = align(a0).select(col(keyCol), struct(cols.map(col): _*).as("__b4"))
+    val af = align(b0).select(col(keyCol), struct(cols.map(col): _*).as("__af"))
+    diffAssemble(b4.join(af, Seq(keyCol), "full_outer"), keyCol, cols)
+  }
+
+  /** Shared diff tail: classify and flatten. An extra `__t` column (fast
+    * path: the key is tombstoned in v2) forces 'delete' classification
+    * even though the after-struct is merely absent. */
+  private def diffAssemble(j: DataFrame, keyCol: String,
+      cols: Seq[String]): DataFrame = {
+    val withT = if (j.columns.contains("__t")) j
+      else j.withColumn("__t", lit(null).cast("boolean"))
+    withT
+      .withColumn("change",
+        when(col("__b4").isNotNull && (col("__af").isNull || col("__t")),
+          lit("delete"))
+        .when(col("__b4").isNull && col("__af").isNotNull, lit("insert"))
+        .when(col("__b4").isNotNull && col("__af").isNotNull &&
+          !(col("__b4") <=> col("__af")), lit("update")))
+      .where(col("change").isNotNull)
+      .select(col(keyCol) +: col("change") +:
+        (cols.map(c => col(s"__b4.$c").as(s"${c}_before")) ++
+          cols.map(c => col(s"__af.$c").as(s"${c}_after"))): _*)
+  }
+
   /** DRIFT MONITOR for the layout — the table twin of `ivfDriftStats`/
     * `pqDriftStats`, closing the "when do I recluster" loop the same way
     * the index families close "when do I re-train": bucket every row

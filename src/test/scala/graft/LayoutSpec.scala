@@ -507,6 +507,59 @@ class LayoutSpec extends SparkSpec {
       Layout.ndvMatching(spark, s"$base/z", whole, "id"))
   }
 
+  test("snapshotDiff: CDC between snapshots — fast path ≡ general, no-ops excluded, takedown wins, refusals") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdiff").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 8)
+    val v0 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    // stage: a real update (id 10), a NO-OP delta (id 20, identical row),
+    // an insert (id 50000), an insert-then-deleted key (id 50001), and
+    // tombstones for an existing key (id 30), the update overlap (id 10
+    // stays an update — 40 is the overlap victim), and an absent key
+    val updates = Seq(
+      (10L, 999.0, 999.0),                 // update
+      (20L, 20.0, 0.0),                    // no-op: equals the stored row
+      (40L, 888.0, 888.0),                 // staged update, then tombstoned
+      (50000L, 1.0, 2.0),                  // insert
+      (50001L, 3.0, 4.0)                   // insert, then tombstoned
+    ).toDF("id", "a", "b")
+    Layout.upsertLogical(spark, s"$base/z", updates, "id")
+    Layout.deleteLogical(spark, s"$base/z",
+      Seq(30L, 40L, 50001L, 77777L).toDF("id"), "id")
+    val v1 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    val fast = Layout.snapshotDiff(spark, s"$base/z", v0, v1, "id")
+      .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    val general = Layout.snapshotDiffGeneral(spark, s"$base/z", v0, v1, "id")
+      .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(fast == general, s"fast path must equal the general diff")
+    val expected = Set(
+      (10L, "update", Some(10.0), Some(0.0), Some(999.0), Some(999.0)),
+      (30L, "delete", Some(30.0), Some(0.0), None, None),
+      (40L, "delete", Some(40.0), Some(0.0), None, None),
+      (50000L, "insert", None, None, Some(1.0), Some(2.0)))
+    assert(fast == expected, s"got $fast")
+    // a non-eligible pair (v1 pins pending sidecars) takes the general
+    // path and still answers: stage one more change, snapshot v2, diff
+    // v1→v2 — only the new change appears
+    Layout.upsertLogical(spark, s"$base/z",
+      Seq((11L, 111.0, 111.0)).toDF("id", "a", "b"), "id")
+    val v2 = Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    val d12 = Layout.snapshotDiff(spark, s"$base/z", v1, v2, "id")
+      .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(d12 == Set((11L, "update", Some(11.0), Some(0.0), Some(111.0), Some(111.0))), s"$d12")
+    // keyed diff refuses duplicate keys loudly
+    val dup = java.nio.file.Files.createTempDirectory("graft-zdup").toString
+    Layout.writeZordered(grid.where(col("id") < 100)
+      .unionAll(grid.where(col("id") < 100)), s"$dup/z",
+      "a", "b", bits = 4, numFiles = 2)
+    val dv = Layout.snapshotLayout(spark, s"$dup/z", Some("id"))
+    val err = intercept[IllegalArgumentException](
+      Layout.snapshotDiffGeneral(spark, s"$dup/z", dv, dv, "id"))
+    assert(err.getMessage.contains("duplicate"))
+  }
+
   test("quantileMatching: sketch fold bit-identical to the whole-scan sample, interior files from metadata, exact under k, fences") {
     val base = java.nio.file.Files.createTempDirectory("graft-zquant").toString
     Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 64)
