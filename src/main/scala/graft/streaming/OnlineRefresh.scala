@@ -801,7 +801,9 @@ object OnlineRefresh {
       numFilesPerBatch: Int = 4,
       buckets: Int = 1 << 16,
       maxFilesPerTrigger: Option[Int] = None,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      quantileOn: Option[(String, String)] = None,
+      quantileK: Int = 64
   ): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -846,6 +848,19 @@ object OnlineRefresh {
         else
           graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
             allowGone = true)
+        // the OPTIONAL third index family: per-file quantile samples —
+        // same epoch commit unit, same incremental refresh economics,
+        // so the quantile pushdown serves between epochs like the others
+        quantileOn.foreach { case (v, key) =>
+          val qp = graft.fs.Layout.quantileIndexPath(layoutPath, v, key)
+          recoverSwap(spark, qp)
+          if (!exists(qp))
+            graft.fs.Layout.writeQuantileIndex(spark, layoutPath, v, key,
+              quantileK)
+          else
+            graft.fs.Layout.refreshQuantileIndex(spark, layoutPath, v, key,
+              quantileK, allowGone = true)
+        }
         }
         ()
       }

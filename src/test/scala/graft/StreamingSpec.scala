@@ -505,6 +505,59 @@ class StreamingSpec extends SparkSpec {
       "the post-crash epoch must land and index as usual")
   }
 
+  test("zorderIngestStream maintains the quantile index per epoch when configured") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = Files.createTempDirectory("graft-szq").toString
+    val grid = spark.range(4000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    def stage(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val part = Files.createTempDirectory("graft-szq-part").toString
+      df.coalesce(1).write.mode("overwrite").parquet(part)
+      val src = new java.io.File(part).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get.toPath
+      val dst = java.nio.file.Paths.get(s"$tmp/src/shard_$i.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    for (i <- 0 until 3) stage(i, grid.where(col("id") % 3 === i))
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    def run(): Unit = {
+      val q = OnlineRefresh.zorderIngestStream(spark, s"$tmp/src", schema,
+        s"$tmp/z", s"$tmp/ck", Seq("a", "b"), "id",
+        numFilesPerBatch = 2, maxFilesPerTrigger = Some(1),
+        quantileOn = Some(("b", "id")), quantileK = 16)
+      q.awaitTermination()
+    }
+    run()
+    val rect = Seq(("a", 5.0, 40.0), ("b", 10.0, 70.0))
+    def direct(): (Long, Double) = {
+      val sk = graft.ops.Sketches.quantileSketch(
+        spark.read.parquet(s"$tmp/z")
+          .where(col("a").between(5.0, 40.0) && col("b").between(10.0, 70.0))
+          .withColumn("g", lit(1)),
+        "g", col("id"), col("b"), k = 16)
+      val r = graft.ops.Sketches.quantileEstimate(sk, "g",
+        Seq(0.5 -> "p50")).head()
+      (r.getAs[Long]("n_seen"), r.getAs[Double]("p50"))
+    }
+    def pushed(): (Long, Double) = {
+      val (n, qs, _, _) = graft.fs.Layout.quantileMatching(spark, s"$tmp/z",
+        rect, "b", "id", probs = Seq(0.5), k = 16)
+      (n, qs(0).get)
+    }
+    assert(pushed() == direct(), "streamed quantile index must serve the pushdown")
+    // a late shard lands one epoch; the incremental refresh catches up
+    stage(3, spark.range(4000, 5000).select(col("id"),
+      (col("id") % 50).cast("double").as("a"),
+      (col("id") / lit(50)).cast("long").cast("double").as("b")))
+    run()
+    assert(pushed() == direct(), "late-shard samples must fold in exactly")
+    assert(spark.read.parquet(s"$tmp/z").count() == 5000)
+  }
+
   test("zorderDeleteStream: fed keys leave exactly, resume no-op, late takedown shard applies, serve stays exact throughout") {
     import org.apache.spark.sql.functions.{col, lit}
     val tmp = Files.createTempDirectory("graft-szdel").toString
