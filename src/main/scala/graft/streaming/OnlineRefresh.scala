@@ -1135,6 +1135,82 @@ object OnlineRefresh {
     report.toSeq.toDF("action", "value")
   }
 
+  /** BM25-ARTIFACT MAINTENANCE — the [[maintainLayout]] analogue for the
+    * retrieval index (the one call a deployment crons between stream
+    * runs): (1) fold committed tombstone epochs physically
+    * ([[applyBm25Tombstones]] — the newest epoch's stay logical, the
+    * replay-safety split; its cross-epoch double-subtract precondition
+    * REFUSES loudly rather than risking wrong stats — re-run after the
+    * next epoch commits); (2) fold the postings/stats epochs past
+    * `maxEpochs` ([[compactBm25Index]] — the exact stats algebra, serve
+    * output pinned unchanged by q_stream_bm25_ret_compacted). Returns
+    * the (action, value) decision receipt, the observability hook. */
+  def maintainBm25Index(spark: SparkSession, outPath: String,
+      maxEpochs: Int = 8): DataFrame = {
+    val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    if (applyBm25Tombstones(spark, outPath))
+      report += ("tombstones_applied" -> 1.0)
+    val epochs = epochIds(spark, s"$outPath/postings").size
+    report += ("epochs_before" -> epochs.toDouble)
+    if (epochs > maxEpochs && compactBm25Index(spark, outPath)) {
+      report += ("compacted" -> 1.0)
+      report += ("epochs_after" ->
+        epochIds(spark, s"$outPath/postings").size.toDouble)
+    }
+    import spark.implicits._
+    report.toSeq.toDF("action", "value")
+  }
+
+  /** IVF-ARTIFACT MAINTENANCE — monitor → decide → act for the ANN
+    * index: (1) fold pending deletion epochs ([[applyIvfTombstones]]);
+    * (2) measure [[graft.ops.Similarity.ivfDriftStats]] per assignment
+    * epoch against the live corpus and RE-CENTER
+    * ([[recenterIvfIndex]] — fresh centroids from the indexed corpus,
+    * full reassignment) when the NEWEST epoch's mean member-to-centroid
+    * cosine falls below `recenterBelow` (the drift receipt every row of
+    * the report carries); (3) else fold assignment epochs past
+    * `maxEpochs` ([[compactIvfIndex]] — identity fold, per-row shards).
+    * The corpus must cover every indexed id (the recenter precondition
+    * — refuses loudly otherwise). Returns the (action, value) receipt. */
+  def maintainIvfIndex(spark: SparkSession, outPath: String,
+      corpus: DataFrame, recenterBelow: Double = 0.0, maxEpochs: Int = 8,
+      nLists: Int = 16, iters: Int = 0, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    if (applyIvfTombstones(spark, outPath, idCol))
+      report += ("tombstones_applied" -> 1.0)
+    val drift = graft.ops.Similarity.ivfDriftStats(
+      readIvfIndex(spark, outPath), corpus, idCol = idCol, embCol = embCol)
+      .orderBy(col("batch").cast("long")).collect()
+    def meanCos(r: org.apache.spark.sql.Row): Option[Double] = {
+      val i = r.fieldIndex("mean_cos")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    for (r <- drift; c <- meanCos(r))
+      report += (s"mean_cos_epoch_${r.get(0)}" -> c)
+    // an all-zero-norm epoch carries a null mean (the absence-is-a-
+    // decision convention) — treat as healthy rather than recentering
+    // on a vacuous signal
+    val newestCos = drift.lastOption.flatMap(meanCos).getOrElse(1.0)
+    val epochs = epochIds(spark, s"$outPath/assignments").size
+    report += ("epochs_before" -> epochs.toDouble)
+    if (newestCos < recenterBelow) {
+      recenterIvfIndex(spark, outPath, corpus, nLists, iters, idCol, embCol)
+      report += ("recentered" -> 1.0)
+      val after = graft.ops.Similarity.ivfDriftStats(
+        readIvfIndex(spark, outPath), corpus, idCol = idCol, embCol = embCol)
+        .orderBy(col("batch").cast("long")).collect()
+      for (r <- after.lastOption; c <- meanCos(r))
+        report += ("mean_cos_after" -> c)
+    } else if (epochs > maxEpochs && compactIvfIndex(spark, outPath)) {
+      report += ("compacted" -> 1.0)
+      report += ("epochs_after" ->
+        epochIds(spark, s"$outPath/assignments").size.toDouble)
+    }
+    import spark.implicits._
+    report.toSeq.toDF("action", "value")
+  }
+
   /** TAKEDOWN FEED, MERGE-ON-READ — the O(feed) twin of
     * [[zorderDeleteStream]]: each micro-batch of keys lands as
     * tombstones ([[graft.fs.Layout.deleteLogical]] — one tiny

@@ -1691,4 +1691,80 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("hourly_agg").columns.toSeq ==
       Seq("window", "user_id", "avg_value", "n"))
   }
+
+  test("maintainBm25Index / maintainIvfIndex: the artifact planners fold, compact, and recenter on the numbers") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def actions(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.as[(String, Double)].collect().toMap
+    // ---- BM25: 3 insert waves + 2 takedown epochs between/after ----
+    val tmp = Files.createTempDirectory("graft-mbm25").toString
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def insd(p: org.apache.spark.sql.Column) = corpus.where(p)
+      .select(lit("ins").as("op"), col("doc_id"), col("text"))
+    def deld(p: org.apache.spark.sql.Column) = corpus.where(p)
+      .select(lit("del").as("op"), col("doc_id"),
+        lit(null).cast("string").as("text"))
+    val schema = stageOps(s"$tmp/src", Seq(
+      insd(col("doc_id") % 3 === 0), deld(col("doc_id") % 10 === 0),
+      insd(col("doc_id") % 3 === 1), insd(col("doc_id") % 3 === 2),
+      deld(col("doc_id") % 10 === 5)))
+    OnlineRefresh.buildBm25IndexRetractStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", maxFilesPerTrigger = Some(1)).awaitTermination()
+    val qs = Seq(("qa", "spark window table"), ("qb", "customer stream fast"))
+      .toDF("query_id", "query")
+    def serve(): Seq[(String, Long, Double, Int)] =
+      graft.ops.TextAnalysis.bm25TopKFromIndex(
+        OnlineRefresh.readBm25IndexRetracted(spark, s"$tmp/ix"), qs, k = 6)
+        .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val direct = graft.ops.TextAnalysis.bm25TopK(
+      corpus.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5), qs, k = 6)
+      .as[(String, Long, Double, Int)].collect().sorted.toSeq
+    val r1 = actions(OnlineRefresh.maintainBm25Index(spark, s"$tmp/ix",
+      maxEpochs = 2))
+    assert(r1("tombstones_applied") == 1.0 && r1("compacted") == 1.0, s"$r1")
+    // epochs_before reads AFTER the fold: the apply's rewrite drops the
+    // del-only epochs' empty postings partitions (5 staged → 3 non-empty)
+    assert(r1("epochs_before") == 3.0 && r1("epochs_after") == 2.0, s"$r1")
+    assert(serve() == direct, "maintenance moved the served scores")
+    // second run: nothing pending, epochs under the ceiling — measure-only
+    val r2 = actions(OnlineRefresh.maintainBm25Index(spark, s"$tmp/ix",
+      maxEpochs = 8))
+    assert(!r2.contains("tombstones_applied") && !r2.contains("compacted"), s"$r2")
+    assert(serve() == direct)
+    // ---- IVF: drifted bootstrap centroids, epochs, takedowns ----
+    val t2 = Files.createTempDirectory("graft-mivf").toString
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(4)(rnd.nextDouble().toFloat)
+    val all = (1L to 24L).map(i => (i, vec()))
+    val emb = all.toDF("vec_id", "embedding")
+    val drifted = graft.ops.Similarity.ivfIndex(
+      emb.where(col("vec_id") <= 8), nLists = 4).centroids
+    def insv(rows: Seq[(Long, Seq[Float])]) = rows.toDF("vec_id", "embedding")
+      .select(lit("ins").as("op"), col("vec_id"), col("embedding"))
+    def delv(ids: Seq[Long]) = ids.toDF("vec_id").select(lit("del").as("op"),
+      col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    val schema2 = stageOps(s"$t2/src", Seq(
+      insv(all.take(12)), delv(Seq(3L, 7L)),
+      insv(all.slice(12, 20)), insv(all.drop(20))))
+    OnlineRefresh.buildIvfIndexRetractStream(spark, s"$t2/src", schema2,
+      s"$t2/ix", s"$t2/ck", drifted, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    def servedIds(): Set[Long] = OnlineRefresh.readIvfIndexRetracted(
+      spark, s"$t2/ix").assignments.select("vec_id").as[Long].collect().toSet
+    val logical = (1L to 24L).toSet -- Set(3L, 7L)
+    assert(servedIds() == logical)
+    // drift gate off, epoch ceiling low: fold tombstones + compact
+    val rA = actions(OnlineRefresh.maintainIvfIndex(spark, s"$t2/ix", emb,
+      recenterBelow = -1.0, maxEpochs = 2, nLists = 4))
+    assert(rA("tombstones_applied") == 1.0 && rA("compacted") == 1.0, s"$rA")
+    assert(rA.keys.exists(_.startsWith("mean_cos_epoch_")), s"$rA")
+    assert(servedIds() == logical, "maintenance moved the served set")
+    // drift gate forced: re-center from the live corpus, receipt carries
+    // the after number, served set unchanged
+    val rB = actions(OnlineRefresh.maintainIvfIndex(spark, s"$t2/ix", emb,
+      recenterBelow = 0.999999, maxEpochs = 8, nLists = 4))
+    assert(rB("recentered") == 1.0 && rB.contains("mean_cos_after"), s"$rB")
+    assert(servedIds() == logical, "recenter moved the served set")
+  }
 }
