@@ -2582,6 +2582,78 @@ object Layout {
     * a perfectly clustered column, ~1 for an unclustered one. Z-order's
     * claim is BOTH columns land well under 1 — [[writeZordered]]'s
     * measured receipt, read straight off the written files. */
+  /** OBSERVABILITY — the table's health in one call, as (fact, value)
+    * string rows: shape (files/epochs/bytes), the frozen clustering
+    * parameters, per-index existence AND freshness (the non-throwing
+    * twin of [[requireFresh]] — `fresh=0` is the "rewrite your indexes"
+    * page before a pruned read refuses), pending merge-on-read backlog
+    * per key column (the applyTombstones/applyUpsertDeltas cadence
+    * signal), snapshot count, and the writer-lease holder if one is
+    * live. Everything is driver-side listing RPCs and sidecar-sized
+    * reads — NO data pass — except `withDrift = true`, which adds the
+    * one-pass [[layoutDrift]] TVs (the recluster trigger). This is the
+    * read `maintainLayout` acts on, exposed for dashboards and humans. */
+  def describeLayout(spark: org.apache.spark.sql.SparkSession, path: String,
+      keyCols: Seq[String] = Nil, withDrift: Boolean = false): DataFrame = {
+    recoverLayout(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val actual = listedDataFilePaths(spark, path)
+    val epochs = hfs.listStatus(p)
+      .count(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    rows += ("files" -> actual.size.toString)
+    rows += ("epochs" -> epochs.toString)
+    rows += ("bytes" -> hfs.getContentSummary(p).getLength.toString)
+    def freshness(indexPath: String): String =
+      if (!sidecarExists(spark, indexPath)) "absent"
+      else {
+        val indexed = spark.read.parquet(indexPath).select("file").collect()
+          .map(_.getString(0)).map(f => f.substring(f.lastIndexOf('/') + 1))
+          .toSet
+        if (indexed == actual.keySet) "fresh" else "stale"
+      }
+    if (sidecarExists(spark, layoutMetaPath(path))) {
+      val (cols, bits, _) = readLayoutMeta(spark, path)
+      rows += ("z_cols" -> cols.mkString(","))
+      rows += ("bits" -> bits.toString)
+      layoutSchema(spark, path).foreach(s =>
+        rows += ("schema_cols" -> s.fields.length.toString))
+    }
+    rows += ("manifest" -> freshness(manifestPath(path)))
+    // sibling indexes discover by naming convention — one listing RPC
+    val parent = p.getParent
+    if (parent != null && hfs.exists(parent))
+      for (st <- hfs.listStatus(parent); n = st.getPath.getName;
+           if n.startsWith(p.getName + "__vindex_") ||
+             n.startsWith(p.getName + "__qindex_"))
+        rows += (n.stripPrefix(p.getName + "__") ->
+          freshness(st.getPath.toString))
+    for (c <- keyCols) {
+      if (sidecarExists(spark, tombstonePath(path, c)))
+        rows += (s"pending_tombstones_$c" ->
+          readTombstones(spark, path, c).count().toString)
+      if (readDeltas(spark, path, c).isDefined)
+        rows += (s"pending_deltas_$c" ->
+          readDeltas(spark, path, c).get.select(col(c)).distinct()
+            .count().toString)
+    }
+    rows += ("snapshots" -> listSnapshots(spark, path).size.toString)
+    val lp = new org.apache.hadoop.fs.Path(leasePath(path))
+    if (hfs.exists(lp)) {
+      val in = hfs.open(lp)
+      val holder = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      rows += ("lease_holder" -> holder)
+    }
+    if (withDrift)
+      layoutDrift(spark, path).collect().foreach(r =>
+        rows += (s"drift_${r.getString(1)}" -> r.getDouble(3).toString))
+    import spark.implicits._
+    rows.toSeq.toDF("fact", "value")
+  }
+
   def layoutStats(spark: org.apache.spark.sql.SparkSession, path: String,
       colA: String, colB: String): DataFrame = {
     val perFile = spark.read.parquet(path)

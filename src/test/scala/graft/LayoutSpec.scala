@@ -507,6 +507,52 @@ class LayoutSpec extends SparkSpec {
       Layout.ndvMatching(spark, s"$base/z", whole, "id"))
   }
 
+  test("describeLayout: shape, index freshness, MoR backlog, lease, and drift in one receipt") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdesc").toString
+    Layout.buildZorderedEpoch(grid.where(col("id") % 2 === 0), s"$base/z",
+      Seq("a", "b"), bits = 6, numFiles = 4)
+    Layout.appendZorderedEpoch(grid.where(col("id") % 2 === 1), s"$base/z",
+      1, numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id", buckets = 1 << 12)
+    Layout.writeQuantileIndex(spark, s"$base/z", "b", "id", k = 16)
+    def facts(keyCols: Seq[String] = Nil, withDrift: Boolean = false) =
+      Layout.describeLayout(spark, s"$base/z", keyCols, withDrift)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val d0 = facts(withDrift = true)
+    assert(d0("epochs") == "2" && d0("files") == "8", s"$d0")
+    assert(d0("z_cols") == "a,b" && d0("bits") == "6" && d0("schema_cols") == "3")
+    assert(d0("manifest") == "fresh" && d0("vindex_id") == "fresh" &&
+      d0("qindex_b_by_id") == "fresh", s"$d0")
+    assert(d0("snapshots") == "0" && !d0.contains("lease_holder"))
+    assert(d0.contains("drift_a") && d0.contains("drift_b"))
+    // an append without the closing refreshes reads as STALE — the
+    // non-throwing twin of the pruned-read refusal
+    val extra = spark.range(10000, 10100).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") / lit(100)).cast("long").cast("double").as("b"))
+    Layout.appendZorderedEpoch(extra, s"$base/z", 3, numFiles = 1)
+    val d1 = facts()
+    assert(d1("manifest") == "stale" && d1("vindex_id") == "stale", s"$d1")
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.refreshValueIndex(spark, s"$base/z", "id", buckets = 1 << 12)
+    Layout.refreshQuantileIndex(spark, s"$base/z", "b", "id", k = 16)
+    assert(facts()("manifest") == "fresh")
+    // MoR backlog counts; snapshot count; live lease holder
+    Layout.deleteLogical(spark, s"$base/z", Seq(4L, 6L).toDF("id"), "id")
+    Layout.upsertLogical(spark, s"$base/z",
+      Seq((8L, 1.0, 2.0)).toDF("id", "a", "b"), "id")
+    Layout.snapshotLayout(spark, s"$base/z", Some("id"))
+    val d2 = facts(keyCols = Seq("id"))
+    assert(d2("pending_tombstones_id") == "2" && d2("pending_deltas_id") == "1",
+      s"$d2")
+    assert(d2("snapshots") == "1")
+    Layout.withWriterLease(spark, s"$base/z", "describe-spec") {
+      assert(facts()("lease_holder") == "describe-spec")
+    }
+    assert(!facts().contains("lease_holder"), "lease released on exit")
+  }
+
   test("snapshotDiff: CDC between snapshots — fast path ≡ general, no-ops excluded, takedown wins, refusals") {
     val base = java.nio.file.Files.createTempDirectory("graft-zdiff").toString
     Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 6, numFiles = 8)
