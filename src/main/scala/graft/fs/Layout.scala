@@ -1171,6 +1171,36 @@ object Layout {
         valueCol, keyCol, k)
     }
 
+  /** The layout's STANDING quantile indexes, discovered by the path
+    * convention (`<base>__qindex_<v>_by_<key>` siblings) with each
+    * build's persisted `k` — what lets the maintenance wrappers leave
+    * EVERY index fresh after a rewrite instead of stranding the optional
+    * ones stale (the consult would refuse loudly, but maintenance that
+    * breaks an index it could have rebuilt is a wart, not a contract).
+    * A column name containing the literal `_by_` would parse ambiguously
+    * — the LAST separator wins, matching how the path was built. */
+  def standingQuantileIndexes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = p.getName + "__qindex_"
+    val parent = p.getParent
+    if (parent == null || !hfs.exists(parent)) return Nil
+    hfs.listStatus(parent).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).flatMap { n =>
+        val rest = n.stripPrefix(prefix)
+        val i = rest.lastIndexOf("_by_")
+        if (i <= 0) None
+        else {
+          val (v, key) = (rest.substring(0, i), rest.substring(i + 4))
+          AtomicDir.recoverSwap(spark, quantileIndexPath(path, v, key))
+          val k = spark.read.parquet(quantileIndexPath(path, v, key))
+            .select("k").head(1).headOption.map(_.getInt(0)).getOrElse(64)
+          Some((v, key, k))
+        }
+      }
+  }
+
   /** METADATA QUANTILE pushdown — P50/P90-class aggregates over a range
     * conjunction from the per-file bottom-k samples: files fully
     * contained in every range (null-free on the range columns, the

@@ -457,6 +457,95 @@ object OnlineRefresh {
     compactBatchArtifact(spark, s"$outPath/codes")
   }
 
+  /** RE-TRAIN the PQ artifact from the live corpus — the quantizer twin
+    * of [[recenterIvfIndex]], closing the loop [[graft.ops.Similarity
+    * .pqDriftStats]] monitors: fresh codebooks trained on the INDEXED
+    * corpus (not the bootstrap slice the stream froze at epoch 0),
+    * every indexed id re-encoded against them, one crash-safe root swap.
+    * Epochs fold all-but-newest into the oldest id; the newest re-encodes
+    * on its OWN partition so a replayed last micro-batch still overwrites
+    * itself — but note the replay would re-encode against the NEW stored
+    * codebooks (the stream reads them per batch), so replay stays
+    * idempotent on the served result. The corpus must cover every
+    * indexed id exactly once (loud refusal otherwise — re-encoding would
+    * silently drop or duplicate). Returns false on an empty artifact. */
+  def retrainPqIndex(spark: SparkSession, outPath: String,
+      corpus: DataFrame, nSub: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): Boolean = {
+    recoverSwap(spark, outPath)
+    recoverSwap(spark, s"$outPath/codes")
+    recoverSwap(spark, s"$outPath/codebooks")
+    val epochs = epochIds(spark, s"$outPath/codes")
+    if (epochs.isEmpty) return false
+    val newest = epochs.last
+    val target = epochs.head
+    val member = spark.read.parquet(s"$outPath/codes")
+      .select(col(idCol), col("batch").cast("long").as("__b"))
+    val joined = member.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
+    val nIdx = member.count()
+    require(joined.count() == nIdx,
+      "pq retrain: some indexed ids have no embedding in the supplied " +
+        "corpus (or appear more than once) — re-encoding would silently " +
+        "drop or duplicate them")
+    val books = graft.ops.Similarity.pqCodebookTable(
+      joined.select(col(idCol), col(embCol)), nSub, nCodes, idCol, embCol)
+    def enc(df: DataFrame): DataFrame =
+      graft.ops.Similarity.pqEncodeAgainst(df, books, idCol, embCol)
+    swapDir(spark, outPath) { tmp =>
+      books.write.mode("overwrite").parquet(s"$tmp/codebooks")
+      enc(joined.where(col("__b") === newest).drop("__b"))
+        .write.mode("overwrite").parquet(s"$tmp/codes/batch=$newest")
+      if (epochs.size > 1)
+        enc(joined.where(col("__b") =!= newest).drop("__b"))
+          .write.mode("overwrite").parquet(s"$tmp/codes/batch=$target")
+    }
+    true
+  }
+
+  /** PQ-ARTIFACT MAINTENANCE — the third planner (layout, BM25/IVF,
+    * now the quantizer): measure [[graft.ops.Similarity.pqDriftStats]]
+    * per codes epoch against the live corpus and RE-TRAIN
+    * ([[retrainPqIndex]]) when the NEWEST epoch's mean reconstruction
+    * error climbs past `retrainAboveMse` (the codebook drift gate the
+    * r13 verdict asked to close); else fold codes epochs past
+    * `maxEpochs` ([[compactPqIndex]]). Physical retraction is
+    * [[retractPqArtifact]]'s job at takedown time (per-row, no pending
+    * state to fold — the reason this planner has no tombstone step).
+    * Returns the (action, value) decision receipt. */
+  def maintainPqIndex(spark: SparkSession, outPath: String,
+      corpus: DataFrame, retrainAboveMse: Double = Double.PositiveInfinity,
+      maxEpochs: Int = 8, nSub: Int = 8, nCodes: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def meanMse(r: org.apache.spark.sql.Row): Option[Double] = {
+      val i = r.fieldIndex("mean_mse")
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    val drift = graft.ops.Similarity.pqDriftStats(
+      readPqIndex(spark, outPath), corpus, idCol = idCol, embCol = embCol)
+      .orderBy(col("batch").cast("long")).collect()
+    for (r <- drift; m <- meanMse(r))
+      report += (s"mean_mse_epoch_${r.get(0)}" -> m)
+    val newestMse = drift.lastOption.flatMap(meanMse).getOrElse(0.0)
+    val epochs = epochIds(spark, s"$outPath/codes").size
+    report += ("epochs_before" -> epochs.toDouble)
+    if (newestMse > retrainAboveMse) {
+      retrainPqIndex(spark, outPath, corpus, nSub, nCodes, idCol, embCol)
+      report += ("retrained" -> 1.0)
+      val after = graft.ops.Similarity.pqDriftStats(
+        readPqIndex(spark, outPath), corpus, idCol = idCol, embCol = embCol)
+        .orderBy(col("batch").cast("long")).collect()
+      for (r <- after.lastOption; m <- meanMse(r))
+        report += ("mean_mse_after" -> m)
+    } else if (epochs > maxEpochs && compactPqIndex(spark, outPath)) {
+      report += ("compacted" -> 1.0)
+      report += ("epochs_after" ->
+        epochIds(spark, s"$outPath/codes").size.toDouble)
+    }
+    import spark.implicits._
+    report.toSeq.toDF("action", "value")
+  }
+
   /** [[buildIvfIndexStream]] with a DELETION FEED interleaved — the
     * embedding twin of [[buildBm25IndexRetractStream]], closing the last
     * asymmetric cell in the lifecycle matrix: a takedown arriving
@@ -893,6 +982,7 @@ object OnlineRefresh {
     if (did) {
       graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
       graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+      rebuildStandingQuantileIndexes(spark, layoutPath)
     }
     did
   }
@@ -925,9 +1015,30 @@ object OnlineRefresh {
         allowGone = true)
       graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
         allowGone = true)
+      refreshStandingQuantileIndexes(spark, layoutPath)
     }
     folded
   }
+
+  /** Every standing quantile index catches up incrementally (the tier /
+    * stream cadence) — discovery by the path convention, each at its
+    * build's persisted k. */
+  private def refreshStandingQuantileIndexes(spark: SparkSession,
+      layoutPath: String): Unit =
+    graft.fs.Layout.standingQuantileIndexes(spark, layoutPath)
+      .foreach { case (v, key, k) =>
+        graft.fs.Layout.refreshQuantileIndex(spark, layoutPath, v, key, k,
+          allowGone = true)
+      }
+
+  /** Every standing quantile index rebuilds whole (the every-file-changed
+    * cadence: recluster / full fold / flat compact). */
+  private def rebuildStandingQuantileIndexes(spark: SparkSession,
+      layoutPath: String): Unit =
+    graft.fs.Layout.standingQuantileIndexes(spark, layoutPath)
+      .foreach { case (v, key, k) =>
+        graft.fs.Layout.writeQuantileIndex(spark, layoutPath, v, key, k)
+      }
 
   /** RECLUSTER the layout between stream runs — the drift-loop closer
     * ([[graft.fs.Layout.layoutDrift]] is the trigger,
@@ -952,6 +1063,7 @@ object OnlineRefresh {
       sampleBy)
     graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
     graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+    rebuildStandingQuantileIndexes(spark, layoutPath)
     bounds
   }
 
@@ -1081,6 +1193,7 @@ object OnlineRefresh {
       graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles, sampleBy)
       graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
       graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+      rebuildStandingQuantileIndexes(spark, layoutPath)
       report += ("reclustered" -> 1.0)
       graft.fs.Layout.layoutDrift(spark, layoutPath, sampleBy).collect()
         .foreach(r =>
@@ -1108,6 +1221,7 @@ object OnlineRefresh {
           allowGone = true)
         graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
           allowGone = true)
+        refreshStandingQuantileIndexes(spark, layoutPath)
         report += ("tiered" -> tiered.size.toDouble)
         report += ("files_after" -> fileCount().toDouble)
       } else {
@@ -1126,6 +1240,7 @@ object OnlineRefresh {
         if (did) {
           graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
           graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+          rebuildStandingQuantileIndexes(spark, layoutPath)
           report += ("compacted" -> 1.0)
           report += ("files_after" -> fileCount().toDouble)
         }

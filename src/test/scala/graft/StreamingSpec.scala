@@ -715,6 +715,15 @@ class StreamingSpec extends SparkSpec {
         s"$t4/z", r, numFiles = 4)
     graft.fs.Layout.writeManifest(spark, s"$t4/z", Seq("a", "b"))
     graft.fs.Layout.writeValueIndex(spark, s"$t4/z", "id")
+    // a STANDING optional index: maintenance must leave it fresh too
+    graft.fs.Layout.writeQuantileIndex(spark, s"$t4/z", "b", "id", k = 16)
+    def quantOk(): Unit = {
+      val (n, qs, _, _) = graft.fs.Layout.quantileMatching(spark, s"$t4/z",
+        Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0)), "b", "id",
+        probs = Seq(0.5), k = 16)
+      assert(n == 16 && qs(0).nonEmpty,
+        "standing quantile index must serve after maintenance")
+    }
     val rp4 = new org.apache.hadoop.fs.Path(s"$t4/z")
     val hfs4 = rp4.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bigBytes = hfs4.getContentSummary(
@@ -729,6 +738,7 @@ class StreamingSpec extends SparkSpec {
     assert(r4("tiered") == 2.0 && !r4.contains("compacted"), s"$r4")
     assert(bigFiles() == bigBefore, "tier must not touch the big epoch")
     assert(r4("files_after") < r4("files_before"), s"$r4")
+    quantOk()
     val pr4 = graft.fs.Layout.prunedRead(spark, s"$t4/z",
       Seq(("a", 0.0, 30.0), ("b", 0.0, 10.0))).select("id", "a", "b")
     assert(pr4.exceptAll(full).isEmpty && full.exceptAll(pr4).isEmpty)
@@ -739,6 +749,7 @@ class StreamingSpec extends SparkSpec {
       tierBytes = Some(bigBytes / 2)))
     assert(r5.contains("compacted") && !r5.contains("tiered"), s"$r5")
     assert(spark.read.parquet(s"$t4/z").count() == 10000)
+    quantOk()
   }
 
   test("zorder MoR streams: takedowns tombstone and CDC batches stage at O(feed), serves exact, folds converge") {
@@ -1766,5 +1777,45 @@ class StreamingSpec extends SparkSpec {
       recenterBelow = 0.999999, maxEpochs = 8, nLists = 4))
     assert(rB("recentered") == 1.0 && rB.contains("mean_cos_after"), s"$rB")
     assert(servedIds() == logical, "recenter moved the served set")
+  }
+
+  test("maintainPqIndex: drift-gated retrain from the live corpus, compact on the epoch ceiling") {
+    import org.apache.spark.sql.functions.col
+    def actions(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.as[(String, Double)].collect().toMap
+    val tmp = Files.createTempDirectory("graft-mpq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.repartition(4).write.parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    // drifted bootstrap: codebooks trained on a tiny slice only
+    val drifted = graft.ops.Similarity.pqCodebookTable(
+      emb.where(col("vec_id") < 16))
+    OnlineRefresh.buildPqIndexStream(spark, s"$tmp/src", schema,
+      s"$tmp/ix", s"$tmp/ck", drifted, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    def ids(): Set[Long] = OnlineRefresh.readPqIndex(spark, s"$tmp/ix")
+      .codes.select("vec_id").as[Long].collect().toSet
+    val all = ids()
+    assert(all == emb.select("vec_id").as[Long].collect().toSet)
+    // gate off, ceiling low: compact folds 4 epochs to 2
+    val rA = actions(OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix", emb,
+      maxEpochs = 2))
+    assert(rA("compacted") == 1.0 && rA("epochs_before") == 4.0 &&
+      rA("epochs_after") == 2.0, s"$rA")
+    assert(rA.keys.exists(_.startsWith("mean_mse_epoch_")), s"$rA")
+    assert(ids() == all, "compaction moved the indexed set")
+    // gate forced: retrain from the live corpus — reconstruction error
+    // must actually improve vs the drifted bootstrap books
+    val mseBefore = rA.collect { case (k, v) if k.startsWith("mean_mse_epoch_") => v }.max
+    val rB = actions(OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix", emb,
+      retrainAboveMse = 0.0, maxEpochs = 8))
+    assert(rB("retrained") == 1.0 && rB.contains("mean_mse_after"), s"$rB")
+    assert(rB("mean_mse_after") < mseBefore,
+      s"retraining on the full corpus must beat the drifted bootstrap: $rB")
+    assert(ids() == all, "retrain moved the indexed set")
+    // healthy now: a third run with the same gate measures only
+    val rC = actions(OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix", emb,
+      retrainAboveMse = rB("mean_mse_after") + 1.0, maxEpochs = 8))
+    assert(!rC.contains("retrained") && !rC.contains("compacted"), s"$rC")
   }
 }
