@@ -2271,6 +2271,20 @@ object Layout {
     hfs.delete(vDir, true)
   }
 
+  /** RETENTION SWEEP — drop every snapshot but the newest `keep` (the
+    * cron twin of [[expireSnapshot]]; keeping snapshots forever pins
+    * nothing physically — expiry here is metadata-only — but each one
+    * is a standing promise [[readSnapshot]] must honor or refuse, and
+    * the CoW mutations that expire them loudly get noisier the longer
+    * stale pins linger). Returns the dropped versions. */
+  def expireSnapshotsKeepLast(spark: org.apache.spark.sql.SparkSession,
+      path: String, keep: Int): Seq[Long] = {
+    require(keep >= 0, s"keep must be >= 0, got $keep")
+    val drop = listSnapshots(spark, path).sorted.dropRight(keep)
+    drop.foreach(expireSnapshot(spark, path, _))
+    drop
+  }
+
   /** CHANGE-DATA-FEED between two snapshots — every key whose row
     * changed from `v1` to `v2`, as (key, change ∈ insert/delete/update,
     * `<c>_before`, `<c>_after` per data column): the read an incremental

@@ -595,6 +595,12 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
       .collect().toSet
     assert(d12 == Set((11L, "update", Some(11.0), Some(0.0), Some(111.0), Some(111.0))), s"$d12")
+    // retention sweep: all but the newest `keep` versions drop
+    assert(Layout.listSnapshots(spark, s"$base/z").sorted == Seq(v0, v1, v2))
+    assert(Layout.expireSnapshotsKeepLast(spark, s"$base/z", 1) == Seq(v0, v1))
+    assert(Layout.listSnapshots(spark, s"$base/z") == Seq(v2))
+    assert(Layout.expireSnapshotsKeepLast(spark, s"$base/z", 1).isEmpty,
+      "sweep is convergent")
     // keyed diff refuses duplicate keys loudly
     val dup = java.nio.file.Files.createTempDirectory("graft-zdup").toString
     Layout.writeZordered(grid.where(col("id") < 100)
