@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -808,6 +808,32 @@ object ScaleProbe {
         { graft.fs.Layout.prunedRead(spark, s"$baseQ/z", rect)
             .agg(expr("percentile(value, 0.5)"),
               expr("percentile(value, 0.9)")).head(); 0L })
+    }
+    // Round-15h: the snapshot CDC diff — fast path vs the general join
+    if (inSection("r15h")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      val base = java.nio.file.Files.createTempDirectory("graft-r15h").toString
+      timed("flat z64 build for the CDC-diff fixture") {
+        graft.fs.Layout.writeZordered(big, s"$base/z", "user_id", "value",
+          bits = 6, numFiles = 64, sampleBy = Some(("event_id", 8)))
+        0L
+      }
+      val v0 = graft.fs.Layout.snapshotLayout(spark, s"$base/z", Some("event_id"))
+      val upd = big.where(pmod(col("event_id"), lit(997L)) === 7L)
+        .withColumn("value", col("value") + lit(1.0))
+      graft.fs.Layout.upsertLogical(spark, s"$base/z", upd, "event_id")
+      graft.fs.Layout.deleteLogical(spark, s"$base/z",
+        big.where(pmod(col("event_id"), lit(997L)) === 11L).select("event_id"),
+        "event_id")
+      val v1 = graft.fs.Layout.snapshotLayout(spark, s"$base/z", Some("event_id"))
+      timed("snapshotDiff FAST (sidecar-assembled, cost ∝ changes)")(
+        graft.fs.Layout.snapshotDiff(spark, s"$base/z", v0, v1, "event_id")
+          .count())
+      timed("snapshotDiffGeneral (two scans + key shuffle, the audit price)")(
+        graft.fs.Layout.snapshotDiffGeneral(spark, s"$base/z", v0, v1,
+          "event_id").count())
     }
     if (uncapped && inSection("uncapped")) {
       // the quadratic baselines the caps are measured against — section-
