@@ -2162,6 +2162,17 @@ object Queries {
     Similarity.pqTopK(emb, emb.where(col("vec_id") < 10), 5)
   }
 
+  /** PQ-ADC serve against 1-round LLOYD-REFINED codebooks
+    * ([[graft.ops.Similarity.pqRefinedTopK]]) — the retrain path's
+    * codebook quality, pinned to its own end-to-end oracle: bootstrap →
+    * one per-subspace Lloyd round (assign by the serve's exact argmax
+    * identity, member-mean each (m, code) sub-centroid, 6-dp rounded,
+    * emptied codes keep the previous value) → encode → ADC top-5. */
+  private def annTopKPqRefinedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqRefinedTopK(emb, emb.where(col("vec_id") < 10), 5, iters = 1)
+  }
+
   /** Accuracy gate for the PQ serve: per-probe recall@5 of the pure-ADC
     * ranking at nCodes ∈ {16, 64, 256} (the codebook-size knob — the
     * measured lever on this corpus, the q_quantile_error sweep pattern)
@@ -4014,6 +4025,7 @@ object Queries {
     "q_ivf_topk_quant" -> (ivfTopKQuantQ _),
     "q_ann_recall_ivfq" -> (annRecallIvfqQ _),
     "q_ann_topk_pq" -> (annTopKPqQ _),
+    "q_ann_topk_pq_refined" -> (annTopKPqRefinedQ _),
     "q_ann_recall_pq" -> (annRecallPqQ _),
     "q_ann_topk_pq_served" -> (annTopKPqServedQ _),
     "q_ivf_topk_pq" -> (ivfTopKPqQ _),
@@ -4479,6 +4491,7 @@ object Queries {
     "q_ann_recall_quant" -> annRecallQuantOracle,
     "q_ivf_topk_quant" -> ivfTopKQuantOracle,
     "q_ann_topk_pq" -> annTopKPqOracle,
+    "q_ann_topk_pq_refined" -> annTopKPqRefinedOracle,
     "q_ann_recall_pq" -> annRecallPqOracle,
     // parquet round-trip serve — hash-matched against the direct form's oracle
     "q_ann_topk_pq_served" -> annTopKPqOracle,
@@ -6265,6 +6278,87 @@ object Queries {
        |${p}n AS (SELECT vec_id AS probe_id, sqrt(${dotSql("embedding", "embedding")}) AS np
        |  FROM embeddings WHERE vec_id < 10)""".stripMargin
   }
+
+  /** The LLOYD-REFINED PQ pipeline replayed end-to-end, the
+    * [[ivfRefinedOracle]] pattern applied per subspace: bootstrap
+    * sub-centroids, then per refinement round (a) assign every complete
+    * vector's m-th slice by the engine's exact argmax form (x_m·c −
+    * ‖c‖²/2, ties → higher code id), (b) replace each (m, code)
+    * sub-centroid with its member mean per position rounded to 6 dp
+    * (margin ≫ summation-order drift — both engines' book literals are
+    * bit-identical), emptied codes carrying the previous value forward —
+    * then the standard encode → recon_n2 → probe LUT → ADC fold → rank
+    * tail against the refined books. Ends with `<p>pairs`. */
+  private def pqRefinedScoredSql(p: String = "pr", nCodes: Int = 16,
+      iters: Int = 1): String = {
+    val w = 8
+    val dim = 8 * w
+    def refineRound(prev: String, idx: Int): String =
+      s"""${p}ra$idx AS (
+         |  SELECT vec_id, m, kk FROM (
+         |    SELECT e.vec_id, b.m, b.kk,
+         |      ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} - b.n2/2 AS s
+         |    FROM (SELECT * FROM embeddings WHERE len(embedding) = $dim) e CROSS JOIN $prev b)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, kk DESC) = 1),
+         |${p}rs$idx AS (
+         |  SELECT a.m, a.kk, r.range AS pos,
+         |    sum(CAST(e.embedding[CAST(a.m*$w + r.range + 1 AS INTEGER)] AS DOUBLE)) AS s,
+         |    count(*) AS cnt
+         |  FROM ${p}ra$idx a JOIN embeddings e USING (vec_id) CROSS JOIN range(0, $w) r
+         |  GROUP BY 1, 2, 3),
+         |${p}rm$idx AS (SELECT m, kk, list(round(s / cnt, 6) ORDER BY pos) AS csub
+         |  FROM ${p}rs$idx GROUP BY 1, 2),
+         |${p}bn$idx AS (
+         |  SELECT m, kk, csub, ${dotSql("csub", "csub")} AS n2 FROM (
+         |    SELECT b.m, b.kk, coalesce(mm.csub, CAST(b.csub AS DOUBLE[])) AS csub
+         |    FROM $prev b LEFT JOIN ${p}rm$idx mm ON mm.m = b.m AND mm.kk = b.kk))""".stripMargin
+    val fin = s"${p}bn$iters"
+    s"""${p}base AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS kk, embedding
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $nCodes)),
+       |${p}m AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS m),
+       |${p}bn0 AS (
+       |  SELECT m, kk, csub, ${dotSql("csub", "csub")} AS n2
+       |  FROM (SELECT m, kk, embedding[m*$w+1 : m*$w+$w] AS csub FROM ${p}base CROSS JOIN ${p}m)),
+       |${(1 to iters).map(i => refineRound(s"${p}bn${i - 1}", i)).mkString(",\n")},
+       |${p}asg AS (
+       |  SELECT vec_id, m, kk, n2 FROM (
+       |    SELECT e.vec_id, b.m, b.kk, b.n2,
+       |      ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} - b.n2/2 AS s
+       |    FROM embeddings e CROSS JOIN $fin b)
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, kk DESC) = 1),
+       |${p}rn2 AS (
+       |  SELECT vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(n2 ORDER BY m)), (a, b) -> a + b) AS recon_n2
+       |  FROM ${p}asg GROUP BY 1),
+       |${p}lut AS (
+       |  SELECT e.vec_id AS probe_id, b.m, b.kk,
+       |    ${dotSql(s"e.embedding[b.m*$w+1 : b.m*$w+$w]", "b.csub")} AS d
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) e CROSS JOIN $fin b),
+       |${p}n AS (SELECT vec_id AS probe_id, sqrt(${dotSql("embedding", "embedding")}) AS np
+       |  FROM embeddings WHERE vec_id < 10),
+       |${p}dot AS (
+       |  SELECT l.probe_id, a.vec_id AS corpus_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.m)), (x, y) -> x + y) AS adc_dot
+       |  FROM ${p}asg a JOIN ${p}lut l ON l.m = a.m AND l.kk = a.kk
+       |  WHERE l.probe_id <> a.vec_id
+       |  GROUP BY 1, 2),
+       |${p}pairs AS (
+       |  SELECT d.probe_id, d.corpus_id,
+       |    round(CASE WHEN n.np * sqrt(r.recon_n2) = 0 THEN NULL
+       |      ELSE d.adc_dot / (n.np * sqrt(r.recon_n2)) END, 6) AS adc_cosine
+       |  FROM ${p}dot d JOIN ${p}rn2 r ON d.corpus_id = r.vec_id
+       |  JOIN ${p}n n ON d.probe_id = n.probe_id)""".stripMargin
+  }
+
+  /** PQ-ADC top-5 against the 1-round-refined codebooks — bootstrap,
+    * one unrolled per-subspace Lloyd round, encode, serve, rank. */
+  private def annTopKPqRefinedOracle: String =
+    s"""WITH ${pqRefinedScoredSql()}
+       |SELECT probe_id, corpus_id, adc_cosine, CAST(rn AS INTEGER) AS rn FROM (
+       |  SELECT probe_id, corpus_id, adc_cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC NULLS LAST, corpus_id ASC) AS rn
+       |  FROM prpairs) WHERE rn <= 5""".stripMargin
 
   /** PQ-ADC top-5 per probe — codebooks, codes, LUTs, fold, rank. */
   private def annTopKPqOracle: String =

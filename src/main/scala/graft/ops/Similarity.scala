@@ -531,15 +531,22 @@ object Similarity {
       .select(
         array_max(cellScores(col(embCol))).getField("c").as("cell"),
         col(embCol).as("emb"))
-    val summed =
-      if (spark.catalog.functionExists("graft_vec_sum"))
-        assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),
-          call_function("graft_vec_sum", col("emb")).as("vsum"))
-      else vecSumFallback(assigned)
+    val summed = vecSummed(spark, assigned)
     summed.select(col("cell"), col("n_members"),
       round(sqrt(dot(col("vsum"), col("vsum"))) / col("n_members"), 6).as("centroid_norm"),
       round(element_at(col("vsum"), 1) / col("n_members"), 6).as("mean_c0"))
   }
+
+  /** (cell, emb) → (cell, n_members, vsum): the native graft_vec_sum
+    * aggregate when registered, else [[vecSumFallback]] — the one shared
+    * per-cell vector-mean reduction under [[kmeansIter]],
+    * [[refinedCentroids]], and [[refinedPqCodebooks]]. */
+  private def vecSummed(spark: org.apache.spark.sql.SparkSession,
+      assigned: DataFrame): DataFrame =
+    if (spark.catalog.functionExists("graft_vec_sum"))
+      assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),
+        call_function("graft_vec_sum", col("emb")).as("vsum"))
+    else vecSumFallback(assigned)
 
   /** Portable vector-sum fallback (posexplode + positional aggregate) for
     * sessions without the graft_vec_sum aggregate. Input: (cell, emb) →
@@ -607,11 +614,7 @@ object Similarity {
       val cs = cellScores(cents, dp) _
       val assigned = clean.select(
         array_max(cs(col(embCol))).getField("c").as("cell"), col(embCol).as("emb"))
-      val summed =
-        if (spark.catalog.functionExists("graft_vec_sum"))
-          assigned.groupBy("cell").agg(count(lit(1)).as("n_members"),
-            call_function("graft_vec_sum", col("emb")).as("vsum"))
-        else vecSumFallback(assigned)
+      val summed = vecSummed(spark, assigned)
       val means = summed.collect().map { r =>
         val n = r.getAs[Long]("n_members").toDouble
         r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("vsum")).map(v => round6(v / n)).toArray
@@ -1173,6 +1176,83 @@ object Similarity {
     Array.tabulate(nSub)(m => base.map(v => v.slice(m * w, (m + 1) * w)))
   }
 
+  /** Per-subspace PQ assignment expression — min-L2 via the monotone
+    * identity argmin_k ‖x_m − c‖² = argmax_k (x_m·c − ‖c‖²/2), ties →
+    * higher code id (array_max struct order). ONE definition shared by the
+    * encode ([[withPqCodes]]) and the codebook refinement
+    * ([[refinedPqCodebooks]]) so their assignments cannot drift. Native
+    * `graft_pq_assign` (one tight scan in WSCG) when registered; the
+    * portable argmax-over-structs form otherwise — identical outputs
+    * (FallbackSpec). */
+  private def pqAssignCol(emb: Column, books: Array[Array[Array[Double]]],
+      m: Int, dp: (Column, Column) => Column, native: Boolean): Column = {
+    val w = books(0)(0).length
+    if (native)
+      call_function("graft_pq_assign", emb,
+        typedLit(books(m).map(_.toSeq).toSeq), lit(m * w), lit(w))
+    else array_max(array(books(m).zipWithIndex.map { case (c, k) =>
+      val n2 = c.map(x => x * x).sum
+      struct((dp(slice(emb, m * w + 1, w), lit(c)) - lit(n2 / 2.0)).as("s"),
+        lit(k).as("c"))
+    }.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Lloyd-refined PQ codebooks — the per-subspace analogue of
+    * [[refinedCentroids]], closing the "retrain re-picks the bootstrap"
+    * soft spot: start from the [[pqCodebooks]] bootstrap, then for `iters`
+    * rounds assign every complete vector's m-th slice to its nearest
+    * sub-centroid (the exact [[pqAssignCol]] serve expression) and replace
+    * each (m, code) sub-centroid with its member mean. One distributed
+    * pass per round covers ALL subspaces at once (posexplode of the nSub
+    * (code, slice) structs → one hash aggregate keyed on m·|books|+code,
+    * partial aggregation collapses each partition to ≤ nSub·nCodes
+    * vectors before the shuffle); only the ≤ nSub·nCodes×w mean matrix
+    * crosses the driver between rounds.
+    *
+    * Cross-engine determinism: the [[refinedCentroids]] contract — mean
+    * components rounded to 6 decimals (HALF_UP) before becoming literals,
+    * a margin ≫ summation-order drift, so an oracle unrolling the same
+    * rounds derives bit-identical codebooks; codes that lose every member
+    * keep their previous sub-centroid. */
+  private[graft] def refinedPqCodebooks(
+      corpus: DataFrame, nSub: Int, nCodes: Int, iters: Int,
+      idCol: String, embCol: String): Array[Array[Array[Double]]] = {
+    var books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    if (iters <= 0) return books
+    val spark = corpus.sparkSession
+    val dp = dotFn(spark)
+    val native = spark.catalog.functionExists("graft_pq_assign")
+    val w = books(0)(0).length
+    val dim = nSub * w
+    val nB = books(0).length
+    // iterative over a re-read input: cache for the refinement (the
+    // refinedCentroids pattern; MEMORY_AND_DISK spills rather than OOMs)
+    val clean = corpus
+      .where(col(embCol).isNotNull && size(col(embCol)) === dim)
+      .select(col(embCol).cast("array<double>").as("__emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    try for (_ <- 1 to iters) {
+      val emb = col("__emb")
+      val subs = array((0 until nSub).map { m =>
+        struct(pqAssignCol(emb, books, m, dp, native).as("code"),
+          slice(emb, m * w + 1, w).as("sub"))
+      }: _*)
+      val assigned = clean.select(posexplode(subs))
+        .select((col("pos") * nB + col("col.code")).as("cell"),
+          col("col.sub").as("emb"))
+      val means = vecSummed(spark, assigned).collect().map { r =>
+        val n = r.getAs[Long]("n_members").toDouble
+        r.getInt(r.fieldIndex("cell")) ->
+          r.getSeq[Double](r.fieldIndex("vsum")).map(v => round6(v / n)).toArray
+      }.toMap
+      books = Array.tabulate(nSub)(m => Array.tabulate(nB)(k =>
+        means.getOrElse(m * nB + k, books(m)(k))))
+    } finally clean.unpersist()
+    books
+  }
+
   /** Adds `codes` (array<int>: one codebook id per subspace) and
     * `recon_n2` (‖reconstruction‖² = Σ_m ‖book_m[code_m]‖², m-ordered sum)
     * against driver-literal codebooks. Per-subspace assignment is min-L2
@@ -1194,15 +1274,7 @@ object Similarity {
     // outputs (FallbackSpec), but the HOF form's generated projection
     // outgrows Janino's method limit past a few dozen codes
     val native = df.sparkSession.catalog.functionExists("graft_pq_assign")
-    def subCol(m: Int): Column = slice(emb, m * w + 1, w)
-    def codeCol(m: Int): Column =
-      if (native)
-        call_function("graft_pq_assign", emb,
-          typedLit(books(m).map(_.toSeq).toSeq), lit(m * w), lit(w))
-      else array_max(array(books(m).zipWithIndex.map { case (c, k) =>
-        val n2 = c.map(x => x * x).sum
-        struct((dp(subCol(m), lit(c)) - lit(n2 / 2.0)).as("s"), lit(k).as("c"))
-      }.toIndexedSeq: _*)).getField("c")
+    def codeCol(m: Int): Column = pqAssignCol(emb, books, m, dp, native)
     // Each __pqc<m> lands as its OWN column and is referenced ≥2× below
     // (codes + recon_n2, and the serve's ADC lookups) — multiple references
     // to a non-cheap expression stop CollapseProject from re-inlining the
@@ -1562,16 +1634,22 @@ object Similarity {
     * the incremental/streamed PQ build fixes before any shard encodes
     * ([[graft.streaming.OnlineRefresh.buildPqIndexStream]]'s analogue of
     * the IVF centroid table). Bootstrapped from the `nCodes` lowest-id
-    * vectors, same as [[pqIndex]] (which now delegates here). */
+    * vectors, same as [[pqIndex]] (which now delegates here);
+    * `refineIters` > 0 Lloyd-refines each codebook per subspace
+    * ([[refinedPqCodebooks]]) — the production re-train path. */
   def pqCodebookTable(
       corpus: DataFrame,
       nSub: Int = 8,
       nCodes: Int = 16,
       idCol: String = "vec_id",
-      embCol: String = "embedding"
+      embCol: String = "embedding",
+      refineIters: Int = 0
   ): DataFrame = {
     val spark = corpus.sparkSession
-    val books = pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
+    val books =
+      if (refineIters > 0)
+        refinedPqCodebooks(corpus, nSub, nCodes, refineIters, idCol, embCol)
+      else pqCodebooks(corpus, nSub, nCodes, idCol, embCol)
     spark.createDataFrame(
       for ((bm, m) <- books.zipWithIndex.toIndexedSeq; (c, k) <- bm.zipWithIndex)
         yield (m, k, c.toIndexedSeq)).toDF("m", "k", "centroid")
@@ -1602,6 +1680,27 @@ object Similarity {
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
       .groupBy(_._1).toArray.sortBy(_._1)
       .map(_._2.sortBy(_._2).map(_._3))
+
+  /** Flat PQ-ADC top-k against LLOYD-REFINED codebooks — [[pqTopKFromIndex]]
+    * with the [[refinedPqCodebooks]] literals instead of the bootstrap
+    * slices: the serve plan is identical (stored codes + probe LUTs),
+    * only the codebook values differ — the same bootstrap-vs-refined
+    * relationship as [[ivfTopK]]/[[ivfRefinedTopK]]. */
+  def pqRefinedTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      k: Int,
+      nSub: Int = 8,
+      nCodes: Int = 16,
+      iters: Int = 1,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"
+  ): DataFrame = {
+    val bookDf = pqCodebookTable(corpus, nSub, nCodes, idCol, embCol, iters)
+    pqTopKFromIndex(
+      PqIndex(bookDf, pqEncodeAgainst(corpus, bookDf, idCol, embCol)),
+      probes, k, idCol, embCol)
+  }
 
   /** DRIFT MONITOR for the incremental PQ artifact — the codebook twin of
     * [[ivfDriftStats]], closing the "when do I re-train the codebooks"

@@ -459,8 +459,11 @@ object OnlineRefresh {
 
   /** RE-TRAIN the PQ artifact from the live corpus — the quantizer twin
     * of [[recenterIvfIndex]], closing the loop [[graft.ops.Similarity
-    * .pqDriftStats]] monitors: fresh codebooks trained on the INDEXED
-    * corpus (not the bootstrap slice the stream froze at epoch 0),
+    * .pqDriftStats]] monitors: fresh codebooks LLOYD-REFINED per subspace
+    * on the INDEXED corpus (`refineIters` rounds of
+    * [[graft.ops.Similarity.refinedPqCodebooks]] — NOT the bare lowest-id
+    * bootstrap, which on a low-id-drifted corpus would re-pick nearly the
+    * books it is replacing and make retraining a near-no-op),
     * every indexed id re-encoded against them, one crash-safe root swap.
     * Epochs fold all-but-newest into the oldest id; the newest re-encodes
     * on its OWN partition so a replayed last micro-batch still overwrites
@@ -471,7 +474,8 @@ object OnlineRefresh {
     * silently drop or duplicate). Returns false on an empty artifact. */
   def retrainPqIndex(spark: SparkSession, outPath: String,
       corpus: DataFrame, nSub: Int = 8, nCodes: Int = 16,
-      idCol: String = "vec_id", embCol: String = "embedding"): Boolean = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refineIters: Int = 2): Boolean = {
     recoverSwap(spark, outPath)
     recoverSwap(spark, s"$outPath/codes")
     recoverSwap(spark, s"$outPath/codebooks")
@@ -488,7 +492,8 @@ object OnlineRefresh {
         "corpus (or appear more than once) — re-encoding would silently " +
         "drop or duplicate them")
     val books = graft.ops.Similarity.pqCodebookTable(
-      joined.select(col(idCol), col(embCol)), nSub, nCodes, idCol, embCol)
+      joined.select(col(idCol), col(embCol)), nSub, nCodes, idCol, embCol,
+      refineIters)
     def enc(df: DataFrame): DataFrame =
       graft.ops.Similarity.pqEncodeAgainst(df, books, idCol, embCol)
     swapDir(spark, outPath) { tmp =>
@@ -515,7 +520,8 @@ object OnlineRefresh {
   def maintainPqIndex(spark: SparkSession, outPath: String,
       corpus: DataFrame, retrainAboveMse: Double = Double.PositiveInfinity,
       maxEpochs: Int = 8, nSub: Int = 8, nCodes: Int = 16,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refineIters: Int = 2): DataFrame = {
     val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def meanMse(r: org.apache.spark.sql.Row): Option[Double] = {
       val i = r.fieldIndex("mean_mse")
@@ -530,7 +536,8 @@ object OnlineRefresh {
     val epochs = epochIds(spark, s"$outPath/codes").size
     report += ("epochs_before" -> epochs.toDouble)
     if (newestMse > retrainAboveMse) {
-      retrainPqIndex(spark, outPath, corpus, nSub, nCodes, idCol, embCol)
+      retrainPqIndex(spark, outPath, corpus, nSub, nCodes, idCol, embCol,
+        refineIters)
       report += ("retrained" -> 1.0)
       val after = graft.ops.Similarity.pqDriftStats(
         readPqIndex(spark, outPath), corpus, idCol = idCol, embCol = embCol)
@@ -972,7 +979,7 @@ object OnlineRefresh {
       numFiles: Int = 8,
       buckets: Int = 1 << 16
   ): Boolean = graft.fs.Layout.withWriterLease(spark, layoutPath,
-      "layout-maintenance") {
+      maintenanceHolder("compactZorderLayout")) {
     val (cols, bits, bounds) = graft.fs.Layout.readLayoutMeta(spark, layoutPath)
     val did = compactBatchArtifact(spark, layoutPath, df =>
       graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
@@ -1007,7 +1014,7 @@ object OnlineRefresh {
       numFiles: Int = 4,
       buckets: Int = 1 << 16
   ): Seq[Long] = graft.fs.Layout.withWriterLease(spark, layoutPath,
-      "layout-maintenance") {
+      maintenanceHolder("tierZorderLayout")) {
     val folded = graft.fs.Layout.compactEpochsTiered(spark, layoutPath,
       maxBytes, numFiles)
     if (folded.nonEmpty) {
@@ -1018,6 +1025,27 @@ object OnlineRefresh {
       refreshStandingQuantileIndexes(spark, layoutPath)
     }
     folded
+  }
+
+  /** Per-INVOCATION lease holder for the maintenance planners — the r15
+    * verdict's live hazard: a CONSTANT holder ("layout-maintenance")
+    * passes [[graft.fs.Layout.withWriterLease]]'s self-fenced re-entry,
+    * so an overrunning maintenance cron overlapping its next firing
+    * would interleave root swaps silently — the exact collision the
+    * lease exists to refuse. A fresh UUID per call makes any overlap
+    * (same planner or not) refuse loudly. The honest trade: a CRASHED
+    * maintenance run no longer self-heals on retry — the operator
+    * confirms the process is gone and runs
+    * [[graft.fs.Layout.breakWriterLease]] (the marker records this
+    * holder string, naming the planner and pid@host for that check).
+    * The streams keep their checkpoint-path holders — one active query
+    * per checkpoint is a real exclusivity unit; a cron firing is not. */
+  private def maintenanceHolder(op: String): String = {
+    val pidHost = try {
+      val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+      rt.getName // "pid@host"
+    } catch { case _: Throwable => "unknown" }
+    s"$op:$pidHost:${java.util.UUID.randomUUID}"
   }
 
   /** Every standing quantile index catches up incrementally (the tier /
@@ -1058,7 +1086,7 @@ object OnlineRefresh {
       buckets: Int = 1 << 16,
       sampleBy: Option[(String, Int)] = None
   ): Seq[Seq[Double]] = graft.fs.Layout.withWriterLease(spark, layoutPath,
-      "layout-maintenance") {
+      maintenanceHolder("reclusterZorderLayout")) {
     val bounds = graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles,
       sampleBy)
     graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
@@ -1168,7 +1196,7 @@ object OnlineRefresh {
       sampleBy: Option[(String, Int)] = None,
       tierBytes: Option[Long] = None
   ): DataFrame = graft.fs.Layout.withWriterLease(spark, layoutPath,
-      "layout-maintenance") {
+      maintenanceHolder("maintainLayout")) {
     graft.fs.Layout.recoverLayout(spark, layoutPath)
     val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val removed = graft.fs.Layout.applyTombstones(spark, layoutPath, keyCol,

@@ -1169,6 +1169,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("refinedPqCodebooks: Lloyd rounds move the books, cut recon error, deterministic") {
+    import org.apache.spark.sql.functions.lit
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val boot = graft.ops.Similarity.pqCodebooks(emb, 8, 8, "vec_id", "embedding")
+    val ref = graft.ops.Similarity.refinedPqCodebooks(emb, 8, 8, 2, "vec_id", "embedding")
+    assert(ref.length == boot.length && ref(0).length == boot(0).length &&
+      ref(0)(0).length == boot(0)(0).length, "refinement must preserve shape")
+    assert(boot.zip(ref).exists { case (bm, rm) =>
+      bm.zip(rm).exists { case (b, r) => !b.sameElements(r) } },
+      "two Lloyd rounds should move at least one sub-centroid")
+    val again = graft.ops.Similarity.refinedPqCodebooks(emb, 8, 8, 2, "vec_id", "embedding")
+    assert(ref.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "refinement must be deterministic (6-dp literal means)")
+    // the point of retraining: refined books reconstruct the corpus better
+    // than the lowest-id bootstrap (mean MSE via the drift monitor)
+    def mse(iters: Int): Double = {
+      val books = graft.ops.Similarity.pqCodebookTable(
+        emb, 8, 8, "vec_id", "embedding", iters)
+      val codes = graft.ops.Similarity.pqEncodeAgainst(emb, books)
+        .withColumn("batch", lit(0))
+      graft.ops.Similarity.pqDriftStats(
+        graft.ops.Similarity.PqIndex(books, codes), emb)
+        .collect().head.getAs[Double]("mean_mse")
+    }
+    val before = mse(0); val after = mse(2)
+    assert(after < before,
+      s"Lloyd-refined books must cut mean reconstruction error: $after !< $before")
+  }
+
   test("pqTopK: ADC exact on a codebook-only corpus; rerank = brute force; null/ragged rank last") {
     val corpus = Seq(
       (0L, Array(1.0f, 2.0f, -1.0f, 0.5f)),

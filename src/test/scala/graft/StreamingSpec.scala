@@ -1787,9 +1787,20 @@ class StreamingSpec extends SparkSpec {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     emb.repartition(4).write.parquet(s"$tmp/src")
     val schema = spark.read.parquet(s"$tmp/src").schema
-    // drifted bootstrap: codebooks trained on a tiny slice only
+    // drifted bootstrap: codebooks trained on a CORRUPTED slice (shrunk +
+    // shifted embeddings) that no bootstrap over the REAL corpus can
+    // re-pick — the r15 fixture trained on the true lowest-id slice, which
+    // retrainPqIndex's own lowest-id bootstrap re-derived almost verbatim,
+    // leaving the genuine retrain delta at the receipt's 4-dp rounding
+    // resolution (the 0.0121 !< 0.0121 suite-order flake). With the books
+    // off in a different region AND the retrain Lloyd-refining per
+    // subspace, the MSE drop is orders of magnitude — no rounding or
+    // file-ordering nondeterminism can flip the assertion.
     val drifted = graft.ops.Similarity.pqCodebookTable(
-      emb.where(col("vec_id") < 16))
+      emb.where(col("vec_id") < 16).select(col("vec_id"),
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> CAST(x * 0.05 + 6.0 AS FLOAT))")
+          .as("embedding")))
     OnlineRefresh.buildPqIndexStream(spark, s"$tmp/src", schema,
       s"$tmp/ix", s"$tmp/ck", drifted, maxFilesPerTrigger = Some(1))
       .awaitTermination()
@@ -1810,7 +1821,10 @@ class StreamingSpec extends SparkSpec {
     val rB = actions(OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix", emb,
       retrainAboveMse = 0.0, maxEpochs = 8))
     assert(rB("retrained") == 1.0 && rB.contains("mean_mse_after"), s"$rB")
-    assert(rB("mean_mse_after") < mseBefore,
+    // a REAL drop, not a rounding-resolution one: the corrupted books sit
+    // in the wrong region entirely, so the Lloyd-refined retrain must cut
+    // the reconstruction error by at least half (measured: ~3 orders)
+    assert(rB("mean_mse_after") < mseBefore / 2,
       s"retraining on the full corpus must beat the drifted bootstrap: $rB")
     assert(ids() == all, "retrain moved the indexed set")
     // healthy now: a third run with the same gate measures only
