@@ -612,6 +612,16 @@ object Layout {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       }.split("\n").filter(_.nonEmpty).map(_.toLong)
+      if (ids.isEmpty) {
+        // zero-length marker: the fold crashed between hfs.create and the
+        // id write — nothing was swapped (the marker write precedes both
+        // renames), so the live target is intact. Treat as uncommitted:
+        // drop staging + marker and continue, instead of wedging every
+        // recoverLayout head on ids.head until a human deletes the file.
+        staged.foreach(hfs.delete(_, true))
+        hfs.delete(marker, false)
+        return
+      }
       val target = ids.head
       val aside = new org.apache.hadoop.fs.Path(root, s".cmpold_batch=$target")
       if (staged.nonEmpty) {
@@ -1161,8 +1171,25 @@ object Layout {
     * `allowGone`. */
   def refreshQuantileIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, valueCol: String, keyCol: String, k: Int = 64,
-      allowGone: Boolean = false): Long =
-    refreshIndexCore(spark, path, quantileIndexPath(path, valueCol, keyCol),
+      allowGone: Boolean = false): Long = {
+    // the refresh must not mix sample widths: a smaller caller k would
+    // silently under-sample the NEW files while the consult's head-row
+    // check still passes — require the persisted k up front (loudly),
+    // the same contract the consult enforces
+    val qPath = quantileIndexPath(path, valueCol, keyCol)
+    val qp = new org.apache.hadoop.fs.Path(qPath)
+    if (qp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(qp)) {
+      AtomicDir.recoverSwap(spark, qPath)
+      val existing = spark.read.parquet(qPath)
+      if (existing.columns.contains("k"))
+        existing.select("k").distinct().collect().map(_.getInt(0)).foreach(
+          built => require(built == k,
+            s"quantile-index k mismatch for $path ($valueCol by $keyCol): " +
+              s"built with $built, refresh asked for $k — a mixed-k index " +
+              "under-samples its new files; pass the build's k (or rebuild " +
+              "with writeQuantileIndex)"))
+    }
+    refreshIndexCore(spark, path, qPath,
       "quantile index", "writeQuantileIndex", allowGone) { files =>
       quantileIndexRows(
         spark.read.option("mergeSchema", "true").parquet(files: _*)
@@ -1170,6 +1197,7 @@ object Layout {
           .withColumn("file", input_file_name()),
         valueCol, keyCol, k)
     }
+  }
 
   /** The layout's STANDING quantile indexes, discovered by the path
     * convention (`<base>__qindex_<v>_by_<key>` siblings) with each
@@ -1256,10 +1284,15 @@ object Layout {
     require(qidx.columns.contains("k"),
       s"quantile index at $qPath predates k persistence — rebuild it")
     val qFiles = qidx.select(col("file"), col("k")).collect()
-    qFiles.headOption.foreach(r => require(r.getInt(1) == k,
-      s"quantile-index k mismatch for $path ($valueCol by $keyCol): built " +
-        s"with ${r.getInt(1)}, consult asked for $k — a larger consult k " +
-        "would silently under-sample; pass the build's k (or rebuild)"))
+    // validate k on EVERY index row, not just the head — a historical
+    // mixed-k index (refreshes now refuse to create one, but one may
+    // already exist) must fail loudly here, not pass on its head row and
+    // serve under-sampled estimates
+    qFiles.foreach(r => require(r.getInt(1) == k,
+      s"quantile-index k mismatch for $path ($valueCol by $keyCol): " +
+        s"${r.getString(0)} built with ${r.getInt(1)}, consult asked for " +
+        s"$k — a mismatched k silently under-samples; pass the build's k " +
+        "(or rebuild)"))
     requireFresh(spark, path, qFiles.map(_.getString(0)), "quantile index")
     def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
     val containedSet = m.filter(_.getBoolean(2)).map(r => base(r.getString(0))).toSet
@@ -2315,7 +2348,8 @@ object Layout {
     * evolution between the snapshots aligns by name — a column absent
     * on one side reads null there, the additive-evolution convention. */
   def snapshotDiff(spark: org.apache.spark.sql.SparkSession, path: String,
-      v1: Long, v2: Long, keyCol: String): DataFrame = {
+      v1: Long, v2: Long, keyCol: String,
+      broadcastKeyCap: Long = 2L * 1000 * 1000): DataFrame = {
     val sp = snapshotsPath(path)
     val hfs = new org.apache.hadoop.fs.Path(sp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2327,11 +2361,21 @@ object Layout {
       if (hfs.exists(p)) Some(spark.read.parquet(p.toString)) else None
     }
     def empty(df: Option[DataFrame]): Boolean = df.forall(_.isEmpty)
+    // the fast path broadcasts the changed-key and tombstone sets to the
+    // driver — feed-sized by the MoR contract, but a large churn window
+    // between snapshots can break that assumption, so size-check the
+    // sidecars (a count over the tiny sidecar parquet, not the table)
+    // and take the shuffle-safe general path above the cap rather than
+    // risking a driver-side broadcast OOM
+    def feedSized(v: Long): Boolean =
+      Seq("tombstones", "deltas").map(k =>
+        sidecar(v, k).map(_.count()).getOrElse(0L)).sum <= broadcastKeyCap
     val fastEligible =
       hfs.exists(new org.apache.hadoop.fs.Path(sp, s"v=$v1")) &&
         hfs.exists(new org.apache.hadoop.fs.Path(sp, s"v=$v2")) &&
         pinned(v1) == pinned(v2) &&
-        empty(sidecar(v1, "tombstones")) && empty(sidecar(v1, "deltas"))
+        empty(sidecar(v1, "tombstones")) && empty(sidecar(v1, "deltas")) &&
+        feedSized(v2)
     if (!fastEligible) return snapshotDiffGeneral(spark, path, v1, v2, keyCol)
     // FAST PATH — v2's sidecars ARE the change set
     val base0 = readSnapshot(spark, path, v1, None)
@@ -2677,10 +2721,9 @@ object Layout {
       if (sidecarExists(spark, tombstonePath(path, c)))
         rows += (s"pending_tombstones_$c" ->
           readTombstones(spark, path, c).count().toString)
-      if (readDeltas(spark, path, c).isDefined)
+      readDeltas(spark, path, c).foreach(d =>
         rows += (s"pending_deltas_$c" ->
-          readDeltas(spark, path, c).get.select(col(c)).distinct()
-            .count().toString)
+          d.select(col(c)).distinct().count().toString))
     }
     rows += ("snapshots" -> listSnapshots(spark, path).size.toString)
     val lp = new org.apache.hadoop.fs.Path(leasePath(path))

@@ -153,10 +153,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
-      (children: Seq[Expression]) =>
-        KmvAgg(children.head,
-          children(1).eval().asInstanceOf[Number].intValue())
-          .toAggregateExpression()))
+      (children: Seq[Expression]) => {
+        // graft_kmv is USER-visible SQL surface: malformed calls must die
+        // as a clean analysis error, not an IndexOutOfBounds (missing k)
+        // or an NPE (non-literal k evaluated at resolution time)
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "`graft_kmv`",
+              "expectedNum" -> "2", "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val kExpr = children(1)
+        if (!kExpr.foldable || kExpr.eval() == null ||
+            !kExpr.eval().isInstanceOf[Number])
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`graft_kmv`",
+              "paramName" -> "`k`", "paramType" -> "\"INT\""))
+        KmvAgg(children.head, kExpr.eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssignExpr].getName, "graft_pq_assign"),

@@ -261,4 +261,21 @@ class FallbackSpec extends SparkSpec {
       .as[(Int, Seq[Long])].collect().toMap
     assert(merged == native)
   }
+
+  test("graft_kmv: malformed SQL calls die as clean analysis errors, not IOOBE/NPE") {
+    spark.range(3).createOrReplaceTempView("__kmv_probe")
+    // missing k: must be a named analysis error, not IndexOutOfBounds
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kmv(id) FROM __kmv_probe").collect())
+    assert(e1.getMessage.contains("graft_kmv"))
+    // non-literal k: must be a named analysis error, not an NPE at
+    // resolution time
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kmv(id, id) FROM __kmv_probe").collect())
+    assert(e2.getMessage.contains("graft_kmv"))
+    // NULL k is non-sense too
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_kmv(id, NULL) FROM __kmv_probe").collect())
+    assert(e3.getMessage.contains("graft_kmv"))
+  }
 }

@@ -458,6 +458,18 @@ class LayoutSpec extends SparkSpec {
     Layout.recoverLayout(spark, s"$base/z")
     assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, "batch=9")))
     assert(spark.read.parquet(s"$base/z").count() == 10000)
+    // crash window (d): ZERO-LENGTH marker (crash between hfs.create and
+    // the id write — nothing was swapped). Recovery must treat it as
+    // uncommitted — drop staging + marker, table intact — not wedge every
+    // subsequent recoverLayout on ids.head
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(root, ".cmpnew_batch=1"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/z/.cmpcommit"),
+      Array.empty[Byte])
+    Layout.recoverLayout(spark, s"$base/z")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, ".cmpcommit")),
+      "empty marker must be swept, not wedge the layout")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(root, ".cmpnew_batch=1")))
+    assert(spark.read.parquet(s"$base/z").count() == 10000)
   }
 
   test("ndvMatching: sketch fold bit-identical to the whole-scan KMV, interior files from metadata, exact under k, fences") {
@@ -579,6 +591,14 @@ class LayoutSpec extends SparkSpec {
       .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
       .collect().toSet
     assert(fast == general, s"fast path must equal the general diff")
+    // above the broadcast cap the SAME eligible pair routes to the
+    // shuffle-safe general path (no driver-side broadcast of a huge
+    // changed-key set) and still answers identically
+    val capped = Layout.snapshotDiff(spark, s"$base/z", v0, v1, "id",
+      broadcastKeyCap = 1L)
+      .as[(Long, String, Option[Double], Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(capped == general, "cap fallback must not change the diff")
     val expected = Set(
       (10L, "update", Some(10.0), Some(0.0), Some(999.0), Some(999.0)),
       (30L, "delete", Some(30.0), Some(0.0), None, None),
@@ -667,6 +687,12 @@ class LayoutSpec extends SparkSpec {
     val errK = intercept[IllegalArgumentException](
       Layout.quantileMatching(spark, s"$base/z", whole, "b", "id", k = 64))
     assert(errK.getMessage.contains("k mismatch"))
+    // a mismatched REFRESH k refuses too — a smaller k would silently
+    // under-sample the new files into a mixed-k index whose head-row
+    // check still passes (the r15 ADVICE finding)
+    val errR = intercept[IllegalArgumentException](
+      Layout.refreshQuantileIndex(spark, s"$base/z", "b", "id", k = 16))
+    assert(errR.getMessage.contains("k mismatch"))
     // a missing index refuses loudly
     val errM = intercept[IllegalArgumentException](
       Layout.quantileMatching(spark, s"$base/z", whole, "a", "id", k = 32))
@@ -1209,6 +1235,36 @@ class LayoutSpec extends SparkSpec {
       o2.write("stream:ck1".getBytes("UTF-8")); o2.close()
       Layout.withWriterLease(spark, path, "stream:OTHER") { 0 }
     }
+    assert(Layout.breakWriterLease(spark, path))
+  }
+
+  test("maintenance planners: per-invocation lease holders — an overlapping run refuses loudly") {
+    // the r15 hazard: with a CONSTANT maintenance holder, an overrunning
+    // cron overlapping its next firing passed the self-fence and
+    // interleaved root swaps silently. Holders are now unique per
+    // invocation, so a standing maintenance lease — same planner or not —
+    // refuses; crashed-run recovery is the explicit breakWriterLease.
+    val base = java.nio.file.Files.createTempDirectory("graft-zmlease").toString
+    val path = s"$base/z"
+    val lp = new org.apache.hadoop.fs.Path(Layout.leasePath(path))
+    val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(lp.getParent)
+    val out = hfs.create(lp, true)
+    // a concurrent maintainLayout invocation's marker (its own unique id)
+    out.write("maintainLayout:999@elsewhere:overlap-uuid".getBytes("UTF-8"))
+    out.close()
+    for (attempt <- 1 to 2) { // every firing refuses — no self-fence pass
+      val err = intercept[IllegalArgumentException](
+        graft.streaming.OnlineRefresh.maintainLayout(
+          spark, path, Seq("a", "b"), "id"))
+      assert(err.getMessage.contains("maintainLayout:999@elsewhere"),
+        s"attempt $attempt must name the holding run: ${err.getMessage}")
+    }
+    val err2 = intercept[IllegalArgumentException](
+      graft.streaming.OnlineRefresh.compactZorderLayout(
+        spark, path, Seq("a", "b"), "id"))
+    assert(err2.getMessage.contains("single-writer"))
+    // the documented recovery path for a crashed run
     assert(Layout.breakWriterLease(spark, path))
   }
 }
