@@ -2009,14 +2009,55 @@ object Layout {
           .unionByName(latest.where(resid), allowMissingColumns = true)
     }
 
+  /** Every STANDING MoR sidecar of the table, as (kind, keyCol) pairs —
+    * committed epochs only, discovered by the naming conventions in the
+    * parent directory (the [[requireNoPendingMor]] listing, shared). */
+  private[graft] def standingMorSidecars(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
+    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = p.getParent
+    if (parent == null || !hfs.exists(parent)) Nil
+    else hfs.listStatus(parent).toSeq.map(_.getPath).flatMap { sp =>
+      val n = sp.getName
+      Seq("tombstones", "deltas").collectFirst {
+        case kind if n.startsWith(s"${p.getName}__${kind}_") &&
+            sidecarExists(spark, sp.toString) =>
+          (kind, n.stripPrefix(s"${p.getName}__${kind}_"))
+      }
+    }
+  }
+
+  /** The MoR SERVE paths' key fence: a merge-on-read read folds only the
+    * CALLER'S key column's sidecars — if the table also holds standing
+    * sidecars under a DIFFERENT key column, serving would silently
+    * resurrect rows tombstoned under that key (the r15 verdict's quiet
+    * takedown-path violation) or miss staged updates. Refuse loudly,
+    * naming the pending sidecar, per the engine-wide contract. */
+  private def requireMorKeyCovers(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCol: String): Unit = {
+    val foreign = standingMorSidecars(spark, path).filter(_._2 != keyCol)
+    require(foreign.isEmpty,
+      s"merge-on-read read under key '$keyCol' refused: standing " +
+        s"sidecar(s) ${foreign.map { case (k, c) => s"__${k}_$c" }
+          .mkString(", ")} hold logical mutations under a different key " +
+        "column this read cannot fold — serving would silently resurrect " +
+        "tombstoned rows or miss staged updates; fold them first " +
+        "(applyTombstones/applyUpsertDeltas under that key) or read " +
+        "under that key")
+  }
+
   /** Merge-on-read pruned range read: [[prunedRead]] plus the standing
     * upsert deltas (range-filtered like any row), minus the standing
     * tombstones — serve-path exactness while ALL mutations stay
     * logical. A key both upserted and tombstoned answers EMPTY: the
     * takedown wins regardless of staging order (the GDPR priority —
-    * an update must not resurrect a deleted row). */
+    * an update must not resurrect a deleted row). Sidecars under a
+    * DIFFERENT key column refuse ([[requireMorKeyCovers]]). */
   def prunedReadMor(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Double, Double)], keyCol: String): DataFrame = {
+    requireMorKeyCovers(spark, path, keyCol)
     val resid = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
@@ -2031,12 +2072,14 @@ object Layout {
     * standing tombstones — a tombstoned key answers empty even when a
     * later upsert staged it ([[prunedReadMor]]'s takedown-wins rule). */
   def pointReadMor(spark: org.apache.spark.sql.SparkSession, path: String,
-      keyCol: String, value: Column, buckets: Int = 1 << 16): DataFrame =
+      keyCol: String, value: Column, buckets: Int = 1 << 16): DataFrame = {
+    requireMorKeyCovers(spark, path, keyCol)
     subtractTombstones(spark, path,
       applyDeltasTo(spark, path,
         pointRead(spark, path, keyCol, value, buckets), keyCol,
         col(keyCol) === value),
       keyCol)
+  }
 
   /** Full-table merge-on-read read: every leaf row (served under the
     * stable persisted schema — no partition column, evolved columns
@@ -2045,13 +2088,15 @@ object Layout {
     * mutation stays staged. The whole-table sibling of
     * [[prunedReadMor]]/[[pointReadMor]]. */
   def readLayoutMor(spark: org.apache.spark.sql.SparkSession, path: String,
-      keyCol: String): DataFrame =
+      keyCol: String): DataFrame = {
+    requireMorKeyCovers(spark, path, keyCol)
     subtractTombstones(spark, path,
       applyDeltasTo(spark, path,
         readLayoutFiles(spark, path,
           listedDataFilePaths(spark, path).values.toSeq.sorted),
         keyCol, lit(true)),
       keyCol)
+  }
 
   /** FOLD pending upsert deltas back to copy-on-write — the
     * [[applyTombstones]] twin: the latest staged version of each key
@@ -2152,24 +2197,16 @@ object Layout {
     * what re-arms the pushdowns. */
   private def requireNoPendingMor(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path.stripSuffix("/"))
-    val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prefixes = Seq(p.getName + "__tombstones_", p.getName + "__deltas_")
-    val parent = p.getParent
-    if (parent != null && hfs.exists(parent)) {
-      // only sidecars holding COMMITTED epochs fence (an empty shell —
-      // e.g. all stagings aborted — holds no mutation to miscount)
-      val pending = hfs.listStatus(parent)
-        .filter(st => prefixes.exists(st.getPath.getName.startsWith))
-        .filter(st => sidecarExists(spark, st.getPath.toString))
-        .map(_.getPath.getName)
-      require(pending.isEmpty,
-        s"metadata pushdown refused: pending merge-on-read sidecar(s) " +
-          s"${pending.mkString(", ")} hold logical deletes/upserts the " +
-          "manifest's per-file stats cannot see — applyTombstones/" +
-          "applyUpsertDeltas first (or read through the merge-on-read " +
-          "serve path)")
-    }
+    // only sidecars holding COMMITTED epochs fence (an empty shell —
+    // e.g. all stagings aborted — holds no mutation to miscount)
+    val pending = standingMorSidecars(spark, path)
+      .map { case (kind, c) => s"__${kind}_$c" }
+    require(pending.isEmpty,
+      s"metadata pushdown refused: pending merge-on-read sidecar(s) " +
+        s"${pending.mkString(", ")} hold logical deletes/upserts the " +
+        "manifest's per-file stats cannot see — applyTombstones/" +
+        "applyUpsertDeltas first (or read through the merge-on-read " +
+        "serve path)")
   }
 
   /** Snapshot root convention — sibling of the data, like every index. */

@@ -802,6 +802,17 @@ class LayoutSpec extends SparkSpec {
       Layout.countMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0))))
     intercept[IllegalArgumentException](
       Layout.aggMatching(spark, s"$base/z", Seq(("a", 0.0, 99.0)), "b"))
+    // SIDECAR-KEY FENCE: with id-tombstones pending, a MoR read under a
+    // DIFFERENT key column cannot fold them — it must refuse loudly,
+    // naming the pending sidecar, instead of silently serving the
+    // tombstoned rows (the quiet takedown-path violation)
+    for (read <- Seq(
+        () => Layout.readLayoutMor(spark, s"$base/z", "a"),
+        () => Layout.prunedReadMor(spark, s"$base/z", rect, "a"),
+        () => Layout.pointReadMor(spark, s"$base/z", "a", lit(5.0)))) {
+      val err = intercept[IllegalArgumentException](read().collect())
+      assert(err.getMessage.contains("__tombstones_id"), err.getMessage)
+    }
     // fold to physical: rows leave, sidecar clears, pushdowns re-arm
     assert(Layout.applyTombstones(spark, s"$base/z", "id", Seq("a", "b")) == 25L)
     assert(spark.read.parquet(s"$base/z").count() == 10000 - 25)
