@@ -2875,6 +2875,27 @@ object Queries {
       fs.Layout.layoutDrift(s, s"$base/z")
     })
 
+  /** The drift monitor answered from METADATA ALONE — the same drifted
+    * fixture as q_layout_drift, but with the manifest (and its per-file
+    * z-bucket histograms) written first, so [[graft.fs.Layout
+    * .layoutDrift]] folds the TV distance driver-side from ≤ one row
+    * per file instead of scanning the table. The histograms fold
+    * EXACTLY (integer element-wise sums), so this row set is pinned to
+    * the SAME oracle as the scan twin — the pushdown is provably the
+    * full pass's answer, the q_meta_* contract applied to drift. */
+  private def layoutDriftMetaQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zdriftm:" + dir, s), _ => {
+      val base = scratchDir("graft_zdriftm").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(col("value") <= 35.0), s"$base/z",
+        "user_id", "value", bits = 6, numFiles = 16,
+        sampleBy = Some(("event_id", 8)))
+      fs.Layout.appendZordered(e.where(col("value") > 35.0), s"$base/z",
+        numFiles = 16)
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      fs.Layout.layoutDrift(s, s"$base/z")
+    })
+
   /** RECLUSTER ([[graft.fs.Layout.reclusterLayout]]) — the drift cure:
     * the same drifted fixture, boundaries re-derived from the full
     * drifted table (sampled — the scale-safe path), data rewritten
@@ -3729,8 +3750,8 @@ object Queries {
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
       "q_meta_ndv", "q_meta_quantile", "q_layout_tiered", "q_snapshot_diff",
-      "q_layout_drift", "q_layout_reclustered", "q_layout_drift_after",
-      "q_layout_maintained",
+      "q_layout_drift", "q_layout_drift_meta", "q_layout_reclustered",
+      "q_layout_drift_after", "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
       "q_stream_zorder_ingest", "q_stream_zorder_delete",
       "q_stream_zorder_upsert", "q_stream_zorder_delete_mor",
@@ -4052,6 +4073,7 @@ object Queries {
     "q_snapshot_diff" -> (snapshotDiffQ _),
     "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
+    "q_layout_drift_meta" -> (layoutDriftMetaQ _),
     "q_layout_reclustered" -> (layoutReclusteredQ _),
     "q_layout_drift_after" -> (layoutDriftAfterQ _),
     "q_layout_maintained" -> (layoutMaintainedQ _),
@@ -4674,6 +4696,8 @@ object Queries {
          |FROM e, x""".stripMargin,
     // drift monitor: bounds from the low-value build half, TV over all rows
     "q_layout_drift" -> layoutDriftOracle("\"value\" <= 35"),
+    // the metadata fold is EXACT, so the pushdown pins to the scan's oracle
+    "q_layout_drift_meta" -> layoutDriftOracle("\"value\" <= 35"),
     // post-recluster monitor: bounds re-derived from the full table
     "q_layout_drift_after" -> layoutDriftOracle("TRUE"),
     // one maintenance call: fold both sidecars (takedown wins), recluster

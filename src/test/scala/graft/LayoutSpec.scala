@@ -1131,6 +1131,69 @@ class LayoutSpec extends SparkSpec {
     assert(pr.exceptAll(full).isEmpty && full.exceptAll(pr).isEmpty)
   }
 
+  test("layoutDrift: manifest histogram fold ≡ the audit scan; no-action maintenance reads metadata only") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdriftm").toString
+    // the canonical drifted fixture, WITH the manifest written — the
+    // consult must answer from the zh_<c> histograms, exactly
+    Layout.writeZordered(grid.where(col("b") <= 49.0), s"$base/z", "a", "b",
+      bits = 6, numFiles = 8)
+    Layout.appendZordered(grid.where(col("b") > 49.0), s"$base/z", numFiles = 8)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String, Int, Double)] =
+      df.as[(Int, String, Int, Double)].collect().toSet
+    val meta = rows(Layout.layoutDrift(spark, s"$base/z"))
+    val scan = rows(Layout.auditDrift(spark, s"$base/z"))
+    assert(meta == scan, s"metadata fold must equal the audit scan:\n$meta\n$scan")
+    assert(meta.exists { case (_, c, _, tv) => c == "b" && tv > 0.35 },
+      "the drifted column must still flag through the metadata path")
+    // the fold really came from metadata: bytes read during the consult
+    // stay metadata-sized while the audit scan reads the table (the
+    // zero-table-sized-jobs receipt, measured not asserted-by-plan)
+    val st = org.apache.hadoop.fs.FileSystem
+      .getGlobalStorageStatistics.get("file")
+    val dataBytes = {
+      val root = new org.apache.hadoop.fs.Path(s"$base/z")
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(root).getLength
+    }
+    def bytesDuring(body: => Unit): Long = {
+      val before = st.getLong("bytesRead"); body
+      st.getLong("bytesRead") - before
+    }
+    val metaBytes = bytesDuring(Layout.layoutDrift(spark, s"$base/z").collect())
+    val scanBytes = bytesDuring(Layout.auditDrift(spark, s"$base/z").collect())
+    assert(scanBytes > dataBytes / 2,
+      s"audit must read the table ($scanBytes of $dataBytes)")
+    assert(metaBytes < dataBytes / 4,
+      s"metadata consult must NOT read the table ($metaBytes of $dataBytes)")
+    // a no-action maintainLayout run (gates not tripped) is metadata-only
+    val mBytes = bytesDuring {
+      graft.streaming.OnlineRefresh.maintainLayout(spark, s"$base/z",
+        Seq("a", "b"), "id", reclusterAt = 0.99, maxFiles = 10000).collect()
+      ()
+    }
+    assert(mBytes < dataBytes / 4,
+      s"no-action maintenance must not scan the table ($mBytes of $dataBytes)")
+    // incremental refresh keeps the histograms exact: append, refresh,
+    // consult again — still the scan's answer
+    val extra = spark.range(10000, 14000).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      lit(99.0).as("b"))
+    Layout.appendZordered(extra, s"$base/z", numFiles = 2)
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"))
+    val meta2 = rows(Layout.layoutDrift(spark, s"$base/z"))
+    val scan2 = rows(Layout.auditDrift(spark, s"$base/z"))
+    assert(meta2 == scan2, "fold must stay exact across incremental refresh")
+    // a stale manifest must NOT serve wrong drift — the consult falls
+    // back to the scan (append without refresh)
+    Layout.appendZordered(extra.where(col("id") < 10100), s"$base/z",
+      numFiles = 1)
+    val stale = rows(Layout.layoutDrift(spark, s"$base/z"))
+    assert(stale == rows(Layout.auditDrift(spark, s"$base/z")),
+      "stale manifest must fall back to the scan, not serve stale drift")
+  }
+
   test("recluster on the epoch layout: newest epoch keeps its partition for replay, the rest folds") {
     val base = java.nio.file.Files.createTempDirectory("graft-zreclep").toString
     Layout.buildZorderedEpoch(grid.where(col("id") % 4 === 0), s"$base/z",
