@@ -2295,6 +2295,22 @@ object Queries {
       .select(col("event_id"), col("__zb_a").as("b_user"),
         col("__zb_b").as("b_val"), col("zkey"))
 
+  /** STRING Z-order key ([[graft.fs.Layout.zorderKeyCols]] over a
+    * string + numeric column pair — the most common real-world table
+    * key shape next to ids): the string column buckets by
+    * lexicographic strictly-below against rank-derived cut strings
+    * (value at 1-based rank max(1, floor(i·n/16)) of the sorted
+    * non-null column — replayed in SQL with row_number over the same
+    * ORDER BY; both engines compare varchar in binary UTF-8 order),
+    * the numeric column by the standard 4-dp quantile boundaries, and
+    * the round-robin interleave never sees the type. */
+  private def zorderKeyStrQ(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderKeyCols(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      Seq("c_name", "c_acctbal"), bits = 4)
+      .select(col("c_custkey"), col("__zb_0").as("b_name"),
+        col("__zb_1").as("b_bal"), col("zkey"))
+
   /** 3-column Z-order key ([[graft.fs.Layout.zorderKeyCols]]) over
     * (user_id, value, floor-seconds of ts) — real tables prune on
     * key × metric × time, and the round-robin interleave puts column i's
@@ -4055,6 +4071,7 @@ object Queries {
     "q_ann_recall_ivfpqrr" -> (annRecallIvfpqRrQ _),
     "q_ann_recall_ivfpq" -> (annRecallIvfpqQ _),
     "q_zorder_key" -> (zorderKeyQ _),
+    "q_zorder_key_str" -> (zorderKeyStrQ _),
     "q_zorder_key3" -> (zorderKey3Q _),
     "q_pruned_scan" -> (prunedScanQ _),
     "q_point_lookup" -> (pointLookupQ _),
@@ -4523,6 +4540,7 @@ object Queries {
     "q_ann_recall_ivfpqres" -> annRecallIvfpqResOracle,
     "q_ann_recall_ivfpqrr" -> annRecallIvfpqRrOracle,
     "q_zorder_key" -> zorderKeyOracle,
+    "q_zorder_key_str" -> zorderKeyStrOracle,
     "q_zorder_key3" -> zorderKey3Oracle,
     "q_pruned_scan" ->
       """SELECT event_id, user_id, "value"
@@ -6490,6 +6508,32 @@ object Queries {
        |    CAST(len(list_filter(bb.b, x -> e."value" > x)) AS INTEGER) AS b_val
        |  FROM events e CROSS JOIN ba CROSS JOIN bb)
        |SELECT event_id, b_user, b_val, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
+  }
+
+  /** The STRING Z-order key replayed: cut strings via row_number at the
+    * engine's exact ranks (greatest(1, (i·n)//16), i = 1..15, kept as a
+    * 15-length list WITH duplicates — the strictly-below fold counts
+    * every boundary), numeric boundaries via the standard
+    * quantile_cont/round-4, binary varchar comparison throughout. */
+  private def zorderKeyStrOracle: String = {
+    val fracs = (1 until 16).map(i => i.toDouble / 16).mkString(", ")
+    val inter = (0 until 4).map(j =>
+      s"((b_name >> $j) & 1) * ${1L << (2 * j)} + ((b_bal >> $j) & 1) * ${1L << (2 * j + 1)}"
+    ).mkString(" + ")
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM customer WHERE c_name IS NOT NULL),
+       |rk AS (SELECT c_name, row_number() OVER (ORDER BY c_name) AS rn
+       |  FROM customer WHERE c_name IS NOT NULL),
+       |bs AS (SELECT r.range AS i,
+       |    (SELECT c_name FROM rk CROSS JOIN nn
+       |     WHERE rn = greatest(1, (r.range * nn.cnt) // 16)) AS v
+       |  FROM range(1, 16) r),
+       |ba AS (SELECT list(v ORDER BY i) AS b FROM bs),
+       |bb AS (SELECT list_transform(quantile_cont(c_acctbal, [$fracs]), x -> round(x, 4)) AS b FROM customer),
+       |r AS (SELECT c_custkey,
+       |    CAST(len(list_filter(ba.b, x -> c.c_name > x)) AS INTEGER) AS b_name,
+       |    CAST(len(list_filter(bb.b, x -> c.c_acctbal > x)) AS INTEGER) AS b_bal
+       |  FROM customer c CROSS JOIN ba CROSS JOIN bb)
+       |SELECT c_custkey, b_name, b_bal, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
   }
 
   /** The 3-column Z-order key replayed — same sampled-boundary machinery,

@@ -92,6 +92,69 @@ object Layout {
     cols.indices.map(i => Option(row.getSeq[Double](i)).getOrElse(Seq.empty))
   }
 
+  /** Quantile CUT STRINGS for a lexicographic (string) cluster key —
+    * the non-numeric boundary scheme: sort the non-null sample, take
+    * the value at 1-based rank max(1, floor(i·n/nb)) for i in
+    * 1..nb-1. Deterministic (the value at a rank is unique under any
+    * total order consistent with the column, ties included) and
+    * replayable in SQL with row_number() over the same ORDER BY —
+    * both engines compare varchar in binary UTF-8 byte order, so the
+    * strictly-below bucket fold agrees bit-for-bit. One global-window
+    * sort job per string column at BUILD time only, over the (sampled)
+    * boundary source — the [[deriveBounds]] sampleBy contract. */
+  private def stringCuts(src: DataFrame, c: String, nb: Int): Seq[String] = {
+    val nn = src.where(col(c).isNotNull).select(col(c))
+    val n = nn.count()
+    if (n == 0) return Nil
+    val ranks = (1 until nb).map(i => math.max(1L, i.toLong * n / nb))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+    val byRank = nn.withColumn("__rn", row_number().over(w).cast("long"))
+      .where(col("__rn").isin(ranks.distinct: _*))
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    ranks.map(byRank)
+  }
+
+  /** [[deriveBounds]] generalized to MIXED numeric/string Z columns:
+    * numeric columns keep the one-pass percentile aggregate (bit-
+    * compatible with every existing oracle), string columns derive
+    * rank-based cut strings ([[stringCuts]]). Returns the parallel
+    * (numeric bounds, string bounds) pair — exactly one of the two is
+    * non-empty per column position (both empty for an all-null
+    * column: every row buckets 0, the standing convention). */
+  def deriveBoundsTyped(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      sampleBy: Option[(String, Int)] = None
+  ): (Seq[Seq[Double]], Seq[Seq[String]]) = {
+    val nb = 1 << bits
+    val isStr = cols.map(c => df.schema.fields
+      .find(_.name == c).exists(_.dataType ==
+        org.apache.spark.sql.types.StringType))
+    val src = sampleBy match {
+      case Some((id, every)) if every > 1 => df.where(sampleKeep(id, every))
+      case _ => df
+    }
+    val numCols = cols.zip(isStr).collect { case (c, false) => c }
+    val numBounds: Map[String, Seq[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else numCols.zip(deriveBounds(src, numCols, bits, None)).toMap
+    val strBounds: Map[String, Seq[String]] =
+      cols.zip(isStr).collect { case (c, true) =>
+        c -> stringCuts(src, c, nb)
+      }.toMap
+    (cols.map(c => numBounds.getOrElse(c, Seq.empty)),
+      cols.map(c => strBounds.getOrElse(c, Seq.empty)))
+  }
+
+  /** The strictly-below bucket expression for one Z column — numeric OR
+    * string boundary literals, ONE definition shared by the key, the
+    * manifest histograms, and the drift scan. */
+  private def zBucketCol(c: String, nb: Seq[Double], sb: Seq[String]): Column =
+    if (sb.nonEmpty) sb.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+    else if (nb.isEmpty) lit(0)
+    else nb.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+
   /** Apply FROZEN boundaries: bucket + interleave, no aggregate pass —
     * the key an append computes against the layout's persisted meta
     * ([[appendZordered]]), and the second half of [[zorderKeyCols]].
@@ -102,17 +165,29 @@ object Layout {
       cols: Seq[String],
       bits: Int,
       bounds: Seq[Seq[Double]]
+  ): DataFrame =
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, cols.map(_ => Seq.empty))
+
+  /** [[zorderKeyWithBounds]] over MIXED numeric/string boundaries — the
+    * string positions bucket by lexicographic strictly-below against
+    * their cut strings, everything else is identical (the interleave
+    * never sees the column type, only the bucket int). */
+  def zorderKeyWithBoundsTyped(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      bounds: Seq[Seq[Double]],
+      sbounds: Seq[Seq[String]]
   ): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
     require(cols.size * bits <= 62, "k*bits must fit a long zkey")
     require(bounds.size == cols.size,
       s"bounds for ${bounds.size} columns, expected ${cols.size}")
-    def bucketCol(c: String, bs: Seq[Double]): Column =
-      if (bs.isEmpty) lit(0)
-      else bs.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+    require(sbounds.size == cols.size,
+      s"sbounds for ${sbounds.size} columns, expected ${cols.size}")
     val withB = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      d.withColumn(s"__zb_$i", bucketCol(c, bounds(i)))
+      d.withColumn(s"__zb_$i", zBucketCol(c, bounds(i), sbounds(i)))
     }
     // round-robin interleave — arithmetic only, so the oracle replays it
     // with >> / & / integer literals verbatim
@@ -133,7 +208,8 @@ object Layout {
   ): DataFrame = {
     require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
     require(cols.size >= 2, s"Z-order needs >= 2 columns, got ${cols.size}")
-    zorderKeyWithBounds(df, cols, bits, deriveBounds(df, cols, bits, sampleBy))
+    val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, sampleBy)
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
   }
 
   /** Working-column names [[zorderKeyCols]] adds for k columns. */
@@ -185,13 +261,14 @@ object Layout {
       numFiles: Int = 32,
       sampleBy: Option[(String, Int)] = None
   ): Unit = {
-    val bounds = deriveBounds(df, cols, bits, sampleBy)
-    zorderKeyWithBounds(df, cols, bits, bounds)
+    val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, sampleBy)
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
       .write.mode("overwrite").parquet(path)
-    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema))
+    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
+      sbounds)
   }
 
   /** Layout-meta sidecar path: sibling of the data, like the manifest. */
@@ -213,13 +290,28 @@ object Layout {
     * commit unit ([[maybeEvolveLayoutSchema]]). */
   def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val rows = cols.zipWithIndex.map { case (c, i) => (i, c, bits, bounds(i)) }
-    spark.createDataFrame(rows).toDF("pos", "zcol", "bits", "bounds")
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      sbounds: Seq[Seq[String]] = Seq.empty): Unit =
+    layoutMetaFrame(spark, cols, bits, bounds, sbounds,
+      schema.map(s => nullableSchema(s).json))
+      .write.mode("overwrite").parquet(layoutMetaPath(path))
+
+  /** The meta sidecar's row frame — (pos, zcol, bits, bounds, sbounds,
+    * schema_json), shared by every meta writer so the string-boundary
+    * column can never be dropped by one of them. `sbounds` empty →
+    * all-numeric (per-position empty arrays). */
+  private def layoutMetaFrame(spark: org.apache.spark.sql.SparkSession,
+      cols: Seq[String], bits: Int, bounds: Seq[Seq[Double]],
+      sbounds: Seq[Seq[String]], schemaJson: Option[String]): DataFrame = {
+    val sb = if (sbounds.isEmpty) cols.map(_ => Seq.empty[String]) else sbounds
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      (i, c, bits, bounds(i), sb(i))
+    }
+    spark.createDataFrame(rows)
+      .toDF("pos", "zcol", "bits", "bounds", "sbounds")
       .withColumn("schema_json",
-        schema.map(s => lit(nullableSchema(s).json))
-          .getOrElse(lit(null).cast("string")))
-      .coalesce(1).write.mode("overwrite").parquet(layoutMetaPath(path))
+        schemaJson.map(lit(_)).getOrElse(lit(null).cast("string")))
+      .coalesce(1)
   }
 
   /** The persisted schema is stored all-nullable: an explicit-schema
@@ -281,13 +373,12 @@ object Layout {
       }
       val fresh = incoming.fields.filterNot(f => byName.contains(f.name))
       if (fresh.nonEmpty) {
-        val (cols, bits, bounds) = readLayoutMeta(spark, path)
+        val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
         val merged = org.apache.spark.sql.types.StructType(stored.fields ++ fresh)
         AtomicDir.swapDir(spark, layoutMetaPath(path)) { tmp =>
-          val rows = cols.zipWithIndex.map { case (c, i) => (i, c, bits, bounds(i)) }
-          spark.createDataFrame(rows).toDF("pos", "zcol", "bits", "bounds")
-            .withColumn("schema_json", lit(nullableSchema(merged).json))
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          layoutMetaFrame(spark, cols, bits, bounds, sbounds,
+            Some(nullableSchema(merged).json))
+            .write.mode("overwrite").parquet(tmp)
         }
       }
     }
@@ -295,9 +386,20 @@ object Layout {
   /** Read back (cols, bits, bounds) from the sidecar. */
   def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Seq[String], Int, Seq[Seq[Double]]) = {
+    val (cols, bits, bounds, _) = readLayoutMetaTyped(spark, path)
+    (cols, bits, bounds)
+  }
+
+  /** [[readLayoutMeta]] plus the string boundaries — (cols, bits,
+    * bounds, sbounds). A sidecar written before string-key support
+    * reads back with empty sbounds (all-numeric). */
+  def readLayoutMetaTyped(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[String], Int, Seq[Seq[Double]], Seq[Seq[String]]) = {
     // a schema-evolution meta swap may have crashed mid-rename
     AtomicDir.recoverSwap(spark, layoutMetaPath(path))
-    val rows = spark.read.parquet(layoutMetaPath(path))
+    val raw = spark.read.parquet(layoutMetaPath(path))
+    val hasS = raw.columns.contains("sbounds")
+    val rows = raw
       // cast in-plan: we write array<double>, but a sidecar rewritten by an
       // external tool as array<float> must not ClassCastException at getSeq
       .withColumn("bounds", col("bounds").cast("array<double>"))
@@ -307,7 +409,12 @@ object Layout {
     val bits = rows.head.getAs[Int]("bits")
     val bounds = rows.map(r =>
       Option(r.getSeq[Double](r.fieldIndex("bounds"))).getOrElse(Seq.empty)).toSeq
-    (cols, bits, bounds)
+    val sbounds =
+      if (!hasS) cols.map(_ => Seq.empty[String])
+      else rows.map(r =>
+        Option(r.getSeq[String](r.fieldIndex("sbounds")))
+          .getOrElse(Seq.empty)).toSeq
+    (cols, bits, bounds, sbounds)
   }
 
   /** INCREMENTAL append to a Z-ordered layout — the production write
@@ -326,8 +433,8 @@ object Layout {
     * run [[refreshManifest]] / [[refreshValueIndex]] to complete the
     * commit unit; each indexes ONLY the new files. */
   def appendZordered(df: DataFrame, path: String, numFiles: Int = 4): Unit = {
-    val (cols, bits, bounds) = readLayoutMeta(df.sparkSession, path)
-    zorderKeyWithBounds(df, cols, bits, bounds)
+    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
@@ -352,13 +459,14 @@ object Layout {
       numFiles: Int = 8,
       batchId: Long = 0L
   ): Unit = {
-    val bounds = deriveBounds(df, cols, bits, None)
-    zorderKeyWithBounds(df, cols, bits, bounds)
+    val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, None)
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
       .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
-    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema))
+    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
+      sbounds)
   }
 
   /** Streaming-epoch append: frozen-bounds re-key, landed as the
@@ -367,8 +475,8 @@ object Layout {
     * mode=append would double rows). */
   def appendZorderedEpoch(df: DataFrame, path: String, batchId: Long,
       numFiles: Int = 4): Unit = {
-    val (cols, bits, bounds) = readLayoutMeta(df.sparkSession, path)
-    zorderKeyWithBounds(df, cols, bits, bounds)
+    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
+    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
@@ -484,9 +592,9 @@ object Layout {
     * pruned reads fail loudly, never silently. */
   def compactLayout(spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 32): Unit = {
-    val (cols, bits, bounds) = readLayoutMeta(spark, path)
+    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
     AtomicDir.swapDir(spark, path) { tmp =>
-      zorderKeyWithBounds(spark.read.parquet(path), cols, bits, bounds)
+      zorderKeyWithBoundsTyped(spark.read.parquet(path), cols, bits, bounds, sbounds)
         .repartitionByRange(numFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
         .drop(zorderWorkCols(cols.size): _*)
@@ -558,7 +666,7 @@ object Layout {
     if (picks.size < 2) return Nil
     val target = picks.head
     val victims = picks.tail
-    val (cols, bits, bounds) = readLayoutMeta(spark, path)
+    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
     require(!picks.contains(newest), "newest epoch must never fold") // belt
     // stage the fold while every victim is still live (the reads happen
     // inside the write job, strictly before any rename)
@@ -566,7 +674,7 @@ object Layout {
     hfs.delete(staging, true)
     val foldSrc = spark.read.option("mergeSchema", "true")
       .parquet(picks.map(id => s"$path/batch=$id"): _*)
-    zorderKeyWithBounds(foldSrc, cols, bits, bounds)
+    zorderKeyWithBoundsTyped(foldSrc, cols, bits, bounds, sbounds)
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .drop(zorderWorkCols(cols.size): _*)
@@ -678,10 +786,11 @@ object Layout {
     * manifest builders use to decide whether `zh_<c>` histograms apply
     * (a manifest can be built on a plain parquet dir with no layout). */
   private def layoutMetaIfAny(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[(Seq[String], Int, Seq[Seq[Double]])] = {
+      path: String)
+      : Option[(Seq[String], Int, Seq[Seq[Double]], Seq[Seq[String]])] = {
     val mp = new org.apache.hadoop.fs.Path(layoutMetaPath(path))
     if (mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp))
-      Some(readLayoutMeta(spark, path))
+      Some(readLayoutMetaTyped(spark, path))
     else None
   }
 
@@ -691,16 +800,13 @@ object Layout {
     * aggregates below reference ONE projected bucket per row instead of
     * re-deriving the boundary chain per bucket test. */
   private def withZBuckets(src: DataFrame, cols: Seq[String],
-      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]])]): DataFrame =
+      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]], Seq[Seq[String]])])
+      : DataFrame =
     zMeta match {
-      case Some((zcols, _, bounds)) =>
+      case Some((zcols, _, bounds, sbounds)) =>
         cols.filter(zcols.contains).foldLeft(src) { (d, c) =>
-          val bs = bounds(zcols.indexOf(c))
-          val bexpr =
-            if (bs.isEmpty) lit(0)
-            else bs.map(b => when(col(c) > lit(b), 1).otherwise(0))
-              .reduce(_ + _)
-          d.withColumn(s"__zbh_$c", bexpr)
+          val zi = zcols.indexOf(c)
+          d.withColumn(s"__zbh_$c", zBucketCol(c, bounds(zi), sbounds(zi)))
         }
       case None => src
     }
@@ -708,7 +814,8 @@ object Layout {
   private def manifestAggs(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       cols: Seq[String],
-      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]])] = None): Seq[Column] =
+      zMeta: Option[(Seq[String], Int, Seq[Seq[Double]], Seq[Seq[String]])] =
+        None): Seq[Column] =
     cols.flatMap { c =>
       // sum_<c> ONLY for integral columns: int64 partial sums are exact
       // under any reassociation (float sums are not — the reason
@@ -742,7 +849,7 @@ object Layout {
       // a driver fold over ≤ one row per file ([[auditDrift]] keeps the
       // scan as the opt-in audit).
       val zhAgg = zMeta match {
-        case Some((zcols, bits, _)) if zcols.contains(c) =>
+        case Some((zcols, bits, _, _)) if zcols.contains(c) =>
           val nb = 1 << bits
           Seq(array((0 until nb).map(b =>
             sum(when(col(s"__zbh_$c") === lit(b), 1L).otherwise(0L)))
@@ -830,10 +937,24 @@ object Layout {
     * ([[requireFresh]]) — a stale manifest fails loudly instead of
     * silently dropping the rows in unlisted files. */
   def matchingFiles(spark: org.apache.spark.sql.SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)]): Array[String] = {
+      ranges: Seq[(String, Double, Double)]): Array[String] =
+    matchingFilesCore(spark, path,
+      ranges.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
+  /** [[matchingFiles]] over STRING (lexicographic) ranges — the manifest
+    * stores min/max in the column's own type, and string comparisons
+    * prune exactly like numeric ones (binary UTF-8 order on both the
+    * manifest consult and the parquet scan side). */
+  def matchingFilesStr(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): Array[String] =
+    matchingFilesCore(spark, path,
+      ranges.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
+  private def matchingFilesCore(spark: org.apache.spark.sql.SparkSession,
+      path: String, ranges: Seq[(String, Column, Column)]): Array[String] = {
     require(ranges.nonEmpty, "prune needs at least one range")
     val keep = ranges.map { case (c, lo, hi) =>
-      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi)
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
     }.reduce(_ && _)
     // coalesce: an all-null file has null bounds → null keep → skipped
     // (range predicates never match null), but its row still counts for
@@ -882,6 +1003,17 @@ object Layout {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
     val files = matchingFiles(spark, path, ranges)
+    readLayoutFiles(spark, path, files.toIndexedSeq).where(resid)
+  }
+
+  /** [[prunedRead]] over STRING (lexicographic) ranges — same consult,
+    * same residual-exactness contract, string comparisons throughout. */
+  def prunedReadStr(spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, String, String)]): DataFrame = {
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    val files = matchingFilesStr(spark, path, ranges)
     readLayoutFiles(spark, path, files.toIndexedSeq).where(resid)
   }
 
@@ -2634,7 +2766,7 @@ object Layout {
     * manifest cannot answer). */
   def auditDrift(spark: org.apache.spark.sql.SparkSession, path: String,
       sampleBy: Option[(String, Int)] = None): DataFrame = {
-    val (cols, bits, bounds) = readLayoutMeta(spark, path)
+    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
     val nb = (1 << bits).toLong
     val full = readLayout(spark, path)
     val src = sampleBy match {
@@ -2642,7 +2774,7 @@ object Layout {
       case _ => full
     }
     val k = cols.size
-    val keyed = zorderKeyWithBounds(src, cols, bits, bounds)
+    val keyed = zorderKeyWithBoundsTyped(src, cols, bits, bounds, sbounds)
     val counts = keyed
       .select(posexplode(array((0 until k).map(i => col(s"__zb_$i")): _*))
         .as(Seq("pos", "bucket")))
@@ -2706,9 +2838,9 @@ object Layout {
     val data =
       if (epochIds.nonEmpty) readLayout(spark, path).drop("batch")
       else readLayout(spark, path)
-    val bounds = deriveBounds(data, cols, bits, sampleBy)
+    val (bounds, sbounds) = deriveBoundsTyped(data, cols, bits, sampleBy)
     def recluster(df: DataFrame): DataFrame =
-      zorderKeyWithBounds(df, cols, bits, bounds)
+      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
         .repartitionByRange(numFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
         .drop(zorderWorkCols(cols.size): _*)
@@ -2730,12 +2862,9 @@ object Layout {
       }
     }
     AtomicDir.swapDir(spark, layoutMetaPath(path)) { tmp =>
-      val rows = cols.zipWithIndex.map { case (c, i) => (i, c, bits, bounds(i)) }
-      spark.createDataFrame(rows).toDF("pos", "zcol", "bits", "bounds")
-        .withColumn("schema_json",
-          schema.map(s => lit(nullableSchema(s).json))
-            .getOrElse(lit(null).cast("string")))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      layoutMetaFrame(spark, cols, bits, bounds, sbounds,
+        schema.map(s => nullableSchema(s).json))
+        .write.mode("overwrite").parquet(tmp)
     }
     bounds
   }

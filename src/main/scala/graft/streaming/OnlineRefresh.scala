@@ -980,9 +980,10 @@ object OnlineRefresh {
       buckets: Int = 1 << 16
   ): Boolean = graft.fs.Layout.withWriterLease(spark, layoutPath,
       maintenanceHolder("compactZorderLayout")) {
-    val (cols, bits, bounds) = graft.fs.Layout.readLayoutMeta(spark, layoutPath)
+    val (cols, bits, bounds, sbounds) =
+      graft.fs.Layout.readLayoutMetaTyped(spark, layoutPath)
     val did = compactBatchArtifact(spark, layoutPath, df =>
-      graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
+      graft.fs.Layout.zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
         .repartitionByRange(numFiles, col("zkey"))
         .sortWithinPartitions(col("zkey"))
         .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
@@ -1258,10 +1259,11 @@ object OnlineRefresh {
       } else {
         val did =
           if (hasEpochs) {
-            val (cols, bits, bounds) =
-              graft.fs.Layout.readLayoutMeta(spark, layoutPath)
+            val (cols, bits, bounds, sbounds) =
+              graft.fs.Layout.readLayoutMetaTyped(spark, layoutPath)
             compactBatchArtifact(spark, layoutPath, df =>
-              graft.fs.Layout.zorderKeyWithBounds(df, cols, bits, bounds)
+              graft.fs.Layout.zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+                sbounds)
                 .repartitionByRange(numFiles, col("zkey"))
                 .sortWithinPartitions(col("zkey"))
                 .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))

@@ -1312,6 +1312,80 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.breakWriterLease(spark, path))
   }
 
+  test("string Z-order keys: build → append → prune → delete round-trip with the family's guarantees") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zstr").toString
+    // the common real-world shape: a string business key + a numeric
+    // metric as the two cluster columns
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      concat(lit("cust#"), lpad((col("id") % 500).cast("string"), 6, "0"))
+        .as("name"),
+      (col("id") % 97).cast("double").as("bal"))
+    val df = mk(0, 8000)
+    Layout.writeZorderedCols(df, s"$base/z", Seq("name", "bal"),
+      bits = 4, numFiles = 8)
+    // the meta sidecar round-trips TYPED boundaries: string cuts for the
+    // string column, numeric quantiles for the numeric one
+    val (zc, _, nb0, sb0) = Layout.readLayoutMetaTyped(spark, s"$base/z")
+    assert(zc == Seq("name", "bal"))
+    assert(sb0(0).size == 15 && nb0(0).isEmpty,
+      s"string column carries cut strings: ${sb0(0).take(3)}")
+    assert(nb0(1).size == 15 && sb0(1).isEmpty,
+      "numeric column carries numeric quantiles")
+    Layout.writeManifest(spark, s"$base/z", Seq("name", "bal"))
+    Layout.writeValueIndex(spark, s"$base/z", "id")
+    // lexicographic range prune: exactly the full-scan filter, and it
+    // actually skips files (the clustering bought something)
+    val r = Seq(("name", "cust#000100", "cust#000199"))
+    def truth(d: org.apache.spark.sql.DataFrame) =
+      d.where(col("name") >= "cust#000100" && col("name") <= "cust#000199")
+        .select("id", "name", "bal")
+    val served = Layout.prunedReadStr(spark, s"$base/z", r)
+      .select("id", "name", "bal")
+    assert(served.exceptAll(truth(df)).isEmpty &&
+      truth(df).exceptAll(served).isEmpty)
+    assert(Layout.matchingFilesStr(spark, s"$base/z", r).length < 8,
+      "a narrow name range must skip files on the string-clustered layout")
+    // append re-keys against the FROZEN string cuts; the commit unit
+    // refreshes; pruning still exact over the union
+    val extra = mk(8000, 10000)
+    Layout.appendZordered(extra, s"$base/z", numFiles = 2)
+    Layout.refreshManifest(spark, s"$base/z", Seq("name", "bal"))
+    Layout.refreshValueIndex(spark, s"$base/z", "id")
+    val all = df.unionByName(extra)
+    val served2 = Layout.prunedReadStr(spark, s"$base/z", r)
+      .select("id", "name", "bal")
+    assert(served2.exceptAll(truth(all)).isEmpty &&
+      truth(all).exceptAll(served2).isEmpty)
+    // the drift monitor covers string Z columns, and the manifest
+    // histogram fold still equals the audit scan exactly
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Int, String, Int, Double)].collect().toSet
+    assert(rows(Layout.layoutDrift(spark, s"$base/z")) ==
+      rows(Layout.auditDrift(spark, s"$base/z")))
+    // delete: logical stage + CoW fold, then the prune serves survivors
+    assert(Layout.deleteLogical(spark, s"$base/z",
+      spark.range(100, 8100, 500).toDF("id"), "id") == 16L)
+    assert(Layout.applyTombstones(spark, s"$base/z", "id",
+      Seq("name", "bal")) == 16L)
+    val survivors = all.where(!(col("id") >= 100 && col("id") < 8100 &&
+      (col("id") - 100) % 500 === 0))
+    val served3 = Layout.prunedReadStr(spark, s"$base/z", r)
+      .select("id", "name", "bal")
+    assert(served3.exceptAll(truth(survivors)).isEmpty &&
+      truth(survivors).exceptAll(served3).isEmpty)
+    // recluster re-derives the string cuts from the live table — same
+    // frozen-bounds replay contract as numeric columns
+    Layout.reclusterLayout(spark, s"$base/z", numFiles = 8)
+    val (_, _, _, sb1) = Layout.readLayoutMetaTyped(spark, s"$base/z")
+    assert(sb1(0).size == 15, "recluster must persist fresh string cuts")
+    Layout.writeManifest(spark, s"$base/z", Seq("name", "bal"))
+    val served4 = Layout.prunedReadStr(spark, s"$base/z", r)
+      .select("id", "name", "bal")
+    assert(served4.exceptAll(truth(survivors)).isEmpty &&
+      truth(survivors).exceptAll(served4).isEmpty)
+  }
+
   test("maintenance planners: per-invocation lease holders — an overlapping run refuses loudly") {
     // the r15 hazard: with a CONSTANT maintenance holder, an overrunning
     // cron overlapping its next firing passed the self-fence and
