@@ -31,7 +31,7 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, r16, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -674,8 +674,8 @@ object ScaleProbe {
         graft.fs.Layout.writeManifest(spark, s"$baseB/z", Seq("user_id", "value"))
         0L
       }
-      timed("layoutDrift (full pass, k·2^bits counters)") {
-        graft.fs.Layout.layoutDrift(spark, s"$baseB/z").collect().foreach(r =>
+      timed("auditDrift (full pass, k·2^bits counters)") {
+        graft.fs.Layout.auditDrift(spark, s"$baseB/z").collect().foreach(r =>
           println(s"PROBE   drift before: ${r.getString(1)} tv=${r.getDouble(3)}"))
         0L
       }
@@ -703,8 +703,8 @@ object ScaleProbe {
       timed("writeManifest after recluster")(
         { graft.fs.Layout.writeManifest(spark, s"$baseB/z",
             Seq("user_id", "value")); 0L })
-      timed("layoutDrift after recluster") {
-        graft.fs.Layout.layoutDrift(spark, s"$baseB/z").collect().foreach(r =>
+      timed("auditDrift after recluster") {
+        graft.fs.Layout.auditDrift(spark, s"$baseB/z").collect().foreach(r =>
           println(s"PROBE   drift after:  ${r.getString(1)} tv=${r.getDouble(3)}"))
         0L
       }
@@ -789,7 +789,7 @@ object ScaleProbe {
       val rect = Seq(("user_id", 100.0, 1400.0), ("value", 10.0, 60.0))
       timed("metadata NDV: wide 2-D rectangle") {
         val (n, est, fullF, scanF) = graft.fs.Layout.ndvMatching(spark,
-          s"$baseQ/z", rect, "event_id")
+          s"$baseQ/z", rect, "event_id", routeBelowFiles = 0)
         println(s"PROBE   meta-ndv receipt: $fullF files sketch-folded, " +
           s"$scanF scanned, n_seen=$n est=$est")
         n
@@ -799,7 +799,7 @@ object ScaleProbe {
           .agg(countDistinct(col("event_id"))).head().getLong(0))
       timed("metadata QUANTILE: same rectangle") {
         val (n, qs, fullF, scanF) = graft.fs.Layout.quantileMatching(spark,
-          s"$baseQ/z", rect, "value", "event_id")
+          s"$baseQ/z", rect, "value", "event_id", routeBelowFiles = 0)
         println(s"PROBE   meta-quantile receipt: $fullF files sample-folded, " +
           s"$scanF scanned, p50=${qs(0).orNull} p90=${qs(1).orNull}")
         n
@@ -808,6 +808,50 @@ object ScaleProbe {
         { graft.fs.Layout.prunedRead(spark, s"$baseQ/z", rect)
             .agg(expr("percentile(value, 0.5)"),
               expr("percentile(value, 0.9)")).head(); 0L })
+    }
+    // Round-16: the consult AUTO-ROUTE crossover and the manifest-fold
+    // drift consult, measured — the receipt behind ConsultRouteFiles
+    if (inSection("r16")) {
+      import org.apache.spark.sql.functions.col
+      val sf1 = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      val rect = Seq(("user_id", 100.0, 1400.0), ("value", 10.0, 60.0))
+      for (nf <- Seq(32, 160, 2048, 6144)) {
+        val b = java.nio.file.Files.createTempDirectory(s"graft-r16-$nf").toString
+        timed(s"z$nf build + manifest(kmv+zh) + quantile index") {
+          graft.fs.Layout.writeZordered(sf1, s"$b/z", "user_id", "value",
+            bits = 8, numFiles = nf)
+          graft.fs.Layout.writeManifest(spark, s"$b/z",
+            Seq("user_id", "value", "event_id"))
+          graft.fs.Layout.writeQuantileIndex(spark, s"$b/z", "value",
+            "event_id")
+          0L
+        }
+        timed(f"ndv SKETCH FOLD@ $nf%5d files")(graft.fs.Layout.ndvMatching(
+          spark, s"$b/z", rect, "event_id", routeBelowFiles = 0)._1)
+        timed(f"ndv SCAN twin  @ $nf%5d files")(graft.fs.Layout.ndvMatching(
+          spark, s"$b/z", rect, "event_id", routeBelowFiles = Int.MaxValue)._1)
+        timed(f"qnt SCAN twin  @ $nf%5d files")(graft.fs.Layout
+          .quantileMatching(spark, s"$b/z", rect, "value", "event_id",
+            routeBelowFiles = Int.MaxValue)._1)
+        timed(f"qnt SAMPLE FOLD@ $nf%5d files")(graft.fs.Layout
+          .quantileMatching(spark, s"$b/z", rect, "value", "event_id",
+            routeBelowFiles = 0)._1)
+      }
+      // the drift consult's two plans on the 10M-row z512 fixture
+      val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
+        .select("event_id", "user_id", "value")
+      val bD = java.nio.file.Files.createTempDirectory("graft-r16d").toString
+      timed("z512 build + manifest(zh) @ 10M rows") {
+        graft.fs.Layout.writeZordered(big, s"$bD/z", "user_id", "value",
+          bits = 6, numFiles = 512)
+        graft.fs.Layout.writeManifest(spark, s"$bD/z", Seq("user_id", "value"))
+        0L
+      }
+      timed("layoutDrift via MANIFEST FOLD @ 10M rows / 512 files")(
+        graft.fs.Layout.layoutDrift(spark, s"$bD/z").collect().length.toLong)
+      timed("auditDrift FULL PASS @ 10M rows")(
+        graft.fs.Layout.auditDrift(spark, s"$bD/z").collect().length.toLong)
     }
     // Round-15h: the snapshot CDC diff — fast path vs the general join
     if (inSection("r15h")) {

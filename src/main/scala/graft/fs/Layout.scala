@@ -1246,7 +1246,8 @@ object Layout {
     * consult. Returns (nSeen ≤ k, estDistinct, filesMetadataCounted,
     * filesScanned). */
   def ndvMatching(spark: org.apache.spark.sql.SparkSession, path: String,
-      ranges: Seq[(String, Double, Double)], aggCol: String)
+      ranges: Seq[(String, Double, Double)], aggCol: String,
+      routeBelowFiles: Int = ConsultRouteFiles)
       : (Long, Double, Long, Long) = {
     require(ranges.nonEmpty, "ndv needs at least one range")
     requireNoPendingMor(spark, path)
@@ -1269,6 +1270,28 @@ object Layout {
     requireFresh(spark, path, m.map(_.getString(0)), "manifest")
     val k = ManifestKmvK
     val buf = new graft.plans.KmvBuffer(k)
+    val resid = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    // AUTO-ROUTE (the measured ~10^3-file crossover, SCALE.md r15g/r16):
+    // below it the per-file open cost is local-cheap and the sketch
+    // fold's fixed driver jobs dominate, so sketch the pruned scan
+    // directly — BIT-IDENTICAL by the min-k merge identity (the sketch
+    // of a union is the min-k of the per-part sketches), only the plan
+    // changes. Above it the fold's files-not-opened term wins.
+    if (m.length < routeBelowFiles) {
+      val overlapping = m.filter(_.getBoolean(2)).map(_.getString(0)).sorted
+      if (overlapping.nonEmpty) {
+        val hs = spark.read.option("mergeSchema", "true")
+          .parquet(overlapping.toIndexedSeq: _*).where(resid)
+          .select(graft.ops.Sketches.md5Long60(col(aggCol)).as("__h"))
+          .where(col("__h").isNotNull).distinct()
+          .orderBy(col("__h").asc).limit(k).collect()
+        hs.foreach(r => buf.add(r.getLong(0)))
+      }
+      return (buf.n.toLong, kmvEstimateOf(buf, k), 0L,
+        overlapping.length.toLong)
+    }
     // contained files: their sketch IS min-k of their distinct hashes and
     // every row matches, so the sketch is exactly sketch(file ∩ predicate)
     for (r <- m; if r.getBoolean(3) && !r.isNullAt(1);
@@ -1276,9 +1299,6 @@ object Layout {
       buf.add(v.asInstanceOf[Number].longValue) // writer's, never assumed
     val boundary = m.filter(r => r.getBoolean(2) && !r.getBoolean(3))
       .map(_.getString(0)).sorted
-    val resid = ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
     if (boundary.nonEmpty) {
       // k smallest distinct hashes of the boundary rows that match: the
       // scan term is the rectangle's surface, and the collect is ≤ k longs
@@ -1289,16 +1309,29 @@ object Layout {
         .orderBy(col("__h").asc).limit(k).collect()
       hs.foreach(r => buf.add(r.getLong(0)))
     }
-    // identical arithmetic to Sketches.kmvEstimate (n_seen < k ⇒ exact;
-    // else (k−1)·2^60/u_k, round 4 — HALF_UP like Spark's round())
-    val est =
-      if (buf.n < k) buf.n.toDouble
-      else java.math.BigDecimal.valueOf(
-        (k - 1).toDouble * 1152921504606846976.0 / buf.arr(k - 1).toDouble)
-        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-    (buf.n.toLong, est, m.count(_.getBoolean(3)).toLong,
+    (buf.n.toLong, kmvEstimateOf(buf, k), m.count(_.getBoolean(3)).toLong,
       boundary.length.toLong)
   }
+
+  /** The file-count crossover below which the sketch consults route to
+    * their pruned-scan twins. Measured against the REAL twin (the
+    * same sketch arithmetic over the pruned scan — not the plain
+    * percentile r15g compared against): on local storage the fold
+    * already ties at ~32 files and wins from ~160 up (SCALE.md r16 —
+    * ndv fold 0.7→1.3 s flat from 32→6144 files while the scan twin
+    * climbs 0.6→6.4 s), so the local crossover is ~10², and on an
+    * object store the per-file open cost moves it LOWER still — 128 is
+    * the conservative default; the knob stays per-call for callers
+    * whose storage inverts it (0 forces the fold, MaxValue the scan). */
+  val ConsultRouteFiles: Int = 128
+
+  /** Identical arithmetic to Sketches.kmvEstimate (n_seen < k ⇒ exact;
+    * else (k−1)·2^60/u_k, round 4 — HALF_UP like Spark's round()). */
+  private def kmvEstimateOf(buf: graft.plans.KmvBuffer, k: Int): Double =
+    if (buf.n < k) buf.n.toDouble
+    else java.math.BigDecimal.valueOf(
+      (k - 1).toDouble * 1152921504606846976.0 / buf.arr(k - 1).toDouble)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Quantile-index path convention: sibling of the data, one index per
     * (value, sample-key) pair — the pair is baked into the name so a
@@ -1437,7 +1470,8 @@ object Layout {
     * filesMetadataCounted, filesScanned). */
   def quantileMatching(spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Double, Double)], valueCol: String, keyCol: String,
-      probs: Seq[Double] = Seq(0.5, 0.9), k: Int = 64)
+      probs: Seq[Double] = Seq(0.5, 0.9), k: Int = 64,
+      routeBelowFiles: Int = ConsultRouteFiles)
       : (Long, Seq[Option[Double]], Long, Long) = {
     require(ranges.nonEmpty, "quantile needs at least one range")
     require(probs.nonEmpty, "quantile needs at least one probability")
@@ -1475,6 +1509,27 @@ object Layout {
         s"${r.getString(0)} built with ${r.getInt(1)}, consult asked for " +
         s"$k — a mismatched k silently under-samples; pass the build's k " +
         "(or rebuild)"))
+    val resid0 = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
+    // AUTO-ROUTE (the measured ~10^3-file crossover, SCALE.md r15g/r16):
+    // below it, sketch the overlapping files' matching rows directly —
+    // BIT-IDENTICAL by the bottom-k merge identity, without the index
+    // fold's fixed driver jobs (the index's k contract stays enforced
+    // above; its per-row freshness is moot on this path — no index row
+    // is consulted)
+    if (m.length < routeBelowFiles) {
+      val overlapping = m.filter(_.getBoolean(1)).map(_.getString(0)).sorted
+      if (overlapping.isEmpty) return (0L, probs.map(_ => None), 0L, 0L)
+      val sketches = graft.ops.Sketches.quantileSketch(
+        spark.read.option("mergeSchema", "true")
+          .parquet(overlapping.toIndexedSeq: _*).where(resid0)
+          .withColumn("__bf", input_file_name()),
+        "__bf", col(keyCol), col(valueCol), k)
+        .select(lit(1).as("g"), col("qsk"))
+      val (nSeen, vals) = quantileEstimateOf(spark, sketches, probs, k)
+      return (nSeen, vals, 0L, overlapping.length.toLong)
+    }
     requireFresh(spark, path, qFiles.map(_.getString(0)), "quantile index")
     def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
     val containedSet = m.filter(_.getBoolean(2)).map(r => base(r.getString(0))).toSet
@@ -1504,18 +1559,27 @@ object Layout {
           .withColumn("__bf", input_file_name()),
         "__bf", col(keyCol), col(valueCol), k)
         .select(lit(1).as("g"), col("qsk")))
+    val (nSeen, vals) = quantileEstimateOf(spark, sketches, probs, k)
+    (nSeen, vals, containedSet.size.toLong, boundary.length.toLong)
+  }
+
+  /** Merge + estimate tail shared by the index fold and its routed
+    * pruned-scan twin — one arithmetic definition so the two plans
+    * cannot diverge. */
+  private def quantileEstimateOf(spark: org.apache.spark.sql.SparkSession,
+      sketches: DataFrame, probs: Seq[Double], k: Int)
+      : (Long, Seq[Option[Double]]) = {
     val merged = graft.ops.Sketches.quantileMerge(sketches, "g", k)
     val est = graft.ops.Sketches.quantileEstimate(merged, "g",
       probs.zipWithIndex.map { case (p, i) => p -> s"__p$i" }).collect()
-    val (nSeen, vals) = est.headOption match {
+    est.headOption match {
       case None => (0L, probs.map(_ => None))
       case Some(r) => (r.getLong(r.fieldIndex("n_seen")),
         probs.indices.map { i =>
           val fi = r.fieldIndex(s"__p$i")
           if (r.isNullAt(fi)) None else Some(r.getDouble(fi))
-        })
+        }.toSeq)
     }
-    (nSeen, vals.toSeq, containedSet.size.toLong, boundary.length.toLong)
   }
 
   /** Value-index path convention: sibling of the data, like the manifest. */

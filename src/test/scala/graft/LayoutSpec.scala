@@ -488,14 +488,21 @@ class LayoutSpec extends SparkSpec {
     }
     // whole space: zero files scanned, estimate from metadata alone
     val whole = Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0))
-    val (n0, e0, f0, s0) = Layout.ndvMatching(spark, s"$base/z", whole, "id")
+    val (n0, e0, f0, s0) = Layout.ndvMatching(spark, s"$base/z", whole, "id",
+      routeBelowFiles = 0)
     assert(f0 == 64 && s0 == 0, s"($f0, $s0)")
     assert((n0, e0) == direct(grid, whole, "id"), s"($n0, $e0)")
     // selective rectangle: bit-identical estimate, most files untouched
     val sel = Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0))
-    val (n1, e1, f1, s1) = Layout.ndvMatching(spark, s"$base/z", sel, "id")
+    val (n1, e1, f1, s1) = Layout.ndvMatching(spark, s"$base/z", sel, "id",
+      routeBelowFiles = 0)
     assert((n1, e1) == direct(grid, sel, "id"), s"($n1, $e1)")
     assert(f1 + s1 < 32, s"9x6 rectangle must skip most files, touched ${f1 + s1}")
+    // AUTO-ROUTE: below the file-count crossover the default consult
+    // answers through the pruned-scan twin — bit-identical values, zero
+    // metadata-counted files in the receipt
+    val (nr, er, fr, _) = Layout.ndvMatching(spark, s"$base/z", sel, "id")
+    assert((nr, er) == ((n1, e1)) && fr == 0, s"routed: ($nr, $er, $fr)")
     // true NDV < k: the sketch holds every distinct hash — estimate EXACT
     val (n2, e2, _, _) = Layout.ndvMatching(spark, s"$base/z",
       Seq(("b", 5.0, 7.0)), "b")
@@ -652,13 +659,17 @@ class LayoutSpec extends SparkSpec {
     // whole space: zero files scanned, estimate from the index alone
     val whole = Seq(("a", 0.0, 99.0), ("b", 0.0, 99.0))
     val (n0, q0, f0, s0) = Layout.quantileMatching(spark, s"$base/z", whole,
-      "b", "id", probs = Seq(0.5, 0.9), k = 32)
+      "b", "id", probs = Seq(0.5, 0.9), k = 32, routeBelowFiles = 0)
     assert(f0 == 64 && s0 == 0, s"($f0, $s0)")
     assert((n0, q0(0).get, q0(1).get) == direct(grid, whole))
     // selective rectangle: bit-identical, most files untouched
     val sel = Seq(("a", 23.0, 31.0), ("b", 47.0, 52.0))
     val (n1, q1, f1, s1) = Layout.quantileMatching(spark, s"$base/z", sel,
+      "b", "id", probs = Seq(0.5, 0.9), k = 32, routeBelowFiles = 0)
+    // AUTO-ROUTE twin: identical values through the pruned-scan form
+    val (nr, qr, fr, _) = Layout.quantileMatching(spark, s"$base/z", sel,
       "b", "id", probs = Seq(0.5, 0.9), k = 32)
+    assert((nr, qr) == ((n1, q1)) && fr == 0, s"routed: ($nr, $qr, $fr)")
     assert((n1, q1(0).get, q1(1).get) == direct(grid, sel))
     assert(f1 + s1 < 32, s"9x6 rectangle must skip most files, touched ${f1 + s1}")
     // fewer matching rows than k: the sample is the population — exact
