@@ -278,9 +278,12 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, outPath,
+          s"bm25IndexStream:$checkpoint") {
         val ix = graft.ops.TextAnalysis.bm25Index(batch, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         ix.stats.write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -339,9 +342,12 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, outPath,
+          s"ivfIndexStream:$checkpoint") {
         graft.ops.Similarity
           .ivfAssign(batch, spark.read.parquet(s"$outPath/centroids"), idCol, embCol)
           .write.mode("overwrite").parquet(s"$outPath/assignments/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -417,10 +423,13 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, outPath,
+          s"pqIndexStream:$checkpoint") {
         graft.ops.Similarity
           .pqEncodeAgainst(batch, spark.read.parquet(s"$outPath/codebooks"),
             idCol, embCol)
           .write.mode("overwrite").parquet(s"$outPath/codes/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -521,7 +530,9 @@ object OnlineRefresh {
       corpus: DataFrame, retrainAboveMse: Double = Double.PositiveInfinity,
       maxEpochs: Int = 8, nSub: Int = 8, nCodes: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding",
-      refineIters: Int = 2): DataFrame = {
+      refineIters: Int = 2): DataFrame =
+      graft.fs.Layout.withWriterLease(spark, outPath,
+        maintenanceHolder("maintainPqIndex")) {
     val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def meanMse(r: org.apache.spark.sql.Row): Option[Double] = {
       val i = r.fieldIndex("mean_mse")
@@ -596,12 +607,15 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, outPath,
+          s"ivfIndexRetractStream:$checkpoint") {
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
         graft.ops.Similarity
           .ivfAssign(batch.where(col(opCol) === lit("ins")).drop(opCol),
             spark.read.parquet(s"$outPath/centroids"), idCol, embCol)
           .write.mode("overwrite").parquet(s"$outPath/assignments/batch=$batchId")
+        }
         ()
       }
       .start()
@@ -1040,7 +1054,12 @@ object OnlineRefresh {
     * [[graft.fs.Layout.breakWriterLease]] (the marker records this
     * holder string, naming the planner and pid@host for that check).
     * The streams keep their checkpoint-path holders — one active query
-    * per checkpoint is a real exclusivity unit; a cron firing is not. */
+    * per checkpoint is a real exclusivity unit; a cron firing is not.
+    * The ARTIFACT families (BM25/IVF/PQ) carry the same discipline on
+    * their artifact roots: each index stream's foreachBatch and each
+    * artifact planner holds the root's lease for its duration, so a
+    * maintenance fold can never interleave with a mid-epoch stream
+    * landing (the same swap-vs-append hazard the layout lease closes). */
   private def maintenanceHolder(op: String): String = {
     val pidHost = try {
       val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -1294,7 +1313,9 @@ object OnlineRefresh {
     * output pinned unchanged by q_stream_bm25_ret_compacted). Returns
     * the (action, value) decision receipt, the observability hook. */
   def maintainBm25Index(spark: SparkSession, outPath: String,
-      maxEpochs: Int = 8): DataFrame = {
+      maxEpochs: Int = 8): DataFrame =
+      graft.fs.Layout.withWriterLease(spark, outPath,
+        maintenanceHolder("maintainBm25Index")) {
     val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     if (applyBm25Tombstones(spark, outPath))
       report += ("tombstones_applied" -> 1.0)
@@ -1323,7 +1344,9 @@ object OnlineRefresh {
   def maintainIvfIndex(spark: SparkSession, outPath: String,
       corpus: DataFrame, recenterBelow: Double = 0.0, maxEpochs: Int = 8,
       nLists: Int = 16, iters: Int = 0, idCol: String = "vec_id",
-      embCol: String = "embedding"): DataFrame = {
+      embCol: String = "embedding"): DataFrame =
+      graft.fs.Layout.withWriterLease(spark, outPath,
+        maintenanceHolder("maintainIvfIndex")) {
     val report = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     if (applyIvfTombstones(spark, outPath, idCol))
       report += ("tombstones_applied" -> 1.0)
@@ -2298,12 +2321,15 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.fs.Layout.withWriterLease(spark, outPath,
+          s"bm25IndexRetractStream:$checkpoint") {
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
         val ix = graft.ops.TextAnalysis.bm25Index(
           batch.where(col(opCol) === lit("ins")).drop(opCol), textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         ix.stats.write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
+        }
         ()
       }
       .start()

@@ -1779,6 +1779,33 @@ class StreamingSpec extends SparkSpec {
     assert(servedIds() == logical, "recenter moved the served set")
   }
 
+  test("artifact lease parity: an index planner overlapping a held artifact root refuses loudly") {
+    // the layout family's lease discipline, extended to the BM25/IVF/PQ
+    // artifact roots: a maintenance fold must never interleave with a
+    // mid-epoch stream landing (or a concurrent planner firing)
+    val tmp = Files.createTempDirectory("graft-alease").toString
+    val lp = new org.apache.hadoop.fs.Path(
+      graft.fs.Layout.leasePath(s"$tmp/ix"))
+    val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(lp.getParent)
+    val out = hfs.create(lp, true)
+    out.write("bm25IndexStream:ck-other".getBytes("UTF-8")); out.close()
+    val e1 = intercept[IllegalArgumentException](
+      OnlineRefresh.maintainBm25Index(spark, s"$tmp/ix"))
+    assert(e1.getMessage.contains("bm25IndexStream:ck-other"))
+    val e2 = intercept[IllegalArgumentException](
+      OnlineRefresh.maintainIvfIndex(spark, s"$tmp/ix",
+        spark.range(1).selectExpr("id AS vec_id",
+          "array(CAST(1.0 AS FLOAT)) AS embedding")))
+    assert(e2.getMessage.contains("single-writer"))
+    val e3 = intercept[IllegalArgumentException](
+      OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix",
+        spark.range(1).selectExpr("id AS vec_id",
+          "array(CAST(1.0 AS FLOAT)) AS embedding")))
+    assert(e3.getMessage.contains("single-writer"))
+    assert(graft.fs.Layout.breakWriterLease(spark, s"$tmp/ix"))
+  }
+
   test("maintainPqIndex: drift-gated retrain from the live corpus, compact on the epoch ceiling") {
     import org.apache.spark.sql.functions.col
     def actions(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
