@@ -838,6 +838,32 @@ object ScaleProbe {
           .quantileMatching(spark, s"$b/z", rect, "value", "event_id",
             routeBelowFiles = 0)._1)
       }
+      // the PQ retrain receipt: reconstruction error of low-id-corrupted
+      // drifted books vs the bare bootstrap vs the 2-round Lloyd-refined
+      // retrain books, all on the live sf0.1 corpus (the maintainPqIndex
+      // gate/act pair, measured as numbers not just a spec inequality)
+      locally {
+        import org.apache.spark.sql.functions.{expr, lit}
+        val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        def mseOf(books: org.apache.spark.sql.DataFrame): Double = {
+          val codes = graft.ops.Similarity.pqEncodeAgainst(emb01, books)
+            .withColumn("batch", lit(0))
+          graft.ops.Similarity.pqDriftStats(
+            graft.ops.Similarity.PqIndex(books, codes), emb01)
+            .collect().head.getAs[Double]("mean_mse")
+        }
+        val bad = emb01.where(col("vec_id") < 16).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x * 0.05 + 6.0 AS FLOAT))")
+            .as("embedding"))
+        timed("pq retrain receipt (drifted vs bootstrap vs refined)") {
+          val d = mseOf(graft.ops.Similarity.pqCodebookTable(bad))
+          val b = mseOf(graft.ops.Similarity.pqCodebookTable(emb01))
+          val r = mseOf(graft.ops.Similarity.pqCodebookTable(emb01,
+            refineIters = 2))
+          println(f"PROBE   pq mean_mse: drifted=$d bootstrap=$b refined2=$r")
+          0L
+        }
+      }
       // the drift consult's two plans on the 10M-row z512 fixture
       val big = graft.Queries.readEvents(spark, "/tmp/sfbig")
         .select("event_id", "user_id", "value")
