@@ -128,6 +128,23 @@ object Layout {
       sampleBy: Option[(String, Int)] = None
   ): (Seq[Seq[Double]], Seq[Seq[String]]) = {
     val nb = 1 << bits
+    // temporal keys refuse with the recipe instead of dying inside
+    // percentile(): project them to epoch numbers first (unix_timestamp /
+    // unix_date — the q_zorder_key3 shape), which keeps the boundary
+    // replay contract in plain arithmetic both engines share
+    cols.foreach { c =>
+      df.schema.fields.find(_.name == c).map(_.dataType).foreach {
+        case org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          throw new IllegalArgumentException(
+            s"Z-order column $c is temporal — project it to epoch " +
+              "numbers first (unix_timestamp(ts) / unix_date(d), the " +
+              "q_zorder_key3 recipe); epoch numbers keep the frozen-" +
+              "boundary replay in plain arithmetic")
+        case _ => ()
+      }
+    }
     val isStr = cols.map(c => df.schema.fields
       .find(_.name == c).exists(_.dataType ==
         org.apache.spark.sql.types.StringType))

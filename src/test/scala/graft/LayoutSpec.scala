@@ -1385,6 +1385,13 @@ class LayoutSpec extends SparkSpec {
       .select("id", "name", "bal")
     assert(served3.exceptAll(truth(survivors)).isEmpty &&
       truth(survivors).exceptAll(served3).isEmpty)
+    // temporal keys refuse with the epoch-projection recipe instead of
+    // dying inside percentile()
+    val errT = intercept[IllegalArgumentException](
+      Layout.zorderKeyCols(
+        df.withColumn("ts", org.apache.spark.sql.functions.current_timestamp()),
+        Seq("ts", "bal"), bits = 4))
+    assert(errT.getMessage.contains("temporal"), errT.getMessage)
     // recluster re-derives the string cuts from the live table — same
     // frozen-bounds replay contract as numeric columns
     Layout.reclusterLayout(spark, s"$base/z", numFiles = 8)
