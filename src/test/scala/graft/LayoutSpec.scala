@@ -1385,6 +1385,11 @@ class LayoutSpec extends SparkSpec {
       .select("id", "name", "bal")
     assert(served3.exceptAll(truth(survivors)).isEmpty &&
       truth(survivors).exceptAll(served3).isEmpty)
+    // the hash value index works on the string column too: point reads
+    // route a string key through the same membership consult
+    Layout.writeValueIndex(spark, s"$base/z", "name")
+    val hit = Layout.pointRead(spark, s"$base/z", "name", lit("cust#000123"))
+    assert(hit.count() === survivors.where(col("name") === "cust#000123").count())
     // temporal keys refuse with the epoch-projection recipe instead of
     // dying inside percentile()
     val errT = intercept[IllegalArgumentException](

@@ -189,4 +189,37 @@ class PropertiesSpec extends SparkSpec {
       .as[(String, java.sql.Timestamp, Double, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("string Z-order cuts: partition-invariant, buckets monotone and in range on random corpora") {
+    import org.scalacheck.Gen
+    val rows = sampled(Gen.listOfN(600, for {
+      s <- Gen.oneOf(Gen.alphaNumStr.map(_.take(12)),
+        Gen.const(""), Gen.const("zz"), Gen.numStr.map(_.take(6)))
+      v <- Gen.chooseNum(0.0, 100.0)
+      id <- Gen.chooseNum(0L, 1000000L)
+    } yield (id, s, v)), 4242L)
+    val df = rows.toDF("id", "s", "v").where(org.apache.spark.sql.functions
+      .length(col("s")) >= 0) // keep empties — a legal string key value
+    // cut strings are a pure function of the VALUE multiset: any
+    // partitioning/ordering of the input derives identical boundaries
+    // (rank cuts are a global-sort property; a partition-dependent
+    // boundary would make append re-keys diverge from the build)
+    val (nb1, sb1) = graft.fs.Layout.deriveBoundsTyped(df, Seq("s", "v"), bits = 4)
+    val (nb2, sb2) = graft.fs.Layout.deriveBoundsTyped(
+      df.repartition(7).sortWithinPartitions(desc("v")), Seq("s", "v"), bits = 4)
+    assert(sb1 == sb2 && nb1 == nb2,
+      "boundaries must not depend on partitioning or row order")
+    // bucket law: in [0, 2^bits), monotone in the column under the
+    // lexicographic order (strictly-below counting), nulls/empties at 0
+    val keyed = graft.fs.Layout.zorderKeyWithBoundsTyped(df, Seq("s", "v"), 4, nb1, sb1)
+      .select(col("s"), col("__zb_0").as("b")).collect()
+    assert(keyed.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 16))
+    val sorted = keyed.map(r => (r.getString(0), r.getInt(1)))
+      .sortBy(_._1) // JVM String order = binary for the ASCII alphabet here
+    sorted.sliding(2).foreach {
+      case Array((s1, b1), (s2, b2)) =>
+        assert(b1 <= b2, s"bucket order violated: '$s1'->$b1 vs '$s2'->$b2")
+      case _ => ()
+    }
+  }
 }
