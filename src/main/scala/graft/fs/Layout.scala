@@ -164,13 +164,27 @@ object Layout {
       cols.map(c => strBounds.getOrElse(c, Seq.empty)))
   }
 
+  /** Balanced integer-sum fold: a left-leaning `reduce(_ + _)` over
+    * 2^bits−1 boundary terms builds a chain whose DEPTH equals the term
+    * count — at bits ≥ 10 the column-tree conversion stack-overflows
+    * before the plan even exists. 0/1 integer addition reassociates
+    * exactly (and the oracle's `len(list_filter(...))` is a count, not
+    * an ordered fold), so a log-depth tree is value-identical. */
+  private def balancedSum(cs: IndexedSeq[Column]): Column =
+    if (cs.length == 1) cs.head
+    else {
+      val (l, r) = cs.splitAt(cs.length / 2)
+      balancedSum(l) + balancedSum(r)
+    }
+
   /** The strictly-below bucket expression for one Z column — numeric OR
     * string boundary literals, ONE definition shared by the key, the
     * manifest histograms, and the drift scan. */
   private def zBucketCol(c: String, nb: Seq[Double], sb: Seq[String]): Column =
-    if (sb.nonEmpty) sb.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+    if (sb.nonEmpty)
+      balancedSum(sb.toIndexedSeq.map(b => when(col(c) > lit(b), 1).otherwise(0)))
     else if (nb.isEmpty) lit(0)
-    else nb.map(b => when(col(c) > lit(b), 1).otherwise(0)).reduce(_ + _)
+    else balancedSum(nb.toIndexedSeq.map(b => when(col(c) > lit(b), 1).otherwise(0)))
 
   /** Apply FROZEN boundaries: bucket + interleave, no aggregate pass —
     * the key an append computes against the layout's persisted meta
@@ -799,6 +813,13 @@ object Layout {
     * (128 B) per file per column, the [[graft.ops.Sketches]] default. */
   val ManifestKmvK: Int = 16
 
+  /** Widest `bits` the manifest stores `zh_<c>` histograms for — 2^8
+    * buckets = 2 KB/file/col is the acceptable ceiling for both the
+    * per-file aggregate width and the drift consult's driver collect
+    * (∝ files·2^bits); wider layouts keep working, their drift just
+    * runs through [[auditDrift]]. */
+  val ManifestZhMaxBits: Int = 8
+
   /** The layout meta if the sidecar exists — the optional handle the
     * manifest builders use to decide whether `zh_<c>` histograms apply
     * (a manifest can be built on a plain parquet dir with no layout). */
@@ -820,12 +841,12 @@ object Layout {
       zMeta: Option[(Seq[String], Int, Seq[Seq[Double]], Seq[Seq[String]])])
       : DataFrame =
     zMeta match {
-      case Some((zcols, _, bounds, sbounds)) =>
+      case Some((zcols, bits, bounds, sbounds)) if bits <= ManifestZhMaxBits =>
         cols.filter(zcols.contains).foldLeft(src) { (d, c) =>
           val zi = zcols.indexOf(c)
           d.withColumn(s"__zbh_$c", zBucketCol(c, bounds(zi), sbounds(zi)))
         }
-      case None => src
+      case _ => src
     }
 
   private def manifestAggs(spark: org.apache.spark.sql.SparkSession,
@@ -865,8 +886,15 @@ object Layout {
       // verdict flagged as maintainLayout's one table-sized job becomes
       // a driver fold over ≤ one row per file ([[auditDrift]] keeps the
       // scan as the opt-in audit).
+      // capped at bits <= ManifestZhMaxBits: the dense form is 2^bits
+      // aggregate expressions per column (64 at the default 6 — cheap;
+      // 65536 at the allowed max 16 — a codegen/manifest-size explosion
+      // and a manifest collect ∝ files·2^bits at the consult). Above the
+      // cap the manifest simply carries no zh and layoutDrift falls back
+      // to the audit scan — the pre-r16 behavior, never a broken build.
       val zhAgg = zMeta match {
-        case Some((zcols, bits, _, _)) if zcols.contains(c) =>
+        case Some((zcols, bits, _, _))
+            if zcols.contains(c) && bits <= ManifestZhMaxBits =>
           val nb = 1 << bits
           Seq(array((0 until nb).map(b =>
             sum(when(col(s"__zbh_$c") === lit(b), 1L).otherwise(0L)))

@@ -1203,6 +1203,19 @@ class LayoutSpec extends SparkSpec {
     val stale = rows(Layout.layoutDrift(spark, s"$base/z"))
     assert(stale == rows(Layout.auditDrift(spark, s"$base/z")),
       "stale manifest must fall back to the scan, not serve stale drift")
+    // bits above the histogram cap: the manifest builds WITHOUT zh (no
+    // 2^bits-wide aggregate — the pre-r16 manifest, never a broken
+    // build) and the drift consult falls back to the scan
+    val wide = java.nio.file.Files.createTempDirectory("graft-zwide").toString
+    Layout.writeZordered(grid, s"$wide/z", "a", "b",
+      bits = Layout.ManifestZhMaxBits + 2, numFiles = 4)
+    Layout.writeManifest(spark, s"$wide/z", Seq("a", "b"))
+    val mCols = spark.read.parquet(Layout.manifestPath(s"$wide/z")).columns
+    assert(!mCols.exists(_.startsWith("zh_")),
+      s"bits > cap must not materialize histograms: ${mCols.mkString(",")}")
+    assert(rows(Layout.layoutDrift(spark, s"$wide/z")) ==
+      rows(Layout.auditDrift(spark, s"$wide/z")),
+      "above the cap the consult is the audit scan")
   }
 
   test("recluster on the epoch layout: newest epoch keeps its partition for replay, the rest folds") {
