@@ -2328,6 +2328,45 @@ object Queries {
       .select(col("event_id"), col("__zb_0").as("b_user"),
         col("__zb_1").as("b_val"), col("__zb_2").as("b_ts"), col("zkey"))
 
+  /** TEMPORAL Z-order key under the engine's AUTO-PROJECTION
+    * ([[graft.fs.Layout.zorderKeyCols]] over a RAW timestamp column —
+    * the r16 What's-missing #5 closed): where q_zorder_key3's caller
+    * projected `ts` to epoch seconds by hand, here the engine derives
+    * proj = 'epoch_ts' from the column type, derives bounds over
+    * `unix_timestamp(ts)` (floored epoch seconds — DuckDB replays
+    * `floor(epoch(ts))`, the q_zorder_key3 arithmetic, binary-exact for
+    * post-1970 data), buckets through the same projection, and persists
+    * it in the meta sidecar so frozen-bounds appends replay exactly. */
+  private def zorderKeyTsQ(s: SparkSession, dir: String): DataFrame =
+    Layout.zorderKeyCols(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+      Seq("user_id", "ts"), bits = 4, sampleBy = Some(("event_id", 8)))
+      .select(col("event_id"), col("__zb_0").as("b_user"),
+        col("__zb_1").as("b_ts"), col("zkey"))
+
+  /** TIMESTAMP time travel ([[graft.fs.Layout.readSnapshotAsOf]] — the
+    * r16 What's-missing #4): v0 pins the even-id half, a second commit
+    * appends the rest and re-snapshots, and the as-of read AT v0's
+    * recorded commit timestamp (the inclusive boundary — resolution is
+    * max version with ts ≤ asOf) serves exactly v0's content. The
+    * fixture spins until the clock strictly passes v0's millisecond so
+    * the boundary is deterministic; the oracle is the even-id filter. */
+  private def snapshotAsOfQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zasof:" + dir, s), _ => {
+      val base = scratchDir("graft_zasof").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(pmod(col("event_id"), lit(2)) === 0),
+        s"$base/z", "user_id", "value", bits = 6, numFiles = 8)
+      val v0 = fs.Layout.snapshotLayout(s, s"$base/z")
+      val ts0 = fs.Layout.snapshotCreatedMs(s, s"$base/z", v0).get
+      while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+      fs.Layout.appendZordered(e.where(pmod(col("event_id"), lit(2)) === 1),
+        s"$base/z", numFiles = 4)
+      fs.Layout.snapshotLayout(s, s"$base/z")
+      fs.Layout.readSnapshotAsOf(s, s"$base/z", ts0)
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Manifest-pruned scan over a Z-ordered layout
     * ([[graft.fs.Layout.prunedRead]]): events written Z-ordered on
     * (user_id, value) with its min/max manifest, then a 2-D range read
@@ -3766,6 +3805,7 @@ object Queries {
       "q_layout_evolved",
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
       "q_meta_ndv", "q_meta_quantile", "q_layout_tiered", "q_snapshot_diff",
+      "q_snapshot_asof",
       "q_layout_drift", "q_layout_drift_meta", "q_layout_reclustered",
       "q_layout_drift_after", "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
@@ -4088,6 +4128,8 @@ object Queries {
     "q_meta_ndv" -> (metaNdvQ _),
     "q_meta_quantile" -> (metaQuantileQ _),
     "q_snapshot_diff" -> (snapshotDiffQ _),
+    "q_snapshot_asof" -> (snapshotAsOfQ _),
+    "q_zorder_key_ts" -> (zorderKeyTsQ _),
     "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
     "q_layout_drift_meta" -> (layoutDriftMetaQ _),
@@ -4542,6 +4584,12 @@ object Queries {
     "q_zorder_key" -> zorderKeyOracle,
     "q_zorder_key_str" -> zorderKeyStrOracle,
     "q_zorder_key3" -> zorderKey3Oracle,
+    "q_zorder_key_ts" -> zorderKeyTsOracle,
+    // timestamp time travel: the as-of read at v0's commit ts serves
+    // exactly v0's pinned content — the even-id half
+    "q_snapshot_asof" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events WHERE event_id % 2 = 0""".stripMargin,
     "q_pruned_scan" ->
       """SELECT event_id, user_id, "value"
         |FROM events
@@ -6534,6 +6582,28 @@ object Queries {
        |    CAST(len(list_filter(bb.b, x -> c.c_acctbal > x)) AS INTEGER) AS b_bal
        |  FROM customer c CROSS JOIN ba CROSS JOIN bb)
        |SELECT c_custkey, b_name, b_bal, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
+  }
+
+  /** The auto-projected TEMPORAL Z key replayed — identical machinery to
+    * [[zorderKey3Oracle]]'s ts dimension (floor(epoch(ts)) = Spark's
+    * `unix_timestamp`), two columns, k=2 round-robin interleave; the
+    * projection the engine now derives itself is spelled out in SQL. */
+  private def zorderKeyTsOracle: String = {
+    val fracs = (1 until 16).map(i => i.toDouble / 16).mkString(", ")
+    val keep = zSampleSql("event_id", 8)
+    val inter = (0 until 4).map(j =>
+      s"((b_user >> $j) & 1) * ${1L << (2 * j)} + ((b_ts >> $j) & 1) * ${1L << (2 * j + 1)}"
+    ).mkString(" + ")
+    s"""WITH src AS (SELECT event_id, user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events),
+       |smp AS (SELECT user_id, ts_sec FROM src WHERE $keep),
+       |ba AS (SELECT list_transform(quantile_cont(user_id, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |bb AS (SELECT list_transform(quantile_cont(ts_sec, [$fracs]), x -> round(x, 4)) AS b FROM smp),
+       |r AS (SELECT event_id,
+       |    CAST(len(list_filter(ba.b, x -> e.user_id > x)) AS INTEGER) AS b_user,
+       |    CAST(len(list_filter(bb.b, x -> e.ts_sec > x)) AS INTEGER) AS b_ts
+       |  FROM src e CROSS JOIN ba CROSS JOIN bb)
+       |SELECT event_id, b_user, b_ts, CAST($inter AS BIGINT) AS zkey FROM r""".stripMargin
   }
 
   /** The 3-column Z-order key replayed — same sampled-boundary machinery,

@@ -879,6 +879,75 @@ object ScaleProbe {
       timed("auditDrift FULL PASS @ 10M rows")(
         graft.fs.Layout.auditDrift(spark, s"$bD/z").collect().length.toLong)
     }
+    // Round-17a: the zh-fold isolation A/B the r16 verdict asked for —
+    // the SAME z-layout data, manifest built/refreshed WITH the meta
+    // sidecar present (zh_<c> histograms fold per file) vs with it moved
+    // aside (no zh — everything else in the aggregate identical). The
+    // bits=9-vs-6 A/B the verdict sketched is confounded (bits=9 also
+    // widens every bucket when-chain 63 -> 511 terms), so this moves the
+    // ONE term under test. Fixture mirrors the stream loops' shape:
+    // sf0.1 events, bits=6, an initial build + 3 epoch appends with a
+    // refreshManifest after each (the q_stream_zorder_* cadence).
+    if (inSection("r17a")) {
+      import org.apache.spark.sql.functions.{col, pmod, lit}
+      val e = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      for (variant <- Seq("WITH zh", "NO zh"); rep <- 1 to 3) {
+        val b = java.nio.file.Files.createTempDirectory("graft-r17a").toString
+        graft.fs.Layout.buildZorderedEpoch(
+          e.where(pmod(col("event_id"), lit(4)) === 0), s"$b/z",
+          Seq("user_id", "value"), bits = 6, numFiles = 8)
+        val meta = new org.apache.hadoop.fs.Path(
+          graft.fs.Layout.layoutMetaPath(s"$b/z"))
+        val aside = new org.apache.hadoop.fs.Path(meta.toString + "_aside")
+        val hfs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def hideMeta(): Unit =
+          if (variant == "NO zh") { hfs.rename(meta, aside); () }
+        def showMeta(): Unit =
+          if (variant == "NO zh") { hfs.rename(aside, meta); () }
+        hideMeta()
+        timed(s"writeManifest $variant rep$rep (8 files)") {
+          graft.fs.Layout.writeManifest(spark, s"$b/z",
+            Seq("user_id", "value")); 0L
+        }
+        showMeta()
+        for (r <- 1 to 3) {
+          graft.fs.Layout.appendZorderedEpoch(
+            e.where(pmod(col("event_id"), lit(4)) === r), s"$b/z", r,
+            numFiles = 4)
+          hideMeta()
+          timed(s"refreshManifest $variant rep$rep epoch$r (4 new files)")(
+            graft.fs.Layout.refreshManifest(spark, s"$b/z",
+              Seq("user_id", "value"), allowGone = true))
+          showMeta()
+        }
+      }
+    }
+    // Round-17b: the DISTRIBUTED manifest-histogram fold at extreme file
+    // count — the r16 verdict's done-criterion receipt: the drift consult
+    // collects only k·2^bits bucket totals (2·64 longs here) regardless
+    // of files, where the r16 fold collected every file's dense array
+    // (∝ files·2^bits — ~4 GB at 10^6 files / bits=8 / 2 cols). 10,240
+    // files ≈ a 1.3 TB table at 128 MB files; the fold time must stay
+    // flat vs the 512-file r16d point, and the audit scan is the
+    // comparison row.
+    if (inSection("r17b")) {
+      import org.apache.spark.sql.functions.col
+      val sf1 = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      val b = java.nio.file.Files.createTempDirectory("graft-r17b").toString
+      timed("z10240 build + manifest(zh) @ 1M rows / 10240 files") {
+        graft.fs.Layout.writeZordered(sf1, s"$b/z", "user_id", "value",
+          bits = 6, numFiles = 10240)
+        graft.fs.Layout.writeManifest(spark, s"$b/z", Seq("user_id", "value"))
+        0L
+      }
+      for (rep <- 1 to 3)
+        timed(s"layoutDrift MANIFEST FOLD rep$rep @ 10240 files")(
+          graft.fs.Layout.layoutDrift(spark, s"$b/z").collect().length.toLong)
+      timed("auditDrift FULL PASS @ 10240 files")(
+        graft.fs.Layout.auditDrift(spark, s"$b/z").collect().length.toLong)
+    }
     // Round-15h: the snapshot CDC diff — fast path vs the general join
     if (inSection("r15h")) {
       import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -174,6 +174,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_hist"),
+      new ExpressionInfo(classOf[HistAgg].getName, "graft_hist"),
+      (children: Seq[Expression]) => {
+        // user-visible SQL surface: the graft_kmv analysis-error hygiene
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "`graft_hist`",
+              "expectedNum" -> "2", "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val nbExpr = children(1)
+        if (!nbExpr.foldable || nbExpr.eval() == null ||
+            !nbExpr.eval().isInstanceOf[Number])
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`graft_hist`",
+              "paramName" -> "`nb`", "paramType" -> "\"INT\""))
+        HistAgg(children.head, nbExpr.eval().asInstanceOf[Number].intValue())
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssignExpr].getName, "graft_pq_assign"),
       (children: Seq[Expression]) => {

@@ -494,12 +494,23 @@ object OnlineRefresh {
     val target = epochs.head
     val member = spark.read.parquet(s"$outPath/codes")
       .select(col(idCol), col("batch").cast("long").as("__b"))
-    val joined = member.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
-    val nIdx = member.count()
-    require(joined.count() == nIdx,
+    // ONE aggregate over the LEFT join answers all three integrity
+    // questions in a single job (the r16 verdict's double-full-pass:
+    // member.count() then joined.count() were two table-sized jobs spent
+    // only on this guard): a missing embedding leaves a null embCol row
+    // (count(emb) < count(*)), a duplicated corpus id inflates the join
+    // (count(*) > countDistinct(id)), and a clean cover has all three
+    // equal. Keep the guard loud — it exists so re-encoding can never
+    // silently drop or duplicate an indexed id.
+    val leftJ = member.join(corpus.select(col(idCol), col(embCol)),
+      Seq(idCol), "left")
+    val g = leftJ.agg(count(lit(1)), count(col(embCol)),
+      countDistinct(col(idCol))).head()
+    require(g.getLong(0) == g.getLong(1) && g.getLong(0) == g.getLong(2),
       "pq retrain: some indexed ids have no embedding in the supplied " +
         "corpus (or appear more than once) — re-encoding would silently " +
         "drop or duplicate them")
+    val joined = member.join(corpus.select(col(idCol), col(embCol)), Seq(idCol))
     val books = graft.ops.Similarity.pqCodebookTable(
       joined.select(col(idCol), col(embCol)), nSub, nCodes, idCol, embCol,
       refineIters)

@@ -278,4 +278,47 @@ class FallbackSpec extends SparkSpec {
       spark.sql("SELECT graft_kmv(id, NULL) FROM __kmv_probe").collect())
     assert(e3.getMessage.contains("graft_kmv"))
   }
+
+  test("native graft_hist equals the sum(when) chain (nulls skipped, out-of-range skipped, partial merge exact)") {
+    import spark.implicits._
+    // multi-partition so partial aggregation + merge + serde all run
+    val df = spark.range(1000).repartition(3)
+      .select((col("id") % 7).cast("int").as("b"))
+    val nb = 8
+    val native = df.agg(call_function("graft_hist", col("b"), lit(nb)))
+      .head().getSeq[Long](0)
+    val chain = df.agg(array((0 until nb).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L))): _*))
+      .head().getSeq[Long](0)
+    assert(native == chain, s"graft_hist $native != sum(when) chain $chain")
+    // nulls carry no count; out-of-range values are skipped, never
+    // corrupt a neighbor's bucket
+    val odd = Seq(Some(1), None, Some(99), Some(-3), Some(1)).toDF("b")
+    assert(odd.agg(call_function("graft_hist", col("b"), lit(4)))
+      .head().getSeq[Long](0) == Seq(0L, 2L, 0L, 0L))
+    // the grouped shape the manifest uses (one histogram per file)
+    val grouped = spark.range(1000).repartition(5)
+      .select((col("id") % 4).as("g"), (col("id") % 3).cast("int").as("b"))
+    val n2 = grouped.groupBy("g")
+      .agg(call_function("graft_hist", col("b"), lit(3)).as("h"))
+      .orderBy("g").collect().map(_.getSeq[Long](1)).toSeq
+    val c2 = grouped.groupBy("g")
+      .agg(array((0 until 3).map(i =>
+        sum(when(col("b") === i, 1L).otherwise(0L))): _*).as("h"))
+      .orderBy("g").collect().map(_.getSeq[Long](1)).toSeq
+    assert(n2 == c2, s"grouped graft_hist $n2 != chain $c2")
+  }
+
+  test("graft_hist: malformed SQL calls die as clean analysis errors, not IOOBE/NPE") {
+    spark.range(3).createOrReplaceTempView("__hist_probe")
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_hist(id) FROM __hist_probe").collect())
+    assert(e1.getMessage.contains("graft_hist"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_hist(id, id) FROM __hist_probe").collect())
+    assert(e2.getMessage.contains("graft_hist"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT graft_hist(id, NULL) FROM __hist_probe").collect())
+    assert(e3.getMessage.contains("graft_hist"))
+  }
 }

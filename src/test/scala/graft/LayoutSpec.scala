@@ -1315,13 +1315,16 @@ class LayoutSpec extends SparkSpec {
     intercept[RuntimeException](
       Layout.withWriterLease(spark, path) { throw new RuntimeException("x") })
     assert(Layout.withWriterLease(spark, path) { 8 } == 8)
-    // a crashed holder leaves the marker — refuse, then break explicitly
+    // an EMPTY marker (a writer crashed between createNewFile and its
+    // holder write) is retakeable after the one recheck window — it
+    // provably recorded no completed acquisition (r16 ADVICE: it used to
+    // wedge even the same holder until a manual breakWriterLease)
     val lp = new org.apache.hadoop.fs.Path(Layout.leasePath(path))
     val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     hfs.createNewFile(lp)
-    intercept[IllegalArgumentException](Layout.withWriterLease(spark, path) { 0 })
-    assert(Layout.breakWriterLease(spark, path))
     assert(Layout.withWriterLease(spark, path) { 9 } == 9)
+    // ...and the marker is gone again after that run's release
+    assert(!hfs.exists(lp))
     // self-fenced re-entry: a marker recording the SAME holder identity
     // is a crashed prior self — retaken automatically (the streams'
     // restart recipe), while a different holder still refuses above
@@ -1403,13 +1406,6 @@ class LayoutSpec extends SparkSpec {
     Layout.writeValueIndex(spark, s"$base/z", "name")
     val hit = Layout.pointRead(spark, s"$base/z", "name", lit("cust#000123"))
     assert(hit.count() === survivors.where(col("name") === "cust#000123").count())
-    // temporal keys refuse with the epoch-projection recipe instead of
-    // dying inside percentile()
-    val errT = intercept[IllegalArgumentException](
-      Layout.zorderKeyCols(
-        df.withColumn("ts", org.apache.spark.sql.functions.current_timestamp()),
-        Seq("ts", "bal"), bits = 4))
-    assert(errT.getMessage.contains("temporal"), errT.getMessage)
     // recluster re-derives the string cuts from the live table — same
     // frozen-bounds replay contract as numeric columns
     Layout.reclusterLayout(spark, s"$base/z", numFiles = 8)
@@ -1450,5 +1446,211 @@ class LayoutSpec extends SparkSpec {
     assert(err2.getMessage.contains("single-writer"))
     // the documented recovery path for a crashed run
     assert(Layout.breakWriterLease(spark, path))
+  }
+
+  test("temporal Z keys auto-project to epoch numbers: build → append → manifest → drift round-trip") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zts").toString
+    // an hourly time-series shape: ts spans ~97 distinct hours
+    def mk(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      timestamp_seconds(lit(1700000000L) + (col("id") % 97) * 3600).as("ts"),
+      (col("id") % 100).cast("double").as("v"))
+    Layout.buildZorderedEpoch(mk(0, 6000), s"$base/z", Seq("ts", "v"),
+      bits = 4, numFiles = 4)
+    // the sidecar records the projection; bounds are epoch-second numerics
+    assert(Layout.readLayoutMetaProjs(spark, s"$base/z") ==
+      Seq("epoch_ts", "none"))
+    val (zc, zbits, nb0, sb0) = Layout.readLayoutMetaTyped(spark, s"$base/z")
+    assert(zc == Seq("ts", "v") && zbits == 4)
+    assert(nb0(0).nonEmpty && nb0(0).forall(_ > 1.6e9),
+      s"ts bounds must be epoch seconds: ${nb0(0).take(3)}")
+    assert(sb0.forall(_.isEmpty))
+    // frozen-bounds append re-keys through the SAME projection
+    Layout.appendZorderedEpoch(mk(6000, 8000), s"$base/z", 1, numFiles = 2)
+    // the key actually clusters the ts axis: buckets spread
+    val keyed = Layout.zorderKeyWithBoundsTyped(mk(0, 8000), zc, zbits, nb0, sb0)
+    val spread = keyed.select(countDistinct(col("__zb_0"))).head().getLong(0)
+    assert(spread >= 8, s"ts buckets must spread, got $spread distinct")
+    // manifest zh histograms bucket through the projection too — the
+    // metadata drift fold stays ≡ the audit scan on a temporal key
+    Layout.writeManifest(spark, s"$base/z", Seq("ts", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String, Int, Double)] =
+      df.as[(Int, String, Int, Double)].collect().toSet
+    assert(rows(Layout.layoutDrift(spark, s"$base/z")) ==
+      rows(Layout.auditDrift(spark, s"$base/z")),
+      "temporal-key drift: manifest fold must equal the audit scan")
+    // a pruned read on the numeric companion column serves exactly
+    val served = Layout.prunedRead(spark, s"$base/z", Seq(("v", 10.0, 30.0)))
+      .select("id", "v")
+    val truth = mk(0, 8000).where(col("v").between(10.0, 30.0)).select("id", "v")
+    assert(served.exceptAll(truth).isEmpty && truth.exceptAll(served).isEmpty)
+    // DATE keys project to epoch days the same way
+    val dDf = spark.range(2000).select(col("id"),
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        (col("id") % 120).cast("int")).as("d"),
+      (col("id") % 50).cast("double").as("v"))
+    val dKeyed = Layout.zorderKeyCols(dDf, Seq("d", "v"), bits = 4)
+    val dSpread = dKeyed.select(countDistinct(col("__zb_0"))).head().getLong(0)
+    assert(dSpread >= 8, s"date buckets must spread, got $dSpread")
+  }
+
+  test("layoutDrift: a duplicated manifest file row falls back to the audit scan, never double-counts") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zdupm").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 4, numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String, Int, Double)] =
+      df.as[(Int, String, Int, Double)].collect().toSet
+    val truth = rows(Layout.auditDrift(spark, s"$base/z"))
+    assert(rows(Layout.layoutDrift(spark, s"$base/z")) == truth)
+    // duplicate one manifest row via an external rewrite (the faulty-
+    // tool scenario the r16 ADVICE names): the file SET stays equal to
+    // the listing, so only the row-count check can catch it
+    val mPath = Layout.manifestPath(s"$base/z")
+    val m = spark.read.parquet(mPath)
+    val dupRows = m.collect()
+    val doubled = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(dupRows ++ dupRows.take(1): _*)), m.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zdupm-m").toString
+    doubled.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val mp = new org.apache.hadoop.fs.Path(mPath)
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(mp, true)
+    assert(hfs.rename(new org.apache.hadoop.fs.Path(tmp), mp))
+    // the consult must NOT serve a double-counted 'exact' answer — it
+    // falls back to the scan and still returns the truth
+    assert(rows(Layout.layoutDrift(spark, s"$base/z")) == truth,
+      "duplicated manifest row must fall back to the audit scan")
+  }
+
+  test("quantile consult enforces freshness uniformly — a stale index refuses below the route crossover too") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zqfresh").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 4, numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    Layout.writeQuantileIndex(spark, s"$base/z", "b", "id")
+    val (n0, _, _, _) = Layout.quantileMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 50.0)), "b", "id")
+    assert(n0 > 0)
+    // append + refresh the MANIFEST but not the quantile index: the
+    // table is 6 files (below ConsultRouteFiles), so pre-r17 the routed
+    // path silently tolerated the stale index — the contract was
+    // file-count-dependent (r16 ADVICE). Now it refuses on both paths.
+    val extra = spark.range(10000, 12000).select(col("id"),
+      (col("id") % 100).cast("double").as("a"),
+      (col("id") % 7).cast("double").as("b"))
+    Layout.appendZordered(extra, s"$base/z", numFiles = 2)
+    Layout.refreshManifest(spark, s"$base/z", Seq("a", "b"))
+    val err = intercept[IllegalArgumentException](
+      Layout.quantileMatching(spark, s"$base/z",
+        Seq(("a", 0.0, 50.0)), "b", "id"))
+    assert(err.getMessage.contains("quantile index"), err.getMessage)
+    // refresh → serves again, on the routed path
+    Layout.refreshQuantileIndex(spark, s"$base/z", "b", "id")
+    val (n1, _, _, _) = Layout.quantileMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 50.0)), "b", "id")
+    assert(n1 > 0)
+  }
+
+  test("refreshQuantileIndex: an empty index shell (aborted initial build) proceeds as a fresh build") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zqshell").toString
+    Layout.writeZordered(grid, s"$base/z", "a", "b", bits = 4, numFiles = 4)
+    Layout.writeManifest(spark, s"$base/z", Seq("a", "b"))
+    val qPath = Layout.quantileIndexPath(s"$base/z", "b", "id")
+    val qp = new org.apache.hadoop.fs.Path(qPath)
+    qp.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(qp)
+    // pre-r17 this died inside spark.read with 'unable to infer schema'
+    val indexed = Layout.refreshQuantileIndex(spark, s"$base/z", "b", "id")
+    assert(indexed == 4L, s"fresh build must index every file, got $indexed")
+    val (n, qs, _, _) = Layout.quantileMatching(spark, s"$base/z",
+      Seq(("a", 0.0, 50.0)), "b", "id")
+    assert(n > 0 && qs.head.nonEmpty)
+  }
+
+  test("optimistic commits: interleaved appends retry-with-rebase; a conflicting rewrite refuses naming the winner") {
+    import graft.fs.OptimisticCommit
+    val base = java.nio.file.Files.createTempDirectory("graft-zoptc").toString
+    val path = s"$base/z"
+    assert(OptimisticCommit.tableVersion(spark, path) == -1L)
+    // the initial build commits as v0
+    val (v0, _) = OptimisticCommit.commitAppend(spark, path, "ingest") {
+      Layout.buildZorderedEpoch(grid.where(col("id") < 5000), path,
+        Seq("a", "b"), bits = 4, numFiles = 2)
+    }
+    assert(v0 == 0L)
+    // INTERLEAVED appends: the outer writer bases on v0; the inner
+    // writer commits v1 first; the outer's claim on v1 loses, sees an
+    // append-class winner, rebases, and LANDS at v2 — nothing refused
+    val (vOuter, vInner) = OptimisticCommit.commitAppend(spark, path, "backfill") {
+      val (vi, _) = OptimisticCommit.commitAppend(spark, path, "ingest") {
+        Layout.appendZorderedEpoch(
+          grid.where(col("id") >= 5000 && col("id") < 7000), path, 1, 1)
+      }
+      Layout.appendZorderedEpoch(grid.where(col("id") >= 7000), path, 2, 1)
+      vi
+    }
+    assert(vInner == 1L && vOuter == 2L,
+      s"append must rebase past an append-class winner: inner=$vInner outer=$vOuter")
+    assert(spark.read.parquet(path).count() == 10000,
+      "both interleaved appends must land")
+    // CONFLICTING REWRITE: a writer stages against v2, another commit
+    // lands v3 first — the rewrite refuses NAMING the winner, before
+    // any table-sized work runs
+    val staged = OptimisticCommit.tableVersion(spark, path)
+    val (v3, _) = OptimisticCommit.commitAppend(spark, path, "ingest")(())
+    val err = intercept[IllegalArgumentException](
+      OptimisticCommit.commitRewrite(spark, path, "recluster-cron",
+        expectedVersion = Some(staged)) {
+        Layout.reclusterLayout(spark, path, numFiles = 2)
+      })
+    assert(err.getMessage.contains("ingest") && err.getMessage.contains(s"v=$v3"),
+      s"rewrite refusal must name the winning commit: ${err.getMessage}")
+    // the refusal preceded the work: the epoch partitions are untouched
+    val parts = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(parts == Set("batch=0", "batch=1", "batch=2"), s"refusal must precede the rewrite: $parts")
+    // a CLEAN rewrite at the true tip claims and runs
+    val (v4, _) = OptimisticCommit.commitRewrite(spark, path, "recluster-cron") {
+      Layout.reclusterLayout(spark, path, numFiles = 2)
+    }
+    assert(v4 == v3 + 1 && spark.read.parquet(path).count() == 10000)
+    // an append racing a REWRITE-class winner refuses loudly (its files
+    // may not have survived the swap — the operator must verify)
+    val err2 = intercept[IllegalArgumentException](
+      OptimisticCommit.commitAppend(spark, path, "late-append") {
+        OptimisticCommit.commitRewrite(spark, path, "compaction")(())
+      })
+    assert(err2.getMessage.contains("compaction") &&
+      err2.getMessage.contains("REWRITE"), err2.getMessage)
+  }
+
+  test("snapshot time travel by timestamp: exact ts, between commits, before first, after last") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zasof").toString
+    val path = s"$base/z"
+    Layout.writeZordered(grid.where(col("id") < 6000), path, "a", "b",
+      bits = 4, numFiles = 4)
+    val v0 = Layout.snapshotLayout(spark, path)
+    val ts0 = Layout.snapshotCreatedMs(spark, path, v0).get
+    // force the next commit onto a strictly later millisecond so the
+    // boundary pins below are deterministic
+    while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+    Layout.appendZordered(grid.where(col("id") >= 6000), path, numFiles = 2)
+    val v1 = Layout.snapshotLayout(spark, path)
+    val ts1 = Layout.snapshotCreatedMs(spark, path, v1).get
+    assert(ts1 > ts0)
+    // exact commit ts resolves to that commit (inclusive)
+    assert(Layout.resolveSnapshotAsOf(spark, path, ts0) == v0)
+    assert(Layout.resolveSnapshotAsOf(spark, path, ts1) == v1)
+    // between commits → the earlier one
+    assert(Layout.resolveSnapshotAsOf(spark, path, ts1 - 1) == v0)
+    // after the last → the newest
+    assert(Layout.resolveSnapshotAsOf(spark, path, ts1 + 1000000L) == v1)
+    // before the first → loud refusal naming the available range
+    val err = intercept[IllegalArgumentException](
+      Layout.resolveSnapshotAsOf(spark, path, ts0 - 1))
+    assert(err.getMessage.contains("predates") &&
+      err.getMessage.contains(ts0.toString), err.getMessage)
+    // the read itself serves the as-of content
+    assert(Layout.readSnapshotAsOf(spark, path, ts0).count() == 6000)
+    assert(Layout.readSnapshotAsOf(spark, path, ts1).count() == 10000)
   }
 }

@@ -1858,5 +1858,19 @@ class StreamingSpec extends SparkSpec {
     val rC = actions(OnlineRefresh.maintainPqIndex(spark, s"$tmp/ix", emb,
       retrainAboveMse = rB("mean_mse_after") + 1.0, maxEpochs = 8))
     assert(!rC.contains("retrained") && !rC.contains("compacted"), s"$rC")
+    // integrity guard (now ONE aggregate over the left join — r16
+    // verdict #3's two table-sized count jobs collapsed; the refusal
+    // behavior is the pin): a corpus MISSING an indexed id refuses…
+    val missing = emb.where(col("vec_id") =!= 0L)
+    val eM = intercept[IllegalArgumentException](
+      OnlineRefresh.retrainPqIndex(spark, s"$tmp/ix", missing))
+    assert(eM.getMessage.contains("no embedding"), eM.getMessage)
+    // …and so does one carrying a DUPLICATED id
+    val dup = emb.unionByName(emb.limit(1))
+    val eD = intercept[IllegalArgumentException](
+      OnlineRefresh.retrainPqIndex(spark, s"$tmp/ix", dup))
+    assert(eD.getMessage.contains("drop or duplicate"), eD.getMessage)
+    // neither refusal touched the artifact
+    assert(ids() == all, "a refused retrain must not move the indexed set")
   }
 }
