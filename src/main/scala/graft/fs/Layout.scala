@@ -229,12 +229,30 @@ object Layout {
   /** The strictly-below bucket expression for one Z column — numeric OR
     * string boundary literals over the (possibly projected) column
     * value, ONE definition shared by the key, the manifest histograms,
-    * and the drift scan. */
-  private def zBucketCol(v: Column, nb: Seq[Double], sb: Seq[String]): Column =
-    if (sb.nonEmpty)
-      balancedSum(sb.toIndexedSeq.map(b => when(v > lit(b), 1).otherwise(0)))
-    else if (nb.isEmpty) lit(0)
-    else balancedSum(nb.toIndexedSeq.map(b => when(v > lit(b), 1).otherwise(0)))
+    * and the drift scan. With [[graft.plans.GraftExtensions]] on the
+    * session this is ONE native binary-search expression
+    * (graft_zbucket{,_str} — O(log 2^bits) per row and a constant-size
+    * codegen method, vs the fallback chain's 2^bits−1 comparisons per
+    * row and a 2^bits−1-term compiled tree per operation: the hot
+    * keying path of every Z write/append/compact, and the residual zh
+    * write-path term in SCALE.md r17a). Bit-identical by the
+    * lower-bound identity over Spark's own comparison order
+    * ([[graft.plans.ZBucketExpr]]; FallbackSpec pins equality incl.
+    * nulls, NaN, and boundary-equal values). */
+  private def zBucketCol(spark: org.apache.spark.sql.SparkSession,
+      v: Column, nb: Seq[Double], sb: Seq[String]): Column =
+    if (sb.nonEmpty) {
+      if (spark.catalog.functionExists("graft_zbucket_str"))
+        call_function("graft_zbucket_str", v.cast("string"), typedLit(sb))
+      else
+        balancedSum(sb.toIndexedSeq.map(b => when(v > lit(b), 1).otherwise(0)))
+    } else if (nb.isEmpty) lit(0)
+    else {
+      if (spark.catalog.functionExists("graft_zbucket"))
+        call_function("graft_zbucket", v.cast("double"), typedLit(nb))
+      else
+        balancedSum(nb.toIndexedSeq.map(b => when(v > lit(b), 1).otherwise(0)))
+    }
 
   /** Apply FROZEN boundaries: bucket + interleave, no aggregate pass —
     * the key an append computes against the layout's persisted meta
@@ -269,7 +287,7 @@ object Layout {
       s"sbounds for ${sbounds.size} columns, expected ${cols.size}")
     val withB = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       d.withColumn(s"__zb_$i",
-        zBucketCol(zProjected(c, zProjectionForCol(df, c)),
+        zBucketCol(df.sparkSession, zProjected(c, zProjectionForCol(df, c)),
           bounds(i), sbounds(i)))
     }
     // round-robin interleave — arithmetic only, so the oracle replays it
@@ -921,7 +939,7 @@ object Layout {
         cols.filter(zcols.contains).foldLeft(src) { (d, c) =>
           val zi = zcols.indexOf(c)
           d.withColumn(s"__zbh_$c",
-            zBucketCol(zProjected(c, zProjectionForCol(src, c)),
+            zBucketCol(src.sparkSession, zProjected(c, zProjectionForCol(src, c)),
               bounds(zi), sbounds(zi)))
         }
       case _ => src

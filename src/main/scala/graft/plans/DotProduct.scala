@@ -195,6 +195,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .toAggregateExpression()
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_zbucket"),
+      new ExpressionInfo(classOf[ZBucketExpr].getName, "graft_zbucket"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "`graft_zbucket`",
+              "expectedNum" -> "2", "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val bExpr = children(1)
+        if (!bExpr.foldable || bExpr.eval() == null ||
+            !bExpr.eval().isInstanceOf[ArrayData])
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`graft_zbucket`",
+              "paramName" -> "`bounds`", "paramType" -> "\"ARRAY<DOUBLE>\""))
+        ZBucketExpr(children.head,
+          bExpr.eval().asInstanceOf[ArrayData].toDoubleArray())
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_zbucket_str"),
+      new ExpressionInfo(classOf[ZBucketStrExpr].getName, "graft_zbucket_str"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "`graft_zbucket_str`",
+              "expectedNum" -> "2", "actualNum" -> children.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        val bExpr = children(1)
+        if (!bExpr.foldable || bExpr.eval() == null ||
+            !bExpr.eval().isInstanceOf[ArrayData])
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "NON_FOLDABLE_ARGUMENT",
+            messageParameters = Map("funcName" -> "`graft_zbucket_str`",
+              "paramName" -> "`cuts`", "paramType" -> "\"ARRAY<STRING>\""))
+        ZBucketStrExpr(children.head,
+          bExpr.eval().asInstanceOf[ArrayData]
+            .toArray[org.apache.spark.unsafe.types.UTF8String](
+              org.apache.spark.sql.types.StringType))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_pq_assign"),
       new ExpressionInfo(classOf[PqAssignExpr].getName, "graft_pq_assign"),
       (children: Seq[Expression]) => {

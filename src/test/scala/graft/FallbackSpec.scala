@@ -309,6 +309,37 @@ class FallbackSpec extends SparkSpec {
     assert(n2 == c2, s"grouped graft_hist $n2 != chain $c2")
   }
 
+  test("native graft_zbucket equals the when-chain (nulls→0, NaN past every bound, ties strictly-below, dup bounds)") {
+    import spark.implicits._
+    // boundaries WITH duplicates (a heavy-tailed quantile build produces
+    // them) — nondecreasing, as percentile guarantees
+    val nb = Seq(10.0, 20.0, 20.0, 30.0, 45.5, 45.5, 45.5, 80.0)
+    val vals = Seq[Option[Double]](Some(5.0), Some(10.0), Some(10.0001),
+      Some(20.0), Some(29.999), Some(45.5), Some(45.6), Some(80.0),
+      Some(99.0), None, Some(Double.NaN), Some(-0.0), Some(0.0),
+      Some(Double.PositiveInfinity), Some(Double.NegativeInfinity))
+    val df = vals.toDF("v").repartition(3)
+    val chain = df.select(nb.map(b =>
+      when(col("v") > lit(b), 1).otherwise(0)).reduce(_ + _).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    val native = df.select(
+      call_function("graft_zbucket", col("v"), typedLit(nb)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(native == chain, s"zbucket $native != chain $chain")
+    // string twin — binary UTF-8 order, empty strings and ties included
+    val sc = Seq("", "apple", "apple", "m", "zz")
+    val svals = Seq[Option[String]](Some(""), Some("a"), Some("apple"),
+      Some("apples"), Some("m"), Some("n"), Some("zz"), Some("zzz"), None)
+    val sdf = svals.toDF("s").repartition(2)
+    val schain = sdf.select(sc.map(b =>
+      when(col("s") > lit(b), 1).otherwise(0)).reduce(_ + _).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    val snative = sdf.select(
+      call_function("graft_zbucket_str", col("s"), typedLit(sc)).as("b"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(snative == schain, s"zbucket_str $snative != chain $schain")
+  }
+
   test("graft_hist: malformed SQL calls die as clean analysis errors, not IOOBE/NPE") {
     spark.range(3).createOrReplaceTempView("__hist_probe")
     val e1 = intercept[org.apache.spark.sql.AnalysisException](
