@@ -361,16 +361,18 @@ object Layout {
       bits: Int = 6,
       numFiles: Int = 32,
       sampleBy: Option[(String, Int)] = None
-  ): Unit = {
-    val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, sampleBy)
-    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop(zorderWorkCols(cols.size): _*)
-      .write.mode("overwrite").parquet(path)
-    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
-      sbounds, cols.map(c => zProjectionForCol(df, c)))
-  }
+  ): Unit =
+    // rewrite-class commit: mode=overwrite can REBUILD an existing table
+    OptimisticCommit.rewriteScope(df.sparkSession, path, "writeZorderedCols") {
+      val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, sampleBy)
+      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(zorderWorkCols(cols.size): _*)
+        .write.mode("overwrite").parquet(path)
+      writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
+        sbounds, cols.map(c => zProjectionForCol(df, c)))
+    }
 
   /** Layout-meta sidecar path: sibling of the data, like the manifest. */
   def layoutMetaPath(path: String): String = path.stripSuffix("/") + "__layout_meta"
@@ -557,15 +559,16 @@ object Layout {
     * call and pruned reads will refuse to serve ([[requireFresh]]) —
     * run [[refreshManifest]] / [[refreshValueIndex]] to complete the
     * commit unit; each indexes ONLY the new files. */
-  def appendZordered(df: DataFrame, path: String, numFiles: Int = 4): Unit = {
-    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
-    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop(zorderWorkCols(cols.size): _*)
-      .write.mode("append").parquet(path)
-    maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
-  }
+  def appendZordered(df: DataFrame, path: String, numFiles: Int = 4): Unit =
+    OptimisticCommit.appendScope(df.sparkSession, path, "appendZordered") {
+      val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
+      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(zorderWorkCols(cols.size): _*)
+        .write.mode("append").parquet(path)
+      maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
+    }
 
   /** Streaming-epoch INITIAL build: derive boundaries from this first
     * batch (a stream cannot see the full table — document the drift
@@ -583,31 +586,34 @@ object Layout {
       bits: Int = 6,
       numFiles: Int = 8,
       batchId: Long = 0L
-  ): Unit = {
-    val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, None)
-    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop(zorderWorkCols(cols.size): _*)
-      .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
-    writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
-      sbounds, cols.map(c => zProjectionForCol(df, c)))
-  }
+  ): Unit =
+    // append-class: the initial build creates files, moves nothing
+    OptimisticCommit.appendScope(df.sparkSession, path, "buildZorderedEpoch") {
+      val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, None)
+      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(zorderWorkCols(cols.size): _*)
+        .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+      writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
+        sbounds, cols.map(c => zProjectionForCol(df, c)))
+    }
 
   /** Streaming-epoch append: frozen-bounds re-key, landed as the
     * overwrite of THIS epoch's `batch=<id>` partition (idempotent under
     * foreachBatch replay, unlike the flat [[appendZordered]] whose
     * mode=append would double rows). */
   def appendZorderedEpoch(df: DataFrame, path: String, batchId: Long,
-      numFiles: Int = 4): Unit = {
-    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
-    zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop(zorderWorkCols(cols.size): _*)
-      .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
-    maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
-  }
+      numFiles: Int = 4): Unit =
+    OptimisticCommit.appendScope(df.sparkSession, path, "appendZorderedEpoch") {
+      val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
+      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
+        .repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop(zorderWorkCols(cols.size): _*)
+        .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+      maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
+    }
 
   /** Incrementally index files the manifest has not seen: list the data
     * dir, diff against the manifest's recorded set, scan ONLY the new
@@ -716,16 +722,17 @@ object Layout {
     * incremental refreshes refuse, gone-files contract); until then
     * pruned reads fail loudly, never silently. */
   def compactLayout(spark: org.apache.spark.sql.SparkSession, path: String,
-      numFiles: Int = 32): Unit = {
-    val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
-    AtomicDir.swapDir(spark, path) { tmp =>
-      zorderKeyWithBoundsTyped(spark.read.parquet(path), cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
-        .write.mode("overwrite").parquet(tmp)
+      numFiles: Int = 32): Unit =
+    OptimisticCommit.rewriteScope(spark, path, "compactLayout") {
+      val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
+      AtomicDir.swapDir(spark, path) { tmp =>
+        zorderKeyWithBoundsTyped(spark.read.parquet(path), cols, bits, bounds, sbounds)
+          .repartitionByRange(numFiles, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop(zorderWorkCols(cols.size): _*)
+          .write.mode("overwrite").parquet(tmp)
+      }
     }
-  }
 
   /** SIZE-TIERED epoch compaction — the INCREMENTAL small-files answer
     * for the streaming layout (the LSM tiering idea applied to the
@@ -788,7 +795,10 @@ object Layout {
         s"at $path; flat layouts compact whole via compactLayout")
     val newest = epochs.last._1
     val picks = epochs.dropRight(1).filter(_._2 <= maxBytes).map(_._1)
-    if (picks.size < 2) return Nil
+    // the no-op decision stays OUTSIDE the commit scope (a fold that
+    // picks nothing mutates nothing — no version consumed on idle runs)
+    if (picks.size < 2) Nil
+    else OptimisticCommit.rewriteScope(spark, path, "compactEpochsTiered") {
     val target = picks.head
     val victims = picks.tail
     val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
@@ -823,6 +833,7 @@ object Layout {
     hfs.delete(aside, true)
     hfs.delete(marker, true)
     picks
+    }
   }
 
   /** Converge a [[compactEpochsTiered]] fold that crashed mid-commit —
@@ -1129,7 +1140,7 @@ object Layout {
     * never serve — downstream code projecting it broke only when zero
     * files matched). A legacy sidecar without a persisted schema keeps
     * the old mergeSchema shape. */
-  private def readLayoutFiles(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readLayoutFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, files: Seq[String]): DataFrame =
     scala.util.Try(layoutSchema(spark, path)).toOption.flatten match {
       case Some(s) =>
@@ -1888,17 +1899,23 @@ object Layout {
       buckets: Int = 1 << 16): Long = {
     require(ranges.nonEmpty || points.nonEmpty,
       "delete needs at least one range or point predicate")
-    val root = new org.apache.hadoop.fs.Path(path)
-    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverLayout(spark, path)
-    val resid = (ranges.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi)
-    } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
-    val hit = coalesce(resid, lit(false))
-    val files = candidateFilesFor(spark, path, ranges, points, buckets)
-    if (files.isEmpty) return 0L
-    rewriteVictimPartitions(spark, hfs, root, files,
-      rows => rows.where(hit), rows => rows.where(!hit))
+    // the claim precedes even the consult: the candidate set must be
+    // read at this commit's place in the serial order (a racing append
+    // landing between consult and claim would otherwise dodge the
+    // predicate this delete is contracted to apply)
+    OptimisticCommit.rewriteScope(spark, path, "deleteMatching") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverLayout(spark, path)
+      val resid = (ranges.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi)
+      } ++ points.map { case (c, v) => col(c) === v }).reduce(_ && _)
+      val hit = coalesce(resid, lit(false))
+      val files = candidateFilesFor(spark, path, ranges, points, buckets)
+      if (files.isEmpty) 0L
+      else rewriteVictimPartitions(spark, hfs, root, files,
+        rows => rows.where(hit), rows => rows.where(!hit))
+    }
   }
 
   /** The composed index consult [[prunedRead]] and [[deleteMatching]]
@@ -2066,7 +2083,8 @@ object Layout {
   def upsertByKey(spark: org.apache.spark.sql.SparkSession, path: String,
       updates: DataFrame, keyCol: String,
       buckets: Int = 1 << 16, numFiles: Int = 4,
-      batchId: Option[Long] = None): (Long, Long) = {
+      batchId: Option[Long] = None): (Long, Long) =
+      OptimisticCommit.rewriteScope(spark, path, "upsertByKey") {
     val root = new org.apache.hadoop.fs.Path(path)
     val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverLayout(spark, path)
@@ -2087,7 +2105,7 @@ object Layout {
       countDistinct(col(keyCol).cast(keyType))).head()
     val (inserted, rawNonNull, nonNull, distinctKeys) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    if (inserted == 0L) return (0L, 0L)
+    if (inserted == 0L) (0L, 0L) else {
     // a key that CASTS to null would silently dodge both the matching
     // and the duplicate check below while still landing in the epoch —
     // refuse the batch (the caller's key type does not fit the table's)
@@ -2120,6 +2138,7 @@ object Layout {
       rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_semi"),
       rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_anti"))
     (replaced, inserted)
+    }
   }
 
   /** The files whose hash sets can hold ANY of the batch's keys — the
@@ -2157,20 +2176,21 @@ object Layout {
     * sized. Null keys never match (SQL equality). Returns rows
     * removed. */
   def deleteByKeys(spark: org.apache.spark.sql.SparkSession, path: String,
-      keys: DataFrame, keyCol: String, buckets: Int = 1 << 16): Long = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverLayout(spark, path)
-    val keyType = evolvedColType(spark, path, keyCol)
-    val delKeys = keys
-      .select(col(keyCol).cast(keyType).as(keyCol))
-      .where(col(keyCol).isNotNull).distinct()
-    val candidates = keyCandidateFiles(spark, path, delKeys, keyCol, buckets)
-    if (candidates.isEmpty) return 0L
-    rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
-      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi"),
-      rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
-  }
+      keys: DataFrame, keyCol: String, buckets: Int = 1 << 16): Long =
+    OptimisticCommit.rewriteScope(spark, path, "deleteByKeys") {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverLayout(spark, path)
+      val keyType = evolvedColType(spark, path, keyCol)
+      val delKeys = keys
+        .select(col(keyCol).cast(keyType).as(keyCol))
+        .where(col(keyCol).isNotNull).distinct()
+      val candidates = keyCandidateFiles(spark, path, delKeys, keyCol, buckets)
+      if (candidates.isEmpty) 0L
+      else rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
+        rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi"),
+        rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
+    }
 
   /** SCHEMA-EVOLVED full read — ADDITIVE evolution, the kind every
     * table format allows: a later epoch may land with NEW columns
@@ -2283,7 +2303,8 @@ object Layout {
     * sidecar is a distinct set); null keys never match, so they are
     * dropped. Returns the newly tombstoned key count. */
   def deleteLogical(spark: org.apache.spark.sql.SparkSession, path: String,
-      keys: DataFrame, keyCol: String): Long = {
+      keys: DataFrame, keyCol: String): Long =
+      OptimisticCommit.appendScope(spark, path, "deleteLogical") {
     val keyType = evolvedColType(spark, path, keyCol)
     val add = keys.select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
@@ -2355,7 +2376,8 @@ object Layout {
     * fold back to copy-on-write, run on compaction cadence to keep the
     * sidecar feed-sized. Returns the number of rows staged. */
   def upsertLogical(spark: org.apache.spark.sql.SparkSession, path: String,
-      updates: DataFrame, keyCol: String): Long = {
+      updates: DataFrame, keyCol: String): Long =
+      OptimisticCommit.appendScope(spark, path, "upsertLogical") {
     val keyType = evolvedColType(spark, path, keyCol)
     // ONE aggregate pass over the batch (the upsertByKey discipline —
     // this runs per CDC micro-batch)
@@ -2364,7 +2386,7 @@ object Layout {
       countDistinct(col(keyCol).cast(keyType))).head()
     val (total, rawNonNull, nonNull, distinctKeys) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    if (total == 0L) return 0L
+    if (total == 0L) 0L else {
     // null-key rows are REFUSED here (unlike the physical upsertByKey):
     // a delta row folds by key, and a keyless row can never match out of
     // a crashed fold's epoch — the re-run would double it. Keyless
@@ -2391,6 +2413,7 @@ object Layout {
     // underscore-hidden from Spark's listing); reads expose it as __seq
     appendSidecarEpoch(spark, dPath, "seq=", staged)
     total
+    }
   }
 
   /** The standing delta set for `keyCol` (rows + `__seq`, the staging
@@ -2538,8 +2561,9 @@ object Layout {
       path: String, keyCol: String, manifestCols: Seq[String],
       buckets: Int = 1 << 16, numFiles: Int = 4): (Long, Long) =
     readDeltas(spark, path, keyCol) match {
-      case None => (0L, 0L)
+      case None => (0L, 0L) // no pending deltas — no version consumed
       case Some(d) =>
+        OptimisticCommit.rewriteScope(spark, path, "applyUpsertDeltas") {
         recoverLayout(spark, path)
         refreshManifest(spark, path, manifestCols, allowGone = true)
         refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
@@ -2562,6 +2586,7 @@ object Layout {
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(hp, true)
         res
+        }
     }
 
   /** FOLD merge-on-read back to copy-on-write: physically remove the
@@ -2576,7 +2601,9 @@ object Layout {
       keyCol: String, manifestCols: Seq[String],
       buckets: Int = 1 << 16): Long = {
     val ts = readTombstones(spark, path, keyCol)
-    if (ts.isEmpty) return 0L
+    // no pending tombstones — no mutation, no version consumed
+    if (ts.isEmpty) 0L
+    else OptimisticCommit.rewriteScope(spark, path, "applyTombstones") {
     // HEAD repair: a previous applyTombstones that crashed between its
     // physical deletes and its refreshes left the indexes stale, and
     // the consult inside deleteByKeys refuses stale — restore freshness
@@ -2610,6 +2637,7 @@ object Layout {
     val hp = new org.apache.hadoop.fs.Path(tombstonePath(path, keyCol))
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
     removed
+    }
   }
 
   /** The metadata pushdowns' merge-on-read fence: a manifest `cnt`
@@ -3056,19 +3084,39 @@ object Layout {
     // the LayoutSpec bytes receipt pins it)
     manifest.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    // validation pass: basenames + one bad-row flag per row (name-sized
-    // to the driver — the freshness compare needs the names anyway)
+    // validation pass folded IN SPARK (the r17 verdict's last ∝-files
+    // driver term): instead of collecting one basename per manifest row,
+    // collect FIVE longs — row count, distinct-basename count, bad-row
+    // count, and a (sum, xor) fingerprint of crc32(basename) — and
+    // compare against the same fingerprint computed over the live
+    // listing's names (already on the driver from the listing RPC).
+    // Any mismatch falls back to the audit scan, loudly-conservative:
+    // a false "fresh" needs a crafted 64-bit sum+xor collision between
+    // two equal-size name sets.
     val badRow = cols.map(c =>
       col(s"zh_$c").isNull || size(col(s"zh_$c")) =!= nb).reduce(_ || _)
-    val nameRows = manifest
+    val vrow = manifest
       .select(element_at(split(col("file"), "/"), -1).as("bn"),
-        coalesce(badRow, lit(true)).as("bad")).collect()
-    if (nameRows.exists(_.getBoolean(1)))
+        coalesce(badRow, lit(true)).cast("long").as("bad"))
+      .agg(count(lit(1)), countDistinct(col("bn")), sum(col("bad")),
+        sum(crc32(col("bn"))), expr("bit_xor(crc32(bn))"))
+      .head()
+    if (vrow.getLong(0) == 0L)
+      return None // empty manifest — the sums are null; the scan answers
+    if (vrow.getLong(2) != 0L)
       return None // pre-histogram or foreign-bits rows — cannot fold
-    val indexedNames = nameRows.map(_.getString(0))
-    if (indexedNames.length != indexedNames.toSet.size)
+    if (vrow.getLong(0) != vrow.getLong(1))
       return None // duplicated manifest file row — would double-count
-    if (indexedNames.toSet != listedDataFiles(spark, path)) return None
+    val liveNames = listedDataFiles(spark, path)
+    val (liveSum, liveXor) = liveNames.foldLeft((0L, 0L)) {
+      case ((s, x), n) =>
+        val c = new java.util.zip.CRC32
+        c.update(n.getBytes("UTF-8"))
+        (s + c.getValue, x ^ c.getValue)
+    }
+    if (vrow.getLong(0) != liveNames.size.toLong ||
+        vrow.getLong(3) != liveSum || vrow.getLong(4) != liveXor)
+      return None // stale vs the listing — the audit scan answers
     // the fold itself: totals only cross to the driver
     val hists = cols.zipWithIndex.map { case (c, i) =>
       struct(lit(i).as("ci"), col(s"zh_$c").as("h")) }
@@ -3160,7 +3208,8 @@ object Layout {
     * instead of the file count. Returns the fresh boundaries. */
   def reclusterLayout(spark: org.apache.spark.sql.SparkSession, path: String,
       numFiles: Int = 8,
-      sampleBy: Option[(String, Int)] = None): Seq[Seq[Double]] = {
+      sampleBy: Option[(String, Int)] = None): Seq[Seq[Double]] =
+      OptimisticCommit.rewriteScope(spark, path, "reclusterLayout") {
     recoverLayout(spark, path)
     val (cols, bits, _) = readLayoutMeta(spark, path)
     val schema = layoutSchema(spark, path)
@@ -3208,14 +3257,11 @@ object Layout {
     * sidecar. */
   def leasePath(path: String): String = path.stripSuffix("/") + "__lock"
 
-  /** SINGLE-WRITER LEASE — the explicit serialization every mutator
-    * assumes (the engine-wide single-writer contract the r14 verdict
-    * asked to make loud): the layout's mutating recipes (delete, upsert,
-    * compact, refresh, snapshot, recluster) are crash-safe against
-    * THEMSELVES but not against a concurrent writer — two interleaved
-    * upserts could interleave partition swaps and index refreshes with
-    * no loud failure. Wrap each mutation (or each stream's foreachBatch
-    * body, or the whole maintenance window) in this lease: acquisition
+  /** WRITER LEASE — long-op fencing for the layout's mutation recipes
+    * (delete, upsert, compact, refresh, snapshot, recluster). Wrap a
+    * mutation batch (a stream's foreachBatch body, a whole maintenance
+    * window) in this lease to fail fast instead of staging work
+    * destined to lose its commit claim: acquisition
     * is an atomic marker-file create that REFUSES LOUDLY when another
     * writer holds it, and release is guaranteed on every exit path.
     * Deliberately NOT auto-wired inside the mutators — the recipes nest
@@ -3231,54 +3277,55 @@ object Layout {
     * uniquely identify a writing role, the streams use their checkpoint
     * path); a marker from a DIFFERENT holder refuses loudly, and
     * [[breakWriterLease]] is the operator's explicit recovery, to be
-    * run only after confirming the holder is gone. Full optimistic
-    * concurrency is out of scope (a table format's commit protocol);
-    * this is the lease-or-refuse floor a single-writer deployment
-    * needs. */
+    * run only after confirming the holder is gone. Since r18 the
+    * CORRECTNESS mechanism against concurrent writers is the commit
+    * log ([[OptimisticCommit]] — every mutator claims a version by
+    * default); this lease demotes to long-op FENCING: it fails fast
+    * BEFORE staging work destined to lose its claim, which is why the
+    * streams and maintenance planners still hold it for their
+    * duration.
+    *
+    * Acquisition is ATOMIC WITH CONTENT (the r17 ADVICE fix): the
+    * holder record is written to a hidden tmp and renamed into the
+    * lease path — rename-without-overwrite fails when the marker
+    * exists, so an empty marker can never occur and no sleep-based
+    * retake window is needed (a sleep is not a fence). A legacy empty
+    * marker from a pre-r18 crash refuses like any foreign holder;
+    * [[breakWriterLease]] clears it. */
   def withWriterLease[T](spark: org.apache.spark.sql.SparkSession,
       path: String, holder: String = "unnamed")(body: => T): T = {
     val lp = new org.apache.hadoop.fs.Path(leasePath(path))
     val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parent = lp.getParent
     if (parent != null) hfs.mkdirs(parent)
-    if (!hfs.createNewFile(lp)) {
+    val tmp = new org.apache.hadoop.fs.Path(parent,
+      s".lease_${java.util.UUID.randomUUID}")
+    locally {
+      val out = hfs.create(tmp, true)
+      try out.write(holder.getBytes("UTF-8")) finally out.close()
+    }
+    if (!hfs.rename(tmp, lp)) {
+      hfs.delete(tmp, false)
       // SELF-FENCED re-entry: a marker recording OUR OWN holder identity
       // is a crashed prior incarnation of this writer (the streaming
       // loops pass their checkpoint path — one active query per
-      // checkpoint is the stream's own exclusivity unit), so retaking it
-      // is safe and keeps crash recovery automatic. A DIFFERENT holder
+      // checkpoint is the stream's own exclusivity unit); the marker
+      // already names us, so keep it and proceed. A DIFFERENT holder
       // refuses loudly — that is the whole point of the lease. Holders
       // must uniquely identify a writing role; two live writers must
       // never share one.
-      def readMarker(): String = {
+      val prior = {
         val in = hfs.open(lp)
         try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
       }
-      var prior = readMarker()
-      if (prior.isEmpty) {
-        // an empty marker is EITHER a racing acquirer between
-        // createNewFile and its holder write, OR a writer that crashed
-        // in that window — permanently empty, and (r16 ADVICE) it used
-        // to block even its own holder's restart until a manual
-        // breakWriterLease. Give a live racer one recheck window; a
-        // STILL-empty marker provably recorded no completed acquisition
-        // and is retakeable (fall through to the holder write below).
-        Thread.sleep(100)
-        prior = readMarker()
-      }
-      require(prior.isEmpty || prior == holder,
+      require(prior == holder,
         s"writer lease for $path is held by '$prior' (marker " +
           s"${leasePath(path)}) — the layout is single-writer: wait for " +
           "the holder to release, or breakWriterLease ONLY after " +
           "confirming the holding process is gone")
     }
-    try {
-      // record the holder for the operator reading a stuck lease
-      val out = hfs.create(lp, true)
-      try out.write(holder.getBytes("UTF-8")) finally out.close()
-      body
-    } finally hfs.delete(lp, false)
+    try body finally hfs.delete(lp, false)
   }
 
   /** Forcibly release a writer lease left by a crashed holder — the

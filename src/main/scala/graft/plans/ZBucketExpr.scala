@@ -58,6 +58,18 @@ case class ZBucketExpr(
 
   override protected def withNewChildInternal(newChild: Expression): ZBucketExpr =
     copy(child = newChild)
+
+  // case-class equality over an Array field degrades to reference
+  // identity, defeating plan canonicalization / common-subexpression
+  // elimination / exchange reuse for two semantically identical bucket
+  // expressions (r17 ADVICE) — compare the boundary CONTENTS
+  override def equals(o: Any): Boolean = o match {
+    case z: ZBucketExpr =>
+      child == z.child && java.util.Arrays.equals(bounds, z.bounds)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bounds)
 }
 
 object ZBucketExpr {
@@ -115,6 +127,18 @@ case class ZBucketStrExpr(
 
   override protected def withNewChildInternal(newChild: Expression): ZBucketStrExpr =
     copy(child = newChild)
+
+  // content equality over the cut array — see [[ZBucketExpr.equals]]
+  override def equals(o: Any): Boolean = o match {
+    case z: ZBucketStrExpr =>
+      child == z.child &&
+        java.util.Arrays.equals(bounds.asInstanceOf[Array[AnyRef]],
+          z.bounds.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.hashCode(bounds.asInstanceOf[Array[AnyRef]])
 }
 
 object ZBucketStrExpr {

@@ -1315,16 +1315,23 @@ class LayoutSpec extends SparkSpec {
     intercept[RuntimeException](
       Layout.withWriterLease(spark, path) { throw new RuntimeException("x") })
     assert(Layout.withWriterLease(spark, path) { 8 } == 8)
-    // an EMPTY marker (a writer crashed between createNewFile and its
-    // holder write) is retakeable after the one recheck window — it
-    // provably recorded no completed acquisition (r16 ADVICE: it used to
-    // wedge even the same holder until a manual breakWriterLease)
+    // acquisition is atomic WITH content (r17 ADVICE: the sleep-based
+    // empty-marker retake broke mutual exclusion) — the new protocol can
+    // never produce an empty marker, and a LEGACY empty marker from a
+    // pre-r18 crash refuses like any foreign holder until the operator
+    // breaks it
     val lp = new org.apache.hadoop.fs.Path(Layout.leasePath(path))
     val hfs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     hfs.createNewFile(lp)
+    intercept[IllegalArgumentException](Layout.withWriterLease(spark, path) { 9 })
+    assert(Layout.breakWriterLease(spark, path))
     assert(Layout.withWriterLease(spark, path) { 9 } == 9)
     // ...and the marker is gone again after that run's release
     assert(!hfs.exists(lp))
+    // no stray acquisition tmps linger on either path (atomic-rename
+    // acquisition cleans up after a lost race)
+    assert(!hfs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .exists(_.getPath.getName.startsWith(".lease_")))
     // self-fenced re-entry: a marker recording the SAME holder identity
     // is a crashed prior self — retaken automatically (the streams'
     // restart recipe), while a different holder still refuses above
@@ -1566,61 +1573,136 @@ class LayoutSpec extends SparkSpec {
     assert(n > 0 && qs.head.nonEmpty)
   }
 
-  test("optimistic commits: interleaved appends retry-with-rebase; a conflicting rewrite refuses naming the winner") {
+  test("optimistic commits are the DEFAULT write path: plain mutators claim versions, rebase past appends, refuse past rewrites") {
     import graft.fs.OptimisticCommit
     val base = java.nio.file.Files.createTempDirectory("graft-zoptc").toString
     val path = s"$base/z"
     assert(OptimisticCommit.tableVersion(spark, path) == -1L)
-    // the initial build commits as v0
-    val (v0, _) = OptimisticCommit.commitAppend(spark, path, "ingest") {
-      Layout.buildZorderedEpoch(grid.where(col("id") < 5000), path,
-        Seq("a", "b"), bits = 4, numFiles = 2)
-    }
-    assert(v0 == 0L)
+    // PLAIN-API mutators commit without the caller asking
+    Layout.buildZorderedEpoch(grid.where(col("id") < 5000), path,
+      Seq("a", "b"), bits = 4, numFiles = 2)
+    val c0 = OptimisticCommit.commitInfo(spark, path, 0L).get
+    assert(OptimisticCommit.tableVersion(spark, path) == 0L &&
+      c0.kind == "append" && c0.complete && c0.holder == "buildZorderedEpoch",
+      s"plain build must auto-commit v0: $c0")
     // INTERLEAVED appends: the outer writer bases on v0; the inner
-    // writer commits v1 first; the outer's claim on v1 loses, sees an
-    // append-class winner, rebases, and LANDS at v2 — nothing refused
-    val (vOuter, vInner) = OptimisticCommit.commitAppend(spark, path, "backfill") {
-      val (vi, _) = OptimisticCommit.commitAppend(spark, path, "ingest") {
-        Layout.appendZorderedEpoch(
-          grid.where(col("id") >= 5000 && col("id") < 7000), path, 1, 1)
-      }
+    // plain-API append auto-commits v1 first; the outer's claim on v1
+    // loses, sees an append-class winner, rebases, and LANDS at v2
+    val (vOuter, _) = OptimisticCommit.commitAppend(spark, path, "backfill") {
+      Layout.appendZorderedEpoch(
+        grid.where(col("id") >= 5000 && col("id") < 7000), path, 1, 1)
       Layout.appendZorderedEpoch(grid.where(col("id") >= 7000), path, 2, 1)
-      vi
     }
-    assert(vInner == 1L && vOuter == 2L,
-      s"append must rebase past an append-class winner: inner=$vInner outer=$vOuter")
+    assert(vOuter == 3L,
+      s"append must rebase past the two plain append-class winners: $vOuter")
     assert(spark.read.parquet(path).count() == 10000,
-      "both interleaved appends must land")
-    // CONFLICTING REWRITE: a writer stages against v2, another commit
-    // lands v3 first — the rewrite refuses NAMING the winner, before
+      "all interleaved appends must land")
+    // CONFLICTING REWRITE: a writer stages against v3, another commit
+    // lands v4 first — the rewrite refuses NAMING the winner, before
     // any table-sized work runs
     val staged = OptimisticCommit.tableVersion(spark, path)
-    val (v3, _) = OptimisticCommit.commitAppend(spark, path, "ingest")(())
+    val (v4, _) = OptimisticCommit.commitAppend(spark, path, "ingest")(())
     val err = intercept[IllegalArgumentException](
       OptimisticCommit.commitRewrite(spark, path, "recluster-cron",
         expectedVersion = Some(staged)) {
         Layout.reclusterLayout(spark, path, numFiles = 2)
       })
-    assert(err.getMessage.contains("ingest") && err.getMessage.contains(s"v=$v3"),
+    assert(err.getMessage.contains("ingest") && err.getMessage.contains(s"v=$v4"),
       s"rewrite refusal must name the winning commit: ${err.getMessage}")
     // the refusal preceded the work: the epoch partitions are untouched
     val parts = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
     assert(parts == Set("batch=0", "batch=1", "batch=2"), s"refusal must precede the rewrite: $parts")
-    // a CLEAN rewrite at the true tip claims and runs
-    val (v4, _) = OptimisticCommit.commitRewrite(spark, path, "recluster-cron") {
-      Layout.reclusterLayout(spark, path, numFiles = 2)
-    }
-    assert(v4 == v3 + 1 && spark.read.parquet(path).count() == 10000)
-    // an append racing a REWRITE-class winner refuses loudly (its files
-    // may not have survived the swap — the operator must verify)
+    // a clean PLAIN-API rewrite at the true tip claims and runs
+    Layout.reclusterLayout(spark, path, numFiles = 2)
+    val v5 = OptimisticCommit.tableVersion(spark, path)
+    assert(v5 == v4 + 1 &&
+      OptimisticCommit.commitInfo(spark, path, v5).exists(c =>
+        c.kind == "rewrite" && c.complete && c.holder == "reclusterLayout") &&
+      spark.read.parquet(path).count() == 10000)
+    // an append racing a REWRITE-class winner (here: a plain-API
+    // compaction that auto-commits mid-race) refuses loudly — its files
+    // may not have survived the swap; the operator must verify
     val err2 = intercept[IllegalArgumentException](
       OptimisticCommit.commitAppend(spark, path, "late-append") {
-        OptimisticCommit.commitRewrite(spark, path, "compaction")(())
+        graft.streaming.OnlineRefresh.compactZorderLayout(
+          spark, path, Seq("a", "b"), "id", numFiles = 2)
       })
-    assert(err2.getMessage.contains("compaction") &&
+    assert(err2.getMessage.contains("compactZorderLayout") &&
       err2.getMessage.contains("REWRITE"), err2.getMessage)
+  }
+
+  test("mid-flight commits gate plain-API writers: a crashed rewrite claim refuses both classes until abortCommit") {
+    import graft.fs.OptimisticCommit
+    val base = java.nio.file.Files.createTempDirectory("graft-zmidf").toString
+    val path = s"$base/z"
+    Layout.buildZorderedEpoch(grid.where(col("id") < 8000), path,
+      Seq("a", "b"), bits = 4, numFiles = 2) // v0
+    // simulate a writer that crashed between its rewrite CLAIM and its
+    // state capture: the claim file exists, the state dir does not
+    val cdir = new org.apache.hadoop.fs.Path(OptimisticCommit.commitsPath(path))
+    val hfs = cdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new org.apache.hadoop.fs.Path(cdir, "v=1"), true)
+    out.write("kind=rewrite\nholder=ghost-compactor".getBytes("UTF-8"))
+    out.close()
+    // a plain-API APPEND refuses: the in-flight swap may drop its files
+    val e1 = intercept[IllegalArgumentException](
+      Layout.appendZorderedEpoch(grid.where(col("id") >= 8000), path, 1, 1))
+    assert(e1.getMessage.contains("mid-flight") &&
+      e1.getMessage.contains("ghost-compactor"), e1.getMessage)
+    // a plain-API REWRITE refuses too (two concurrent swaps, the r17
+    // ADVICE hole)
+    val e2 = intercept[IllegalArgumentException](
+      Layout.reclusterLayout(spark, path, numFiles = 2))
+    assert(e2.getMessage.contains("mid-flight"), e2.getMessage)
+    // operator recovery: confirm the holder is gone, abort, heal, go
+    assert(OptimisticCommit.abortCommit(spark, path, 1L))
+    assert(!OptimisticCommit.abortCommit(spark, path, 1L), "abort is idempotent-false")
+    Layout.recoverLayout(spark, path)
+    Layout.appendZorderedEpoch(grid.where(col("id") >= 8000), path, 1, 1) // v2
+    assert(OptimisticCommit.tableVersion(spark, path) == 2L &&
+      spark.read.parquet(path).count() == 10000)
+    // a FAILED body (exception, not crash) self-aborts: the next plain
+    // writer is not blocked on a ghost
+    val dupBatch = grid.where(col("id") < 4)
+    intercept[IllegalArgumentException](
+      Layout.upsertByKey(spark, path,
+        dupBatch.unionAll(dupBatch), "id")) // dup keys refused
+    val v3 = OptimisticCommit.commitInfo(spark, path, 3L).get
+    assert(v3.aborted && !v3.complete, s"failed body must self-abort: $v3")
+    Layout.appendZorderedEpoch(grid.limit(0), path, 2, 1) // proceeds → v4
+    assert(OptimisticCommit.tableVersion(spark, path) == 4L)
+  }
+
+  test("two plain-API writers on real threads: a compaction and an append never interleave silently") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zrace").toString
+    val path = s"$base/z"
+    Layout.writeZordered(grid, path, "a", "b", bits = 6, numFiles = 16) // v0
+    @volatile var compactErr: Option[Throwable] = None
+    val t = new Thread(() => {
+      try Layout.compactLayout(spark, path, numFiles = 4)
+      catch { case e: Throwable => compactErr = Some(e) }
+    })
+    t.start()
+    Thread.sleep(120) // land mid-body with high probability
+    val appended = try {
+      Layout.appendZordered(grid.limit(500), path, numFiles = 1); true
+    } catch {
+      case e: IllegalArgumentException =>
+        // the protocol's conservative refusal: the append raced the
+        // in-flight (or just-won) rewrite and says so loudly
+        assert(e.getMessage.contains("mid-flight") ||
+          e.getMessage.contains("REWRITE") ||
+          e.getMessage.contains("lost the CAS"), e.getMessage)
+        false
+    }
+    t.join()
+    assert(compactErr.isEmpty, s"compaction must not fail: $compactErr")
+    // EITHER outcome is serializable — what must never happen is a
+    // silent interleave that loses rows
+    val expected = if (appended) 10500L else 10000L
+    assert(spark.read.parquet(path).count() == expected,
+      s"appended=$appended — a silent interleave lost rows")
   }
 
   test("snapshot time travel by timestamp: exact ts, between commits, before first, after last") {
@@ -1652,5 +1734,86 @@ class LayoutSpec extends SparkSpec {
     // the read itself serves the as-of content
     assert(Layout.readSnapshotAsOf(spark, path, ts0).count() == 6000)
     assert(Layout.readSnapshotAsOf(spark, path, ts1).count() == 10000)
+  }
+
+  test("commit time travel: every plain-API commit is a readable version; boundaries, tie-breaks, MoR pins, expiry") {
+    import graft.fs.OptimisticCommit
+    val base = java.nio.file.Files.createTempDirectory("graft-zctt").toString
+    val path = s"$base/z"
+    // v0: the initial build (rewrite class) — no snapshotLayout anywhere
+    Layout.writeZordered(grid.where(col("id") % 2 === 0), path, "a", "b",
+      bits = 4, numFiles = 4)
+    val ts0 = OptimisticCommit.commitStateMs(spark, path, 0L).get
+    while (System.currentTimeMillis() <= ts0) Thread.sleep(1)
+    // v1: a plain append
+    Layout.appendZordered(grid.where(col("id") % 2 === 1), path, numFiles = 2)
+    val ts1 = OptimisticCommit.commitStateMs(spark, path, 1L).get
+    assert(ts1 > ts0)
+    // boundary pins: exact ts inclusive, between → earlier, after → tip
+    assert(OptimisticCommit.resolveCommitAsOf(spark, path, ts0) == 0L)
+    assert(OptimisticCommit.resolveCommitAsOf(spark, path, ts1 - 1) == 0L)
+    assert(OptimisticCommit.resolveCommitAsOf(spark, path, ts1) == 1L)
+    assert(OptimisticCommit.resolveCommitAsOf(spark, path, ts1 + 1000000L) == 1L)
+    val err = intercept[IllegalArgumentException](
+      OptimisticCommit.resolveCommitAsOf(spark, path, ts0 - 1))
+    assert(err.getMessage.contains("predates"), err.getMessage)
+    // the reads serve exactly the committed-at views
+    val asOf0 = OptimisticCommit.readCommitAsOf(spark, path, ts0)
+    assert(asOf0.count() == 5000 &&
+      asOf0.agg(max(col("id") % 2)).head().getLong(0) == 0L,
+      "as-of v0 must serve only the even-id build")
+    assert(OptimisticCommit.readCommitAsOf(spark, path, ts1).count() == 10000)
+    // clock-alias + clock-step tie-breaks, pinned on the pure rule:
+    // among ts <= asOf the HIGHEST VERSION wins
+    assert(OptimisticCommit.resolveFrom(Seq((0L, 100L), (1L, 100L)), 100L)
+      .contains(1L), "two commits aliasing one millisecond: version order wins")
+    assert(OptimisticCommit.resolveFrom(Seq((0L, 100L), (1L, 90L)), 95L)
+      .contains(1L), "a clock step must not reorder commits: version order wins")
+    assert(OptimisticCommit.resolveFrom(Seq((0L, 100L)), 50L).isEmpty)
+    // v2: a MoR staging — the commit pins the tombstone sidecar files,
+    // so the keyed read serves the logically-deleted view
+    Layout.deleteLogical(spark, path,
+      grid.where(col("id") < 1000).select("id"), "id")
+    assert(OptimisticCommit.commitInfo(spark, path, 2L).exists(c =>
+      c.kind == "append" && c.complete))
+    assert(OptimisticCommit.readCommit(spark, path, 2L, Some("id")).count() == 9000)
+    // ...while v1's keyed read still serves the pre-delete view
+    assert(OptimisticCommit.readCommit(spark, path, 1L, Some("id")).count() == 10000)
+    // EXPIRY: a compaction rewrites every data file — older pins refuse
+    // loudly, never serve a partial history
+    Layout.compactLayout(spark, path, numFiles = 4) // v3
+    val exp = intercept[IllegalArgumentException](
+      OptimisticCommit.readCommit(spark, path, 1L))
+    assert(exp.getMessage.contains("expired"), exp.getMessage)
+    // the new tip is immediately readable
+    assert(OptimisticCommit.readCommit(spark, path, 3L, Some("id")).count() == 9000)
+  }
+
+  test("commit-log retention: a 1000-commit table lists O(window) after the sweep; as-of keeps resolving inside it") {
+    import graft.fs.OptimisticCommit
+    val base = java.nio.file.Files.createTempDirectory("graft-zcret").toString
+    val path = s"$base/z"
+    Layout.writeZordered(grid, path, "a", "b", bits = 4, numFiles = 4) // v0
+    (1 to 1000).foreach(i =>
+      OptimisticCommit.commitAppend(spark, path, s"noop-$i")(()))
+    assert(OptimisticCommit.tableVersion(spark, path) == 1000L)
+    val dropped = OptimisticCommit.expireCommitsKeepLast(spark, path, 16)
+    assert(dropped.size == 985 && OptimisticCommit.tableVersion(spark, path) == 1000L)
+    val entries = {
+      val dir = new org.apache.hadoop.fs.Path(OptimisticCommit.commitsPath(path))
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(dir).length
+    }
+    assert(entries <= 16 * 2, s"the log must list O(window) after the sweep: $entries")
+    // as-of inside the kept window still resolves and reads
+    val tipTs = OptimisticCommit.commitStateMs(spark, path, 1000L).get
+    assert(OptimisticCommit.resolveCommitAsOf(spark, path, tipTs) == 1000L)
+    assert(OptimisticCommit.readCommitAsOf(spark, path, tipTs).count() == 10000)
+    // expired versions are no longer readable — loudly
+    intercept[IllegalArgumentException](
+      OptimisticCommit.readCommit(spark, path, 5L))
+    // the tip is the CAS anchor: keep=0 refuses
+    intercept[IllegalArgumentException](
+      OptimisticCommit.expireCommitsKeepLast(spark, path, 0))
   }
 }
