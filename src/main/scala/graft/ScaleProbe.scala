@@ -31,7 +31,8 @@ object ScaleProbe {
     val uncapped = sys.env.get("SPARK_GRAFT_PROBE_UNCAPPED").contains("1")
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
-    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, r16, uncapped (additionally needs
+    // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, r16, r17a,
+    // r17b, r18a, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -947,6 +948,42 @@ object ScaleProbe {
           graft.fs.Layout.layoutDrift(spark, s"$b/z").collect().length.toLong)
       timed("auditDrift FULL PASS @ 10240 files")(
         graft.fs.Layout.auditDrift(spark, s"$b/z").collect().length.toLong)
+    }
+    // Round-18: the commit protocol's per-mutation overhead (claim +
+    // state capture = pure driver FS ops, no Spark jobs) at two file
+    // counts — the receipt behind wiring OptimisticCommit into EVERY
+    // mutator by default — and the retention sweep bounding tableVersion
+    // on a hot log.
+    if (inSection("r18a")) {
+      import org.apache.spark.sql.functions.col
+      val sf1 = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      for (files <- Seq(512, 10240)) {
+        val b = java.nio.file.Files.createTempDirectory("graft-r18a").toString
+        graft.fs.Layout.writeZordered(sf1, s"$b/z", "user_id", "value",
+          bits = 6, numFiles = files)
+        for (rep <- 1 to 3)
+          timed(s"commitAppend claim+state rep$rep @ $files files") {
+            graft.fs.OptimisticCommit.commitAppend(spark, s"$b/z",
+              "probe")(()); 0L
+          }
+      }
+      // a hot log: 3000 commits, then the sweep, then the bounded listing
+      val b2 = java.nio.file.Files.createTempDirectory("graft-r18a2").toString
+      graft.fs.Layout.writeZordered(sf1.limit(1000), s"$b2/z", "user_id",
+        "value", bits = 4, numFiles = 4)
+      timed("3000 no-op commits (claim+state each)") {
+        (1 to 3000).foreach(_ =>
+          graft.fs.OptimisticCommit.commitAppend(spark, s"$b2/z", "probe")(()))
+        0L
+      }
+      timed("tableVersion @ 3001-commit log")(
+        graft.fs.OptimisticCommit.tableVersion(spark, s"$b2/z"))
+      timed("expireCommitsKeepLast(64) sweep")(
+        graft.fs.OptimisticCommit.expireCommitsKeepLast(spark, s"$b2/z", 64)
+          .size.toLong)
+      timed("tableVersion @ swept (64-commit) log")(
+        graft.fs.OptimisticCommit.tableVersion(spark, s"$b2/z"))
     }
     // Round-15h: the snapshot CDC diff — fast path vs the general join
     if (inSection("r15h")) {

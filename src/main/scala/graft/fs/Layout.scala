@@ -3400,6 +3400,19 @@ object Layout {
           d.select(col(c)).distinct().count().toString))
     }
     rows += ("snapshots" -> listSnapshots(spark, path).size.toString)
+    // the commit log in one glance: tip version + kind/flight state +
+    // retained log size (the retention-sweep cadence signal)
+    val tip = OptimisticCommit.tableVersion(spark, path)
+    if (tip >= 0L) {
+      rows += ("commit_tip" -> tip.toString)
+      OptimisticCommit.commitInfo(spark, path, tip).foreach { c =>
+        rows += ("commit_tip_state" ->
+          (c.kind + (if (c.aborted) ":aborted"
+          else if (!c.complete) ":mid-flight" else ":complete")))
+      }
+      rows += ("commits_retained" ->
+        OptimisticCommit.listCommits(spark, path).size.toString)
+    }
     val lp = new org.apache.hadoop.fs.Path(leasePath(path))
     if (hfs.exists(lp)) {
       val in = hfs.open(lp)

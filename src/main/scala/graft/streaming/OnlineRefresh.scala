@@ -914,7 +914,11 @@ object OnlineRefresh {
     * file count. Pruned/point reads stay EXACT throughout
     * (q_stream_zorder_ingest's oracle is the full-scan conjunction);
     * a crash between the data write and an index refresh surfaces as
-    * the loud staleness guard on the next read, never as missing rows. */
+    * the loud staleness guard on the next read, never as missing rows.
+    * Every batch records ONE commit in the table's log for free — the
+    * single mutator call inside the body claims it
+    * ([[graft.fs.OptimisticCommit]], the r18 default-path wiring); the
+    * same holds for all five zorder stream loops. */
   def zorderIngestStream(
       spark: SparkSession,
       inputPath: String,

@@ -545,6 +545,10 @@ class LayoutSpec extends SparkSpec {
       d0("qindex_b_by_id") == "fresh", s"$d0")
     assert(d0("snapshots") == "0" && !d0.contains("lease_holder"))
     assert(d0.contains("drift_a") && d0.contains("drift_b"))
+    // the commit log surfaces too: build + append = v1 at the tip,
+    // complete, with both versions retained
+    assert(d0("commit_tip") == "1" && d0("commit_tip_state") == "append:complete" &&
+      d0("commits_retained") == "2", s"$d0")
     // an append without the closing refreshes reads as STALE — the
     // non-throwing twin of the pruned-read refusal
     val extra = spark.range(10000, 10100).select(col("id"),
