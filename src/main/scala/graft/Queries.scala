@@ -2412,6 +2412,104 @@ object Queries {
         .stripMargin)
     })
 
+  /** COMMIT time travel THROUGH THE SQL SURFACE
+    * (`spark.read.format("graft").option("versionAsOf", 0)` —
+    * [[graft.sources.GraftLayoutSource]]'s time-travel options over the
+    * r18 commit log): the same plain-API build (v0) + append (v1)
+    * fixture as q_commit_asof, but the pinned read goes through the
+    * DSv2 table — a [[graft.sources.GraftPinnedFileIndex]] serving
+    * exactly v0's expiry-checked listing to Spark's vectorized parquet
+    * reader. Oracle = the even-id filter, v0's content. */
+  private def sqlCommitAsOfQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zsqlasof:" + dir, s), _ => {
+      val base = scratchDir("graft_zsqlasof").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(pmod(col("event_id"), lit(2)) === 0),
+        s"$base/z", "user_id", "value", bits = 6, numFiles = 8) // commit v0
+      fs.Layout.appendZordered(e.where(pmod(col("event_id"), lit(2)) === 1),
+        s"$base/z", numFiles = 4) // commit v1
+      s.read.format("graft").option("versionAsOf", "0").load(s"$base/z")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
+  /** WRITE path through the standard writer API
+    * (`df.write.format("graft")` — the DSv1 seam of
+    * [[graft.sources.GraftLayoutSource.createRelation]]): CREATE the
+    * layout from half the events (zcols option → writeZorderedCols +
+    * manifest in one go), APPEND the other half (zero options — frozen
+    * bounds from the meta sidecar, incremental manifest refresh), then
+    * read the composed table back through `spark.sql` with the standard
+    * range conjunction — creation, append, refresh, and pruned serve
+    * all through public Spark APIs. Oracle = the full-scan filter. */
+  private def sqlWriteRoundtripQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zsqlwrite:" + dir, s), _ => {
+      val base = scratchDir("graft_zsqlwrite").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      e.where(pmod(col("event_id"), lit(2)) === 0)
+        .write.format("graft").option("zcols", "user_id,value")
+        .option("bits", "6").option("files", "16").save(s"$base/z")
+      e.where(pmod(col("event_id"), lit(2)) === 1)
+        .write.format("graft").mode("append").save(s"$base/z")
+      s.read.format("graft").load(s"$base/z")
+        .createOrReplaceTempView("graft_events_written")
+      s.sql("""SELECT event_id, user_id, value FROM graft_events_written
+              |WHERE user_id BETWEEN 5 AND 11 AND value BETWEEN 10 AND 60"""
+        .stripMargin)
+    })
+
+  /** MANIFEST-PRICED SQL AGGREGATES
+    * ([[graft.sources.GraftMetaAggregates]] through the graft DSv2
+    * scan builder): a no-filter COUNT(*)/MIN/MAX over the registered
+    * layout plans as a LocalTableScan fed by ONE manifest sidecar read
+    * — `sum(cnt)` / `min(min_c)` / `max(max_c)`, the same arithmetic
+    * Spark ran at index time — where even parquet footer pushdown pays
+    * one footer RPC per file. The SqlSourceSpec pins the plan shape;
+    * this oracle pins exactness against DuckDB's full-scan aggregate. */
+  private def sqlMetaAggQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zsqlmeta:" + dir, s), _ => {
+      val base = scratchDir("graft_zsqlmeta").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6,
+        numFiles = 16, sampleBy = Some(("event_id", 8)))
+      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
+      s.read.format("graft").load(s"$base/z")
+        .createOrReplaceTempView("graft_events_meta")
+      s.sql("""SELECT count(*) AS cnt, min(user_id) AS min_u,
+              |  max(user_id) AS max_u, min(value) AS min_v,
+              |  max(value) AS max_v FROM graft_events_meta""".stripMargin)
+    })
+
+  /** INCREMENTAL CONSUMPTION off the commit log
+    * ([[graft.sources.GraftCommitSource]] — `spark.readStream.format(
+    * "graft")`): v0 (the even half) drains as the first micro-batch's
+    * full snapshot, a plain-API append lands v1, and a second
+    * `AvailableNow` pass from the SAME checkpoint delivers ONLY v1's
+    * added files — offsets are commit versions, each batch the pinned-
+    * listing diff. The sink union must be every event exactly once;
+    * oracle = the plain full select. */
+  private def streamCommitIngestQ(s: SparkSession, dir: String): DataFrame =
+    fixtureMemo.computeIfAbsent(("zstreamcommit:" + dir, s), _ => {
+      val base = scratchDir("graft_zstreamcommit").toString
+      val e = t(s, dir, "events").select("event_id", "user_id", "value")
+      fs.Layout.writeZordered(e.where(pmod(col("event_id"), lit(2)) === 0),
+        s"$base/z", "user_id", "value", bits = 6, numFiles = 8) // commit v0
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(s"$base/z")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // snapshot: the even half
+      fs.Layout.appendZordered(e.where(pmod(col("event_id"), lit(2)) === 1),
+        s"$base/z", numFiles = 4) // commit v1
+      drain() // increment: exactly v1's files
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), col("user_id"), col("value"))
+    })
+
   /** Manifest-pruned scan over a Z-ordered layout
     * ([[graft.fs.Layout.prunedRead]]): events written Z-ordered on
     * (user_id, value) with its min/max manifest, then a 2-D range read
@@ -3851,6 +3949,8 @@ object Queries {
       "q_layout_upsert_mor", "q_layout_upsert_mor_applied", "q_meta_sum",
       "q_meta_ndv", "q_meta_quantile", "q_layout_tiered", "q_snapshot_diff",
       "q_snapshot_asof", "q_commit_asof", "q_sql_pruned_scan",
+      "q_sql_commit_asof", "q_sql_write_roundtrip", "q_stream_commit_ingest",
+      "q_sql_meta_agg",
       "q_layout_drift", "q_layout_drift_meta", "q_layout_reclustered",
       "q_layout_drift_after", "q_layout_maintained",
       "q_meta_count", "q_meta_minmax", "q_pruned_scan3",
@@ -4176,6 +4276,10 @@ object Queries {
     "q_snapshot_asof" -> (snapshotAsOfQ _),
     "q_commit_asof" -> (commitAsOfQ _),
     "q_sql_pruned_scan" -> (sqlPrunedScanQ _),
+    "q_sql_commit_asof" -> (sqlCommitAsOfQ _),
+    "q_sql_write_roundtrip" -> (sqlWriteRoundtripQ _),
+    "q_stream_commit_ingest" -> (streamCommitIngestQ _),
+    "q_sql_meta_agg" -> (sqlMetaAggQ _),
     "q_zorder_key_ts" -> (zorderKeyTsQ _),
     "q_layout_tiered" -> (layoutTieredQ _),
     "q_layout_drift" -> (layoutDriftQ _),
@@ -4649,6 +4753,28 @@ object Queries {
         |FROM events
         |WHERE user_id >= 5 AND user_id <= 11
         |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // commit time travel through the SQL surface: versionAsOf=0 serves
+    // exactly v0's pinned content — the even-id half
+    "q_sql_commit_asof" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events WHERE event_id % 2 = 0""".stripMargin,
+    // the standard-writer round trip: create + append via
+    // df.write.format("graft"), then the pruned SQL read = the
+    // full-scan filter over everything written
+    "q_sql_write_roundtrip" ->
+      """SELECT event_id, user_id, "value"
+        |FROM events
+        |WHERE user_id >= 5 AND user_id <= 11
+        |  AND "value" >= 10 AND "value" <= 60""".stripMargin,
+    // commit-log streaming: snapshot batch + per-commit increment =
+    // every event exactly once
+    "q_stream_commit_ingest" ->
+      """SELECT event_id, user_id, "value" FROM events""",
+    // manifest-priced SQL aggregates = the plain full-scan aggregates
+    "q_sql_meta_agg" ->
+      """SELECT count(*) AS cnt, min(user_id) AS min_u,
+        |  max(user_id) AS max_u, min("value") AS min_v,
+        |  max("value") AS max_v FROM events""".stripMargin,
     "q_pruned_scan" ->
       """SELECT event_id, user_id, "value"
         |FROM events

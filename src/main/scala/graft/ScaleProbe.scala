@@ -32,7 +32,7 @@ object ScaleProbe {
     // comma-separated section filter (default: all). Sections: queries, cc,
     // clusters, semdedup, triangle, r9ops, r9dedup, r10dedup, r10ops, r10b,
     // r10c, r11, r12, r12b, r13, r14, r14b, r15, r15b, r15h, r16, r17a,
-    // r17b, r18a, uncapped (additionally needs
+    // r17b, r18a, r18b, uncapped (additionally needs
     // SPARK_GRAFT_PROBE_UNCAPPED=1), streaming — lets a dev loop
     // re-measure ONE probe without the suite.
     val sections = sys.env.get("SPARK_GRAFT_PROBE_SECTIONS")
@@ -984,6 +984,35 @@ object ScaleProbe {
           .size.toLong)
       timed("tableVersion @ swept (64-commit) log")(
         graft.fs.OptimisticCommit.tableVersion(spark, s"$b2/z"))
+    }
+    // Round-18b: the SQL aggregate ladder at 10,240 files — manifest
+    // answer (ONE sidecar read → LocalTableScan, zero file tasks) vs
+    // parquet footer-aggregate pushdown (one footer read PER FILE) vs
+    // the plain row scan. The receipt behind GraftMetaAggregates.
+    if (inSection("r18b")) {
+      import org.apache.spark.sql.functions.col
+      val sf1 = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      val b = java.nio.file.Files.createTempDirectory("graft-r18b").toString
+      graft.fs.Layout.writeZordered(sf1, s"$b/z", "user_id", "value",
+        bits = 6, numFiles = 10240)
+      graft.fs.Layout.writeManifest(spark, s"$b/z", Seq("user_id", "value"))
+      val sql = "SELECT count(*), min(user_id), max(user_id), " +
+        "min(value), max(value) FROM zr18b"
+      spark.read.format("graft").load(s"$b/z")
+        .createOrReplaceTempView("zr18b")
+      for (rep <- 1 to 3)
+        timed(s"manifest-answered SQL agg rep$rep @ 10240 files")(
+          spark.sql(sql).head().getLong(0))
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.read.parquet(s"$b/z").createOrReplaceTempView("zr18b_pq")
+      for (rep <- 1 to 3)
+        timed(s"parquet footer-agg SQL rep$rep @ 10240 files")(
+          spark.sql(sql.replace("zr18b", "zr18b_pq")).head().getLong(0))
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      for (rep <- 1 to 3)
+        timed(s"full-scan SQL agg rep$rep @ 10240 files")(
+          spark.sql(sql.replace("zr18b", "zr18b_pq")).head().getLong(0))
     }
     // Round-15h: the snapshot CDC diff — fast path vs the general join
     if (inSection("r15h")) {

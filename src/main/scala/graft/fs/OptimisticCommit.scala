@@ -390,15 +390,13 @@ object OptimisticCommit {
         "view shares); read the live table or a newer commit")
   }
 
-  /** TIME-TRAVEL read of commit `version`: exactly the logical table the
-    * commit completed at — the pinned data files, with the pinned MoR
-    * sidecar state folded when `keyCol` is given (staged deltas replace/
-    * insert, tombstones subtract — the serve-path fold). Refuses loudly
-    * when any pinned file has been physically rewritten since (the same
-    * expiry contract as [[Layout.readSnapshot]]); a partial historical
-    * answer is a wrong answer. */
-  def readCommit(spark: SparkSession, path: String, version: Long,
-      keyCol: Option[String] = None): DataFrame = {
+  /** Commit `version`'s pinned DATA-file listing, expiry-verified: the
+    * uris recorded in its state capture, refusing when the commit is
+    * mid-flight/aborted or any pinned file has been physically
+    * rewritten since — the validated listing [[readCommit]] and the
+    * SQL surface's `versionAsOf` option both serve. */
+  def commitDataFiles(spark: SparkSession, path: String, version: Long)
+      : Seq[String] = {
     val c = commitInfo(spark, path, version).getOrElse(
       throw new IllegalArgumentException(
         s"no commit v=$version in the log for $path (have " +
@@ -409,6 +407,44 @@ object OptimisticCommit {
     val files = stateLines(spark, path, version, "files.txt")
     requirePinnedLive(files, Layout.listedDataFilePaths(spark, path).keySet,
       path, version, "data")
+    files
+  }
+
+  /** Commit `version`'s pinned data-file BASENAMES, no liveness check —
+    * the subtraction base for incremental consumers ([[graft.sources
+    * .GraftCommitSource]] diffs a later commit's listing against this;
+    * a base file compacted away since only ever REMOVES it from the
+    * subtraction, which is exactly what a rewrite-guarded diff wants).
+    * None when the version's state is absent (mid-flight, aborted, or
+    * expired by the retention sweep) — callers must refuse rather than
+    * treat an unauditable base as empty. */
+  private[graft] def commitStateBasenames(spark: SparkSession, path: String,
+      version: Long): Option[Set[String]] = {
+    val dir = new org.apache.hadoop.fs.Path(commitsPath(path))
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hfs.exists(new org.apache.hadoop.fs.Path(dir, s"s=$version"))) None
+    else Some(stateLines(spark, path, version, "files.txt")
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet)
+  }
+
+  /** The newest COMPLETED version in the log — what an incremental
+    * consumer can safely read up to (the tip itself may be a mid-flight
+    * claim). None before the first completed commit. */
+  def latestCompletedVersion(spark: SparkSession, path: String): Option[Long] = {
+    val vs = listCommits(spark, path).sorted.reverseIterator
+    vs.find(v => commitStateMs(spark, path, v).isDefined)
+  }
+
+  /** TIME-TRAVEL read of commit `version`: exactly the logical table the
+    * commit completed at — the pinned data files, with the pinned MoR
+    * sidecar state folded when `keyCol` is given (staged deltas replace/
+    * insert, tombstones subtract — the serve-path fold). Refuses loudly
+    * when any pinned file has been physically rewritten since (the same
+    * expiry contract as [[Layout.readSnapshot]]); a partial historical
+    * answer is a wrong answer. */
+  def readCommit(spark: SparkSession, path: String, version: Long,
+      keyCol: Option[String] = None): DataFrame = {
+    val files = commitDataFiles(spark, path, version)
     val data = Layout.readLayoutFiles(spark, path, files)
     keyCol match {
       case None => data
