@@ -3224,7 +3224,11 @@ object Queries {
     val base = scratchDir("graft_hybsrv_")
     val bIx = TextAnalysis.bm25Index(docs)
     bIx.postings.write.mode("overwrite").parquet(base.resolve("postings").toString)
-    bIx.stats.write.mode("overwrite").parquet(base.resolve("stats").toString)
+    // stats from the landed postings — one tokenize pass per build
+    // ([[graft.ops.TextAnalysis.bm25StatsFromPostings]], bit-identical)
+    TextAnalysis.bm25StatsFromPostings(
+      s.read.parquet(base.resolve("postings").toString), docs.count())
+      .write.mode("overwrite").parquet(base.resolve("stats").toString)
     val vIx = Similarity.ivfIndex(emb, nLists = 16)
     vIx.centroids.write.mode("overwrite").parquet(base.resolve("centroids").toString)
     vIx.assignments.write.mode("overwrite").parquet(base.resolve("assignments").toString)
@@ -3313,7 +3317,10 @@ object Queries {
     val pPath = base.resolve("postings").toString
     val sPath = base.resolve("stats").toString
     built.postings.write.mode("overwrite").parquet(pPath)
-    built.stats.write.mode("overwrite").parquet(sPath)
+    // stats from the landed postings — one tokenize pass per build
+    TextAnalysis.bm25StatsFromPostings(s.read.parquet(pPath),
+      t(s, dir, "documents").count())
+      .write.mode("overwrite").parquet(sPath)
     val stored = TextAnalysis.Bm25Index(s.read.parquet(pPath), s.read.parquet(sPath))
     TextAnalysis.bm25TopKFromIndex(stored, Bm25Queries.toDF("query_id", "query"), k = 10)
   }
@@ -3332,7 +3339,9 @@ object Queries {
     val built = TextAnalysis.bm25Index(docs)
     val base = scratchDir("graft_bm25rt_")
     built.postings.write.mode("overwrite").parquet(s"$base/p")
-    built.stats.write.mode("overwrite").parquet(s"$base/s")
+    // stats from the landed postings — one tokenize pass per build
+    TextAnalysis.bm25StatsFromPostings(s.read.parquet(s"$base/p"), docs.count())
+      .write.mode("overwrite").parquet(s"$base/s")
     val stored = TextAnalysis.Bm25Index(s.read.parquet(s"$base/p"), s.read.parquet(s"$base/s"))
     val retracted = TextAnalysis.bm25IndexRetract(stored,
       docs.where(pmod(col("doc_id"), lit(7)) === 3).select(col("doc_id")))
@@ -3351,9 +3360,12 @@ object Queries {
     val docs = t(s, dir, "documents")
     val base = scratchDir("graft_bm25sh_")
     val halves = Seq(0, 1).map { par =>
-      val ix = TextAnalysis.bm25Index(docs.where(pmod(col("doc_id"), lit(2)) === par))
+      val half = docs.where(pmod(col("doc_id"), lit(2)) === par)
+      val ix = TextAnalysis.bm25Index(half)
       ix.postings.write.mode("overwrite").parquet(s"$base/p$par")
-      ix.stats.write.mode("overwrite").parquet(s"$base/s$par")
+      // stats from the landed postings — one tokenize pass per shard build
+      TextAnalysis.bm25StatsFromPostings(s.read.parquet(s"$base/p$par"), half.count())
+        .write.mode("overwrite").parquet(s"$base/s$par")
       TextAnalysis.Bm25Index(s.read.parquet(s"$base/p$par"), s.read.parquet(s"$base/s$par"))
     }
     TextAnalysis.bm25TopKFromIndex(TextAnalysis.bm25IndexMerge(halves),

@@ -403,6 +403,29 @@ object TextAnalysis {
     Bm25Index(postings, stats)
   }
 
+  /** The stats row derived from ALREADY-MATERIALIZED postings plus the
+    * corpus doc count — so an index BUILD tokenizes the corpus exactly
+    * once: materialize [[bm25Index]].postings, then derive stats from the
+    * landed artifact instead of re-running the tokenize→tf→dl chain a
+    * second time (writing `ix.postings` and `ix.stats` as two actions
+    * re-evaluates that chain per action — at 100 TB that is a second full
+    * pass over the corpus text for one 1-row table).
+    *
+    * Exactness (bit-identical to [[bm25Index]].stats): sdl there is
+    * Σ over docs of dl where dl = Σ of that doc's tf rows — regrouping,
+    * Σ tf over ALL postings rows, which is what this aggregates (exact
+    * integer sum in any order); n is the caller's count of ALL corpus
+    * docs (null-text docs own no postings rows but count toward n, which
+    * is why n cannot be derived from the postings); avgdl is the same
+    * single n>0-guarded double division. OpsSpec pins the identity. */
+  def bm25StatsFromPostings(postings: org.apache.spark.sql.DataFrame,
+      nDocs: Long): org.apache.spark.sql.DataFrame =
+    postings.agg(coalesce(sum(col("tf")), lit(0L)).as("__sdl"))
+      .select(lit(nDocs).as("n"), when(lit(nDocs) > 0,
+        col("__sdl").cast("double") / lit(nDocs).cast("double"))
+        .otherwise(lit(0d)).as("avgdl"),
+        col("__sdl").as("sdl"))
+
   /** MERGE per-shard BM25 indexes over DISJOINT document sets into the
     * whole-corpus index — the distributed-build story: at 100 TB each
     * shard/day builds its own [[bm25Index]] (an embarrassingly parallel,

@@ -280,9 +280,15 @@ object OnlineRefresh {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.fs.Layout.withWriterLease(spark, outPath,
           s"bm25IndexStream:$checkpoint") {
+        // ONE tokenize pass per epoch: land postings, then derive the
+        // 1-row stats from the landed artifact + the batch's doc count
+        // ([[graft.ops.TextAnalysis.bm25StatsFromPostings]] — bit-identical
+        // to the second-action plan, minus its full re-tokenization)
         val ix = graft.ops.TextAnalysis.bm25Index(batch, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
-        ix.stats.write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
+        graft.ops.TextAnalysis.bm25StatsFromPostings(
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"), batch.count())
+          .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
       }
@@ -1996,15 +2002,25 @@ object OnlineRefresh {
     val ids = docIds.select(col(idCol)).distinct()
     val postings = spark.read.parquet(s"$outPath/postings")
     val nIds = ids.count()
-    val found = postings.select(col(idCol)).join(broadcast(ids), Seq(idCol), "left_semi")
-      .distinct().count()
+    // ONE pass over the postings for both the attribution check and the
+    // per-epoch removed mass (they used to be two separate scans): a
+    // ROLLUP over batch gives the per-epoch (distinct ids, Σ tf) rows AND
+    // the grand-total row whose countDistinct is the global found-id
+    // count — the exact check the separate distinct().count() ran. The
+    // result is ≤ epochs+1 rows, collected once and re-served as a
+    // literal frame so neither consumer re-scans the postings.
+    val rolled = postings.join(broadcast(ids), Seq(idCol), "left_semi")
+      .rollup(col("batch"))
+      .agg(countDistinct(col(idCol)).as("__rn"), sum(col("tf")).as("__rsdl"))
+    val rolledRows = rolled.collect()
+    val found = rolledRows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L)
     require(found == nIds,
       s"bm25 artifact retraction: $found of $nIds deletion ids own postings rows — " +
         "ids without postings (null/empty text or unknown) cannot be attributed to an epoch")
     // per-epoch removed mass, from the index alone (Σ tf over a doc's rows = its dl)
-    val removed = postings.join(broadcast(ids), Seq(idCol), "left_semi")
-      .groupBy(col("batch"))
-      .agg(countDistinct(col(idCol)).as("__rn"), sum(col("tf")).as("__rsdl"))
+    val removed = spark.createDataFrame(
+      java.util.Arrays.asList(rolledRows.filter(!_.isNullAt(0)): _*),
+      rolled.schema)
     val newStats = spark.read.parquet(s"$outPath/stats")
       .join(removed, Seq("batch"), "left")
       .select(col("batch"),
@@ -2362,10 +2378,13 @@ object OnlineRefresh {
           s"bm25IndexRetractStream:$checkpoint") {
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
-        val ix = graft.ops.TextAnalysis.bm25Index(
-          batch.where(col(opCol) === lit("ins")).drop(opCol), textCol, idCol)
+        // ONE tokenize pass per epoch (the [[buildBm25IndexStream]] recipe)
+        val ins = batch.where(col(opCol) === lit("ins")).drop(opCol)
+        val ix = graft.ops.TextAnalysis.bm25Index(ins, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
-        ix.stats.write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
+        graft.ops.TextAnalysis.bm25StatsFromPostings(
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"), ins.count())
+          .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
       }

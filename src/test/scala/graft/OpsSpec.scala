@@ -384,6 +384,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25StatsFromPostings equals bm25Index.stats (null-text docs, empty corpus)") {
+    // the r18 single-tokenize build path: stats derived from materialized
+    // postings + the corpus count must be BIT-identical to the build's own
+    // stats plan — including docs with null/empty text (counted in n, no
+    // postings rows) and the empty corpus (n=0 guard)
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq((90001L, null: String), (90002L, ""))
+        .toDF("doc_id", "text"))
+    val built = TextAnalysis.bm25Index(corpus)
+    val fromBuild = built.stats.as[(Long, Double, Long)].collect().head
+    val dir = java.nio.file.Files.createTempDirectory("bm25sfp").toString
+    try {
+      built.postings.write.mode("overwrite").parquet(s"$dir/p")
+      val derived = TextAnalysis.bm25StatsFromPostings(
+        spark.read.parquet(s"$dir/p"), corpus.count())
+        .as[(Long, Double, Long)].collect().head
+      assert(derived == fromBuild, "derived stats diverged from the build's")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    val empty = corpus.where(lit(false))
+    val emptyStats = TextAnalysis.bm25StatsFromPostings(
+      TextAnalysis.bm25Index(empty).postings, 0L)
+      .as[(Long, Double, Long)].collect().head
+    assert(emptyStats == ((0L, 0d, 0L)), "empty-corpus stats must be the zero row")
+  }
+
   test("bm25IndexMerge: per-shard builds merge into the whole-corpus index exactly") {
     val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select(col("doc_id"), col("text"))
