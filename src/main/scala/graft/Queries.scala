@@ -711,8 +711,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       stageOrderedFiles(Seq(
         e.where(pmod(col("event_id"), lit(202)) === 0).select("event_id"),
         e.where(pmod(col("event_id"), lit(202)) === 101).select("event_id")),
@@ -749,8 +748,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       val upd = e.withColumn("value", col("value") + lit(1000.0))
       stageOrderedFiles(Seq(
         upd.where(pmod(col("event_id"), lit(194)) === 0),
@@ -783,8 +781,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       stageOrderedFiles(Seq(
         e.where(pmod(col("event_id"), lit(202)) === 0).select("event_id"),
         e.where(pmod(col("event_id"), lit(202)) === 101).select("event_id")),
@@ -817,8 +814,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       val upd = e.withColumn("value", col("value") + lit(1000.0))
       stageOrderedFiles(Seq(
         upd.where(pmod(col("event_id"), lit(194)) === 0),
@@ -2567,8 +2563,7 @@ object Queries {
       val e = t(s, dir, "events").select("event_id", "user_id", "value")
       fs.Layout.writeZordered(e, s"$base/z", "user_id", "value", bits = 6,
         numFiles = 32, sampleBy = Some(("event_id", 8)))
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "user_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "user_id")
       fs.Layout.prunedRead(s, s"$base/z",
         Seq(("value", 10.0, 60.0)), Seq(("user_id", lit(7L))), 1 << 16)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -2592,12 +2587,10 @@ object Queries {
       fs.Layout.writeZordered(e.where(pmod(col("event_id"), lit(2)) === 0),
         s"$base/z", "user_id", "value", bits = 6, numFiles = 16,
         sampleBy = Some(("event_id", 8)))
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "user_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "user_id")
       fs.Layout.appendZordered(e.where(pmod(col("event_id"), lit(2)) === 1),
         s"$base/z", numFiles = 4)
-      fs.Layout.refreshManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.refreshValueIndex(s, s"$base/z", "user_id")
+      fs.Layout.refreshLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "user_id")
       fs.Layout.prunedRead(s, s"$base/z",
         Seq(("value", 10.0, 60.0)), Seq(("user_id", lit(7L))), 1 << 16)
         .select(col("event_id"), col("user_id"), col("value"))
@@ -2674,12 +2667,10 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "user_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "user_id")
       fs.Layout.deleteMatching(s, s"$base/z", Nil, Seq(("user_id", lit(7L))))
-      fs.Layout.refreshManifest(s, s"$base/z", Seq("user_id", "value"),
-        allowGone = true)
-      fs.Layout.refreshValueIndex(s, s"$base/z", "user_id", allowGone = true)
+      fs.Layout.refreshLayoutIndexes(s, s"$base/z", Seq("user_id", "value"),
+        "user_id", allowGone = true)
       fs.Layout.prunedRead(s, s"$base/z",
         Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0)))
         .select(col("event_id"), col("user_id"), col("value"))
@@ -2703,14 +2694,12 @@ object Queries {
       for (r <- 1 to 2)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
         .withColumn("value", col("value") + lit(1000.0))
       fs.Layout.upsertByKey(s, s"$base/z", upd, "event_id", batchId = Some(3L))
-      fs.Layout.refreshManifest(s, s"$base/z", Seq("user_id", "value"),
-        allowGone = true)
-      fs.Layout.refreshValueIndex(s, s"$base/z", "event_id", allowGone = true)
+      fs.Layout.refreshLayoutIndexes(s, s"$base/z", Seq("user_id", "value"),
+        "event_id", allowGone = true)
       fs.Layout.prunedRead(s, s"$base/z", Seq(("user_id", 5.0, 11.0)))
         .select(col("event_id"), col("user_id"), col("value"))
     })
@@ -2768,8 +2757,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       fs.Layout.deleteLogical(s, s"$base/z",
         e.where(col("user_id") === 7).select("event_id"), "event_id")
       fs.Layout.prunedReadMor(s, s"$base/z",
@@ -2791,8 +2779,7 @@ object Queries {
       for (r <- 1 to 3)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(4)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       fs.Layout.deleteLogical(s, s"$base/z",
         e.where(col("user_id") === 7).select("event_id"), "event_id")
       fs.Layout.applyTombstones(s, s"$base/z", "event_id",
@@ -2869,8 +2856,7 @@ object Queries {
       for (r <- 1 to 2)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
         .withColumn("value", col("value") + lit(1000.0))
       fs.Layout.upsertLogical(s, s"$base/z", upd, "event_id")
@@ -2893,8 +2879,7 @@ object Queries {
       for (r <- 1 to 2)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(3)) === r),
           s"$base/z", r, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       val upd = e.where(pmod(col("event_id"), lit(97)) === 0)
         .withColumn("value", col("value") + lit(1000.0))
       fs.Layout.upsertLogical(s, s"$base/z", upd, "event_id")
@@ -3003,8 +2988,7 @@ object Queries {
       for (r <- 5 to 7)
         fs.Layout.appendZorderedEpoch(e.where(pmod(col("event_id"), lit(8)) === r),
           s"$base/z", r, numFiles = 2)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       // threshold between the micro-epoch size and the built epoch's —
       // derived from the layout itself so the fixture holds at every SF
       val root = new org.apache.hadoop.fs.Path(s"$base/z")
@@ -3164,8 +3148,7 @@ object Queries {
         s"$base/z", 1, numFiles = 4)
       fs.Layout.appendZorderedEpoch(hi.where(pmod(col("event_id"), lit(2)) === 1),
         s"$base/z", 2, numFiles = 4)
-      fs.Layout.writeManifest(s, s"$base/z", Seq("user_id", "value"))
-      fs.Layout.writeValueIndex(s, s"$base/z", "event_id")
+      fs.Layout.writeLayoutIndexes(s, s"$base/z", Seq("user_id", "value"), "event_id")
       fs.Layout.deleteLogical(s, s"$base/z",
         e.where(col("user_id") === 7).select("event_id"), "event_id")
       val upd = e.where(pmod(col("event_id"), lit(97)) === 0)

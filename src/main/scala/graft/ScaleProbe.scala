@@ -60,7 +60,9 @@ object ScaleProbe {
       time(q, "/root/testdata/sf0.1")
       time(q, "/tmp/sfbig")
     }
-    val docs = spark.read.parquet("/tmp/sfbig/documents.parquet")
+    // lazy: only the sfbig-gated sections force it, so a box without the
+    // regenerated /tmp/sfbig fixture can still run the sf0.1-only sections
+    lazy val docs = spark.read.parquet("/tmp/sfbig/documents.parquet")
     // the distributed min-label loop, forced (driverEdgeCap=0) so the round
     // count = graph diameter claim is verified empirically at scale (the
     // default path resolves this graph driver-side via union-find)
@@ -1013,6 +1015,67 @@ object ScaleProbe {
       for (rep <- 1 to 3)
         timed(s"full-scan SQL agg rep$rep @ 10240 files")(
           spark.sql(sql.replace("zr18b", "zr18b_pq")).head().getLong(0))
+    }
+    // Round-19a: per-building-block timing of the layout write path at
+    // sf0.1 — the attribution probe behind OPTIMIZATION_r19.md. Every
+    // memoized layout/stream fixture composes these blocks, so a fixed-
+    // overhead win here multiplies across ~40 bench entries. Run twice
+    // (rep1 pays codegen/JIT; rep2 is the steady state).
+    if (inSection("r19a")) {
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val sf1 = graft.Queries.readEvents(spark, "/root/testdata/sf0.1")
+        .select("event_id", "user_id", "value")
+      for (rep <- 1 to 2) {
+        val b = java.nio.file.Files.createTempDirectory("graft-r19a").toString
+        val even = sf1.where(pmod(col("event_id"), lit(2)) === 0)
+        val odd = sf1.where(pmod(col("event_id"), lit(2)) === 1)
+        timed(s"rep$rep writeZordered (build, 16 files)") {
+          graft.fs.Layout.writeZordered(even, s"$b/z", "user_id", "value",
+            bits = 6, numFiles = 16, sampleBy = Some(("event_id", 8))); 0L
+        }
+        timed(s"rep$rep writeManifest (full)") {
+          graft.fs.Layout.writeManifest(spark, s"$b/z", Seq("user_id", "value")); 0L
+        }
+        timed(s"rep$rep writeValueIndex (full)") {
+          graft.fs.Layout.writeValueIndex(spark, s"$b/z", "user_id"); 0L
+        }
+        timed(s"rep$rep appendZordered (frozen bounds, 4 files)") {
+          graft.fs.Layout.appendZordered(odd, s"$b/z", numFiles = 4); 0L
+        }
+        timed(s"rep$rep refreshManifest (incremental)") {
+          graft.fs.Layout.refreshManifest(spark, s"$b/z", Seq("user_id", "value"))
+        }
+        timed(s"rep$rep refreshValueIndex (incremental)") {
+          graft.fs.Layout.refreshValueIndex(spark, s"$b/z", "user_id")
+        }
+        timed(s"rep$rep prunedRead") {
+          graft.fs.Layout.prunedRead(spark, s"$b/z",
+            Seq(("user_id", 5.0, 11.0), ("value", 10.0, 60.0))).count()
+        }
+        // the epoch-partitioned streaming shape: build + 3 appends + upsert
+        timed(s"rep$rep buildZorderedEpoch (batch=0)") {
+          graft.fs.Layout.buildZorderedEpoch(even, s"$b/ze",
+            Seq("user_id", "value"), bits = 6, numFiles = 4, batchId = 0L); 0L
+        }
+        timed(s"rep$rep appendZorderedEpoch (batch=1)") {
+          graft.fs.Layout.appendZorderedEpoch(odd, s"$b/ze", 1L, numFiles = 4); 0L
+        }
+        timed(s"rep$rep writeManifest+writeValueIndex @ epochs") {
+          graft.fs.Layout.writeManifest(spark, s"$b/ze", Seq("user_id", "value"))
+          graft.fs.Layout.writeValueIndex(spark, s"$b/ze", "event_id"); 0L
+        }
+        timed(s"rep$rep upsertByKey (epoch shape)") {
+          val upd = sf1.where(pmod(col("event_id"), lit(997L)) === 7L)
+            .withColumn("value", col("value") + lit(1.0))
+          graft.fs.Layout.upsertByKey(spark, s"$b/ze", upd, "event_id")._1
+        }
+        timed(s"rep$rep refreshManifest+ValueIndex allowGone @ epochs") {
+          graft.fs.Layout.refreshManifest(spark, s"$b/ze",
+            Seq("user_id", "value"), allowGone = true) +
+          graft.fs.Layout.refreshValueIndex(spark, s"$b/ze", "event_id",
+            allowGone = true)
+        }
+      }
     }
     // Round-15h: the snapshot CDC diff — fast path vs the general join
     if (inSection("r15h")) {

@@ -317,6 +317,37 @@ object Layout {
   def zorderWorkCols(k: Int): Seq[String] =
     (0 until k).map(i => s"__zb_$i") :+ "zkey"
 
+  /** Range-cluster `keyed` rows into `numFiles` zkey-contiguous output
+    * partitions, in-partition sorted, work columns dropped — the one
+    * shape every Z write shares — handing the clustered frame to `use`
+    * (normally a `.write`). The range exchange derives its partition
+    * boundaries by SAMPLING its child RDD, which EXECUTES the whole
+    * keying lineage a second time (scan → bucket → interleave) before
+    * the shuffle pass runs it again (guide §1.2/§2.4: remove repeated
+    * passes before tuning anything else). Persisting the keyed rows for
+    * the write's duration turns the sampling pass and the shuffle pass
+    * into cache reads: ONE keying execution total. The blocks live only
+    * across this call (unpersist in `finally`, so a failed write never
+    * leaks them); MEMORY_AND_DISK spills batch-sized inputs gracefully
+    * and the columnar cache holds compressed batches, so the trade at
+    * cluster scale is one local spill write/read against a full
+    * recompute + rescan of the input — the recompute is the strictly
+    * larger term for every caller here (appends key a transformed
+    * micro-batch; compactions/rebuilds key a full parquet scan). A
+    * caller that already persisted `keyed` keeps ownership (no double
+    * persist, no unpersist-behind-its-back). */
+  private[graft] def withRangeClustered[A](keyed: DataFrame, k: Int,
+      numFiles: Int)(use: DataFrame => A): A = {
+    val own = keyed.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (own) keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else keyed
+    try use(cached.repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop(zorderWorkCols(k): _*))
+    finally if (own) cached.unpersist(false)
+  }
+
   /** 2-column Z-order key under the historical `__zb_a`/`__zb_b` names
     * (column A even bit positions, B odd — identical to the k=2
     * round-robin). */
@@ -365,11 +396,9 @@ object Layout {
     // rewrite-class commit: mode=overwrite can REBUILD an existing table
     OptimisticCommit.rewriteScope(df.sparkSession, path, "writeZorderedCols") {
       val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, sampleBy)
-      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
-        .write.mode("overwrite").parquet(path)
+      withRangeClustered(zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+        sbounds), cols.size, numFiles)(
+        _.write.mode("overwrite").parquet(path))
       writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
         sbounds, cols.map(c => zProjectionForCol(df, c)))
     }
@@ -562,11 +591,9 @@ object Layout {
   def appendZordered(df: DataFrame, path: String, numFiles: Int = 4): Unit =
     OptimisticCommit.appendScope(df.sparkSession, path, "appendZordered") {
       val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
-      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
-        .write.mode("append").parquet(path)
+      withRangeClustered(zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+        sbounds), cols.size, numFiles)(
+        _.write.mode("append").parquet(path))
       maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
     }
 
@@ -590,11 +617,9 @@ object Layout {
     // append-class: the initial build creates files, moves nothing
     OptimisticCommit.appendScope(df.sparkSession, path, "buildZorderedEpoch") {
       val (bounds, sbounds) = deriveBoundsTyped(df, cols, bits, None)
-      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
-        .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+      withRangeClustered(zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+        sbounds), cols.size, numFiles)(
+        _.write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId"))
       writeLayoutMeta(df.sparkSession, path, cols, bits, bounds, Some(df.schema),
         sbounds, cols.map(c => zProjectionForCol(df, c)))
     }
@@ -607,11 +632,9 @@ object Layout {
       numFiles: Int = 4): Unit =
     OptimisticCommit.appendScope(df.sparkSession, path, "appendZorderedEpoch") {
       val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(df.sparkSession, path)
-      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
-        .write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId")
+      withRangeClustered(zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+        sbounds), cols.size, numFiles)(
+        _.write.mode("overwrite").parquet(path.stripSuffix("/") + s"/batch=$batchId"))
       maybeEvolveLayoutSchema(df.sparkSession, path, df.schema)
     }
 
@@ -680,11 +703,29 @@ object Layout {
   private def refreshIndexCore(spark: org.apache.spark.sql.SparkSession,
       path: String, indexPath: String, what: String, rewriteHint: String,
       allowGone: Boolean)(indexNew: Seq[String] => DataFrame): Long = {
+    val actual = listedDataFilePaths(spark, path)
+    val (old, gone, newNames) =
+      indexCatchUpDiff(spark, path, indexPath, actual, what, rewriteHint,
+        allowGone)
+    if (newNames.isEmpty && gone.isEmpty) return 0L
+    mergeIndexRows(spark, indexPath, old, gone,
+      if (newNames.isEmpty) None else Some(indexNew(newNames.map(actual))))
+    newNames.size.toLong
+  }
+
+  /** The diff half of [[refreshIndexCore]] — recover a crashed swap, read
+    * the recorded file set, refuse gone files unless `allowGone`, return
+    * (old index rows, gone basenames, new basenames sorted). Shared by
+    * the single-index refreshes and [[refreshLayoutIndexes]] (which diffs
+    * several indexes against ONE listing). */
+  private def indexCatchUpDiff(spark: org.apache.spark.sql.SparkSession,
+      path: String, indexPath: String, actual: Map[String, String],
+      what: String, rewriteHint: String, allowGone: Boolean)
+      : (DataFrame, Set[String], Seq[String]) = {
     AtomicDir.recoverSwap(spark, indexPath)
     val old = spark.read.parquet(indexPath)
     val indexed = old.select("file").collect().map(_.getString(0))
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-    val actual = listedDataFilePaths(spark, path)
     val gone = indexed -- actual.keySet
     require(allowGone || gone.isEmpty,
       s"file(s) gone from data behind the $what for $path " +
@@ -692,21 +733,125 @@ object Layout {
         s"refresh only grows the set — rewrite with $rewriteHint " +
         "(or pass allowGone = true for a replayed-epoch overwrite, " +
         "which regenerates part names).")
-    val newNames = (actual.keySet -- indexed).toIndexedSeq.sorted
-    if (newNames.isEmpty && gone.isEmpty) return 0L
-    // gone rows (allowGone — a replayed epoch rewrote its partition with
-    // fresh part names) drop out; the result exactly describes the live
-    // file set either way
+    (old, gone, (actual.keySet -- indexed).toIndexedSeq.sorted)
+  }
+
+  /** The merge half of [[refreshIndexCore]]: gone rows (allowGone — a
+    * replayed epoch rewrote its partition with fresh part names) drop
+    * out, new rows union in, the result swaps crash-safely — it exactly
+    * describes the live file set either way. No-op when nothing changed. */
+  private def mergeIndexRows(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, old: DataFrame, gone: Set[String],
+      newRows: Option[DataFrame]): Unit = {
+    if (gone.isEmpty && newRows.isEmpty) return
     val kept =
       if (gone.isEmpty) old
       else old.where(!element_at(split(col("file"), "/"), -1).isin(gone.toSeq: _*))
-    val merged =
-      if (newNames.isEmpty) kept
-      else kept.unionByName(indexNew(newNames.map(actual)))
+    val merged = newRows.map(kept.unionByName(_)).getOrElse(kept)
     AtomicDir.swapDir(spark, indexPath) { tmp =>
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     }
-    newNames.size.toLong
+  }
+
+  /** ONE-SCAN incremental catch-up of the manifest AND the value index —
+    * the per-batch commit unit of every streaming layout loop. Row-for-row
+    * identical to `refreshManifest(...); refreshValueIndex(...)` (each
+    * index's per-file rows are the same deterministic aggregates over the
+    * same files), but the NEW files are listed once and READ once: at
+    * micro-batch cadence the two refreshes dominate the batch cost, and
+    * the second scan + second directory listing of the same files was
+    * pure repetition (guide §1.2 — fix the pass count before anything
+    * else). The shared read is persisted for the call (batch-sized,
+    * released in `finally`); each index keeps its own diff, gone-file
+    * contract, and crash-safe swap. Returns the number of files scanned. */
+  def refreshLayoutIndexes(spark: org.apache.spark.sql.SparkSession,
+      path: String, zCols: Seq[String], indexCol: String,
+      buckets: Int = 1 << 16, allowGone: Boolean = false): Long = {
+    require(zCols.nonEmpty, "manifest needs at least one column")
+    require(buckets > 0, "buckets must be positive")
+    val vPath = valueIndexPath(path, indexCol)
+    AtomicDir.recoverSwap(spark, vPath)
+    requireBucketsMatch(
+      loadValueIndex(spark, path, indexCol).select(col("buckets")).head(1),
+      path, indexCol, buckets)
+    val actual = listedDataFilePaths(spark, path)
+    val (mOld, mGone, mNew) = indexCatchUpDiff(spark, path,
+      manifestPath(path), actual, "manifest", "writeManifest", allowGone)
+    val (vOld, vGone, vNew) = indexCatchUpDiff(spark, path,
+      vPath, actual, "value index", "writeValueIndex", allowGone)
+    val scanNames = (mNew ++ vNew).distinct.sorted
+    if (scanNames.isEmpty && mGone.isEmpty && vGone.isEmpty) return 0L
+    val zMeta = layoutMetaIfAny(spark, path)
+    val needed = (zCols :+ indexCol).distinct
+    val src =
+      if (scanNames.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(scanNames.map(actual): _*)
+        .select(needed.map(col): _*)
+        .withColumn("__file", input_file_name())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try {
+      // an index whose new set is a strict subset (possible when the two
+      // indexes were refreshed out of lockstep before this call) filters
+      // the shared read down to its own files
+      def rowsFor(names: Seq[String])(mk: DataFrame => DataFrame)
+          : Option[DataFrame] =
+        if (names.isEmpty) None
+        else src.map { s =>
+          mk(if (names == scanNames) s
+             else s.where(element_at(split(col("__file"), "/"), -1)
+               .isin(names: _*)))
+        }
+      mergeIndexRows(spark, manifestPath(path), mOld, mGone,
+        rowsFor(mNew) { b =>
+          val aggs = manifestAggs(spark, b.schema, zCols, zMeta)
+          withZBuckets(b, zCols, zMeta)
+            .groupBy(col("__file").as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+        })
+      mergeIndexRows(spark, vPath, vOld, vGone,
+        rowsFor(vNew) { b =>
+          b.groupBy(col("__file").as("file"))
+            .agg(collect_set(pmod(xxhash64(col(indexCol)),
+              lit(buckets.toLong))).as("hset"))
+            .withColumn("buckets", lit(buckets))
+        })
+    } finally src.foreach(_.unpersist(false))
+    scanNames.size.toLong
+  }
+
+  /** ONE-SCAN full build of the manifest AND the value index — the
+    * [[refreshLayoutIndexes]] argument applied to the initial build /
+    * post-rewrite rebuild: `writeManifest(...); writeValueIndex(...)`
+    * scans the whole table twice for two independent per-file aggregate
+    * passes over the same rows. Content identical to the separate
+    * builders; the table is read once (persisted for the call's
+    * duration, released in `finally`). */
+  def writeLayoutIndexes(spark: org.apache.spark.sql.SparkSession,
+      path: String, zCols: Seq[String], indexCol: String,
+      buckets: Int = 1 << 16): Unit = {
+    require(zCols.nonEmpty, "manifest needs at least one column")
+    require(buckets > 0, "buckets must be positive")
+    val zMeta = layoutMetaIfAny(spark, path)
+    val needed = (zCols :+ indexCol).distinct
+    val src = spark.read.option("mergeSchema", "true").parquet(path)
+      .select(needed.map(col): _*)
+      .withColumn("__file", input_file_name())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val aggs = manifestAggs(spark, src.schema, zCols, zMeta)
+      withZBuckets(src, zCols, zMeta)
+        .groupBy(col("__file").as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifestPath(path))
+      src.groupBy(col("__file").as("file"))
+        .agg(collect_set(pmod(xxhash64(col(indexCol)),
+          lit(buckets.toLong))).as("hset"))
+        .withColumn("buckets", lit(buckets))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(valueIndexPath(path, indexCol))
+    } finally src.unpersist(false)
   }
 
   /** COMPACTION for the append-accreted layout — the small-files answer:
@@ -726,11 +871,9 @@ object Layout {
     OptimisticCommit.rewriteScope(spark, path, "compactLayout") {
       val (cols, bits, bounds, sbounds) = readLayoutMetaTyped(spark, path)
       AtomicDir.swapDir(spark, path) { tmp =>
-        zorderKeyWithBoundsTyped(spark.read.parquet(path), cols, bits, bounds, sbounds)
-          .repartitionByRange(numFiles, col("zkey"))
-          .sortWithinPartitions(col("zkey"))
-          .drop(zorderWorkCols(cols.size): _*)
-          .write.mode("overwrite").parquet(tmp)
+        withRangeClustered(zorderKeyWithBoundsTyped(spark.read.parquet(path),
+          cols, bits, bounds, sbounds), cols.size, numFiles)(
+          _.write.mode("overwrite").parquet(tmp))
       }
     }
 
@@ -809,11 +952,9 @@ object Layout {
     hfs.delete(staging, true)
     val foldSrc = spark.read.option("mergeSchema", "true")
       .parquet(picks.map(id => s"$path/batch=$id"): _*)
-    zorderKeyWithBoundsTyped(foldSrc, cols, bits, bounds, sbounds)
-      .repartitionByRange(numFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop(zorderWorkCols(cols.size): _*)
-      .write.mode("overwrite").parquet(staging.toString)
+    withRangeClustered(zorderKeyWithBoundsTyped(foldSrc, cols, bits, bounds,
+      sbounds), cols.size, numFiles)(
+      _.write.mode("overwrite").parquet(staging.toString))
     // commit marker: from here recovery knows the fold's shape
     val marker = new org.apache.hadoop.fs.Path(root, ".cmpcommit")
     val out = hfs.create(marker, true)
@@ -3222,25 +3363,22 @@ object Layout {
       if (epochIds.nonEmpty) readLayout(spark, path).drop("batch")
       else readLayout(spark, path)
     val (bounds, sbounds) = deriveBoundsTyped(data, cols, bits, sampleBy)
-    def recluster(df: DataFrame): DataFrame =
-      zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(zorderWorkCols(cols.size): _*)
+    def reclusterTo(df: DataFrame, dest: String): Unit =
+      withRangeClustered(zorderKeyWithBoundsTyped(df, cols, bits, bounds,
+        sbounds), cols.size, numFiles)(
+        _.write.mode("overwrite").parquet(dest))
     AtomicDir.swapDir(spark, path) { tmp =>
       if (epochIds.isEmpty)
-        recluster(readLayout(spark, path)).write.mode("overwrite").parquet(tmp)
+        reclusterTo(readLayout(spark, path), tmp)
       else {
         val newest = epochIds.last
         val target = epochIds.head
         val df = readLayout(spark, path)
         val last = df.where(col("batch").cast("long") === newest).drop("batch")
-        recluster(last).write.mode("overwrite")
-          .parquet(tmp.stripSuffix("/") + s"/batch=$newest")
+        reclusterTo(last, tmp.stripSuffix("/") + s"/batch=$newest")
         if (epochIds.size > 1) {
           val rest = df.where(col("batch").cast("long") =!= newest).drop("batch")
-          recluster(rest).write.mode("overwrite")
-            .parquet(tmp.stripSuffix("/") + s"/batch=$target")
+          reclusterTo(rest, tmp.stripSuffix("/") + s"/batch=$target")
         }
       }
     }

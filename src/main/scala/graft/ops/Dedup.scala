@@ -1324,7 +1324,14 @@ object Dedup {
         .observe(obs, coalesce(sum(when(col("cluster_id") < col("own"), 1L)
           .otherwise(0L)), lit(0L)).as("changed"))
         .select(col("id"), col("cluster_id"))
+      val prev = labels
       labels = materialize(next) // the one action; obs resolves with it
+      // the previous round's checkpoint blocks are dead the moment the
+      // next round is materialized — release them NOW instead of leaving
+      // one round's blocks per iteration to the ContextCleaner's GC-paced
+      // sweep (a long-lived session runs many loops between GCs; the
+      // storage pool should stay ∝ one round, not ∝ rounds)
+      org.apache.spark.sql.graft.GraftStreamBridge.unpersistCheckpoint(prev)
       done = obs.get("changed").asInstanceOf[Long] == 0L
       i += 1
     }

@@ -975,15 +975,31 @@ object OnlineRefresh {
         else
           graft.fs.Layout.appendZorderedEpoch(batch, layoutPath, batchId,
             numFilesPerBatch)
-        if (!exists(mPath))
-          graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-        else
-          graft.fs.Layout.refreshManifest(spark, layoutPath, zCols, allowGone = true)
-        if (!exists(vPath))
-          graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
-        else
-          graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
-            allowGone = true)
+        // the common cadences share ONE scan for both indexes: first epoch
+        // = combined full build, every later epoch = combined incremental
+        // refresh; the mixed states (one index present, the other not —
+        // only reachable by hand-deleting a sidecar) keep the individual
+        // paths
+        (exists(mPath), exists(vPath)) match {
+          case (false, false) =>
+            graft.fs.Layout.writeLayoutIndexes(spark, layoutPath, zCols,
+              indexCol, buckets)
+          case (true, true) =>
+            graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+              indexCol, buckets, allowGone = true)
+          case (hasM, _) =>
+            if (!hasM)
+              graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
+            else
+              graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
+                allowGone = true)
+            if (!exists(vPath))
+              graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol,
+                buckets)
+            else
+              graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol,
+                buckets, allowGone = true)
+        }
         // the OPTIONAL third index family: per-file quantile samples —
         // same epoch commit unit, same incremental refresh economics,
         // so the quantile pushdown serves between epochs like the others
@@ -1026,14 +1042,27 @@ object OnlineRefresh {
       "compactZorderLayout") {
     val (cols, bits, bounds, sbounds) =
       graft.fs.Layout.readLayoutMetaTyped(spark, layoutPath)
-    val did = compactBatchArtifact(spark, layoutPath, df =>
-      graft.fs.Layout.zorderKeyWithBoundsTyped(df, cols, bits, bounds, sbounds)
-        .repartitionByRange(numFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
+    // the fold's range exchange SAMPLES its child (a second execution of
+    // the scan+keying lineage) before the shuffle pass — persist the fold
+    // source for the write's duration so both passes read the cache (the
+    // [[graft.fs.Layout.withRangeClustered]] rationale; here the write
+    // happens inside compactBatchArtifact, so the cache handle outlives
+    // the lambda and releases right after the call)
+    var foldSrc: Option[DataFrame] = None
+    val did =
+      try compactBatchArtifact(spark, layoutPath, { df =>
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        foldSrc = Some(cached)
+        graft.fs.Layout.zorderKeyWithBoundsTyped(cached, cols, bits, bounds, sbounds)
+          .repartitionByRange(numFiles, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*)
+      })
+      finally foldSrc.foreach(_.unpersist(false))
     if (did) {
-      graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-      graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+      // full index rewrites after the fold — ONE table scan for both
+      graft.fs.Layout.writeLayoutIndexes(spark, layoutPath, zCols, indexCol,
+        buckets)
       rebuildStandingQuantileIndexes(spark, layoutPath)
     }
     did
@@ -1064,10 +1093,8 @@ object OnlineRefresh {
     val folded = graft.fs.Layout.compactEpochsTiered(spark, layoutPath,
       maxBytes, numFiles)
     if (folded.nonEmpty) {
-      graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-        allowGone = true)
-      graft.fs.Layout.refreshValueIndex(spark, layoutPath, indexCol, buckets,
-        allowGone = true)
+      graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+        indexCol, buckets, allowGone = true)
       refreshStandingQuantileIndexes(spark, layoutPath)
     }
     folded
@@ -1144,8 +1171,8 @@ object OnlineRefresh {
       "reclusterZorderLayout") {
     val bounds = graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles,
       sampleBy)
-    graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-    graft.fs.Layout.writeValueIndex(spark, layoutPath, indexCol, buckets)
+    graft.fs.Layout.writeLayoutIndexes(spark, layoutPath, zCols, indexCol,
+      buckets)
     rebuildStandingQuantileIndexes(spark, layoutPath)
     bounds
     }
@@ -1199,16 +1226,13 @@ object OnlineRefresh {
         // epoch's rewrites and its closing refresh leaves stale indexes,
         // and the consult inside deleteByKeys refuses stale — the
         // replayed batch must restore freshness before it can route
-        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-          allowGone = true)
-        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
-          allowGone = true)
+        graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+          keyCol, buckets, allowGone = true)
         graft.fs.Layout.deleteByKeys(spark, layoutPath, batch, keyCol, buckets)
-        // the epoch's commit unit: indexes catch up to the rewrites
-        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-          allowGone = true)
-        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
-          allowGone = true)
+        // the epoch's commit unit: indexes catch up to the rewrites —
+        // ONE shared scan of the changed files for both indexes
+        graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+          keyCol, buckets, allowGone = true)
         }
         ()
       }
@@ -1284,8 +1308,8 @@ object OnlineRefresh {
     report += ("files_before" -> filesBefore.toDouble)
     if (maxTv >= reclusterAt) {
       graft.fs.Layout.reclusterLayout(spark, layoutPath, numFiles, sampleBy)
-      graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-      graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+      graft.fs.Layout.writeLayoutIndexes(spark, layoutPath, zCols, keyCol,
+        buckets)
       rebuildStandingQuantileIndexes(spark, layoutPath)
       report += ("reclustered" -> 1.0)
       graft.fs.Layout.layoutDrift(spark, layoutPath, sampleBy).collect()
@@ -1310,10 +1334,8 @@ object OnlineRefresh {
           .getOrElse(Nil)
         else Nil
       if (tiered.nonEmpty) {
-        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-          allowGone = true)
-        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
-          allowGone = true)
+        graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+          keyCol, buckets, allowGone = true)
         refreshStandingQuantileIndexes(spark, layoutPath)
         report += ("tiered" -> tiered.size.toDouble)
         report += ("files_after" -> fileCount().toDouble)
@@ -1322,18 +1344,26 @@ object OnlineRefresh {
           if (hasEpochs) {
             val (cols, bits, bounds, sbounds) =
               graft.fs.Layout.readLayoutMetaTyped(spark, layoutPath)
-            compactBatchArtifact(spark, layoutPath, df =>
-              graft.fs.Layout.zorderKeyWithBoundsTyped(df, cols, bits, bounds,
-                sbounds)
+            // persist-through-the-fold: see compactZorderLayout — one
+            // scan+keying execution instead of two (range-exchange sampling)
+            var foldSrc: Option[DataFrame] = None
+            try compactBatchArtifact(spark, layoutPath, { df =>
+              val cached = df.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              foldSrc = Some(cached)
+              graft.fs.Layout.zorderKeyWithBoundsTyped(cached, cols, bits,
+                bounds, sbounds)
                 .repartitionByRange(numFiles, col("zkey"))
                 .sortWithinPartitions(col("zkey"))
-                .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*))
+                .drop(graft.fs.Layout.zorderWorkCols(cols.size): _*)
+            })
+            finally foldSrc.foreach(_.unpersist(false))
           } else {
             graft.fs.Layout.compactLayout(spark, layoutPath, numFiles); true
           }
         if (did) {
-          graft.fs.Layout.writeManifest(spark, layoutPath, zCols)
-          graft.fs.Layout.writeValueIndex(spark, layoutPath, keyCol, buckets)
+          graft.fs.Layout.writeLayoutIndexes(spark, layoutPath, zCols, keyCol,
+            buckets)
           rebuildStandingQuantileIndexes(spark, layoutPath)
           report += ("compacted" -> 1.0)
           report += ("files_after" -> fileCount().toDouble)
@@ -1558,16 +1588,13 @@ object OnlineRefresh {
         // data recovery BEFORE the head refresh (see zorderDeleteStream —
         // a refresh over a set-aside partition would drop its files)
         graft.fs.Layout.recoverLayout(spark, layoutPath)
-        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-          allowGone = true)
-        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
-          allowGone = true)
+        graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+          keyCol, buckets, allowGone = true)
         graft.fs.Layout.upsertByKey(spark, layoutPath, batch, keyCol, buckets,
           numFilesPerBatch, batchId = Some(cdcEpochBase + batchId))
-        graft.fs.Layout.refreshManifest(spark, layoutPath, zCols,
-          allowGone = true)
-        graft.fs.Layout.refreshValueIndex(spark, layoutPath, keyCol, buckets,
-          allowGone = true)
+        // commit unit: ONE shared scan of the changed files for both indexes
+        graft.fs.Layout.refreshLayoutIndexes(spark, layoutPath, zCols,
+          keyCol, buckets, allowGone = true)
         }
         ()
       }

@@ -33,6 +33,22 @@ object GraftStreamBridge {
       df.queryExecution.toRdd, schema, isStreaming = true)
   }
 
+  /** Release the storage blocks behind a CHECKPOINTED Dataset — the
+    * `LogicalRDD` seam (`private[sql]`, hence this bridge): a Dataset
+    * returned by `checkpoint()`/`localCheckpoint()` wraps the
+    * materialized RDD directly, and `Dataset.unpersist` cannot reach it
+    * (the blocks belong to the RDD, not the CacheManager). Iterative
+    * loops that checkpoint per round (connected components) otherwise
+    * leak one round's blocks per iteration until the ContextCleaner's
+    * next GC-driven sweep — deterministic release keeps the storage
+    * pool flat. MUST only be called once nothing will read the Dataset
+    * again: a locally-checkpointed RDD has no lineage to recompute
+    * from. No-op on a non-checkpoint Dataset. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   /** A streaming-flagged frame that raises `message` at EXECUTION, not
     * construction. The V1 `getBatch` contract requires reproducing
     * already-committed ranges "or at least not failing" — the runtime
