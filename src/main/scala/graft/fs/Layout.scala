@@ -2055,7 +2055,8 @@ object Layout {
       val files = candidateFilesFor(spark, path, ranges, points, buckets)
       if (files.isEmpty) 0L
       else rewriteVictimPartitions(spark, hfs, root, files,
-        rows => rows.where(hit), rows => rows.where(!hit))
+        rows => rows.where(hit), rows => rows.where(!hit),
+        scala.util.Try(layoutSchema(spark, path)).toOption.flatten)
     }
   }
 
@@ -2139,19 +2140,26 @@ object Layout {
       root: org.apache.hadoop.fs.Path,
       files: Seq[String],
       victims: DataFrame => DataFrame,
-      survivors: DataFrame => DataFrame): Long = {
+      survivors: DataFrame => DataFrame,
+      tableSchema: Option[org.apache.spark.sql.types.StructType]): Long = {
     if (files.isEmpty) return 0L
     val rootUri = hfs.makeQualified(root).toString.stripSuffix("/")
     def base(f: String): String = f.substring(f.lastIndexOf('/') + 1)
     val parentOf = files.map(f =>
       base(f) -> f.substring(0, f.lastIndexOf('/')).stripSuffix("/")).toMap
-    // resolve the candidate set's MERGED schema once (bounded by the
-    // candidates, not the table) and read every partition through it:
-    // an evolved key/predicate column reads as null in pre-evolution
-    // files (null never matches, so their rows always survive) instead
-    // of throwing on a partition that predates the column
-    val mergedSchema = spark.read.option("mergeSchema", "true")
-      .parquet(files.toIndexedSeq: _*).schema
+    // resolve a schema covering every candidate file and read every
+    // partition through it: an evolved key/predicate column reads as
+    // null in pre-evolution files (null never matches, so their rows
+    // always survive) instead of throwing on a partition that predates
+    // the column. The persisted union schema (one sidecar read, already
+    // cached) covers the candidates BY CONSTRUCTION — every data file
+    // landed through a write that folded its schema in — so the
+    // mergeSchema footer sweep over the candidate set (one distributed
+    // footer job PER upsert/delete batch, ∝ candidates at 100 TB) runs
+    // only for a legacy table whose sidecar predates schema persistence
+    val mergedSchema = tableSchema.getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.toIndexedSeq: _*).schema)
     val byFile = victims(
       spark.read.schema(mergedSchema).parquet(files.toIndexedSeq: _*)
         .withColumn("__vf", input_file_name()))
@@ -2240,12 +2248,20 @@ object Layout {
     // ONE aggregate pass over the batch (this runs per CDC micro-batch —
     // separate count()/distinct-count jobs would re-evaluate the batch
     // plan three times on the hot path): total rows, raw non-null keys,
-    // post-cast non-null keys, distinct keys
+    // post-cast non-null keys, distinct keys — and the distinct KEY-HASH
+    // BUCKETS the value-index probe needs, which used to be their own
+    // job over the same batch ([[keyCandidateFiles]] collected them; the
+    // driver payload is identical — ≤ min(batch keys, buckets) longs —
+    // one job earlier)
     val stats = updates.agg(count(lit(1)), count(col(keyCol)),
       count(col(keyCol).cast(keyType)),
-      countDistinct(col(keyCol).cast(keyType))).head()
+      countDistinct(col(keyCol).cast(keyType)),
+      sort_array(collect_set(when(col(keyCol).cast(keyType).isNotNull,
+        pmod(xxhash64(col(keyCol).cast(keyType)),
+          lit(buckets.toLong)))))).head()
     val (inserted, rawNonNull, nonNull, distinctKeys) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
+    val keyBuckets = stats.getSeq[Long](4)
     if (inserted == 0L) (0L, 0L) else {
     // a key that CASTS to null would silently dodge both the matching
     // and the duplicate check below while still landing in the epoch —
@@ -2261,11 +2277,13 @@ object Layout {
       s"upsert batch carries duplicate $keyCol values — a batch must be " +
         "key-distinct (collapse with latest-per-key upstream); both copies " +
         "would land in the epoch and violate the MERGE contract")
-    // consulted while the index is still fresh
+    // consulted while the index is still fresh (hash buckets already
+    // collected by the stats pass — no second batch job)
     val updKeys = updates
       .select(col(keyCol).cast(keyType).as(keyCol))
       .where(col(keyCol).isNotNull).distinct()
-    val candidates = keyCandidateFiles(spark, path, updKeys, keyCol, buckets)
+    val candidates =
+      candidateFilesForBuckets(spark, path, keyCol, keyBuckets, buckets)
     // 2. INSERT first — the epoch overwrite is the replay-idempotent unit
     val id = batchId.getOrElse(epochIds.max + 1L)
     appendZorderedEpoch(updates, path, id, numFiles)
@@ -2277,7 +2295,8 @@ object Layout {
     }
     val replaced = rewriteVictimPartitions(spark, hfs, root, older,
       rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_semi"),
-      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_anti"))
+      rows => rows.join(broadcast(updKeys), Seq(keyCol), "left_anti"),
+      scala.util.Try(layoutSchema(spark, path)).toOption.flatten)
     (replaced, inserted)
     }
   }
@@ -2294,6 +2313,16 @@ object Layout {
     val keyBuckets = keys
       .select(pmod(xxhash64(col(keyCol)), lit(buckets.toLong)))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    candidateFilesForBuckets(spark, path, keyCol, keyBuckets, buckets)
+  }
+
+  /** [[keyCandidateFiles]] from ALREADY-COLLECTED key-hash buckets — the
+    * caller that aggregates over the batch anyway ([[upsertByKey]]'s
+    * stats pass) folds the hash collection into that job instead of
+    * paying a second batch pass here. */
+  private def candidateFilesForBuckets(
+      spark: org.apache.spark.sql.SparkSession, path: String, keyCol: String,
+      keyBuckets: Seq[Long], buckets: Int): Array[String] = {
     val index = loadValueIndex(spark, path, keyCol)
       .select(col("file"),
         coalesce(arrays_overlap(col("hset"), typedLit(keyBuckets)), lit(false))
@@ -2330,7 +2359,8 @@ object Layout {
       if (candidates.isEmpty) 0L
       else rewriteVictimPartitions(spark, hfs, root, candidates.toIndexedSeq,
         rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_semi"),
-        rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"))
+        rows => rows.join(broadcast(delKeys), Seq(keyCol), "left_anti"),
+        scala.util.Try(layoutSchema(spark, path)).toOption.flatten)
     }
 
   /** SCHEMA-EVOLVED full read — ADDITIVE evolution, the kind every
@@ -2706,8 +2736,8 @@ object Layout {
       case Some(d) =>
         OptimisticCommit.rewriteScope(spark, path, "applyUpsertDeltas") {
         recoverLayout(spark, path)
-        refreshManifest(spark, path, manifestCols, allowGone = true)
-        refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
+        refreshLayoutIndexes(spark, path, manifestCols, keyCol, buckets,
+          allowGone = true)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol)).orderBy(col("__seq").desc)
         // takedown wins across sidecars: a key both staged and
@@ -2721,8 +2751,8 @@ object Layout {
           .join(broadcast(readTombstones(spark, path, keyCol)), Seq(keyCol),
             "left_anti")
         val res = upsertByKey(spark, path, latest, keyCol, buckets, numFiles)
-        refreshManifest(spark, path, manifestCols, allowGone = true)
-        refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
+        refreshLayoutIndexes(spark, path, manifestCols, keyCol, buckets,
+          allowGone = true)
         val hp = new org.apache.hadoop.fs.Path(deltaPath(path, keyCol))
         hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(hp, true)
@@ -2750,11 +2780,11 @@ object Layout {
     // the consult inside deleteByKeys refuses stale — restore freshness
     // first so the re-run actually re-applies (no-ops when fresh)
     recoverLayout(spark, path)
-    refreshManifest(spark, path, manifestCols, allowGone = true)
-    refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
+    refreshLayoutIndexes(spark, path, manifestCols, keyCol, buckets,
+      allowGone = true)
     val removed = deleteByKeys(spark, path, ts, keyCol, buckets)
-    refreshManifest(spark, path, manifestCols, allowGone = true)
-    refreshValueIndex(spark, path, keyCol, buckets, allowGone = true)
+    refreshLayoutIndexes(spark, path, manifestCols, keyCol, buckets,
+      allowGone = true)
     // PURGE tombstoned keys from a pending delta sidecar BEFORE clearing
     // our own: the takedown-wins rule must survive folding — without
     // this, applyTombstones-then-applyUpsertDeltas would resurrect a

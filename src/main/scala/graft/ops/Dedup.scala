@@ -964,13 +964,29 @@ object Dedup {
     // reference side a null text contributes no grams, so those rows are
     // filtered instead of coalesced — '' there would otherwise mark every
     // empty train doc as contaminated. Both mirrored in the DuckDB oracle.
-    val ga = gramDigestsOf(
-      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), textCol, idCol, n)
-    // the reference needs only a text column — no id projection required
-    val refGrams = explodedGrams(
+    contaminationAgainstGrams(docs, referenceGrams(reference, textCol, n),
+      textCol, idCol, n)
+  }
+
+  /** The reference side's DISTINCT gram-digest set — split out of
+    * [[contamination]] so a caller scoring MANY batches against one
+    * static reference (the decontamination stream) derives and caches it
+    * once instead of re-tokenizing the reference per batch. The
+    * reference needs only a text column — no id projection required. */
+  private[graft] def referenceGrams(reference: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    explodedGrams(
       reference.where(col(textCol).isNotNull)
         .select(TextAnalysis.tokensIn(reference.sparkSession)(col(textCol)).as("__toks")), n)
       .distinct()
+
+  /** The docs-side half of [[contamination]] over an already-derived
+    * (and possibly cached) [[referenceGrams]] frame. */
+  private[graft] def contaminationAgainstGrams(docs: DataFrame,
+      refGrams: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val ga = gramDigestsOf(
+      docs.withColumn(textCol, coalesce(col(textCol), lit(""))), textCol, idCol, n)
     // ONE pass over the exploded grams: refGrams is distinct, so the left
     // join cannot fan out, and sizes + hits fall out of the same aggregate
     // (two separate aggregations over `ga` would evaluate the expensive
@@ -1895,9 +1911,17 @@ object Dedup {
   ): DataFrame = {
     require(thresholds.nonEmpty, "minhashAccuracy needs at least one threshold")
     val tmin = thresholds.min
-    val truth = ngramJaccard(docs, textCol, idCol, shingleK, tmin)
+    // the gate runs TWO full pipelines (exact truth + sketch prediction)
+    // over the same input; without a cache each re-derives the caller's
+    // docs lineage several times (the fmt fixtures' regex-mutated union
+    // is the expensive case). Caller-persisted frames keep ownership.
+    val cached =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val truth = ngramJaccard(cached, textCol, idCol, shingleK, tmin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val pred = minhashLsh(docs, textCol, idCol, shingleK, numHashes, bands,
+    val pred = minhashLsh(cached, textCol, idCol, shingleK, numHashes, bands,
         tmin, portableHash, maxBucketFreq)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     val joined = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
@@ -1932,9 +1956,14 @@ object Dedup {
       nBlocks: Int = 4,
       maxBlockFreq: Option[Int] = None
   ): DataFrame = {
-    val truth = ngramJaccard(docs, textCol, idCol, n, jaccardThreshold)
+    // truth + prediction share the input — cache it (see [[minhashAccuracy]])
+    val cached =
+      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else docs
+    val truth = ngramJaccard(cached, textCol, idCol, n, jaccardThreshold)
       .select(col(s"doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
-    val pred = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
+    val pred = simhashNearDup64(cached, textCol, idCol, nBlocks, maxBlockFreq)
     val joined = truth.join(pred, Seq("id_a", "id_b"), "full_outer")
     val radii = joined.sparkSession.range(1)
       .select(explode(sequence(lit(0), lit(nBlocks - 1))).as("radius"))

@@ -529,9 +529,19 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(toksFn(col(queryTextCol)))).as("token"))
+    // PERSISTED, unlike bm25TopK's tf (see its rejected-variant note):
+    // `pruned` feeds the idf BROADCAST side and the perTerm side, and
+    // neither subtree ends in a shuffle exchange, so ReusedExchange
+    // cannot share them — without the cache the postings lineage (a
+    // parquet scan for a plain index; anti-join/union plans for the
+    // retracted/merged artifacts) executes TWICE per serve. The cached
+    // rows are query-term-pruned (vocabulary-bounded, never
+    // corpus-sized), so the materialization is cheap at any scale; the
+    // ContextCleaner reclaims the blocks when the result frame dies.
     val pruned = index.postings
       .select(col("token"), col(idCol).as("__doc"), col("tf"), col("dl"))
       .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idf = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(index.stats))
       .select(col("token"), idfMilli(col("n"), col("df")).as("__idf_m"))

@@ -283,11 +283,17 @@ object OnlineRefresh {
         // ONE tokenize pass per epoch: land postings, then derive the
         // 1-row stats from the landed artifact + the batch's doc count
         // ([[graft.ops.TextAnalysis.bm25StatsFromPostings]] — bit-identical
-        // to the second-action plan, minus its full re-tokenization)
-        val ix = graft.ops.TextAnalysis.bm25Index(batch, textCol, idCol)
+        // to the second-action plan, minus its full re-tokenization).
+        // The doc count rides the postings write as an OBSERVATION — a
+        // separate batch.count() was one more whole-batch job per epoch
+        // (and null-text docs must count, so it cannot come from postings)
+        val obs = new org.apache.spark.sql.Observation(s"graft_bm25_n_$batchId")
+        val counted = batch.observe(obs, count(lit(1)).as("n"))
+        val ix = graft.ops.TextAnalysis.bm25Index(counted, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
-          spark.read.parquet(s"$outPath/postings/batch=$batchId"), batch.count())
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"),
+          obs.get("n").asInstanceOf[Long])
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
@@ -882,6 +888,13 @@ object OnlineRefresh {
       maxFilesPerTrigger: Option[Int] = None,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
+    // the reference is STATIC by contract (the scaladoc's batching-
+    // invariance argument depends on it), so its distinct gram set is
+    // derived and cached ONCE here — the old per-batch
+    // contamination(batch, reference()) re-tokenized and re-distinct'd
+    // the whole reference corpus on every micro-batch
+    val refGrams = graft.ops.Dedup.referenceGrams(reference(), textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(nf => reader.option("maxFilesPerTrigger", nf))
     reader.parquet(inputPath)
@@ -889,7 +902,8 @@ object OnlineRefresh {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val cont = graft.ops.Dedup.contamination(batch, reference(), textCol, idCol, n)
+        val cont = graft.ops.Dedup.contaminationAgainstGrams(batch, refGrams,
+          textCol, idCol, n)
         batch
           .join(cont.where(col("contamination") <= maxContamination)
             .select(col(idCol), col("contamination")), Seq(idCol))
@@ -2405,12 +2419,16 @@ object OnlineRefresh {
           s"bm25IndexRetractStream:$checkpoint") {
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
-        // ONE tokenize pass per epoch (the [[buildBm25IndexStream]] recipe)
+        // ONE tokenize pass per epoch (the [[buildBm25IndexStream]] recipe,
+        // including its observed doc count — no separate ins.count() job)
+        val obs = new org.apache.spark.sql.Observation(s"graft_bm25r_n_$batchId")
         val ins = batch.where(col(opCol) === lit("ins")).drop(opCol)
+          .observe(obs, count(lit(1)).as("n"))
         val ix = graft.ops.TextAnalysis.bm25Index(ins, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
-          spark.read.parquet(s"$outPath/postings/batch=$batchId"), ins.count())
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"),
+          obs.get("n").asInstanceOf[Long])
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
