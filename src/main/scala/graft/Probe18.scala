@@ -162,14 +162,15 @@ object Probe18 {
         val names = sys.env.getOrElse("PROBE18_QUERIES", "").split(',')
           .map(_.trim).filter(_.nonEmpty)
         val suffix = sys.env.getOrElse("PROBE18_SUFFIX", "before")
-        val outDir = java.nio.file.Paths.get("plans/r18")
+        val dirName = sys.env.getOrElse("PROBE18_DIR", "plans/r19")
+        val outDir = java.nio.file.Paths.get(dirName)
         java.nio.file.Files.createDirectories(outDir)
         names.foreach { n =>
           val df = SparkEntry.queries(n)(spark, sfDir)
           val plan = df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
           java.nio.file.Files.writeString(outDir.resolve(s"${n}_$suffix.txt"), plan)
-          println(s"WROTE plans/r18/${n}_$suffix.txt")
+          println(s"WROTE $dirName/${n}_$suffix.txt")
         }
       case _ => println(s"unknown section $section")
     }

@@ -1912,16 +1912,15 @@ object Dedup {
     require(thresholds.nonEmpty, "minhashAccuracy needs at least one threshold")
     val tmin = thresholds.min
     // the gate runs TWO full pipelines (exact truth + sketch prediction)
-    // over the same input; without a cache each re-derives the caller's
-    // docs lineage several times (the fmt fixtures' regex-mutated union
-    // is the expensive case). Caller-persisted frames keep ownership.
-    val cached =
-      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else docs
-    val truth = ngramJaccard(cached, textCol, idCol, shingleK, tmin)
+    // over the same input; a caller whose docs lineage is expensive (the
+    // fmt fixtures' regex-mutated union) should persist it BEFORE calling.
+    // Persisting here was tried and reverted: the gate also runs over
+    // shared long-lived frames (the memoized base corpus), and caching
+    // those swaps every downstream query's parquet pushdown/exchange
+    // reuse for an InMemoryRelation that outlives this call.
+    val truth = ngramJaccard(docs, textCol, idCol, shingleK, tmin)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    val pred = minhashLsh(cached, textCol, idCol, shingleK, numHashes, bands,
+    val pred = minhashLsh(docs, textCol, idCol, shingleK, numHashes, bands,
         tmin, portableHash, maxBucketFreq)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
     val joined = truth.join(pred, Seq("doc_a", "doc_b"), "full_outer")
@@ -1956,14 +1955,11 @@ object Dedup {
       nBlocks: Int = 4,
       maxBlockFreq: Option[Int] = None
   ): DataFrame = {
-    // truth + prediction share the input — cache it (see [[minhashAccuracy]])
-    val cached =
-      if (docs.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else docs
-    val truth = ngramJaccard(cached, textCol, idCol, n, jaccardThreshold)
+    // truth + prediction share the input — callers with expensive lineage
+    // persist it first (see [[minhashAccuracy]]'s rejected-persist note)
+    val truth = ngramJaccard(docs, textCol, idCol, n, jaccardThreshold)
       .select(col(s"doc_a").as("id_a"), col("doc_b").as("id_b"), col("jaccard"))
-    val pred = simhashNearDup64(cached, textCol, idCol, nBlocks, maxBlockFreq)
+    val pred = simhashNearDup64(docs, textCol, idCol, nBlocks, maxBlockFreq)
     val joined = truth.join(pred, Seq("id_a", "id_b"), "full_outer")
     val radii = joined.sparkSession.range(1)
       .select(explode(sequence(lit(0), lit(nBlocks - 1))).as("radius"))

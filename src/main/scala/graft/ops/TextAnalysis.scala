@@ -529,19 +529,23 @@ object TextAnalysis {
     val qTerms = queries
       .select(col(queryIdCol).as("query_id"),
         explode(array_distinct(toksFn(col(queryTextCol)))).as("token"))
-    // PERSISTED, unlike bm25TopK's tf (see its rejected-variant note):
-    // `pruned` feeds the idf BROADCAST side and the perTerm side, and
-    // neither subtree ends in a shuffle exchange, so ReusedExchange
-    // cannot share them — without the cache the postings lineage (a
-    // parquet scan for a plain index; anti-join/union plans for the
-    // retracted/merged artifacts) executes TWICE per serve. The cached
-    // rows are query-term-pruned (vocabulary-bounded, never
-    // corpus-sized), so the materialization is cheap at any scale; the
-    // ContextCleaner reclaims the blocks when the result frame dies.
+    // NOT persisted (a persist here was tried and REVERTED): `pruned`
+    // feeds both the idf side and the perTerm side, but caching it keys
+    // the CacheManager on the canonicalized plan — two serves over the
+    // SAME artifact path (the postings parquet) canonicalize identically
+    // even after the artifact was compacted/retracted/resumed in between,
+    // so the second serve silently returns the FIRST serve's rows
+    // (StreamingSpec's resume-after-compaction scenarios caught exactly
+    // that). Instead the two consumers share ONE execution of the
+    // postings lineage through an explicit token shuffle seam: both
+    // subtrees start at the same repartition Exchange, so ReusedExchange
+    // runs the scan+prune once (the q_simhash_neardup pattern); the df
+    // aggregate needs no second exchange on token-partitioned input, and
+    // the shuffle itself is query-term-pruned — never corpus-sized.
     val pruned = index.postings
       .select(col("token"), col(idCol).as("__doc"), col("tf"), col("dl"))
       .join(broadcast(qTerms.select("token").distinct()), Seq("token"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("token"))
     val idf = pruned.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(index.stats))
       .select(col("token"), idfMilli(col("n"), col("df")).as("__idf_m"))

@@ -16,6 +16,26 @@ import graft.fs.OnlineStore
   */
 object OnlineRefresh {
 
+  /** The observed `count(lit(1)).as("n")` from a batch action the caller
+    * already ran over the observed frame — with the degenerate-plan
+    * fallback. When the observed subtree collapses to an empty relation
+    * (empty-relation propagation on an ins/del-filtered micro-batch), the
+    * CollectMetrics node is folded away with the rest of the subtree and
+    * the observation resolves to an EMPTY metrics map, so blind
+    * `obs.get("n")` throws `key not found: n` (measured: the retract
+    * stream's dels-only epochs died exactly there). Recounting `src` in
+    * that case costs one job on a frame the optimizer just proved
+    * (near-)empty and keeps the common case at zero extra batch passes.
+    * `get` blocks only until the already-ran action's listener fires —
+    * the collapse case still resolves (with the empty map), so this
+    * cannot hang. */
+  private def observedCountOr(obs: org.apache.spark.sql.Observation,
+      src: DataFrame): Long =
+    obs.get.get("n") match {
+      case Some(n) => n.asInstanceOf[Long]
+      case None => src.count()
+    }
+
   /** Start a stream that maintains `snapshotPath` as the latest-per-key view
     * of feature rows arriving under `inputPath`. */
   def start(
@@ -293,7 +313,7 @@ object OnlineRefresh {
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
           spark.read.parquet(s"$outPath/postings/batch=$batchId"),
-          obs.get("n").asInstanceOf[Long])
+          observedCountOr(obs, batch))
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
@@ -2428,7 +2448,7 @@ object OnlineRefresh {
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
           spark.read.parquet(s"$outPath/postings/batch=$batchId"),
-          obs.get("n").asInstanceOf[Long])
+          observedCountOr(obs, ins))
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
