@@ -16,26 +16,6 @@ import graft.fs.OnlineStore
   */
 object OnlineRefresh {
 
-  /** The observed `count(lit(1)).as("n")` from a batch action the caller
-    * already ran over the observed frame — with the degenerate-plan
-    * fallback. When the observed subtree collapses to an empty relation
-    * (empty-relation propagation on an ins/del-filtered micro-batch), the
-    * CollectMetrics node is folded away with the rest of the subtree and
-    * the observation resolves to an EMPTY metrics map, so blind
-    * `obs.get("n")` throws `key not found: n` (measured: the retract
-    * stream's dels-only epochs died exactly there). Recounting `src` in
-    * that case costs one job on a frame the optimizer just proved
-    * (near-)empty and keeps the common case at zero extra batch passes.
-    * `get` blocks only until the already-ran action's listener fires —
-    * the collapse case still resolves (with the empty map), so this
-    * cannot hang. */
-  private def observedCountOr(obs: org.apache.spark.sql.Observation,
-      src: DataFrame): Long =
-    obs.get.get("n") match {
-      case Some(n) => n.asInstanceOf[Long]
-      case None => src.count()
-    }
-
   /** Start a stream that maintains `snapshotPath` as the latest-per-key view
     * of feature rows arriving under `inputPath`. */
   def start(
@@ -304,16 +284,20 @@ object OnlineRefresh {
         // 1-row stats from the landed artifact + the batch's doc count
         // ([[graft.ops.TextAnalysis.bm25StatsFromPostings]] — bit-identical
         // to the second-action plan, minus its full re-tokenization).
-        // The doc count rides the postings write as an OBSERVATION — a
-        // separate batch.count() was one more whole-batch job per epoch
-        // (and null-text docs must count, so it cannot come from postings)
-        val obs = new org.apache.spark.sql.Observation(s"graft_bm25_n_$batchId")
-        val counted = batch.observe(obs, count(lit(1)).as("n"))
-        val ix = graft.ops.TextAnalysis.bm25Index(counted, textCol, idCol)
+        // The doc count stays a SEPARATE batch.count() (null-text docs
+        // must count, so it cannot come from postings): riding it on the
+        // postings write as an Observation was tried and REVERTED — the
+        // CollectMetrics node sits inside the tokenize→tf pipeline and
+        // breaks its whole-stage-codegen span, costing ~1 s per 4-epoch
+        // build at sf0.1 (Probe18 bm25rc A/B), more than the one
+        // column-pruned count job it saves; and a filtered batch that
+        // collapses to an empty relation folds the node away entirely,
+        // resolving the metrics map EMPTY (the dels-only retract epochs
+        // died on exactly that).
+        val ix = graft.ops.TextAnalysis.bm25Index(batch, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
-          spark.read.parquet(s"$outPath/postings/batch=$batchId"),
-          observedCountOr(obs, batch))
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"), batch.count())
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()
@@ -2440,15 +2424,13 @@ object OnlineRefresh {
         batch.where(col(opCol) === lit("del")).select(col(idCol))
           .write.mode("overwrite").parquet(s"$outPath/dels/batch=$batchId")
         // ONE tokenize pass per epoch (the [[buildBm25IndexStream]] recipe,
-        // including its observed doc count — no separate ins.count() job)
-        val obs = new org.apache.spark.sql.Observation(s"graft_bm25r_n_$batchId")
+        // including its rejected-Observation note — the separate count is
+        // cheaper than a CollectMetrics barrier in the tokenize pipeline)
         val ins = batch.where(col(opCol) === lit("ins")).drop(opCol)
-          .observe(obs, count(lit(1)).as("n"))
         val ix = graft.ops.TextAnalysis.bm25Index(ins, textCol, idCol)
         ix.postings.write.mode("overwrite").parquet(s"$outPath/postings/batch=$batchId")
         graft.ops.TextAnalysis.bm25StatsFromPostings(
-          spark.read.parquet(s"$outPath/postings/batch=$batchId"),
-          observedCountOr(obs, ins))
+          spark.read.parquet(s"$outPath/postings/batch=$batchId"), ins.count())
           .write.mode("overwrite").parquet(s"$outPath/stats/batch=$batchId")
         }
         ()

@@ -197,6 +197,23 @@ class PlanSpec extends SparkSpec {
       s"fingerprint must not be re-evaluated inside a pushed filter:\n$p")
   }
 
+  test("q_bm25_topk_served: idf and perTerm reuse ONE pruned-postings shuffle") {
+    // bm25TopKFromIndex hangs both consumers of the query-term-pruned
+    // postings off one explicit token repartition, so the postings
+    // lineage (scan for a plain artifact; anti-join/union plans for
+    // retracted/merged ones) executes ONCE per serve. Runtime property
+    // (AQE stage reuse), so execute first — the r18 form executed the
+    // lineage twice, and the persist alternative was REVERTED for
+    // returning stale rows across serves of a mutated artifact path
+    // (see the operator's scaladoc).
+    val df = Queries.all("q_bm25_topk_served")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), "adaptive plan must have finalized")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"pruned-postings exchange must be computed once and reused:\n$p")
+  }
+
   test("q_token_pack: both packing windows share ONE exchange") {
     // hash(source) satisfies the (source, seq_id) clustering of the second
     // window — the position window re-sorts but must NOT re-shuffle
