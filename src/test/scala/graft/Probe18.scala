@@ -156,6 +156,36 @@ object Probe18 {
           fs.Layout.prunedRead(spark, s"$base/z", Seq(("user_id", 5.0, 11.0)))
             .select(col("event_id"), col("user_id"), col("value")).count()
         }
+      case "pipeline" =>
+        // q_pipeline_full stage decomposition (r19): which stage owns the
+        // ~7.7 s floor — containment kill, textStats, fuzzy keep-best,
+        // split, or the contamination gate
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val uncontained = step("dropContained (noop sink)") {
+          val u = ops.Dedup.dropContained(docs, n = 3, threshold = 0.5)
+          u.write.format("noop").mode("overwrite").save(); u
+        }
+        val stats = step("textStats over uncontained (noop)") {
+          val st = ops.TextAnalysis.textStats(uncontained)
+          st.write.format("noop").mode("overwrite").save(); st
+        }
+        val fuzzy = step("dropNearDuplicates (noop)") {
+          val f = ops.Dedup.dropNearDuplicates(stats, "quality_score")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          f.write.format("noop").mode("overwrite").save(); f
+        }
+        val split = ops.Sampling.hashSplit(fuzzy.where(col("quality_score") >= 0.5), "doc_id")
+        val train = split.where(col("split") === "train")
+        val test = split.where(col("split") === "test")
+        step("contamination gate + final join (noop)") {
+          val cont = ops.Dedup.contamination(train, test)
+          train.join(cont.select("doc_id", "contamination"), Seq("doc_id"))
+            .where(col("contamination") <= 0.2)
+            .select(col("doc_id"), col("quality_score"), col("split"), col("contamination"))
+            .unionByName(test.select(col("doc_id"), col("quality_score"), col("split"),
+              lit(null).cast("double").as("contamination")))
+            .write.format("noop").mode("overwrite").save()
+        }
       case "explain" =>
         // PROBE18_QUERIES=q_a,q_b PROBE18_SUFFIX=before — dump
         // .explain("formatted") of each named declared query to plans/r18/
